@@ -1,0 +1,148 @@
+"""The flagship query: filtered + cursor-paginated log search.
+
+Re-expresses the reference's ``POST /logs`` handler (``src/api.rs:111-229``)
+— a dynamically composed conjunctive filter + total order + page limit over
+the ``logs`` table — as a declarative DataFrame plan.  Where the reference
+builds a SQL string with ``sqlx::QueryBuilder``, here the same request
+struct drives Column predicates and Catalyst does the planning: the
+equality/range/topic predicates and the keyset-cursor tuple predicate all
+push down to the parquet/store scan (min-max row-group pruning on
+``block_number``), and ORDER BY + LIMIT plans as ``TakeOrderedAndProject``
+(top-k, no full sort) — the scale-out analog of the reference's B-tree
+index walk.
+
+Operator coverage (SURVEY.md §2b): O-12 projection/aliases, O-13
+case-insensitive equality, O-14 block range, O-14a hash-overrides-range
+precedence, O-15 topic filters, O-16 keyset cursor, O-17 top-k, O-18
+offset pagination, O-19 clamps, O-20 next-cursor derivation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.evm import hex_eq
+
+MAX_PAGE_SIZE = 100  # src/api.rs:26
+DEFAULT_PAGE_SIZE = 25  # src/api_models.rs:11-13
+
+def _projection() -> list[Column]:
+    """O-12 — the projected/renamed response columns (src/api.rs:118-124).
+    ``data`` is stored as the 0x… hex string (see schemas.py), so the
+    reference's ENCODE(data,'escape') byte→text decode is the identity here.
+    (Built lazily: Column construction needs an active session.)"""
+    return [
+        F.col("id"),
+        F.col("log_index_in_tx").alias("log_index"),
+        F.col("transaction_hash"),
+        F.col("transaction_index_in_block").alias("transaction_index"),
+        F.col("block_number"),
+        F.col("block_hash"),
+        F.col("contract_address").alias("address"),
+        F.col("data"),
+        F.col("topic0"),
+        F.col("topic1"),
+        F.col("topic2"),
+        F.col("topic3"),
+    ]
+
+
+@dataclass
+class GetLogsFilter:
+    """Mirror of the request DTO ``GetLogsFilter`` (src/api_models.rs:16-48).
+
+    All fields optional; provided ones AND together.  ``page_size`` accepts
+    the reference's ``limit`` alias at the API layer.
+    """
+
+    block_hash: str | None = None
+    from_block: int | None = None
+    to_block: int | None = None
+    address: str | None = None
+    topic0: str | None = None
+    topic1: str | None = None
+    topic2: str | None = None
+    topic3: str | None = None
+    # keyset cursor (preferred)
+    cursor_block: int | None = None
+    cursor_log_id: int | None = None
+    # legacy offset pagination
+    page: int | None = None
+    page_size: int = DEFAULT_PAGE_SIZE
+
+    @property
+    def has_cursor(self) -> bool:
+        return self.cursor_block is not None and self.cursor_log_id is not None
+
+    def clamped_page_size(self) -> int:  # O-19, src/api.rs:115
+        return max(1, min(self.page_size, MAX_PAGE_SIZE))
+
+    def clamped_page(self) -> int:  # src/api.rs:178
+        return max(1, self.page or 1)
+
+
+@dataclass
+class LogsPage:
+    """Response analog of ``LogsResponse`` (src/api_models.rs:61-66)."""
+
+    logs: list[dict]
+    next_cursor_block: int | None
+    next_cursor_log_id: int | None
+
+
+def _predicates(flt: GetLogsFilter) -> list[Column]:
+    """Conjunctive predicate list in the reference's append order
+    (src/api.rs:126-172)."""
+    preds: list[Column] = []
+    # O-14a: block_hash overrides the from/to range — mutually exclusive
+    # branch, exactly like the reference's if/else (src/api.rs:126-139).
+    if flt.block_hash is not None:
+        preds.append(hex_eq("block_hash", flt.block_hash))  # O-13
+    else:
+        if flt.from_block is not None:  # O-14
+            preds.append(F.col("block_number") >= F.lit(flt.from_block))
+        if flt.to_block is not None:
+            preds.append(F.col("block_number") <= F.lit(flt.to_block))
+    if flt.address is not None:  # O-13 (src/api.rs:140-144)
+        preds.append(hex_eq("contract_address", flt.address))
+    for i, t in enumerate((flt.topic0, flt.topic1, flt.topic2, flt.topic3)):
+        if t is not None:  # O-15 — exact match, independently ANDed
+            preds.append(F.col(f"topic{i}") == F.lit(t))
+    if flt.has_cursor:
+        # O-16 keyset cursor: row-value (block_number, id) > (cb, cl),
+        # spelled out since Spark has no tuple comparison.  Both disjuncts
+        # are range/eq predicates on scan columns → pushed to parquet.
+        cb, cl = F.lit(flt.cursor_block), F.lit(flt.cursor_log_id)
+        preds.append(
+            (F.col("block_number") > cb)
+            | ((F.col("block_number") == cb) & (F.col("id") > cl))
+        )
+    return preds
+
+
+def get_logs(logs: DataFrame, flt: GetLogsFilter) -> DataFrame:
+    """Build the logs-page plan (no action).  Total order is
+    (block_number ASC, id ASC) — the reference's ORDER BY (src/api.rs:174)
+    — and the limit makes Spark plan a distributed top-k
+    (TakeOrderedAndProject) rather than a global sort."""
+    df = logs
+    for p in _predicates(flt):
+        df = df.filter(p)
+    df = df.select(*_projection()).orderBy(F.asc("block_number"), F.asc("id"))
+    size = flt.clamped_page_size()
+    if not flt.has_cursor and flt.page is not None:  # O-18 legacy OFFSET path
+        df = df.offset((flt.clamped_page() - 1) * size)
+    return df.limit(size)  # O-17
+
+
+def run_get_logs(logs: DataFrame, flt: GetLogsFilter) -> LogsPage:
+    """Execute and derive the next cursor from the LAST returned row
+    (O-20, src/api.rs:186-195).  Collect is bounded by MAX_PAGE_SIZE."""
+    rows = [r.asDict() for r in get_logs(logs, flt).collect()]
+    if rows:
+        tail = rows[-1]
+        return LogsPage(rows, tail["block_number"], tail["id"])
+    return LogsPage(rows, None, None)

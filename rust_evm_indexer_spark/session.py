@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+One session per process; tuned for local[N] testing while keeping every
+setting cluster-valid (nothing here assumes a single JVM except the driver
+memory sizing).  AQE is on so skewed shuffles re-plan at runtime — at 100 TB
+the skew-join and partition-coalescing rules matter far more than any static
+``spark.sql.shuffle.partitions`` choice.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# UTC session timezone is load-bearing: the DuckDB oracle treats parquet
+# timestamps as UTC-naive, so Spark must agree (see BASELINE.md targets).
+_BASE_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scans: keep row-group pruning + column pruning effective
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "rust_evm_indexer_spark",
+    *,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the process-wide SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) else all
+    cores.  ``shuffle_partitions`` defaults to the core count: at local
+    scale 200 partitions would just add scheduling overhead; on a real
+    cluster callers pass an explicit value sized to the data.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in _BASE_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
