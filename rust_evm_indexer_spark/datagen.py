@@ -158,18 +158,27 @@ def generate_chain(
     return chain
 
 
-def generate_fork(
-    chain: Chain, fork_depth: int = 3, seed: int = 7
+def generate_fork(chain: Chain, fork_depth: int = 3, seed: int = 7) -> Chain:
+    """Competing branch replacing the last ``fork_depth`` blocks at the tip."""
+    tip = max(b["block_number"] for b in chain.blocks)
+    return generate_fork_at(chain, tip, fork_depth, seed)
+
+
+def generate_fork_at(
+    chain: Chain, tip: int, fork_depth: int = 3, seed: int = 7
 ) -> Chain:
-    """A competing branch replacing the last ``fork_depth`` blocks.
+    """A competing branch replacing the ``fork_depth`` blocks below ``tip``
+    (inclusive), one block longer than what it replaces.
 
     Its first block's parent_hash equals the canonical hash at
-    (tip − fork_depth), so appending it triggers the parent-mismatch reorg
+    (tip − fork_depth), so ingesting it triggers the parent-mismatch reorg
     path (analog of ``src/main.rs:166-189``).
     """
     rng = random.Random(seed)
-    canonical = sorted(chain.blocks, key=lambda b: b["block_number"])
-    tip = canonical[-1]["block_number"]
+    canonical = sorted(
+        (b for b in chain.blocks if b["block_number"] <= tip),
+        key=lambda b: b["block_number"],
+    )
     fork_base_height = tip - fork_depth
     # canonical row at the fork base = the one the next height points at
     # (skips the uncle row if the base height happens to be duplicated)

@@ -51,11 +51,37 @@ def wei_to_eth(col: Column | str) -> Column:
 
 def flatten_topics(topics: Column | str) -> list[Column]:
     """``array<string>`` topics → positional ``topic0..topic3`` columns
-    (mirrors src/db.rs:164-167; element_at is 1-based)."""
+    (mirrors src/db.rs:164-167; 1-based, NULL beyond the array end —
+    try_element_at because ANSI-mode element_at throws out-of-bounds)."""
     c = F.col(topics) if isinstance(topics, str) else topics
-    return [
-        F.element_at(c, i + 1).alias(f"topic{i}") for i in range(4)
-    ]
+    return [F.try_element_at(c, F.lit(i + 1)).alias(f"topic{i}") for i in range(4)]
+
+
+#: bit widths for the packed deterministic log id (see :func:`pack_log_id`)
+_TXI_BITS = 18  # up to 262k txs per block (mainnet max ≈ 1.4k)
+_LI_BITS = 12  # up to 4096 logs per tx (mainnet max ≈ hundreds)
+
+
+def pack_log_id(block_number: Column, tx_index: Column, log_index: Column) -> Column:
+    """Deterministic surrogate for the reference's ``id BIGSERIAL``
+    (init.sql:50): ``(block_number << 30) | (tx_index << 12) | log_index``.
+
+    Properties the cursor semantics need (SURVEY.md §7 hard-part 1):
+    - strictly increasing in ``(block_number, tx_index, log_index)``, so
+      ORDER BY (block_number, id) equals the reference's insertion order;
+    - stable across crash-replays and reorg rewrites (pure function of
+      position — unlike ``monotonically_increasing_id()``);
+    - assigned with zero coordination: no window, no shuffle, no driver
+      sequence — each executor computes it locally at any scale.
+
+    Bounds: block_number < 2^33, tx_index < 2^18, log_index < 2^12 —
+    all orders of magnitude beyond real chains.
+    """
+    return (
+        F.shiftleft(block_number, _TXI_BITS + _LI_BITS)
+        .bitwiseOR(F.shiftleft(F.coalesce(tx_index, F.lit(0)), _LI_BITS))
+        .bitwiseOR(F.coalesce(log_index, F.lit(0)))
+    )
 
 
 def ts_seconds_to_timestamp(col: Column | str) -> Column:

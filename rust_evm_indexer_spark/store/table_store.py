@@ -1,0 +1,288 @@
+"""Manifest-versioned atomic multi-table parquet store.
+
+The reference gets its integrity story from one PostgreSQL transaction per
+block: block + transactions + logs + checkpoint commit together or not at
+all (``src/main.rs:229-311``), idempotent re-inserts via ON CONFLICT DO
+NOTHING (``src/db.rs:97,136``), and reorg rollback via three DELETEs
+(``src/db.rs:34-50``).  Spark has no multi-table transaction — Delta txns
+are per table — so this store provides the equivalent with a *single
+versioned manifest covering every table*:
+
+- a **manifest** (JSON) lists, per table, the immutable parquet fragment
+  directories that make up the current snapshot, with per-fragment
+  ``min/max block_number`` stats and row counts;
+- a **commit** writes new fragments for any subset of tables, then swaps
+  the CURRENT pointer to a new manifest version with one atomic rename —
+  readers see the whole batch or none of it (the cross-table atomicity
+  Delta cannot give; SURVEY.md §7 hard-part 2);
+- the **ingest checkpoint lives inside the manifest** (``status`` field),
+  exactly like the reference writes ``indexer_status`` inside the same DB
+  transaction (``src/main.rs:299-307``) — checkpoint and data cannot
+  diverge by construction;
+- **idempotency**: each commit may carry ``(txn_app_id, txn_version)``;
+  a replayed version is a no-op (the Delta ``txnAppId/txnVersion``
+  pattern, ≙ ON CONFLICT DO NOTHING at batch granularity);
+- **rollback_from(height)** drops every fragment wholly ≥ height and
+  rewrites straddling fragments with a pushdown filter — across all
+  tables in one manifest swap, so the children-first delete ordering the
+  reference needs is moot.
+
+Scale posture (100 TB): fragments are written per ingest batch, so they
+are naturally block-range clustered; the manifest's min/max stats prune
+fragments *before* Spark even lists files, and parquet row-group stats
+prune within fragments.  Reads hand Spark a list of paths — Catalyst
+treats it as one scan with full pushdown.  On an object store the
+CURRENT-pointer rename becomes a conditional put; nothing else changes.
+Rollback cost is proportional to the fork depth (tail fragments only),
+never to table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import EVM_SCHEMAS
+
+_CURRENT = "CURRENT"
+
+
+@dataclass
+class Fragment:
+    path: str  # relative to store root
+    rows: int
+    min_block: int | None = None
+    max_block: int | None = None
+
+    def to_json(self) -> dict:
+        return self.__dict__.copy()
+
+
+@dataclass
+class Manifest:
+    version: int = 0
+    txns: dict[str, int] = field(default_factory=dict)  # app_id -> version
+    status: dict[str, Any] | None = None  # ingest checkpoint row
+    tables: dict[str, list[Fragment]] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "txns": self.txns,
+            "status": self.status,
+            "tables": {
+                t: [f.to_json() for f in frags] for t, frags in self.tables.items()
+            },
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Manifest":
+        return cls(
+            version=d["version"],
+            txns=dict(d.get("txns", {})),
+            status=d.get("status"),
+            tables={
+                t: [Fragment(**f) for f in frags]
+                for t, frags in d.get("tables", {}).items()
+            },
+        )
+
+
+class TableStore:
+    """See module docstring.  One instance per store root directory."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def current_manifest(self) -> Manifest:
+        cur = self.root / "_manifests" / _CURRENT
+        if not cur.exists():
+            return Manifest()
+        version = int(cur.read_text())
+        path = self.root / "_manifests" / f"v{version:06d}.json"
+        return Manifest.from_json(json.loads(path.read_text()))
+
+    def _swap(self, manifest: Manifest) -> None:
+        """Write the manifest then atomically advance the CURRENT pointer
+        (POSIX rename; conditional-put on an object store)."""
+        mdir = self.root / "_manifests"
+        (mdir / f"v{manifest.version:06d}.json").write_text(
+            json.dumps(manifest.to_json(), indent=1)
+        )
+        tmp = mdir / f".current.{uuid.uuid4().hex}"
+        tmp.write_text(str(manifest.version))
+        os.replace(tmp, mdir / _CURRENT)
+
+    # -- writes ------------------------------------------------------------
+
+    def _write_fragment(self, table: str, df: DataFrame) -> Fragment | None:
+        """Materialize one immutable fragment dir; stats from the parquet
+        footers (no second data pass)."""
+        rel = f"data/{table}/frag-{uuid.uuid4().hex}"
+        out = self.root / rel
+        df.write.mode("overwrite").parquet(str(out))
+        ds = pa_ds.dataset(str(out), format="parquet")
+        rows = ds.count_rows()
+        if rows == 0:
+            shutil.rmtree(out, ignore_errors=True)
+            return None
+        frag = Fragment(path=rel, rows=rows)
+        if "block_number" in ds.schema.names:
+            lo, hi = None, None
+            for piece in ds.files:
+                md = pq.read_metadata(piece)
+                idx = md.schema.to_arrow_schema().get_field_index("block_number")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            frag.min_block, frag.max_block = lo, hi
+        return frag
+
+    def commit(
+        self,
+        writes: dict[str, DataFrame],
+        *,
+        status: dict | None = None,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> bool:
+        """Atomically append fragments for any subset of tables (+ the
+        checkpoint).  Returns False if (txn_app_id, txn_version) was
+        already committed — the idempotent crash-replay path."""
+        m = self.current_manifest()
+        if (
+            txn_app_id is not None
+            and txn_version is not None
+            and m.txns.get(txn_app_id, -1) >= txn_version
+        ):
+            return False
+        new = Manifest(
+            version=m.version + 1,
+            txns=dict(m.txns),
+            status=status if status is not None else m.status,
+            tables={t: list(frags) for t, frags in m.tables.items()},
+        )
+        for table, df in writes.items():
+            frag = self._write_fragment(table, df)
+            if frag is not None:
+                new.tables.setdefault(table, []).append(frag)
+        if txn_app_id is not None and txn_version is not None:
+            new.txns[txn_app_id] = txn_version
+        self._swap(new)
+        return True
+
+    def rollback_from(self, height: int, *, status: dict | None = None) -> int:
+        """Reorg retraction: remove all rows with block_number >= height
+        from every table, in ONE atomic swap (≙ the reference's three
+        DELETEs inside a txn, src/db.rs:34-50).  Fragments wholly ≥ height
+        are dropped by manifest edit alone; straddling fragments are
+        rewritten with a pushed-down filter.  Returns fragments touched."""
+        from pyspark.sql import functions as F
+
+        m = self.current_manifest()
+        new = Manifest(
+            version=m.version + 1,
+            txns=dict(m.txns),
+            status=status if status is not None else m.status,
+            tables={},
+        )
+        touched = 0
+        for table, frags in m.tables.items():
+            kept: list[Fragment] = []
+            for frag in frags:
+                if frag.min_block is not None and frag.min_block >= height:
+                    touched += 1  # drop whole fragment: manifest edit only
+                    continue
+                if frag.max_block is not None and frag.max_block >= height:
+                    touched += 1  # straddles the fork: rewrite the survivors
+                    df = self.spark.read.parquet(str(self.root / frag.path))
+                    surv = df.filter(F.col("block_number") < height)
+                    rewritten = self._write_fragment(table, surv)
+                    if rewritten is not None:
+                        kept.append(rewritten)
+                    continue
+                kept.append(frag)
+            new.tables[table] = kept
+        self._swap(new)
+        return touched
+
+    def set_status(self, status: dict) -> None:
+        """Checkpoint-only upsert (O-9) when no data moved."""
+        m = self.current_manifest()
+        self._swap(
+            Manifest(
+                version=m.version + 1, txns=dict(m.txns), status=status, tables=m.tables
+            )
+        )
+
+    # -- reads -------------------------------------------------------------
+
+    def read(
+        self,
+        table: str,
+        *,
+        min_block: int | None = None,
+        max_block: int | None = None,
+    ) -> DataFrame:
+        """Current snapshot of a table as a DataFrame.  Optional block
+        bounds prune fragments manifest-side before Spark lists a single
+        file (the coarse tier above parquet row-group pruning)."""
+        m = self.current_manifest()
+        frags = m.tables.get(table, [])
+        if min_block is not None:
+            frags = [f for f in frags if f.max_block is None or f.max_block >= min_block]
+        if max_block is not None:
+            frags = [f for f in frags if f.min_block is None or f.min_block <= max_block]
+        schema = EVM_SCHEMAS.get(table)
+        if not frags:
+            return self.spark.createDataFrame([], schema) if schema is not None else (
+                self.spark.range(0).drop("id")
+            )
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[str(self.root / f.path) for f in frags])
+
+    def read_status(self) -> dict | None:
+        return self.current_manifest().status
+
+    def table_rows(self, table: str) -> int:
+        """Metadata-only row count (the /stats fast path)."""
+        return sum(f.rows for f in self.current_manifest().tables.get(table, []))
+
+    def vacuum(self) -> int:
+        """Delete fragment dirs unreferenced by the CURRENT manifest (old
+        versions' rewrites, crash orphans).  Safe any time: fragments are
+        immutable and only CURRENT is served.  Returns dirs removed."""
+        live = {
+            f.path
+            for frags in self.current_manifest().tables.values()
+            for f in frags
+        }
+        removed = 0
+        for tdir in (self.root / "data").iterdir():
+            if not tdir.is_dir():
+                continue
+            for frag_dir in tdir.iterdir():
+                rel = str(frag_dir.relative_to(self.root))
+                if rel not in live:
+                    shutil.rmtree(frag_dir, ignore_errors=True)
+                    removed += 1
+        return removed
