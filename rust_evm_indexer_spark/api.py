@@ -1,0 +1,156 @@
+"""Thin REST layer: the reference's four endpoints over the Spark engine.
+
+Mirrors the Axum API surface (``src/api.rs``):
+
+- ``POST /logs``            — filtered + paginated log search (O-12..O-20)
+- ``GET  /block/<id>``      — polymorphic point lookup (O-21)
+- ``GET  /transaction/<h>`` — validated point lookup (O-22)
+- ``GET  /stats``           — counts + ingestion lag (O-23/O-24)
+
+plus O-27 (row → camelCase JSON, ``src/models.rs:9``) and O-28
+(standardized error envelope: parse → 400, missing → 404, internal → 500,
+``src/api.rs:28-80``).  The engine work all lives in ``operators/``; this
+module is deliberately dumb — request structs in, DataFrame plans out,
+bounded collects, dict JSON.
+
+One SparkSession serves all requests (the analog of the reference's
+10-connection pool is Spark's own scheduler; enable the FAIR scheduler
+for concurrent endpoints on a busy deployment).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from .operators.logs import GetLogsFilter, run_get_logs
+from .operators.lookups import get_block, get_stats, get_transaction
+
+
+def _camel(s: str) -> str:
+    head, *rest = s.split("_")
+    return head + "".join(w.capitalize() for w in rest)
+
+
+def to_camel_json(row: dict[str, Any]) -> dict[str, Any]:
+    """O-27: snake_case row dict → camelCase JSON object."""
+    return {_camel(k): v for k, v in row.items()}
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+class EvmApi:
+    """Framework-independent handlers (unit-testable without HTTP)."""
+
+    def __init__(
+        self,
+        blocks: DataFrame,
+        transactions: DataFrame,
+        logs: DataFrame,
+        status: DataFrame,
+    ):
+        self.blocks = blocks
+        self.transactions = transactions
+        self.logs = logs
+        self.status = status
+
+    def post_logs(self, body: dict[str, Any]) -> dict[str, Any]:
+        if not isinstance(body, dict):
+            raise ApiError(400, "body must be a JSON object")
+        try:
+            flt = GetLogsFilter(
+                block_hash=body.get("blockHash"),
+                from_block=body.get("fromBlock"),
+                to_block=body.get("toBlock"),
+                address=body.get("address"),
+                topic0=body.get("topic0"),
+                topic1=body.get("topic1"),
+                topic2=body.get("topic2"),
+                topic3=body.get("topic3"),
+                cursor_block=body.get("cursorBlock"),
+                cursor_log_id=body.get("cursorLogId"),
+                page=body.get("page"),
+                # `limit` is an accepted alias (src/api_models.rs:38)
+                page_size=int(
+                    body.get("pageSize") or body.get("limit") or 25
+                ),
+            )
+        except (TypeError, ValueError) as exc:
+            raise ApiError(400, f"invalid filter: {exc}") from exc
+        page = run_get_logs(self.logs, flt)
+        return {
+            "logs": [to_camel_json(r) for r in page.logs],
+            "nextCursorBlock": page.next_cursor_block,
+            "nextCursorLogId": page.next_cursor_log_id,
+        }
+
+    def get_block(self, identifier: str) -> dict[str, Any]:
+        try:
+            row = get_block(self.blocks, identifier)
+        except ValueError as exc:
+            raise ApiError(400, str(exc)) from exc
+        if row is None:
+            raise ApiError(404, f"block not found: {identifier}")
+        return to_camel_json(row)
+
+    def get_transaction(self, tx_hash: str) -> dict[str, Any]:
+        try:
+            row = get_transaction(self.transactions, tx_hash)
+        except ValueError as exc:
+            raise ApiError(400, str(exc)) from exc
+        if row is None:
+            raise ApiError(404, f"transaction not found: {tx_hash}")
+        return to_camel_json(row)
+
+    def get_stats(self) -> dict[str, Any]:
+        s = get_stats(self.blocks, self.transactions, self.logs, self.status)
+        return to_camel_json(s.__dict__)
+
+
+def create_app(api: EvmApi):
+    """Flask app factory (import-gated: the engine never requires Flask)."""
+    from flask import Flask, jsonify, request
+
+    app = Flask("rust_evm_indexer_spark")
+
+    def _envelope(exc: ApiError):
+        # O-28: {"error": {"code", "message"}} with the mapped status
+        return (
+            jsonify({"error": {"code": exc.status, "message": exc.message}}),
+            exc.status,
+        )
+
+    app.register_error_handler(ApiError, _envelope)
+
+    @app.errorhandler(Exception)
+    def _internal(exc):  # noqa: ANN001
+        if isinstance(exc, ApiError):
+            return _envelope(exc)
+        return (
+            jsonify({"error": {"code": 500, "message": f"internal: {exc}"}}),
+            500,
+        )
+
+    @app.post("/logs")
+    def post_logs():
+        return jsonify(api.post_logs(request.get_json(force=True, silent=True) or {}))
+
+    @app.get("/block/<identifier>")
+    def block(identifier: str):
+        return jsonify(api.get_block(identifier))
+
+    @app.get("/transaction/<tx_hash>")
+    def transaction(tx_hash: str):
+        return jsonify(api.get_transaction(tx_hash))
+
+    @app.get("/stats")
+    def stats():
+        return jsonify(api.get_stats())
+
+    return app

@@ -30,6 +30,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import textops as tx
 from .sources.batch import load_driver_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -433,4 +437,521 @@ def events_hourly_rollup(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum(_dec("value")).cast("double").alias("sum_value"),
         )
+    )
+
+
+# =====================================================================
+# LLM-data-pipeline operators (X-1..X-5, SURVEY.md §2d) on documents /
+# embeddings.  Implementations live in operators/{dedup,similarity,
+# textops,multimodal}.py; entries here bind them to the oracle contract.
+# =====================================================================
+
+# DuckDB mirror of operators.dedup.normalize_text
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+# DuckDB mirror of operators.dedup word-3-gram inverted-index Jaccard
+_JACCARD_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM t),
+    n AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS isect
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT a_id, b_id,
+           CAST(isect AS DOUBLE) / (na.nsh + nb.nsh - isect) AS jaccard
+    FROM i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
+    WHERE CAST(isect AS DOUBLE) / (na.nsh + nb.nsh - isect) >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    f"SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
+    f"GROUP BY {_NORM_SQL}",
+    tags=("llm", "X-1"),
+)
+def dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL, tags=("llm", "X-2"))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact near-dup pairs: word-3-gram shingles, inverted-index join,
+    Jaccard >= 0.5."""
+    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_minhash_lsh", _JACCARD_SQL, tags=("llm", "X-2", "lsh"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.  Shares the
+    exact operator's oracle: at 64 perms x 16 bands, LSH recall at the
+    corpus's planted J>=0.8 pairs is ~1-1e-12, and the verify step makes
+    precision exactly 1 — so the output equals the exact join."""
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_simhash", None, tags=("llm", "X-2", "simhash"))
+def dedup_simhash(spark, sf_dir):
+    """SimHash hamming<=6 pairs (engine-hash-dependent -> rows-only check;
+    recall/precision asserted against the exact operator in tests)."""
+    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id <> 0)
+    SELECT e.vec_id,
+           round(list_inner_product(e.v, q.qv) /
+                 (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))),
+                 6) AS sim
+    FROM e, q ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    tags=("llm", "X-3"),
+)
+def similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vec_id=0 (the exact baseline;
+    scan -> projection -> TakeOrderedAndProject, zero shuffles)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.brute_force_topk(emb, qvec, k=10, exclude_ids=(0,))
+
+
+@register(
+    "similarity_knn_join",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    s AS (SELECT q.q_id, e.vec_id,
+                 round(list_inner_product(e.v, q.qv) /
+                       (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))),
+                       6) AS sim
+          FROM e, q),
+    r AS (SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+          FROM s)
+    SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 3
+    """,
+    tags=("llm", "X-3", "join"),
+)
+def similarity_knn_join(spark, sf_dir):
+    """Exact 3-NN join for 5 query vectors: broadcast queries x corpus,
+    per-query top-k window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return sim.knn_join(emb, queries, k=3)
+
+
+@register("similarity_ivf_topk", None, tags=("llm", "X-3", "ivf"))
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF approximate top-10 (probe 2 of the label cells) -- the
+    partition-pruned scale path; recall vs brute force asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.ivf_topk(emb, qvec, k=10, n_probe=2, exclude_ids=(0,))
+
+
+_WORDS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_WORDS_SQL}) AS n_words,
+           CAST(length(text) AS DOUBLE) / len({_WORDS_SQL}) AS avg_word_len,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / length(text) AS digit_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+    FROM documents
+    """,
+    tags=("llm", "X-4"),
+)
+def text_stats(spark, sf_dir):
+    return tx.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    f"""
+    SELECT doc_id, len({_WORDS_SQL}) AS ws_tokens,
+           len(regexp_extract_all(text, '{tx.TOKEN_PATTERN}')) AS re_tokens
+    FROM documents
+    """,
+    tags=("llm", "X-4"),
+)
+def token_counts(spark, sf_dir):
+    return tx.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    from .operators.textops import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n           ".join(
+        "len(list_intersect(list_distinct({ws}), [{m}])) AS score_{lg}".format(
+            ws=_WORDS_SQL,
+            m=", ".join(f"'{w}'" for w in LANG_MARKERS[lg]),
+            lg=lg,
+        )
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH s AS (SELECT doc_id,
+           {score_exprs}
+    FROM documents)
+    SELECT doc_id, {', '.join(f'score_{lg}' for lg in langs)},
+           {case} AS pred_lang
+    FROM s
+    """
+
+
+@register("lang_id", _lang_id_oracle(), tags=("llm", "X-4"))
+def lang_id(spark, sf_dir):
+    return tx.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_WORDS_SQL}) AS n_words,
+             CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS alpha_ratio,
+             len(list_intersect(list_distinct({_WORDS_SQL}),
+                 ['the','a','of','and','value','fast','slow','small','big'])) AS stop_hits
+      FROM documents)
+    SELECT doc_id,
+           round(0.4 * (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.4 END)
+                 + 0.3 * least(alpha_ratio, 1.0)
+                 + 0.3 * (CASE WHEN stop_hits >= 2 THEN 1.0 ELSE 0.2 END), 6) AS quality,
+           (round(0.4 * (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.4 END)
+                 + 0.3 * least(alpha_ratio, 1.0)
+                 + 0.3 * (CASE WHEN stop_hits >= 2 THEN 1.0 ELSE 0.2 END), 6) >= 0.5) AS keep
+    FROM s
+    """,
+    tags=("llm", "X-4"),
+)
+def quality_score(spark, sf_dir):
+    return tx.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fp_md5 FROM documents",
+    tags=("llm", "X-4"),
+)
+def doc_fingerprint(spark, sf_dir):
+    """Cross-engine-stable fingerprint (md5 of normalized text); the
+    engine-native xx64 variant exists in operators.textops but is omitted
+    here because no oracle engine shares Spark's xxhash64."""
+    return tx.doc_fingerprints(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5"
+    )
+
+
+@register(
+    "multimodal_meta",
+    "SELECT doc_id AS asset_id, 'image/fake' AS media_type, "
+    "octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5, "
+    "64 AS width, 64 AS height FROM documents",
+    tags=("llm", "X-5"),
+)
+def multimodal_meta(spark, sf_dir):
+    """JVM-only metadata pass over binary assets (no decode)."""
+    return mm.asset_metadata(mm.documents_as_assets(_t(spark, sf_dir, "documents")))
+
+
+@register("multimodal_features", None, tags=("llm", "X-5", "pandas-udf"))
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas decode/feature path with the stubbed
+    deterministic kernel (rows-only: the kernel is not SQL-expressible)."""
+    return mm.extract_features(
+        mm.documents_as_assets(_t(spark, sf_dir, "documents")),
+        deterministic_fake=True,
+    )
+
+
+# =====================================================================
+# Window functions / grouping sets / set ops / semi-anti joins — the
+# relational surface SURVEY.md §2c lists as gaps the engine must cover.
+# =====================================================================
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT user_id, event_id, value, rnk FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events) WHERE rnk <= 3
+    """,
+    tags=("relational", "window"),
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-3 events by value per user — the canonical top-k-per-group
+    window; one shuffle on user_id, rank pruned before any sort of the
+    full table."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events WHERE user_id < 10
+    """,
+    tags=("relational", "window"),
+)
+def window_running_sum(spark, sf_dir):
+    """Running decimal-exact sum per user ordered by event time."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events WHERE user_id < 10
+    """,
+    tags=("relational", "window"),
+)
+def window_lag_delta(spark, sf_dir):
+    """Inter-event gap per user (lag) — the building block of
+    sessionization and rate metrics."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL THEN 1
+                  WHEN ts_us - prev_us > 5 * 60 * 1000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM g),
+    s AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(SUM(new_session)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM m)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS s_start_us, MAX(ts_us) AS s_end_us
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("relational", "window", "X-6"),
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (5 min) via lag + cumulative sum — the
+    batch twin of the streaming session_window operator."""
+    from .streaming.windows import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=5)
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "rollup"),
+)
+def rollup_orders(spark, sf_dir):
+    """Hierarchical subtotals (status → priority → grand total)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "cube"),
+)
+def cube_lineitem(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "distinct_agg",
+    "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, "
+    "COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus",
+    tags=("relational", "distinct"),
+)
+def distinct_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "set_ops_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+    tags=("relational", "setop"),
+)
+def set_ops_customers(spark, sf_dir):
+    """INTERSECT: building-segment customers who placed a big order."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.intersect(o)
+
+
+@register(
+    "semi_join_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+    tags=("relational", "semijoin"),
+)
+def semi_join_exists(spark, sf_dir):
+    """EXISTS ≙ left-semi join (no duplication of the left side)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_not_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("relational", "antijoin"),
+)
+def anti_join_not_exists(spark, sf_dir):
+    """NOT EXISTS ≙ left-anti join: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "pivot_order_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "pivot"),
+)
+def pivot_order_status(spark, sf_dir):
+    """Pivot order counts by status (explicit value list keeps the plan
+    one-pass; SQL oracle is the equivalent FILTERed aggregate)."""
+    piv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+        F.coalesce("P", F.lit(0)).alias("status_p"),
     )

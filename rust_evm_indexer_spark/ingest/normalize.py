@@ -79,12 +79,15 @@ def explode_batch(
 ) -> dict[str, DataFrame]:
     """One nested batch → ``{"blocks": df, "transactions": df, "logs": df}``.
 
-    All three plans derive from a single ``createDataFrame`` (the batch
-    stays on executors once parallelized; at real scale the raw frame
-    comes from a connector read, not a driver list).
+    Driver-list convenience wrapper over :func:`explode_raw` — the
+    streaming micro-batch path (≤ BLOCKS_PER_BATCH rows).  The backfill
+    path builds the raw frame executor-side instead (``backfill.py``).
     """
-    raw = spark.createDataFrame(raw_blocks, RAW_BLOCK_SCHEMA)
+    return explode_raw(spark.createDataFrame(raw_blocks, RAW_BLOCK_SCHEMA))
 
+
+def explode_raw(raw: DataFrame) -> dict[str, DataFrame]:
+    """Nested RAW_BLOCK_SCHEMA frame → the three relational tables."""
     blocks = raw.select(
         norm_hex("hash").alias("block_hash"),
         F.col("number").alias("block_number"),

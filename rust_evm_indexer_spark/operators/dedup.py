@@ -1,0 +1,295 @@
+"""Deduplication operators for LLM-training-data pipelines (X-1/X-2).
+
+Four families, all expressed Spark-first over a ``documents``-shaped table
+(``doc_id long, text string``):
+
+- **exact** — normalize → groupBy, the hash-dedup everyone runs first;
+- **n-gram Jaccard** — exact similarity join via a shingle inverted index
+  (explode → self-equi-join → per-pair intersection counts).  No UDFs: the
+  quadratic all-pairs problem is reduced to an equi-join that shuffles on
+  the shingle key, which is how it stays tractable at 100 TB;
+- **MinHash + LSH** — 64 xxhash64 permutations, banded into LSH buckets;
+  candidate pairs come from a bucket equi-join (shuffle on band hash, not
+  all-pairs), then are *verified* with exact Jaccard so precision is 1.0;
+- **SimHash** — 64-bit signature via per-bit majority vote over token
+  hashes; near-dup candidates from 16-bit band blocking, verified by
+  hamming distance.
+
+Scale notes: every family is (narrow map) → (explode) → (hash-shuffle
+equi-join) → (agg).  Hot shingles (stop-phrases) are the skew hazard —
+``top_shingle_cap`` drops shingles whose document frequency exceeds a cap,
+the standard trick to bound inverted-index fan-out (a shingle shared by
+10k docs generates 10k² candidate pairs while carrying no signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X-1: survivors after exact (normalized) dedup — keeps the smallest
+    id per text group, counts the group.  One hash shuffle on the
+    normalized text; at scale substitute ``xxhash64(norm)`` as the group
+    key to shuffle 8-byte keys instead of full documents."""
+    return (
+        df.groupBy(normalize_text(text_col).alias("norm_text"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word k-grams of the normalized text.
+    Pure built-ins: split → sequence → transform(concat of k words)."""
+    ws = F.split(normalize_text(text_col), " ")
+    n = F.size(ws) - (k - 1)
+    # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kgrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(ws, i + j) for j in range(k)]
+        ),
+    )
+    return df.select(
+        F.col("doc_id"), F.explode(F.array_distinct(kgrams)).alias("shingle")
+    ).where(F.col("shingle") != "")
+
+
+def _pair_jaccard(
+    shingles: DataFrame, *, top_shingle_cap: int | None = None
+) -> DataFrame:
+    """All-pairs Jaccard from an (doc_id, shingle) inverted index."""
+    if top_shingle_cap is not None:
+        df_freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+        shingles = (
+            shingles.join(
+                F.broadcast(df_freq.filter(F.col("df") > top_shingle_cap)),
+                "shingle",
+                "left_anti",
+            )
+        )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("isect"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("isect").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("isect"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    top_shingle_cap: int | None = None,
+) -> DataFrame:
+    """X-2 (exact flavor): near-duplicate pairs by word-k-gram Jaccard.
+    Output: (a_id, b_id, jaccard), a_id < b_id."""
+    return _pair_jaccard(
+        word_shingles(df, k=k), top_shingle_cap=top_shingle_cap
+    ).where(F.col("jaccard") >= threshold)
+
+
+# -- MinHash + LSH -------------------------------------------------------
+
+N_PERM = 64  # minhash permutations
+LSH_BANDS = 16  # 16 bands × 4 rows: P(candidate | J=0.8) ≈ 0.9996
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_perm: int = N_PERM
+) -> DataFrame:
+    """(doc_id, sig array<long>): sig[i] = min over shingles of
+    xxhash64(i, shingle).  Seeded xxhash64 *is* the family of independent
+    permutations — JVM-side, no UDF, no dictionary to broadcast."""
+    agg_min = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_perm)
+    ]
+    per_doc = shingles.groupBy("doc_id").agg(*agg_min)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    n_perm: int = N_PERM,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """X-2 (scalable flavor): MinHash signatures → LSH band buckets →
+    candidate pairs from a bucket equi-join → exact-Jaccard verification.
+
+    The band join is the scale move: instead of the inverted-index join on
+    raw shingles (fan-out ∝ shingle document frequency), docs only meet if
+    an entire band of ``n_perm // bands`` minhashes collides.  Verification
+    keeps precision at 1.0, so the output equals the exact operator
+    wherever LSH recall reaches (≈1 for J ≥ 0.8 at 16×4).
+    """
+    rows_per_band = n_perm // bands
+    sh = word_shingles(df, k=k)
+    sigs = minhash_signatures(sh, n_perm=n_perm)
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands_col).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    exact = _pair_jaccard(sh)
+    return (
+        cand.join(exact, ["a_id", "b_id"])  # verify candidates only
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def dedup_survivors(df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Drop every doc that has a near-duplicate with a smaller id (the
+    standard keep-first policy; an anti-join, no connected components
+    needed for the keep-one-per-pair contract)."""
+    losers = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    return df.join(losers, "doc_id", "left_anti")
+
+
+# -- SimHash -------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 8  # 8 × 8-bit bands ⇒ hamming ≤ 7 always collides somewhere
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, simhash long): per-bit majority vote over shingle hashes.
+
+    Features are word k-gram shingles (not unigrams: over a small
+    vocabulary, distinct-unigram sets barely separate documents — shingles
+    carry the ordering signal that makes simhash discriminative).
+    Vectorized without a UDF: per doc, aggregate over the shingle array —
+    for each bit b, sum(±1 by bit) and take the sign; 64 aggregate() folds,
+    all JVM.
+    """
+    ws = F.split(normalize_text(text_col), " ")
+    n = F.size(ws) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    toks = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(ws, i + j) for j in range(k)]
+            ),
+        )
+    )
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    sim = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return df.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ ``max_hamming``,
+    candidates from 8-bit band blocking (pigeonhole: distance ≤ 7 over 8
+    bands guarantees one identical band)."""
+    sigs = simhash_signatures(df, text_col)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", "simhash", F.explode(bands_col).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("a_id", "b_id", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

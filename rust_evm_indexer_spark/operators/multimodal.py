@@ -1,0 +1,124 @@
+"""Multimodal column handling (X-5): opaque binary payloads + typed
+metadata, with Arrow-batched Pandas plumbing for the decode/feature path.
+
+Design for 100 TB of media: the *payload* stays an opaque ``binary``
+column (or an object-store URI for large assets); the engine's job is the
+metadata plumbing and the batch-shaped UDF boundary, not the codec.  Real
+decoders (PIL/librosa/ffmpeg) are not in this container, so the decode
+kernel is STUBBED — :func:`decode_image_stub` raises unless
+``deterministic_fake=True``, which produces a seeded fake feature vector
+so the Spark-side contract (schema, Arrow batching, partition parallelism)
+is real and tested end-to-end.
+
+The mapInPandas shape is the important part: decode cost scales per-row,
+so it must run executor-parallel over Arrow record batches, never on the
+driver and never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: schema of a multimodal asset table: payload + typed metadata struct
+ASSET_SCHEMA = (
+    "asset_id long, payload binary, media_type string, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURE_DIM = 16
+
+_DECODE_OUT_SCHEMA = (
+    "asset_id long, media_type string, byte_len int, payload_md5 string, "
+    f"features array<float>"
+)
+
+
+def documents_as_assets(documents: DataFrame) -> DataFrame:
+    """Fixture adapter: wrap the documents table as binary 'image' assets
+    (payload = utf-8 bytes).  Gives the multimodal path a deterministic
+    corpus in this container."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        F.struct(
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes, *, deterministic_fake: bool) -> list[float]:
+    """The codec boundary.  A real deployment plugs PIL/torchvision here.
+
+    With ``deterministic_fake``: a seeded, content-derived vector (rolling
+    byte statistics) so tests exercise real data flow; without: raise, so
+    accidental production use fails loudly.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/torchvision — not available in this "
+            "container; pass deterministic_fake=True for the test kernel"
+        )
+    acc = [0.0] * FEATURE_DIM
+    for i, b in enumerate(payload):
+        acc[i % FEATURE_DIM] += (b % 64) / 64.0
+    n = max(len(payload), 1)
+    return [round(v * FEATURE_DIM / n, 6) for v in acc]
+
+
+def extract_features(
+    assets: DataFrame, *, deterministic_fake: bool = True, batch_note: list | None = None
+) -> DataFrame:
+    """Executor-parallel feature extraction over Arrow batches.
+
+    ``mapInPandas``: each task receives an iterator of pandas DataFrames
+    (one per Arrow batch), runs the decode kernel per row *within* the
+    vectorized batch loop, and yields result batches — the pattern every
+    real media pipeline uses on Spark.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if batch_note is not None:  # test hook: observe batch shapes
+                batch_note.append(len(pdf))
+            import hashlib
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                    "payload_md5": [
+                        hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                    "features": [
+                        decode_image_stub(
+                            bytes(p), deterministic_fake=deterministic_fake
+                        )
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(kernel, schema=_DECODE_OUT_SCHEMA)
+
+
+def asset_metadata(assets: DataFrame) -> DataFrame:
+    """Pure-JVM metadata projection (no decode): sizes + hashes — the
+    cheap pass that runs before any codec is scheduled."""
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.length("payload").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )

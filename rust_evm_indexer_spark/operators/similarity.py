@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (X-3).
+
+Embeddings are ``array<float>`` columns; all math runs JVM-side in double
+precision through ``zip_with`` + ``aggregate`` folds (deterministic
+left-to-right accumulation — important for oracle parity and for
+reproducible top-k boundaries).  No Python touches the hot path.
+
+Three tiers:
+
+- :func:`brute_force_topk` — exact cosine top-k for one query vector.
+  The baseline and the verifier for approximate tiers.  Plans as
+  scan → narrow projection → TakeOrderedAndProject: no shuffle at all.
+- :func:`knn_join` — exact k-NN for a (small) query *set* via broadcast
+  nested-loop + per-query top-k window.  Right side must be broadcastable.
+- :func:`ivf_topk` — IVF-style approximate search: vectors are bucketed
+  into cells (here: a provided ``cell`` column — e.g. a k-means label
+  computed offline), the query probes the ``n_probe`` nearest cell
+  centroids, and only those cells are scanned.  This is the 100 TB path:
+  cell pruning turns a full scan into a partition-pruned scan when the
+  table is written partitioned by cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+    Output: (vec_id, sim) — sim rounded to 6 decimals for cross-engine
+    stability, ordered sim DESC, id ASC."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = embeddings
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(*exclude_ids))
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact k-NN join: every query row gets its k nearest corpus rows.
+    Queries are broadcast (they are the small side by construction);
+    per-query top-k via a rank window partitioned by query id — the
+    standard top-k-per-group pattern, shuffle only on q_id."""
+    from pyspark.sql import Window
+
+    joined = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "sim", "rank")
+    )
+
+
+def cell_centroids(
+    embeddings: DataFrame, *, cell_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell mean vector (the IVF coarse quantizer).  Element-wise mean
+    via posexplode → groupBy(cell, pos) → collect back ordered — a single
+    shuffle keyed by (cell, pos)."""
+    exploded = embeddings.select(
+        F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    per_dim = exploded.groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+    return (
+        per_dim.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cell",
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` cells whose centroids
+    are most cosine-similar to the query, brute-force only inside them.
+
+    At scale the table is partition-by-cell, so the cell filter becomes
+    partition pruning and the scan cost drops to n_probe/n_cells of the
+    corpus.  Recall is tested against :func:`brute_force_topk`.
+    """
+    cents = cell_centroids(embeddings, cell_col=cell_col, vec_col=vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = [
+        r["cell"]
+        for r in cents.select(
+            "cell", cosine(F.col("centroid"), q).alias("sim")
+        )
+        .orderBy(F.desc("sim"))
+        .limit(n_probe)
+        .collect()
+    ]
+    df = embeddings.filter(F.col(cell_col).isin(probe))
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(*exclude_ids))
+    return (
+        df.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

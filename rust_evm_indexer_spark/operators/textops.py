@@ -1,0 +1,137 @@
+"""Text analysis operators for LLM-data pipelines (X-4).
+
+All pure built-in column expressions — language-ID, quality scoring,
+token counting, and fingerprinting run under whole-stage codegen with no
+Python in the loop, so they cost one narrow projection over the corpus at
+any scale.  Every operator is SQL-expressible and carries a DuckDB oracle
+in the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# n-gram-heuristic language ID: tiny per-language marker lexicons.  (The
+# driver corpus is synthetic; the *operator contract* is what matters —
+# score = share of tokens found in each language's marker set, argmax with
+# a deterministic tie-break on language code.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "value", "fast", "slow", "small", "big"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "eine"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que", "dans"),
+    "zh": ("de5", "shi4", "he2", "zai4", "yi1", "ge4"),
+}
+
+#: BPE-ish tokenizer: word pieces, numbers, or single non-space symbols.
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), "\\s+")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document surface statistics: lengths, word counts, character
+    class ratios.  The raw material for quality filters."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = _words(t)
+    n_words = F.size(words)
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(t, "[^ ]", ""))
+    n_punct = n_chars - n_alpha - n_digit - n_space
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_chars.cast("double") / n_words).alias("avg_word_len"),
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+        (n_digit.cast("double") / n_chars).alias("digit_ratio"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(_words(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)).alias("re_tokens"),
+    )
+
+
+def lang_scores(text: Column) -> list[Column]:
+    """Marker-hit count per language, in sorted-language order."""
+    words = _words(text)
+    return [
+        F.size(
+            F.array_intersect(
+                F.array_distinct(words),
+                F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]),
+            )
+        ).alias(f"score_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predicted language = argmax marker-hit count (ties → first language
+    code alphabetically; zero hits → 'und')."""
+    scored = df.select("doc_id", F.col(text_col).alias("_t"), *lang_scores(F.col(text_col)))
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties: apply last wins backwards
+        pred = F.when(
+            (F.col(f"score_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id", *[F.col(f"score_{lg}") for lg in langs], pred.alias("pred_lang")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band + alpha ratio +
+    stopword presence — the standard cheap pre-filter before expensive
+    dedup/classification stages.  ``keep`` flags score ≥ 0.5."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = _words(t)
+    n_words = F.size(words)
+    alpha_ratio = (
+        F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")).cast("double") / n_chars
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]),
+        )
+    )
+    len_score = F.when((n_words >= 20) & (n_words <= 1000), 1.0).otherwise(0.4)
+    stop_score = F.when(stop_hits >= 2, 1.0).otherwise(0.2)
+    score = F.round(
+        0.4 * len_score + 0.3 * F.least(alpha_ratio, F.lit(1.0)) + 0.3 * stop_score, 6
+    )
+    return df.select(
+        "doc_id",
+        score.alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints: md5 of the normalized text
+    (cross-engine stable) plus a 64-bit content hash of the word sequence
+    (xxhash64 — engine-native, for join-key use)."""
+    from .dedup import normalize_text
+
+    norm = normalize_text(text_col)
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+    )

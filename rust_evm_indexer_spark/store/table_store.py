@@ -267,6 +267,36 @@ class TableStore:
         """Metadata-only row count (the /stats fast path)."""
         return sum(f.rows for f in self.current_manifest().tables.get(table, []))
 
+    def compact(self, table: str, max_fragments: int = 8) -> int:
+        """Merge a table's fragments into ``max_fragments`` larger ones,
+        sorted by block_number (restores range clustering), in one atomic
+        swap.  Readers never see a partial compaction; old fragments stay
+        on disk until :meth:`vacuum`.  Run in the background at scale —
+        streaming ingest creates one small fragment per batch, and scan
+        cost is ∝ fragment count for small queries.  Returns the number
+        of fragments before compaction."""
+        from pyspark.sql import functions as F
+
+        m = self.current_manifest()
+        frags = m.tables.get(table, [])
+        if len(frags) <= max_fragments:
+            return len(frags)
+        df = self.read(table)
+        if "block_number" in df.columns:
+            df = df.repartitionByRange(max_fragments, F.col("block_number"))
+        else:
+            df = df.repartition(max_fragments)
+        merged = self._write_fragment(table, df)
+        new = Manifest(
+            version=m.version + 1,
+            txns=dict(m.txns),
+            status=m.status,
+            tables={t: list(fs) for t, fs in m.tables.items()},
+        )
+        new.tables[table] = [merged] if merged is not None else []
+        self._swap(new)
+        return len(frags)
+
     def vacuum(self) -> int:
         """Delete fragment dirs unreferenced by the CURRENT manifest (old
         versions' rewrites, crash orphans).  Safe any time: fragments are

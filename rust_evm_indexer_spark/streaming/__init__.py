@@ -1,0 +1,8 @@
+from .ingest_stream import IngestStream  # noqa: F401
+from .windows import (  # noqa: F401
+    session_windows_native,
+    sessionize,
+    sliding_window_stats,
+    streaming_hourly_counts,
+    tumbling_window_stats,
+)

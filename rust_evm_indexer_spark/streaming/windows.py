@@ -1,0 +1,172 @@
+"""Windowed event analytics (X-6): tumbling / sliding / session windows
+with watermarks over the event stream.
+
+The reference needs streaming correctness only for ingest (reorg
+retraction ≙ late data); these operators exercise the *query-side*
+streaming surface a log-analytics engine is expected to have.  Every
+function takes a DataFrame that may be a batch read or a
+``readStream`` — ``window()``/``session_window()`` are identical in both
+modes, so the same plan is unit-testable in batch and deployable as a
+stream (the Structured Streaming promise).
+
+Watermarks bound state: at 100 TB-scale streams, the watermark is what
+lets Spark drop window state once event time passes it — without it a
+grouped-window stream grows unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_window_stats(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str | None = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(window, event_type) counts + exact decimal sums.  Append-mode
+    compatible when a watermark is set."""
+    df = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            F.unix_micros(F.col("w.end")).alias("w_end_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_stats(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Overlapping windows: each event lands in width/slide windows."""
+    df = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_windows_native(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Built-in ``session_window``: per-key sessions closed after ``gap``
+    of inactivity (state-bounded by the watermark in streaming mode)."""
+    df = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("s"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.unix_micros(F.col("s.start")).alias("s_start_us"),
+            F.unix_micros(F.col("s.end")).alias("s_end_us"),
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch sessionization via lag + cumulative sum — the SQL-expressible
+    twin of :func:`session_windows_native` (oracle-checkable): a new
+    session starts where the gap to the previous event exceeds the
+    threshold.  One shuffle on the key; window functions do the rest."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(key_col).orderBy("ts_us", "event_id")
+    with_gap = events.select(
+        key_col,
+        "event_id",
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    ).withColumn(
+        "new_session",
+        (
+            F.col("ts_us") - F.lag("ts_us").over(w) > gap_us
+        ).cast("int"),
+    )
+    with_sid = with_gap.withColumn(
+        "session_id",
+        F.sum(F.coalesce("new_session", F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sid.groupBy(key_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("s_start_us"),
+            F.max("ts_us").alias("s_end_us"),
+        )
+    )
+
+
+def streaming_hourly_counts(
+    spark,
+    events_dir: str,
+    *,
+    watermark: str = "10 minutes",
+    queryName: str = "hourly_counts",
+):
+    """Structured-Streaming smoke pipeline: parquet file stream →
+    watermarked tumbling agg → memory sink.  Returns the StreamingQuery;
+    callers ``processAllAvailable()`` then read ``SELECT * FROM
+    {queryName}``.  (The events fixture's TIMESTAMP(NANOS) column needs
+    the same nanosAsLong normalization as the batch reader.)"""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    from pathlib import Path
+
+    p = Path(events_dir)
+    reader = spark.readStream.schema(schema)
+    if p.is_file():  # file streams must point at a directory
+        reader = reader.option("pathGlobFilter", p.name)
+        p = p.parent
+    stream = (
+        reader.parquet(str(p))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = tumbling_window_stats(stream, "1 hour", watermark)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )

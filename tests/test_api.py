@@ -1,0 +1,76 @@
+"""REST surface (O-27/O-28): endpoint behavior + error mapping via the
+Flask test client over the fixture tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from rust_evm_indexer_spark.api import EvmApi, create_app
+from rust_evm_indexer_spark.datagen import TRANSFER_SIG
+
+
+@pytest.fixture(scope="module")
+def client(evm):
+    api = EvmApi(
+        evm["blocks"], evm["transactions"], evm["logs"], evm["indexer_status"]
+    )
+    app = create_app(api)
+    app.testing = True
+    return app.test_client()
+
+
+def test_post_logs_first_page(client):
+    r = client.post("/logs", json={"pageSize": 10})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert len(body["logs"]) == 10
+    assert body["nextCursorBlock"] == body["logs"][-1]["blockNumber"]
+    # camelCase keys throughout (O-27)
+    assert {"logIndex", "transactionHash", "blockNumber"} <= set(body["logs"][0])
+
+
+def test_post_logs_cursor_roundtrip(client):
+    p1 = client.post("/logs", json={"pageSize": 5, "topic0": TRANSFER_SIG}).get_json()
+    p2 = client.post(
+        "/logs",
+        json={
+            "pageSize": 5,
+            "topic0": TRANSFER_SIG,
+            "cursorBlock": p1["nextCursorBlock"],
+            "cursorLogId": p1["nextCursorLogId"],
+        },
+    ).get_json()
+    ids1 = {r["id"] for r in p1["logs"]}
+    ids2 = {r["id"] for r in p2["logs"]}
+    assert not ids1 & ids2
+
+
+def test_post_logs_limit_alias(client):
+    body = client.post("/logs", json={"limit": 3}).get_json()
+    assert len(body["logs"]) == 3
+
+
+def test_block_by_number_and_hash(client):
+    by_num = client.get("/block/1000005")
+    assert by_num.status_code == 200
+    bh = by_num.get_json()["blockHash"]
+    by_hash = client.get(f"/block/{bh}")
+    assert by_hash.get_json()["blockNumber"] == 1000005
+
+
+def test_block_404_and_400(client):
+    assert client.get("/block/99999999").status_code == 404
+    r = client.get("/block/not-a-number")
+    assert r.status_code == 400
+    assert r.get_json()["error"]["code"] == 400
+
+
+def test_transaction_validation_and_404(client):
+    assert client.get("/transaction/abc").status_code == 400
+    assert client.get("/transaction/0x" + "f" * 64).status_code == 404
+
+
+def test_stats(client):
+    body = client.get("/stats").get_json()
+    assert body["totalLogs"] > 0
+    assert body["ingestionLag"] == body["chainHead"] - body["lastProcessedBlock"]

@@ -1,0 +1,128 @@
+"""LLM-pipeline operator semantics: LSH recall/precision vs the exact
+join, simhash sanity, IVF recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_evm_indexer_spark.operators import dedup as dd
+from rust_evm_indexer_spark.operators import multimodal as mm
+from rust_evm_indexer_spark.operators import similarity as sim
+
+from conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(str(SF_ORACLE / "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(str(SF_ORACLE / "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {
+        (r["a_id"], r["b_id"])
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+
+
+def test_exact_pairs_found(exact_pairs):
+    assert len(exact_pairs) == 25  # planted near-dups at sf0.01
+
+
+def test_minhash_lsh_equals_exact(docs, exact_pairs):
+    """Verified-LSH output must equal the exact join on this corpus
+    (recall ≈ 1 at J≥0.8, precision = 1 by construction) — this is what
+    licenses sharing the oracle SQL."""
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == exact_pairs
+
+
+def test_dedup_survivors(docs, exact_pairs):
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    surv = dd.dedup_survivors(docs, pairs)
+    n_losers = len({b for _, b in exact_pairs})
+    assert surv.count() == docs.count() - n_losers
+    # survivors contain no b-side of any pair
+    ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert not ids & {b for _, b in exact_pairs}
+
+
+def test_simhash_finds_planted_dups(docs, exact_pairs):
+    """SimHash hamming≤3 should recover most planted J≈0.98 pairs and
+    stay precise (no explosion of false pairs)."""
+    got = {
+        (r["a_id"], r["b_id"]) for r in dd.simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert len(got & exact_pairs) >= len(exact_pairs) * 0.8
+    assert len(got) <= len(exact_pairs) * 3
+
+
+def test_exact_dedup_identity_corpus(docs):
+    """No exact duplicates planted at sf0.01 → survivors = all docs."""
+    out = dd.exact_dedup(docs)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in sim.brute_force_topk(emb, q, 10, exclude_ids=(0,)).collect()]
+    approx = [
+        r["vec_id"]
+        for r in sim.ivf_topk(emb, q, 10, n_probe=2, exclude_ids=(0,)).collect()
+    ]
+    # labels are arbitrary cells, not k-means — still expect real overlap,
+    # and the contract: approx ⊆ probed cells, |approx| == 10
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_knn_join_self_rank1(emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = sim.knn_join(emb, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == q_id  # self is its own nearest neighbor
+        assert rows[0]["sim"] == pytest.approx(1.0)
+        assert len(rows) == 3
+
+
+def test_multimodal_features_batched(spark, docs):
+    notes: list[int] = []
+    assets = mm.documents_as_assets(docs.limit(100)).repartition(4)
+    out = mm.extract_features(assets, deterministic_fake=True, batch_note=notes)
+    rows = out.collect()
+    assert len(rows) == 100
+    for r in rows[:10]:
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert r["byte_len"] > 0 and len(r["payload_md5"]) == 32
+
+
+def test_multimodal_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_stub(b"abc", deterministic_fake=False)
+
+
+def test_multimodal_meta_matches_features(spark, docs):
+    assets = mm.documents_as_assets(docs.limit(50))
+    meta = {r["asset_id"]: r for r in mm.asset_metadata(assets).collect()}
+    feats = {r["asset_id"]: r for r in mm.extract_features(assets).collect()}
+    assert set(meta) == set(feats)
+    for aid in meta:
+        # JVM md5(binary) must equal the Python-side md5 in the kernel
+        assert meta[aid]["payload_md5"] == feats[aid]["payload_md5"]
+        assert meta[aid]["byte_len"] == feats[aid]["byte_len"]

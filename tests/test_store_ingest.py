@@ -158,3 +158,23 @@ def test_vacuum_removes_orphan_fragments(spark, tmp_path):
     assert removed > 0
     # reads still serve the current snapshot
     assert store.read("blocks").count() > 0
+
+
+def test_compact_preserves_data_and_prunes(spark, tmp_path):
+    """Compaction merges fragments atomically; data identical, reads fine,
+    vacuum reclaims the old fragments."""
+    ing, client, store = make_ingester(spark, tmp_path, n_blocks=20)
+    ing.run_until_caught_up()
+    before_rows = {
+        t: store.read(t).count() for t in ("blocks", "transactions", "logs")
+    }
+    n_before = store.compact("logs", max_fragments=2)
+    assert n_before >= 4  # one fragment per 5-block batch
+    assert len(store.current_manifest().tables["logs"]) == 1
+    after_rows = {t: store.read(t).count() for t in ("blocks", "transactions", "logs")}
+    assert before_rows == after_rows
+    # ids still unique & ordered after compaction
+    ids = [r[0] for r in store.read("logs").orderBy("block_number", "id").select("id").collect()]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert store.vacuum() > 0
+    assert store.read("logs").count() == before_rows["logs"]
