@@ -101,6 +101,9 @@ def fetch_range(
 ) -> DataFrame:
     """Raw nested frame for [start_block, end_block], fetched
     executor-parallel.  Lazy: nothing is fetched until an action runs."""
+    from ..util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     kernel = _make_fetch_kernel(client, max_receipt_concurrent, retries, backoff)
     fetched = (
         spark.range(start_block, end_block + 1)

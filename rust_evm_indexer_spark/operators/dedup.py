@@ -218,39 +218,31 @@ def simhash_signatures(
     Features are word k-gram shingles (not unigrams: over a small
     vocabulary, distinct-unigram sets barely separate documents — shingles
     carry the ordering signal that makes simhash discriminative).
-    Vectorized without a UDF: per doc, aggregate over the shingle array —
-    for each bit b, sum(±1 by bit) and take the sign; 64 aggregate() folds,
-    all JVM.
+
+    Shape: explode shingles → hash once per (doc, shingle) row → one
+    groupBy with 64 ±1-vote sums → pack the sign bits.  The explode form
+    (same as minhash) matters: folding 64 ``aggregate()`` lambdas over an
+    array column re-evaluates the split/hash pipeline per bit — 64× the
+    work; here xxhash64 runs once per shingle and the 64 sums are cheap
+    partial aggregates with map-side combine.
     """
-    ws = F.split(normalize_text(text_col), " ")
-    n = F.size(ws) - (k - 1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    toks = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.try_element_at(ws, i + j) for j in range(k)]
-            ),
-        )
-    )
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = [
-        F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    sh = word_shingles(df, text_col=text_col, k=k)
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
     sim = None
-    for b, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(SIMHASH_BITS):
+        bit = (
+            F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        )
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseOR(term)
-    return df.select("doc_id", sim.alias("simhash"))
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(

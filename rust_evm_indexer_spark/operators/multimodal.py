@@ -85,6 +85,10 @@ def extract_features(
     real media pipeline uses on Spark.
     """
 
+    from ..util import ensure_package_shipped
+
+    ensure_package_shipped(assets.sparkSession)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if batch_note is not None:  # test hook: observe batch shapes
