@@ -955,3 +955,117 @@ def pivot_order_status(spark, sf_dir):
         F.coalesce("F", F.lit(0)).alias("status_f"),
         F.coalesce("P", F.lit(0)).alias("status_p"),
     )
+
+
+# =====================================================================
+# Temporal joins (as-of / range) + quantiles + calendar rollups
+# =====================================================================
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT p.event_id, epoch_us(p.ts) AS ts_us, p.user_id,
+           c.event_id AS click_id, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    tags=("temporal", "asof"),
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join: each purchase paired with the user's latest prior (or
+    simultaneous) click — union + keyed window scan, one shuffle
+    (operators/temporal.py)."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(purchases, clicks, key="user_id")
+    return j.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        F.col("event_id_asof").alias("click_id"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+@register(
+    "range_join_events",
+    """
+    SELECT e.event_id AS err_id, c.event_id AS click_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND epoch_us(e.ts) - epoch_us(c.ts) BETWEEN 0 AND 600000000
+    """,
+    tags=("temporal", "range-join"),
+)
+def range_join_events(spark, sf_dir):
+    """Bounded interval join: errors within 10 minutes after a click by
+    the same user.  Bucketized equi-join — the inequality never becomes a
+    per-user cross product (operators/temporal.py)."""
+    from .operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = range_join(errors, clicks, key="user_id", bound_seconds=600)
+    return j.select(
+        F.col("event_id").alias("err_id"),
+        F.col("r_event_id").alias("click_id"),
+        "delta_us",
+    )
+
+
+@register(
+    "median_per_type",
+    "SELECT event_type, median(value) AS med, "
+    "quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type",
+    tags=("agg", "quantile"),
+)
+def median_per_type(spark, sf_dir):
+    """Exact interpolated quantiles (both engines: linear interpolation
+    over the sorted set — identical doubles)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    )
+
+
+@register(
+    "orders_monthly",
+    """
+    SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg", "calendar"),
+)
+def orders_monthly(spark, sf_dir):
+    """Calendar-bucket rollup (the hypertable time_bucket shape)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "month_us"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )

@@ -35,18 +35,28 @@ def u256_to_decimal(col: Column | str) -> Column:
     """U256-as-TEXT → DecimalType(38,0); values ≥ 10^38 become NULL.
 
     The reference never does arithmetic on these (SURVEY.md §1.3); this is
-    the engine's extension for aggregations over wei/gas.
+    the engine's extension for aggregations over wei/gas.  try_cast, not
+    cast: under ANSI mode (Spark 4 default) a plain cast *throws* on
+    overflow — the documented contract is NULL, never an aborted job.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(U256_DECIMAL)
+    return c.try_cast(U256_DECIMAL)
 
 
 def wei_to_eth(col: Column | str) -> Column:
-    """Wei decimal-string → ETH as decimal(38,18)."""
+    """Wei decimal-string → ETH as decimal(38,18), exact.
+
+    Implemented by inserting the decimal point 18 digits from the right
+    (string ops, whole-stage codegen'd): decimal *division* by 10^18
+    would pass through Spark's decimal result-type rules and round to 6
+    fractional digits for wide operands — string splitting never loses a
+    wei.  Values ≥ 10^38 wei don't fit the decimal and yield NULL.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return (c.cast("decimal(38,0)") / F.lit(10).cast("decimal(20,0)") ** 18).cast(
-        "decimal(38,18)"
-    )
+    padded = F.when(F.length(c) < 19, F.lpad(c, 19, "0")).otherwise(c)
+    int_part = padded.substr(F.lit(1), F.length(padded) - 18)
+    frac = padded.substr(F.length(padded) - 17, F.lit(18))
+    return F.concat(int_part, F.lit("."), frac).try_cast("decimal(38,18)")
 
 
 def flatten_topics(topics: Column | str) -> list[Column]:

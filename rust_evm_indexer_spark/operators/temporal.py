@@ -1,0 +1,118 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+bounded range (interval) join.
+
+**As-of join** — for each left row, the latest right row with
+``right.ts <= left.ts`` per key.  Implemented as a union + window scan
+(the classic distributed formulation): tag both sides, union, sort within
+key by (ts, side-priority), and carry the last-seen right row forward
+with ``last(..., ignorenulls=True)``.  ONE shuffle on the key — same
+cost as a plain equi-join; no per-group Python, no ``merge_asof`` UDF
+needed.  At 100 TB this beats the broadcast/nested alternatives because
+both sides stream through a single keyed sort.
+
+**Range join** — pairs within a time window (``0 <= l.ts - r.ts <=
+bound``).  The naive inequality join is a cross product per key; the
+scale formulation buckets time into ``bound``-sized cells so each left
+row equi-joins only its own and the previous bucket, then applies the
+exact predicate.  Shuffle volume ∝ events-per-bucket, not per-key².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    *,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: latest right row (by ``ts``) at-or-before each
+    left row's ``ts``, matched on ``key``.  Right-side payload columns are
+    suffixed.  Ties on (key, ts): the right row sorts first, so a
+    same-timestamp right row IS visible to the left row (``<=``)."""
+    right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        key,
+        ts,
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    ).withColumn("_side", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + "_f")
+            for c in right_cols
+        ],
+    )
+    out = carried.where(F.col("_side") == 1).drop(
+        "_side", *[c + suffix for c in right_cols]
+    )
+    for c in right_cols:
+        out = out.withColumnRenamed(c + suffix + "_f", c + suffix)
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    *,
+    bound_seconds: int,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs on ``key`` with
+    ``0 <= left.ts - right.ts <= bound_seconds``.
+
+    Bucketized: each side is assigned ``floor(ts / bound)`` cells; a left
+    row can only match right rows in its own or the previous cell, so the
+    join is an equi-join on (key, cell) over two generated cell ids —
+    the cross-product blowup of a raw inequality join never materializes.
+    """
+    bound_us = bound_seconds * 1_000_000
+    l_us = F.unix_micros(F.col(ts))
+    l = left.select(
+        key,
+        F.col(ts).alias("l_ts"),
+        l_us.alias("l_us"),
+        *[F.col(c) for c in left.columns if c not in (key, ts)],
+    )
+    r = right.select(
+        key,
+        F.unix_micros(F.col(ts)).alias("r_us"),
+        *[
+            F.col(c).alias(right_prefix + c)
+            for c in right.columns
+            if c not in (key, ts)
+        ],
+    ).withColumn("cell", (F.col("r_us") / bound_us).cast("long"))
+    # left explodes to its two candidate cells — constant factor 2, not N
+    l2 = l.withColumn(
+        "cell",
+        F.explode(
+            F.array(
+                (F.col("l_us") / bound_us).cast("long"),
+                (F.col("l_us") / bound_us).cast("long") - 1,
+            )
+        ),
+    )
+    joined = l2.join(r, [key, "cell"])
+    delta = F.col("l_us") - F.col("r_us")
+    return (
+        joined.where((delta >= 0) & (delta <= bound_us))
+        .withColumn("delta_us", delta)
+        .drop("cell", "l_us", "r_us")
+    )
