@@ -137,6 +137,9 @@ def backfill(
         **fetch_kw,
     )
     tables = explode_raw(raw)
+    from .rollup import ROLLUP_TABLE, rollup_partials
+
+    tables[ROLLUP_TABLE] = rollup_partials(tables["logs"], tables["blocks"])
     committed = store.commit(
         tables,
         status={

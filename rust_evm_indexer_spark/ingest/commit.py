@@ -160,6 +160,12 @@ class EvmIngester:
         enriched = [self._enrich_receipts(b) for b in raw_batch]
         tables = explode_batch(self.spark, enriched)
 
+        # continuous aggregate: per-batch hourly partials ride in the
+        # same atomic commit (ingest/rollup.py)
+        from .rollup import ROLLUP_TABLE, rollup_partials
+
+        tables[ROLLUP_TABLE] = rollup_partials(tables["logs"], tables["blocks"])
+
         # O-7/O-8/O-9: one atomic manifest swap for data + checkpoint;
         # idempotent under crash-replay via the txn watermark.
         self.store.commit(

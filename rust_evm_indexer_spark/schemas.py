@@ -84,11 +84,24 @@ INDEXER_STATUS = T.StructType(
     ]
 )
 
+# engine-maintained continuous aggregate (ingest/rollup.py): per-block
+# hourly partials; block_number granularity makes reorg retraction exact.
+LOG_ROLLUP = T.StructType(
+    [
+        T.StructField("block_number", T.LongType(), False),
+        T.StructField("hour_ts", T.TimestampType(), False),
+        T.StructField("contract_address", T.StringType(), False),
+        T.StructField("topic0", T.StringType(), True),
+        T.StructField("n_logs", T.LongType(), False),
+    ]
+)
+
 EVM_SCHEMAS: dict[str, T.StructType] = {
     "blocks": BLOCKS,
     "transactions": TRANSACTIONS,
     "logs": LOGS,
     "indexer_status": INDEXER_STATUS,
+    "log_rollup": LOG_ROLLUP,
 }
 
 # --- driver-provided generic tables (TESTDATA.md) ------------------------
