@@ -67,6 +67,32 @@ def flatten_topics(topics: Column | str) -> list[Column]:
     return [F.try_element_at(c, F.lit(i + 1)).alias(f"topic{i}") for i in range(4)]
 
 
+def hex_to_u256_decimal(col: Column | str) -> Column:
+    """0x-prefixed 256-bit hex → DecimalType(38,0), JVM-side bignum.
+
+    ``conv(_, 16, 10)`` is 64-bit only, so the word is decoded as two
+    limbs combined with decimal arithmetic.  Exact for values < 2¹²⁴
+    (≈2.1e37 — covers every real token amount: total ETH supply in wei is
+    ~1.2e26); larger values yield NULL, never a wrong number.  This is
+    the engine's ABI-decode primitive (e.g. the Transfer amount in
+    ``logs.data``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.lpad(F.lower(F.regexp_replace(c, "^0x", "")), 64, "0")
+    # two limbs: high 15 nibbles (60 bits) · 2^64 + low 16 nibbles.
+    # Guarded to values < 2^124 (top 33 nibbles zero) so the decimal
+    # arithmetic can never overflow at runtime — ANSI mode turns a
+    # decimal overflow into a job-killing error, and try_cast only
+    # protects casts, not intermediate products.
+    fits = h.substr(1, 33) == F.lit("0" * 33)
+    two64 = F.lit("18446744073709551616").cast("decimal(20,0)")  # 2^64
+    hi = F.conv(h.substr(34, 15), 16, 10).try_cast("decimal(38,0)")
+    lo = F.conv(h.substr(49, 16), 16, 10).try_cast("decimal(38,0)")
+    return F.when(fits, (hi * two64 + lo).try_cast(U256_DECIMAL)).otherwise(
+        F.lit(None).cast(U256_DECIMAL)
+    )
+
+
 #: bit widths for the packed deterministic log id (see :func:`pack_log_id`)
 _TXI_BITS = 18  # up to 262k txs per block (mainnet max ≈ 1.4k)
 _LI_BITS = 12  # up to 4096 logs per tx (mainnet max ≈ hundreds)

@@ -68,3 +68,63 @@ def test_gas_utilization(evm, duck):
     assert got.keys() == want.keys()
     for k in got:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_hex_to_u256_decimal(spark):
+    from rust_evm_indexer_spark.functions.evm import hex_to_u256_decimal
+
+    cases = [
+        "0x" + "00" * 31 + "2a",                     # 42
+        "0x" + "0" * 63 + "1",                        # 1, short-nibble form
+        "0xde0b6b3a7640000",                          # 1 ETH in wei
+        "0x" + format(10**30, "064x"),               # big token amount
+        "0x" + format(2**124 - 1, "064x"),           # max representable
+        "0x" + format(2**124, "064x"),               # first NULL
+        "0x" + "ff" * 32,                             # max U256 → NULL
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["h"])
+    got = {r["h"]: r["v"] for r in df.select("h", hex_to_u256_decimal("h").alias("v")).collect()}
+    for c in cases:
+        want = int(c, 16)
+        if want < 2**124:
+            assert int(got[c]) == want, c
+        else:
+            assert got[c] is None, c
+
+
+def test_transfer_volume_decode(evm, duck):
+    from rust_evm_indexer_spark.datagen import TRANSFER_SIG
+    from rust_evm_indexer_spark.operators.evm_analytics import (
+        transfer_volume_by_contract,
+    )
+
+    got = {
+        r["contract_address"]: (r["n_transfers"], int(r["volume"]))
+        for r in transfer_volume_by_contract(evm["logs"], TRANSFER_SIG).collect()
+    }
+    # fixture data payload is the constant 0x…2a = 42 per log
+    want = {
+        addr: (n, 42 * n)
+        for addr, n in duck.execute(
+            "SELECT contract_address, COUNT(*) FROM logs "
+            f"WHERE topic0 = '{TRANSFER_SIG}' GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_value_flow_by_block(evm, duck):
+    from rust_evm_indexer_spark.operators.evm_analytics import value_flow_by_block
+
+    got = {
+        r["block_number"]: (r["n_txs"], int(r["wei_moved"]))
+        for r in value_flow_by_block(evm["transactions"]).collect()
+    }
+    want = {
+        bn: (n, int(w))
+        for bn, n, w in duck.execute(
+            "SELECT block_number, COUNT(*), SUM(CAST(value AS HUGEINT)) "
+            "FROM transactions GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
