@@ -29,21 +29,18 @@ def main() -> None:
     sf = float(Path(sf_dir).name.replace("sf", "") or 0)
     spark = get_spark("bench")
 
-    # warm-up: JVM codegen + parquet footer caches, not measured
-    for entry in CATALOG.values():
-        entry.fn(spark, sf_dir).limit(1).collect()
+    # one cheap warm-up to absorb JVM/codegen/session startup — per-entry
+    # warm-up would triple the wall time while hiding real planning cost
+    CATALOG["logs_page_first"].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name, entry in sorted(CATALOG.items()):
-        best = float("inf")
-        for _ in range(2):  # best-of-2: measure the plan, not stray GC/JIT
-            t0 = time.perf_counter()
-            df = entry.fn(spark, sf_dir)
-            # execute fully; count() on the final plan materializes every
-            # operator (limits/sorts included) without driver-side collect
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        t0 = time.perf_counter()
+        df = entry.fn(spark, sf_dir)
+        # execute fully; count() on the final plan materializes every
+        # operator (limits/sorts included) without driver-side collect
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     print(

