@@ -1069,3 +1069,40 @@ def orders_monthly(spark, sf_dir):
             F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )
+
+
+_PAIRS_CTE = f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM t),
+    n AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS isect
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
+      WHERE CAST(isect AS DOUBLE) / (na.nsh + nb.nsh - isect) >= 0.5)
+"""
+
+
+@register(
+    "dedup_survivors",
+    _PAIRS_CTE
+    + """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = d.doc_id)
+    """,
+    tags=("llm", "X-2", "pipeline"),
+)
+def dedup_survivors_q(spark, sf_dir):
+    """The end-to-end dedup pipeline output: corpus minus near-duplicate
+    losers (keep-smallest-id policy; anti-join against the pair list)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dd.dedup_survivors(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

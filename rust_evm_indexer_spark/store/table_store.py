@@ -267,7 +267,13 @@ class TableStore:
         """Metadata-only row count (the /stats fast path)."""
         return sum(f.rows for f in self.current_manifest().tables.get(table, []))
 
-    def compact(self, table: str, max_fragments: int = 8) -> int:
+    def compact(
+        self,
+        table: str,
+        max_fragments: int = 8,
+        *,
+        sort_within: tuple[str, ...] = (),
+    ) -> int:
         """Merge a table's fragments into ``max_fragments`` larger ones,
         sorted by block_number (restores range clustering), in one atomic
         swap.  Readers never see a partial compaction; old fragments stay
@@ -284,6 +290,12 @@ class TableStore:
         df = self.read(table)
         if "block_number" in df.columns:
             df = df.repartitionByRange(max_fragments, F.col("block_number"))
+            # secondary sort inside each range partition clusters hot
+            # filter columns (e.g. topic0) so parquet row-group min/max
+            # stats skip effectively — the Z-order-lite analog of the
+            # reference's composite indexes (init.sql:71-74)
+            keys = ("block_number", *sort_within)
+            df = df.sortWithinPartitions(*[F.col(c) for c in keys])
         else:
             df = df.repartition(max_fragments)
         merged = self._write_fragment(table, df)
