@@ -1106,3 +1106,62 @@ def dedup_survivors_q(spark, sf_dir):
     return dd.dedup_survivors(docs, pairs).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# =====================================================================
+# Semi-structured + approximate aggregates
+# =====================================================================
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events WHERE event_id < 1000
+    """,
+    tags=("semistructured", "json"),
+)
+def json_extract_props(spark, sf_dir):
+    """Semi-structured access: typed field extraction from the JSON props
+    column (get_json_object is codegen'd JVM path parsing — the
+    schema-on-read surface a log-analytics engine needs for raw payloads)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.coalesce(
+            F.try_parse_json(F.col("props")).isNotNull(), F.lit(False)
+        ).alias("is_valid"),
+    )
+
+
+@register(
+    "json_agg_by_key",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("semistructured", "json", "agg"),
+)
+def json_agg_by_key(spark, sf_dir):
+    """Aggregate over an extracted JSON field — extraction stays inside
+    the scan projection, grouped sum is exact integer math."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register("approx_distinct_users", None, tags=("approx",))
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct-count per event type (engine-specific sketch →
+    rows-only check; accuracy vs exact asserted in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5)").alias("approx_median"),
+    )

@@ -119,11 +119,25 @@ class TableStore:
 
     def _swap(self, manifest: Manifest) -> None:
         """Write the manifest then atomically advance the CURRENT pointer
-        (POSIX rename; conditional-put on an object store)."""
+        (POSIX rename; conditional-put on an object store).
+
+        Optimistic concurrency: the manifest file for this version is
+        created with O_EXCL — if another writer already claimed the same
+        version number, the create fails and the commit raises instead of
+        silently dropping the other writer's fragments (lost update).
+        The engine's design is single-writer ingest (like the reference's
+        one ingester task); this guard turns an accidental second writer
+        into a loud error, mirroring a conditional-put conflict."""
         mdir = self.root / "_manifests"
-        (mdir / f"v{manifest.version:06d}.json").write_text(
-            json.dumps(manifest.to_json(), indent=1)
-        )
+        mpath = mdir / f"v{manifest.version:06d}.json"
+        try:
+            with open(mpath, "x") as f:
+                f.write(json.dumps(manifest.to_json(), indent=1))
+        except FileExistsError as exc:
+            raise RuntimeError(
+                f"concurrent commit detected: manifest v{manifest.version} "
+                "already exists (another writer advanced the store)"
+            ) from exc
         tmp = mdir / f".current.{uuid.uuid4().hex}"
         tmp.write_text(str(manifest.version))
         os.replace(tmp, mdir / _CURRENT)

@@ -126,3 +126,29 @@ def test_multimodal_meta_matches_features(spark, docs):
         # JVM md5(binary) must equal the Python-side md5 in the kernel
         assert meta[aid]["payload_md5"] == feats[aid]["payload_md5"]
         assert meta[aid]["byte_len"] == feats[aid]["byte_len"]
+
+
+def test_approx_distinct_accuracy(spark):
+    """HLL approx within 5% of exact; approx median within the IQR."""
+    from rust_evm_indexer_spark.catalog import CATALOG
+    from conftest import SF_ORACLE
+
+    got = {
+        r["event_type"]: r
+        for r in CATALOG["approx_distinct_users"].fn(spark, str(SF_ORACLE)).collect()
+    }
+    from rust_evm_indexer_spark.sources.batch import load_driver_table
+
+    exact = {
+        r["event_type"]: r
+        for r in load_driver_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.expr("percentile(value, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    for et, row in got.items():
+        assert abs(row["approx_users"] - exact[et]["n"]) <= 0.05 * exact[et]["n"] + 1
+        assert abs(row["approx_median"] - exact[et]["med"]) < 5.0

@@ -178,3 +178,16 @@ def test_compact_preserves_data_and_prunes(spark, tmp_path):
     assert ids == sorted(ids) and len(set(ids)) == len(ids)
     assert store.vacuum() > 0
     assert store.read("logs").count() == before_rows["logs"]
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """A second writer racing the same manifest version fails loudly
+    (O_EXCL create ≙ conditional-put conflict), never lost-updates."""
+    ing, client, store = make_ingester(spark, tmp_path, n_blocks=6)
+    ing.run_cycle()
+    m = store.current_manifest()
+    # simulate a racer that already wrote the next version
+    (store.root / "_manifests" / f"v{m.version + 1:06d}.json").write_text("{}")
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        store.set_status({"indexer_name": "x", "last_processed_block": 1,
+                          "chain_head_at_last_poll": 2})
