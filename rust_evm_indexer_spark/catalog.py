@@ -1165,3 +1165,15 @@ def approx_distinct_users(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.expr("approx_percentile(value, 0.5)").alias("approx_median"),
     )
+
+
+@register("similarity_ivf_kmeans", None, tags=("llm", "X-3", "ivf", "kmeans"))
+def similarity_ivf_kmeans(spark, sf_dir):
+    """IVF search against a k-means quantizer trained in Spark (Lloyd's
+    iterations, distributed assign/update) — rows-only: sketch of an
+    iterative algorithm, not SQL-expressible; recall vs brute force
+    asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = sim.kmeans_fit(emb, k=8, iters=3)
+    return sim.ivf_topk_trained(emb, qvec, cents, k=10, n_probe=2, exclude_ids=(0,))

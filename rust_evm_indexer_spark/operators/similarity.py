@@ -118,6 +118,64 @@ def cell_centroids(
     )
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embedding column — the IVF
+    coarse quantizer, trained in Spark.
+
+    Each iteration: assign (narrow projection against broadcast-literal
+    centroids, argmax of k dot products) → update (posexplode + grouped
+    mean, one shuffle keyed by (cell, dim)).  Only the k×dim centroid
+    matrix crosses the driver per iteration — the per-point work stays
+    distributed, which is the property that matters at 10⁹ vectors.
+    Init: the k lowest-id vectors (deterministic, no RNG)."""
+    seeds = (
+        embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    cents = [list(map(float, r[0])) for r in seeds]
+    for _ in range(iters):
+        assigned = assign_cells(embeddings, cents, vec_col=vec_col)
+        new = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        by_cell = {r["cell"]: list(map(float, r["c"])) for r in new}
+        # empty cells keep their previous centroid
+        cents = [by_cell.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a 0-based ``cell`` column: argmax cosine over the centroid
+    list (k sim columns + array_position argmax — all codegen'd; ties →
+    lowest cell id)."""
+    sims = F.array(
+        *[
+            cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
+    )
+    return embeddings.withColumn(
+        "cell", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -150,6 +208,47 @@ def ivf_topk(
     df = embeddings.filter(F.col(cell_col).isin(probe))
     if exclude_ids:
         df = df.filter(~F.col(id_col).isin(*exclude_ids))
+    return (
+        df.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """IVF search against a k-means-trained quantizer: probe cells picked
+    driver-side (centroid math on a k×dim list is trivial), scan only
+    assigned members of those cells.  At rest the corpus is written
+    partitioned by ``cell`` so the probe filter becomes partition pruning."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: -cos(centroids[i], list(map(float, query_vec))),
+    )[:n_probe]
+    assigned = assign_cells(embeddings, centroids, vec_col=vec_col)
+    df = assigned.filter(F.col("cell").isin(probe))
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(*exclude_ids))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.select(
             F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("sim")

@@ -152,3 +152,28 @@ def test_approx_distinct_accuracy(spark):
     for et, row in got.items():
         assert abs(row["approx_users"] - exact[et]["n"]) <= 0.05 * exact[et]["n"] + 1
         assert abs(row["approx_median"] - exact[et]["med"]) < 5.0
+
+
+def test_kmeans_ivf_improves_over_label_cells(emb):
+    """Trained quantizer: k-means cells must give ≥ recall of arbitrary
+    label cells at the same probe budget, and assignment is deterministic."""
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = {
+        r["vec_id"]
+        for r in sim.brute_force_topk(emb, q, 10, exclude_ids=(0,)).collect()
+    }
+    cents = sim.kmeans_fit(emb, k=8, iters=4)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    cents2 = sim.kmeans_fit(emb, k=8, iters=4)
+    assert cents == cents2  # deterministic
+
+    trained = {
+        r["vec_id"]
+        for r in sim.ivf_topk_trained(emb, q, cents, 10, n_probe=2, exclude_ids=(0,)).collect()
+    }
+    label_cells = {
+        r["vec_id"]
+        for r in sim.ivf_topk(emb, q, 10, n_probe=2, exclude_ids=(0,)).collect()
+    }
+    assert len(trained & exact) >= len(label_cells & exact)
+    assert len(trained & exact) >= 5  # real recall from a trained index
