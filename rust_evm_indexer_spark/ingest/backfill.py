@@ -127,7 +127,16 @@ def backfill(
     **fetch_kw,
 ) -> dict[str, int]:
     """Fetch + normalize + commit a block range atomically.  Returns row
-    counts per table.  Idempotent: txn watermark = end_block."""
+    counts per table.  Idempotent: txn watermark = end_block.
+
+    The raw frame is persisted and materialized ONCE before the 4-table
+    fan-out: ``store.commit`` runs one Spark action per table, and
+    without the pin each action would re-run the RPC fetch kernel (4-5×
+    the network cost — and, against a live chain, each table could
+    materialize from a *different* chain snapshot, silently breaking the
+    cross-table consistency the single manifest swap guarantees)."""
+    from pyspark.storagelevel import StorageLevel
+
     raw = fetch_range(
         spark,
         client,
@@ -135,21 +144,25 @@ def backfill(
         end_block,
         fetch_partitions=fetch_partitions,
         **fetch_kw,
-    )
-    tables = explode_raw(raw)
-    from .rollup import ROLLUP_TABLE, rollup_partials
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        raw.count()  # force the single materialized fetch
+        tables = explode_raw(raw)
+        from .rollup import ROLLUP_TABLE, rollup_partials
 
-    tables[ROLLUP_TABLE] = rollup_partials(tables["logs"], tables["blocks"])
-    committed = store.commit(
-        tables,
-        status={
-            "indexer_name": indexer_name,
-            "last_processed_block": end_block,
-            "chain_head_at_last_poll": end_block,
-        },
-        txn_app_id=indexer_name,
-        txn_version=end_block,
-    )
-    if not committed:
-        return {t: 0 for t in tables}
-    return {t: store.table_rows(t) for t in tables}
+        tables[ROLLUP_TABLE] = rollup_partials(tables["logs"], tables["blocks"])
+        committed = store.commit(
+            tables,
+            status={
+                "indexer_name": indexer_name,
+                "last_processed_block": end_block,
+                "chain_head_at_last_poll": end_block,
+            },
+            txn_app_id=indexer_name,
+            txn_version=end_block,
+        )
+        if not committed:
+            return {t: 0 for t in tables}
+        return {t: store.table_rows(t) for t in tables}
+    finally:
+        raw.unpersist()

@@ -75,7 +75,9 @@ class GetLogsFilter:
 
     @property
     def has_cursor(self) -> bool:
-        return self.cursor_block is not None and self.cursor_log_id is not None
+        # src/api.rs:116 — cursor mode engages when EITHER field is set;
+        # the missing one defaults to 0 (src/api.rs:165-166).
+        return self.cursor_block is not None or self.cursor_log_id is not None
 
     def clamped_page_size(self) -> int:  # O-19, src/api.rs:115
         return max(1, min(self.page_size, MAX_PAGE_SIZE))
@@ -115,7 +117,8 @@ def _predicates(flt: GetLogsFilter) -> list[Column]:
         # O-16 keyset cursor: row-value (block_number, id) > (cb, cl),
         # spelled out since Spark has no tuple comparison.  Both disjuncts
         # are range/eq predicates on scan columns → pushed to parquet.
-        cb, cl = F.lit(flt.cursor_block), F.lit(flt.cursor_log_id)
+        cb = F.lit(flt.cursor_block if flt.cursor_block is not None else 0)
+        cl = F.lit(flt.cursor_log_id if flt.cursor_log_id is not None else 0)
         preds.append(
             (F.col("block_number") > cb)
             | ((F.col("block_number") == cb) & (F.col("id") > cl))

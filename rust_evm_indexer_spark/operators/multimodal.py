@@ -34,7 +34,7 @@ FEATURE_DIM = 16
 
 _DECODE_OUT_SCHEMA = (
     "asset_id long, media_type string, byte_len int, payload_md5 string, "
-    f"features array<float>"
+    "features array<float>, features_csv string"
 )
 
 
@@ -55,6 +55,18 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
     )
 
 
+def _raw_features(payload: bytes) -> list[float]:
+    """The deterministic fake kernel's raw (unrounded) feature vector:
+    bucketed byte statistics.  Every term is a multiple of 2⁻⁶, so the
+    accumulation is exact in double — any engine that replays this math
+    (see the catalog's DuckDB oracle) lands on bit-identical doubles."""
+    acc = [0.0] * FEATURE_DIM
+    for i, b in enumerate(payload):
+        acc[i % FEATURE_DIM] += (b % 64) / 64.0
+    n = max(len(payload), 1)
+    return [v * FEATURE_DIM / n for v in acc]
+
+
 def decode_image_stub(payload: bytes, *, deterministic_fake: bool) -> list[float]:
     """The codec boundary.  A real deployment plugs PIL/torchvision here.
 
@@ -67,11 +79,7 @@ def decode_image_stub(payload: bytes, *, deterministic_fake: bool) -> list[float
             "image decoding requires PIL/torchvision — not available in this "
             "container; pass deterministic_fake=True for the test kernel"
         )
-    acc = [0.0] * FEATURE_DIM
-    for i, b in enumerate(payload):
-        acc[i % FEATURE_DIM] += (b % 64) / 64.0
-    n = max(len(payload), 1)
-    return [round(v * FEATURE_DIM / n, 6) for v in acc]
+    return [round(v, 6) for v in _raw_features(payload)]
 
 
 def extract_features(
@@ -95,6 +103,13 @@ def extract_features(
                 batch_note.append(len(pdf))
             import hashlib
 
+            if deterministic_fake:
+                raws = [_raw_features(bytes(p)) for p in pdf["payload"]]
+            else:  # loud-fail codec boundary
+                raws = [
+                    decode_image_stub(bytes(p), deterministic_fake=False)
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -103,11 +118,12 @@ def extract_features(
                     "payload_md5": [
                         hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
                     ],
-                    "features": [
-                        decode_image_stub(
-                            bytes(p), deterministic_fake=deterministic_fake
-                        )
-                        for p in pdf["payload"]
+                    "features": [[round(v, 6) for v in r] for r in raws],
+                    # fixed-format serialization of the RAW doubles: the
+                    # hashable form cross-engine compares need (raw array
+                    # columns are unsortable in pandas canonicalizers)
+                    "features_csv": [
+                        ",".join(f"{v:.6f}" for v in r) for r in raws
                     ],
                 }
             )

@@ -32,11 +32,18 @@ def asof_join(
     *,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tiebreaker: str | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right row (by ``ts``) at-or-before each
     left row's ``ts``, matched on ``key``.  Right-side payload columns are
     suffixed.  Ties on (key, ts): the right row sorts first, so a
-    same-timestamp right row IS visible to the left row (``<=``)."""
+    same-timestamp right row IS visible to the left row (``<=``).
+
+    ``tiebreaker`` (a right-side column name, e.g. its event id) makes
+    tie resolution deterministic: when several right rows share
+    (key, ts), the carried row is the one with the GREATEST tiebreaker —
+    without it, ``last()`` picks whichever row the shuffle happened to
+    order last, which diverges across runs/engines."""
     right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
     l_tag = left.withColumn("_side", F.lit(1))
     r_tag = right.select(
@@ -45,9 +52,16 @@ def asof_join(
         *[F.col(c).alias(c + suffix) for c in right_cols],
     ).withColumn("_side", F.lit(0))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    order = [F.col(ts).asc(), F.col("_side").asc()]
+    if tiebreaker is not None:
+        # right rows order by tiebreaker ASC → last() carries the max;
+        # left rows (null here) sort first within their ts+side group,
+        # which is irrelevant: their carried value only depends on the
+        # rows before them, and _side already orders rights first.
+        order.append(F.col(tiebreaker + suffix).asc_nulls_first())
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

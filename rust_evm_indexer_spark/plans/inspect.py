@@ -54,6 +54,17 @@ def assert_pushed_filter(df: DataFrame, column: str) -> None:
     )
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of EXPLICIT broadcast hints surviving into the optimized
+    logical plan (``rightHint=(strategy=broadcast)``).  Size-based
+    broadcasts picked by the planner/AQE do NOT count — this isolates
+    what the query author *forced*, which is exactly the scale hazard:
+    a hint on a table that grows with the data OOMs executors at 100×
+    regardless of how fast it runs at test SF."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return plan.count("strategy=broadcast")
+
+
 def assert_broadcast_join(df: DataFrame, at_least: int = 1) -> None:
     plan = physical_plan(df)
     n = plan.count("BroadcastHashJoin")

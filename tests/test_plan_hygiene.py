@@ -13,6 +13,7 @@ from rust_evm_indexer_spark.plans import (
     assert_broadcast_join,
     assert_pushed_filter,
     assert_takes_ordered_topk,
+    broadcast_hint_count,
     physical_plan,
     read_schema_columns,
 )
@@ -56,9 +57,17 @@ def test_events_projection_prunes_columns(spark):
     assert "props" not in cols, f"props not pruned: {cols}"
 
 
-def test_q3_q5_broadcast_dimensions(spark):
-    assert_broadcast_join(CATALOG["q3_shipping_priority"].fn(spark, SF), at_least=2)
-    assert_broadcast_join(CATALOG["q5_local_supplier"].fn(spark, SF), at_least=4)
+def test_q3_q5_broadcast_dims_only(spark):
+    """Forced broadcasts are allowed ONLY on true dimensions.  q3 joins
+    lineitem⋈orders⋈customer — all fact-sized at 100 TB, so zero hints
+    (AQE broadcasts them at small SF from runtime sizes, which is fine);
+    q5 hints exactly its three bounded dims (supplier/nation/region)."""
+    q3 = CATALOG["q3_shipping_priority"].fn(spark, SF)
+    q5 = CATALOG["q5_local_supplier"].fn(spark, SF)
+    assert broadcast_hint_count(q3) == 0, "q3 must not force any broadcast"
+    assert broadcast_hint_count(q5) == 3, "q5 hints exactly supplier/nation/region"
+    # physically the dims still broadcast-join
+    assert_broadcast_join(q5, at_least=3)
 
 
 def test_q3_topk(spark):

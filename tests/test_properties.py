@@ -40,11 +40,16 @@ def model_get_logs(rows: list[dict], flt: GetLogsFilter) -> list[int]:
                 skip = True
         if skip:
             continue
-        if flt.has_cursor and not (
-            r["block_number"] > flt.cursor_block
-            or (r["block_number"] == flt.cursor_block and r["id"] > flt.cursor_log_id)
-        ):
-            continue
+        if flt.has_cursor:
+            # src/api.rs:116,165-166 — EITHER field engages cursor mode;
+            # the missing one defaults to 0
+            cb = flt.cursor_block if flt.cursor_block is not None else 0
+            cl = flt.cursor_log_id if flt.cursor_log_id is not None else 0
+            if not (
+                r["block_number"] > cb
+                or (r["block_number"] == cb and r["id"] > cl)
+            ):
+                continue
         out.append(r["id"])
     size = flt.clamped_page_size()
     if not flt.has_cursor and flt.page is not None:
@@ -76,3 +81,18 @@ def test_get_logs_matches_python_model(evm, all_logs, flt):
     got = [r["id"] for r in get_logs(evm["logs"], flt).collect()]
     want = model_get_logs(all_logs, flt)
     assert got == want, f"filter={flt}"
+
+
+@pytest.mark.parametrize(
+    "flt",
+    [
+        # EITHER cursor field alone engages cursor mode (src/api.rs:116):
+        # offset `page` must be IGNORED, missing field defaults to 0
+        GetLogsFilter(cursor_block=START_BLOCK + 10, page=3, page_size=20),
+        GetLogsFilter(cursor_log_id=50, page=2, page_size=20),
+    ],
+)
+def test_single_sided_cursor_engages_cursor_mode(evm, all_logs, flt):
+    assert flt.has_cursor
+    got = [r["id"] for r in get_logs(evm["logs"], flt).collect()]
+    assert got == model_get_logs(all_logs, flt), f"filter={flt}"
