@@ -34,6 +34,17 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries across the plan's scans — non-empty
+    iff the scan prunes whole partition directories (the IVF probe
+    contract: only the probed cells' files are ever listed)."""
+    plan = physical_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> set[str]:
     """Union of columns the scans actually read (column-pruning check)."""
     plan = physical_plan(df)

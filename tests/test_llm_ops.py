@@ -86,6 +86,43 @@ def test_ivf_recall_vs_brute_force(emb):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_ivf_index_matches_inmemory_ivf(emb, tmp_path):
+    """Materialized index ≡ per-query recompute: same cells, same probe,
+    same top-k — only the physics differ (partition-pruned scan vs full
+    scan + assignment)."""
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf_label", cell_col="label")
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in idx.search(q, 10, n_probe=2, exclude_ids=(0,)).collect()
+    ]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in sim.ivf_topk(emb, q, 10, n_probe=2, exclude_ids=(0,)).collect()
+    ]
+    assert got == want
+    # reload round-trip: persisted centroids identical
+    idx2 = sim.IvfIndex.load(emb.sparkSession, tmp_path / "ivf_label")
+    assert idx2.centroids == idx.centroids
+    # idempotent rebuild: DONE marker short-circuits
+    idx3 = sim.IvfIndex.build(emb, tmp_path / "ivf_label", cell_col="label")
+    assert idx3.centroids == idx.centroids
+
+
+def test_ivf_index_kmeans_recall(emb, tmp_path):
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf_km", k=8, iters=3)
+    exact = [
+        r["vec_id"]
+        for r in sim.brute_force_topk(emb, q, 10, exclude_ids=(0,)).collect()
+    ]
+    approx = [
+        r["vec_id"] for r in idx.search(q, 10, n_probe=2, exclude_ids=(0,)).collect()
+    ]
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 4
+
+
 def test_knn_join_self_rank1(emb):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")

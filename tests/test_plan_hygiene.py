@@ -14,6 +14,7 @@ from rust_evm_indexer_spark.plans import (
     assert_pushed_filter,
     assert_takes_ordered_topk,
     broadcast_hint_count,
+    partition_filters,
     physical_plan,
     read_schema_columns,
 )
@@ -83,6 +84,20 @@ def test_q1_partial_agg_and_pushdown(spark):
     plan = physical_plan(df, "simple")
     assert "partial_sum" in plan, plan
     assert_pushed_filter(df, "l_shipdate")
+
+
+def test_ivf_search_prunes_partitions(spark):
+    """The materialized IVF index's probe filter must be a PARTITION
+    filter (file-listing-level pruning), not a post-scan predicate —
+    this is the property that makes IVF scan n_probe/n_cells of a
+    100 TB corpus instead of all of it."""
+    for entry in ("similarity_ivf_topk", "similarity_ivf_kmeans"):
+        df = CATALOG[entry].fn(spark, SF)
+        pf = partition_filters(df)
+        assert any("cell" in f for f in pf), (
+            f"{entry}: no partition filter on cell; PartitionFilters={pf}\n"
+            f"{physical_plan(df)}"
+        )
 
 
 def test_store_read_prunes_fragments(spark, tmp_path):
