@@ -34,6 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
+    # the EVM-native entries' oracles read fixture parquet by absolute
+    # path — make sure it exists before EITHER side of the compare runs
+    # (pure pyarrow write, deterministic, idempotent)
+    from rust_evm_indexer_spark.catalog import ensure_evm_fixture_parquet
+
+    ensure_evm_fixture_parquet()
     return {name: e.fn for name, e in CATALOG.items()}
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +36,26 @@ from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import textops as tx
 from .sources.batch import load_driver_table
+
+#: scratch root for driver-visible side artifacts (EVM fixture parquet the
+#: oracles read, exported simhash signatures, IVF indexes).  Absolute so
+#: the oracle SQL strings — fixed at registration — resolve no matter what
+#: cwd the driver runs from.
+FIXTURE_CACHE = Path(__file__).resolve().parent.parent / ".fixture_cache"
+
+
+def ensure_evm_fixture_parquet() -> Path:
+    """Write the deterministic EVM fixture chain (datagen seed 42) as
+    parquet once — pure pyarrow, no Spark needed, so it can run before
+    either side of the driver compare.  Invoked from ``__spark_entry__.
+    queries()`` and from the EVM catalog entries themselves."""
+    from . import datagen
+
+    out = FIXTURE_CACHE / "evm"
+    if not (out / "_FIXTURE_DONE").exists():
+        datagen.write_fixtures(out)
+        (out / "_FIXTURE_DONE").write_text("ok")
+    return out
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -271,6 +292,172 @@ def stats_lag(spark, sf_dir):
 
 
 # =====================================================================
+# EVM-NATIVE log search under the driver contract: the reference's
+# POST /logs surface (src/api.rs:111-229) run on logs-shaped parquet
+# (topics, hex case, keyset cursor) with DuckDB oracles over the SAME
+# files — VERDICT.md r1 gap #1.  Fixture constants below are
+# deterministic outputs of datagen.generate_chain(seed=42).
+# =====================================================================
+
+_EVM_LOGS_PQ = f"{FIXTURE_CACHE}/evm/logs.parquet"
+# the response projection (src/api.rs:118-124) with get_logs's aliases
+_LOGS_PROJ_SQL = (
+    "id, log_index_in_tx AS log_index, transaction_hash, "
+    "transaction_index_in_block AS transaction_index, block_number, "
+    "block_hash, contract_address AS address, data, "
+    "topic0, topic1, topic2, topic3"
+)
+_TRANSFER_SIG = "0x" + "dd" * 32  # datagen.TRANSFER_SIG
+# hottest contract in the seed-42 fixture (176/321 logs)
+_EVM_CONTRACT0 = "0x5f7794e1dd4c786a2eb2618c1266f6a90663f76c"
+# a mid-chain block hash carrying 11 logs (height 1000029)
+_EVM_BLOCKHASH = "0xf86699431db2109c02093637abae941f447bde42fc2fefdfeb26fe24627e518f"
+
+
+def _evm_logs(spark: SparkSession) -> DataFrame:
+    from .sources import load_evm_tables
+
+    return load_evm_tables(spark, ensure_evm_fixture_parquet())["logs"]
+
+
+def _evm_entry(flt_kwargs: dict):
+    """Build a catalog fn running get_logs with the given filter."""
+
+    def fn(spark, sf_dir):
+        from .operators import GetLogsFilter, get_logs
+
+        return get_logs(_evm_logs(spark), GetLogsFilter(**flt_kwargs))
+
+    return fn
+
+
+register(
+    "evm_logs_topic_page",
+    f"""SELECT {_LOGS_PROJ_SQL} FROM read_parquet('{_EVM_LOGS_PQ}')
+    WHERE topic0 = '{_TRANSFER_SIG}' ORDER BY block_number, id LIMIT 100""",
+    tags=("evm-native", "O-15", "O-17"),
+)(_evm_entry({"topic0": _TRANSFER_SIG, "page_size": 100}))
+
+register(
+    "evm_logs_address_range",
+    f"""SELECT {_LOGS_PROJ_SQL} FROM read_parquet('{_EVM_LOGS_PQ}')
+    WHERE lower(contract_address) = '{_EVM_CONTRACT0}'
+      AND block_number >= 1000010 AND block_number <= 1000040
+    ORDER BY block_number, id LIMIT 100""",
+    tags=("evm-native", "O-13", "O-14"),
+    # mixed-case address exercises the case-insensitive hex equality
+    # (src/api.rs:140-144)
+)(_evm_entry({
+    "address": _EVM_CONTRACT0.upper().replace("0X", "0x"),
+    "from_block": 1_000_010,
+    "to_block": 1_000_040,
+    "page_size": 100,
+}))
+
+register(
+    "evm_logs_cursor_page",
+    f"""SELECT {_LOGS_PROJ_SQL} FROM read_parquet('{_EVM_LOGS_PQ}')
+    WHERE block_number > 1000020 OR (block_number = 1000020 AND id > 0)
+    ORDER BY block_number, id LIMIT 50""",
+    tags=("evm-native", "O-16", "O-17"),
+    # cursor_block WITHOUT cursor_log_id: cursor mode still engages with
+    # the missing field defaulted to 0 (src/api.rs:116,165-166)
+)(_evm_entry({"cursor_block": 1_000_020, "page_size": 50}))
+
+register(
+    "evm_logs_blockhash_override",
+    f"""SELECT {_LOGS_PROJ_SQL} FROM read_parquet('{_EVM_LOGS_PQ}')
+    WHERE lower(block_hash) = '{_EVM_BLOCKHASH}'
+    ORDER BY block_number, id LIMIT 25""",
+    tags=("evm-native", "O-13", "O-14a"),
+    # block_hash (upper-cased here) OVERRIDES a range that excludes the
+    # block — the mutually-exclusive branch of src/api.rs:126-139
+)(_evm_entry({
+    "block_hash": _EVM_BLOCKHASH.upper().replace("0X", "0x"),
+    "from_block": 1,
+    "to_block": 2,
+}))
+
+
+# ---------------------------------------------------------------------
+# Reorg → continuous-aggregate retraction, end-to-end under the driver
+# contract (VERDICT.md r1 item 8): ingest a chain, apply a depth-3 fork,
+# converge, then expose the incrementally-maintained hourly rollup.  The
+# oracle recomputes the same aggregate directly from the post-reorg base
+# tables (snapshotted to parquet), so a retraction bug — stale partials
+# from orphaned blocks surviving rollback — breaks the hash match.
+# ---------------------------------------------------------------------
+
+_REORG_DIR = FIXTURE_CACHE / "reorg"
+
+
+def _ensure_reorg_fixture(spark: SparkSession) -> Path:
+    """Build once per corpus cache: ingest (5-block batches) → reorg
+    (depth 3, resolved iteratively one parent-step per cycle) → snapshot
+    the final canonical logs/blocks for the oracle.  Deterministic, so
+    the cached store is reusable across processes and driver runs."""
+    if not (_REORG_DIR / "_REORG_DONE").exists():
+        from . import datagen
+        from .ingest import EvmIngester
+        from .sources.rpc import MockRpcClient
+        from .store import TableStore
+
+        # hour bucketing at ingest happens in session tz; pin UTC (the
+        # fixture epochs are hour-aligned only under whole-hour offsets)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        chain = datagen.generate_chain(n_blocks=24, seed=77)
+        client = MockRpcClient(chain)
+        store = TableStore(spark, _REORG_DIR / "store")
+        ing = EvmIngester(
+            spark,
+            client,
+            store,
+            start_block=datagen.START_BLOCK,
+            backoff_base=0.01,
+        )
+        ing.run_until_caught_up()
+        client.schedule_reorg(depth=3)
+        ing.run_until_caught_up(max_cycles=30)
+        store.read("logs").write.mode("overwrite").parquet(
+            str(_REORG_DIR / "logs_snapshot")
+        )
+        store.read("blocks").write.mode("overwrite").parquet(
+            str(_REORG_DIR / "blocks_snapshot")
+        )
+        (_REORG_DIR / "_REORG_DONE").write_text("ok")
+    return _REORG_DIR
+
+
+_REORG_ROLLUP_SQL = f"""
+    SELECT CAST(floor(b.timestamp / 3600) * 3600 * 1000000 AS BIGINT) AS hour_us,
+           l.contract_address, l.topic0, count(*) AS n_logs
+    FROM read_parquet('{_REORG_DIR}/logs_snapshot/*.parquet') l
+    JOIN read_parquet('{_REORG_DIR}/blocks_snapshot/*.parquet') b
+      USING (block_hash)
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("reorg_rollup_exact", _REORG_ROLLUP_SQL, tags=("evm-native", "X-6", "reorg"))
+def reorg_rollup_exact(spark, sf_dir):
+    """Post-reorg continuous aggregate: the hourly (contract, topic0)
+    rollup maintained as per-batch partials (ingest/rollup.py) and
+    retracted block-exactly by ``rollback_from`` — compared against a
+    direct re-aggregation of the converged base tables."""
+    from .ingest.rollup import read_rollup
+    from .store import TableStore
+
+    root = _ensure_reorg_fixture(spark)
+    store = TableStore(spark, root / "store")
+    return read_rollup(store).select(
+        F.unix_micros("hour_ts").alias("hour_us"),
+        "contract_address",
+        "topic0",
+        "n_logs",
+    )
+
+
+# =====================================================================
 # Relational coverage: joins / aggregation / windows (SURVEY.md §2c —
 # capabilities the entity model implies; TPC-H-shaped on driver tables)
 # =====================================================================
@@ -476,6 +663,21 @@ def _jaccard_sql(threshold: float) -> str:
 _JACCARD_SQL = _jaccard_sql(0.5)
 
 
+# one persisted (doc_id, shingle) frame per corpus+session: the shingle
+# scan (normalize → split → k-gram explode) feeds FOUR dedup flavors in a
+# catalog drive — without the cache each entry recomputes it from parquet
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    sh = _SHINGLE_CACHE.get(key)
+    if sh is None:
+        sh = dd.word_shingles(_t(spark, sf_dir, "documents")).persist()
+        _SHINGLE_CACHE[key] = sh
+    return sh
+
+
 @register(
     "dedup_exact",
     f"SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
@@ -490,7 +692,11 @@ def dedup_exact(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact near-dup pairs: word-3-gram shingles, inverted-index join,
     Jaccard >= 0.5."""
-    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
 
 
 @register("dedup_minhash_lsh", _jaccard_sql(0.8), tags=("llm", "X-2", "lsh"))
@@ -502,14 +708,43 @@ def dedup_minhash_lsh(spark, sf_dir):
     makes precision exactly 1.  At J=0.5 the same banding only reaches
     ~64% recall (1−(1−0.5⁴)¹⁶); J≥0.5 workloads should pass bands=32
     (32×2: recall ≈ 1−(1−0.25)³² ≈ 0.9999)."""
-    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.8,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
 
 
-@register("dedup_simhash", None, tags=("llm", "X-2", "simhash"))
+# The simhash pair set IS SQL-checkable once the engine-computed
+# signatures are exported: band blocking is lossless for hamming ≤ 7
+# (pigeonhole over 8 bands), so the operator output must equal the
+# all-pairs hamming join over the exported signature table.
+_SIMHASH_SIGS_PQ = f"{FIXTURE_CACHE}/simhash_sigs_sf0.01"
+_SIMHASH_SQL = f"""
+    WITH s AS (SELECT * FROM read_parquet('{_SIMHASH_SIGS_PQ}/*.parquet'))
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+@register(
+    "dedup_simhash", _SIMHASH_SQL, tags=("llm", "X-2", "simhash", "oracle-sf0.01")
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash hamming<=6 pairs (engine-hash-dependent -> rows-only check;
-    recall/precision asserted against the exact operator in tests)."""
-    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    """SimHash hamming<=6 pairs.  The signatures are exported to parquet
+    and the pair computation reads them BACK from the export, so the
+    DuckDB oracle (an all-pairs hamming join over the same file —
+    equivalent to band blocking + verify because blocking is lossless at
+    hamming<=7) checks the exact pair-set the engine produced."""
+    docs = _t(spark, sf_dir, "documents")
+    out = FIXTURE_CACHE / f"simhash_sigs_{Path(sf_dir).name}"
+    dd.simhash_signatures(
+        docs, shingles=_doc_shingles(spark, sf_dir)
+    ).write.mode("overwrite").parquet(str(out))
+    stored = spark.read.parquet(str(out))
+    return dd.simhash_pairs(docs, max_hamming=6, signatures=stored)
 
 
 @register(
@@ -1188,7 +1423,12 @@ def dedup_survivors_q(spark, sf_dir):
     For J≥0.5 workloads at scale prefer ``minhash_lsh_pairs`` with 32×2
     banding (recall ≈ 1−(1−0.5²)³² ≈ 0.9999 at J=0.5)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, top_shingle_cap=500)
+    pairs = dd.ngram_jaccard_pairs(
+        docs,
+        threshold=0.5,
+        top_shingle_cap=500,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
     return dd.dedup_survivors(docs, pairs).select(
         "doc_id", "lang", "source", "n_chars"
     )

@@ -126,11 +126,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
     top_shingle_cap: int | None = None,
+    *,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """X-2 (exact flavor): near-duplicate pairs by word-k-gram Jaccard.
-    Output: (a_id, b_id, jaccard), a_id < b_id."""
+    Output: (a_id, b_id, jaccard), a_id < b_id.  Pass a precomputed
+    (persisted) ``shingles`` frame to share the shingle scan across
+    several dedup flavors in one session."""
     return _pair_jaccard(
-        word_shingles(df, k=k), top_shingle_cap=top_shingle_cap
+        shingles if shingles is not None else word_shingles(df, k=k),
+        top_shingle_cap=top_shingle_cap,
     ).where(F.col("jaccard") >= threshold)
 
 
@@ -162,6 +167,8 @@ def minhash_lsh_pairs(
     k: int = 3,
     n_perm: int = N_PERM,
     bands: int = LSH_BANDS,
+    *,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """X-2 (scalable flavor): MinHash signatures → LSH band buckets →
     candidate pairs from a bucket equi-join → exact-Jaccard verification.
@@ -170,23 +177,42 @@ def minhash_lsh_pairs(
     raw shingles (fan-out ∝ shingle document frequency), docs only meet if
     an entire band of ``n_perm // bands`` minhashes collides.  Verification
     keeps precision at 1.0, so the output equals the exact operator
-    wherever LSH recall reaches (≈1 for J ≥ 0.8 at 16×4).
+    wherever LSH recall reaches (≈1 for J ≥ 0.8 at 16×4; for J ≥ 0.5
+    workloads use ``bands=32`` — 32×2 banding has recall ≈ 0.9999 there).
+
+    The shingle frame feeds BOTH the signature pass and the verification
+    join, so it is persisted for the duration of the call (or supplied
+    pre-persisted via ``shingles``) — without the pin Spark recomputes
+    the normalize/split/k-gram pipeline once per consumer.
     """
     rows_per_band = n_perm // bands
-    sh = word_shingles(df, k=k)
-    sigs = minhash_signatures(sh, n_perm=n_perm)
+    own_shingles = shingles is None
+    sh = word_shingles(df, k=k) if own_shingles else shingles
+    if own_shingles:
+        sh = sh.persist()
+    # fused: the 64 per-doc min-hashes and the banded bucket hashes are
+    # one groupBy + one projection (no intermediate signature array)
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_perm)
+        ]
+    )
     bands_col = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("bucket"),
             )
             for b in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(bands_col).alias("bb")).select(
+    banded = per_doc.select("doc_id", F.explode(bands_col).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     cand = (
@@ -230,7 +256,11 @@ SIMHASH_BANDS = 8  # 8 × 8-bit bands ⇒ hamming ≤ 7 always collides somewher
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    *,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, simhash long): per-bit majority vote over shingle hashes.
 
@@ -245,7 +275,7 @@ def simhash_signatures(
     work; here xxhash64 runs once per shingle and the 64 sums are cheap
     partial aggregates with map-side combine.
     """
-    sh = word_shingles(df, text_col=text_col, k=k)
+    sh = shingles if shingles is not None else word_shingles(df, text_col=text_col, k=k)
     hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
     votes = [
         F.sum(
@@ -265,12 +295,24 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    df: DataFrame, max_hamming: int = 6, text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    *,
+    shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ ``max_hamming``,
-    candidates from 8-bit band blocking (pigeonhole: distance ≤ 7 over 8
-    bands guarantees one identical band)."""
-    sigs = simhash_signatures(df, text_col)
+    candidates from 8-bit band blocking.  Pigeonhole: distance ≤ 7 over
+    8 bands guarantees one identical band, so for ``max_hamming ≤ 7``
+    the band join is a LOSSLESS candidate generator and the output is
+    exactly {(a,b): hamming(sig_a, sig_b) ≤ max_hamming} — which is what
+    lets the catalog oracle verify the pair set from exported signatures."""
+    sigs = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(df, text_col, shingles=shingles)
+    )
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     bands_col = F.array(

@@ -45,6 +45,14 @@ def canon(df):
     return sorted(rows, key=repr)
 
 qs, oracles = e.queries(), e.oracle_sql()
+# the real driver runs oracle compares at sf0.01 ONLY; entries whose
+# oracle reads an engine-exported artifact keyed to sf0.01 (catalog tag
+# "oracle-sf0.01") degrade to rows-only at other SFs in this simulator
+if Path(SF).name != "sf0.01":
+    from rust_evm_indexer_spark.catalog import CATALOG
+    for name, entry in CATALOG.items():
+        if "oracle-sf0.01" in entry.tags:
+            oracles.pop(name, None)
 fails = []
 for name, fn in sorted(qs.items()):
     got = fn(spark, SF).toPandas()
