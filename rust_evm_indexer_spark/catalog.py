@@ -715,6 +715,72 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# DuckDB mirror of doc_term_vectors(n=2) + embedding_cosine_pairs: the
+# dot products are exact integer sums (order-independent), norms are
+# sqrt of exact integers — identical doubles on both engines.
+_EMB_COS_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS term
+          FROM t, unnest(range(1, greatest(len(ws), 1))) AS u(i)),
+    c AS (SELECT doc_id, term, count(*) AS cnt FROM g GROUP BY 1, 2),
+    n AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm FROM c GROUP BY 1),
+    d AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+          FROM c a JOIN c b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT a_id, b_id,
+           round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM d JOIN n na ON na.doc_id = d.a_id JOIN n nb ON nb.doc_id = d.b_id
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.8
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_COS_SQL, tags=("llm", "X-2", "embedding"))
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: deterministic sparse bigram-count
+    'embeddings' + the exact sparse cosine similarity join (dimension
+    equi-join — inverted-index shape, never all-pairs).  At 0.8 the
+    fixture separates cleanly: planted near-dups score ≥0.9, the 99.9th
+    percentile of background pairs is ≈0.19."""
+    vecs = dd.doc_term_vectors(_t(spark, sf_dir, "documents"), n=2)
+    return dd.embedding_cosine_pairs(vecs, threshold=0.8)
+
+
+# Dense-embedding near-dup over a deterministic planted corpus: the
+# embeddings table (no natural pairs above cos 0.61) unioned with exact
+# copies of its first 50 vectors (ids +100000).  LSH recall at cos=1 is
+# exactly 1 (identical vectors → identical signature bits), verification
+# makes precision 1, so the output equals the brute-force oracle.
+_EMB_LSH_SQL = """
+    WITH e0 AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    u AS (SELECT * FROM e0
+          UNION ALL SELECT vec_id + 100000, v FROM e0 WHERE vec_id < 50),
+    p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 round(list_inner_product(a.v, b.v) /
+                       (sqrt(list_inner_product(a.v, a.v)) *
+                        sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+          FROM u a JOIN u b ON a.vec_id < b.vec_id)
+    SELECT a_id, b_id, cos_sim FROM p WHERE cos_sim >= 0.99
+"""
+
+
+@register("dedup_embedding_lsh", _EMB_LSH_SQL, tags=("llm", "X-2", "embedding", "lsh"))
+def dedup_embedding_lsh(spark, sf_dir):
+    """Hyperplane-LSH near-dup pairs over DENSE embeddings (banded
+    bucket join + exact-cosine verify — never all-pairs).  Run on the
+    embeddings corpus plus 50 planted exact duplicates so the entry
+    exercises real recall; see similarity.hyperplane_lsh_pairs."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return sim.hyperplane_lsh_pairs(
+        emb.unionByName(copies), threshold=0.99
+    )
+
+
 # The simhash pair set IS SQL-checkable once the engine-computed
 # signatures are exported: band blocking is lossless for hamming ≤ 7
 # (pigeonhole over 8 bands), so the operator output must equal the

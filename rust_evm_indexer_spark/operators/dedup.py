@@ -249,6 +249,94 @@ def dedup_survivors(df: DataFrame, pairs: DataFrame) -> DataFrame:
     return df.join(losers, "doc_id", "left_anti")
 
 
+# -- Embedding-cosine near-dup -------------------------------------------
+
+
+def doc_term_vectors(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Sparse term-count vectors: (doc_id, term, cnt) over word n-grams of
+    the normalized text — a deterministic, engine-portable 'embedding'
+    (the implicit dimension space is the n-gram vocabulary; no hashing, so
+    any SQL engine can replay it exactly)."""
+    words = df.select(
+        F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
+    )
+    ws = F.col("_ws")
+    nn = F.size(ws) - (n - 1)
+    idx = F.when(nn >= 1, F.sequence(F.lit(1), nn)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        words.select("doc_id", F.explode(grams).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    *,
+    id_col: str = "doc_id",
+    dim_col: str = "term",
+    val_col: str = "cnt",
+    top_dim_cap: int | None = None,
+) -> DataFrame:
+    """X-2 (embedding flavor): EXACT cosine-similarity near-dup pairs over
+    a sparse (id, dim, value) vector table — the standard sparse
+    similarity join.  Dot products come from a dimension equi-join (two
+    vectors only meet on dimensions both touch), so the shuffle is keyed
+    by dimension and all-pairs never materializes: the same inverted-index
+    shape as the n-gram Jaccard join, and the same skew guard
+    (``top_dim_cap`` drops dimensions hotter than the cap — stop-dims
+    carry no discriminative signal but d² candidate fan-out).
+
+    Integer values keep the dot product EXACT (no float accumulation
+    order issues), which is what makes the output hash-comparable across
+    engines.  Dense ``array<float>`` embeddings should instead go through
+    hyperplane-LSH bucketing or :class:`~..similarity.IvfIndex` cells for
+    candidates — dense dims join everything with everything.
+    Output: (a_id, b_id, cos_sim), a_id < b_id, cos_sim rounded to 6dp.
+    """
+    if top_dim_cap is not None:
+        hot = (
+            vectors.groupBy(dim_col)
+            .agg(F.countDistinct(id_col).alias("df"))
+            .filter(F.col("df") > top_dim_cap)
+        )
+        vectors = vectors.join(F.broadcast(hot), dim_col, "left_anti")
+    norms = vectors.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col(val_col) * F.col(val_col))).alias("nrm")
+    )
+    a = vectors.alias("a")
+    b = vectors.alias("b")
+    dots = (
+        a.join(b, dim_col)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .agg(F.sum(F.col(f"a.{val_col}") * F.col(f"b.{val_col}")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("a_id"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("b_id"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select("a_id", "b_id", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 # -- SimHash -------------------------------------------------------------
 
 SIMHASH_BITS = 64

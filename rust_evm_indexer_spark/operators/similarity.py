@@ -372,6 +372,96 @@ def ivf_topk(
     )
 
 
+def hyperplane_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    *,
+    n_bits: int = 32,
+    bands: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicate pairs over DENSE ``array<float>`` embeddings —
+    the scale path for dense vectors, where a dimension equi-join (the
+    sparse trick in ``dedup.embedding_cosine_pairs``) degenerates to
+    all-pairs.
+
+    Random-hyperplane LSH (SimHash for vectors, Charikar '02): bit i =
+    sign(v · rᵢ) for ``n_bits`` fixed Gaussian planes; two vectors at
+    angle θ agree on a bit with probability 1 − θ/π.  Bits are grouped
+    into ``bands`` LSH bands — candidates come from a band-bucket
+    equi-join (shuffle keyed by (band, bucket), never all-pairs) and are
+    then VERIFIED with the exact cosine, so precision is 1.0 and recall
+    is the banded collision probability (=1 for exact duplicates: all
+    bits agree).  Planes are derived from a seeded RNG, so the signature
+    is deterministic across runs and engines.
+    Output: (a_id, b_id, cos_sim), a_id < b_id, rounded to 6dp.
+    """
+    import random as _random
+
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "a_id long, b_id long, cos_sim double"
+        )
+    dim = len(first[0])
+    rng = _random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
+    ]
+    rows_per_band = n_bits // bands
+    bit_cols = [
+        (_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) > 0)
+        .cast("int")
+        .alias(f"bit{i}")
+        for i, p in enumerate(planes)
+    ]
+    sigs = embeddings.select(F.col(id_col), *bit_cols)
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"bit{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(id_col, F.explode(bands_col).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk_trained(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -86,6 +86,51 @@ def test_ivf_recall_vs_brute_force(emb):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_embedding_cosine_pairs_recover_planted_dups(docs, exact_pairs):
+    """Sparse bigram-cosine at 0.8 should recover the planted near-dup
+    pairs (they score ≥0.9) with no background noise (99.9th pct ≈0.19)."""
+    vecs = dd.doc_term_vectors(docs, n=2)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in dd.embedding_cosine_pairs(vecs, threshold=0.8).collect()
+    }
+    assert got == exact_pairs
+
+
+def test_embedding_cosine_top_dim_cap_noop_here(docs):
+    """Cap above the corpus's max dim df (338 at sf0.1, 46 at sf0.01)
+    must not change the output — it only guards hot-dim fan-out."""
+    vecs = dd.doc_term_vectors(docs, n=2)
+    a = sorted(
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in dd.embedding_cosine_pairs(vecs, threshold=0.8).collect()
+    )
+    b = sorted(
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in dd.embedding_cosine_pairs(
+            vecs, threshold=0.8, top_dim_cap=500
+        ).collect()
+    )
+    assert a == b
+
+
+def test_hyperplane_lsh_finds_exact_duplicates(emb):
+    """Planted exact copies MUST all be recovered (identical vectors →
+    identical signatures → all bands collide) and nothing else passes
+    the cos≥0.99 verification on this corpus (natural max ≈0.51)."""
+    base = emb.select("vec_id", "embedding")
+    copies = base.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in sim.hyperplane_lsh_pairs(
+            base.unionByName(copies), threshold=0.99
+        ).collect()
+    }
+    assert got == {(i, i + 100000, 1.0) for i in range(20)}
+
+
 def test_ivf_index_matches_inmemory_ivf(emb, tmp_path):
     """Materialized index ≡ per-query recompute: same cells, same probe,
     same top-k — only the physics differ (partition-pruned scan vs full
