@@ -604,6 +604,108 @@ def q5_local_supplier(spark, sf_dir):
 
 
 @register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    tags=("relational", "join", "topk"),
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+    No forced broadcasts (all three tables fact-sized at scale); AQE
+    picks the join strategy; deterministic top-20 via custkey tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q17_small_qty_avg",
+    """
+    WITH t AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN t USING (l_partkey)
+    WHERE l_quantity < qty_threshold
+    """,
+    tags=("relational", "correlated-subquery"),
+)
+def q17_small_qty_avg(spark, sf_dir):
+    """TPC-H Q17 shape (correlated scalar subquery, written decorrelated
+    — the plan Spark's subquery rewrite produces anyway): revenue of
+    below-one-fifth-of-average-quantity orders.  The threshold is
+    derived from an EXACT decimal sum so both engines compute the
+    identical double (a raw double avg is summation-order-dependent and
+    would flutter the comparison boundary)."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+@register(
+    "orders_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
+    """,
+    tags=("relational", "having"),
+)
+def orders_having(spark, sf_dir):
+    """Grouped filter (HAVING): frequent customers."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 10)
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
     SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
@@ -718,11 +820,16 @@ def dedup_minhash_lsh(spark, sf_dir):
 # DuckDB mirror of doc_term_vectors(n=2) + embedding_cosine_pairs: the
 # dot products are exact integer sums (order-independent), norms are
 # sqrt of exact integers — identical doubles on both engines.
+_EMB_COS_CAP = 100  # stop-dim guard, mirrored EXACTLY in the oracle
+
 _EMB_COS_SQL = f"""
     WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
     g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS term
           FROM t, unnest(range(1, greatest(len(ws), 1))) AS u(i)),
-    c AS (SELECT doc_id, term, count(*) AS cnt FROM g GROUP BY 1, 2),
+    c0 AS (SELECT doc_id, term, count(*) AS cnt FROM g GROUP BY 1, 2),
+    keep AS (SELECT term FROM c0 GROUP BY term
+             HAVING count(DISTINCT doc_id) <= {_EMB_COS_CAP}),
+    c AS (SELECT c0.* FROM c0 JOIN keep USING (term)),
     n AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm FROM c GROUP BY 1),
     d AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                  CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
@@ -739,11 +846,18 @@ _EMB_COS_SQL = f"""
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: deterministic sparse bigram-count
     'embeddings' + the exact sparse cosine similarity join (dimension
-    equi-join — inverted-index shape, never all-pairs).  At 0.8 the
-    fixture separates cleanly: planted near-dups score ≥0.9, the 99.9th
-    percentile of background pairs is ≈0.19."""
+    equi-join — inverted-index shape, never all-pairs).
+
+    Dimensions touching more than {cap} docs are dropped SYMMETRICALLY
+    on both engines (stop-dim removal): a dim of document frequency d
+    contributes d² candidate pairs and near-zero discriminative signal —
+    at sf0.1 the cap collapses 10.3M candidate pairs to ~1.1k while
+    planted near-dups still score ≥0.9 (background without stop-dims
+    drops toward 0)."""
     vecs = dd.doc_term_vectors(_t(spark, sf_dir, "documents"), n=2)
-    return dd.embedding_cosine_pairs(vecs, threshold=0.8)
+    return dd.embedding_cosine_pairs(
+        vecs, threshold=0.8, top_dim_cap=_EMB_COS_CAP
+    )
 
 
 # Dense-embedding near-dup over a deterministic planted corpus: the
@@ -1065,6 +1179,55 @@ def multimodal_features(spark, sf_dir):
         mm.documents_as_assets(_t(spark, sf_dir, "documents")),
         deterministic_fake=True,
     ).select("asset_id", "media_type", "byte_len", "payload_md5", "features_csv")
+
+
+# DuckDB replay of the fake nearest-neighbor byte resampler (ASCII
+# payloads ⇒ byte j == character j+1): identical md5 of identical bytes.
+_MM_RESIZE_SQL = """
+    WITH b AS (SELECT doc_id, text, length(text) AS len FROM documents)
+    SELECT doc_id AS asset_id, 'image/fake' AS media_type,
+           8 AS width, 8 AS height,
+           md5(array_to_string(list_transform(range(0, 64),
+               i -> text[CAST((i * len) // 64 AS INTEGER) + 1]), '')) AS resized_md5
+    FROM b
+"""
+
+
+@register("multimodal_resize", _MM_RESIZE_SQL, tags=("llm", "X-5", "pandas-udf"))
+def multimodal_resize(spark, sf_dir):
+    """Arrow-batched image resize (stub kernel: nearest-neighbor byte
+    resample to 8×8) — binary in/binary out executor-parallel plumbing;
+    catalog output carries the content hash, not the binary."""
+    return mm.resize_images(
+        mm.documents_as_assets(_t(spark, sf_dir, "documents")), 8, 8
+    ).select("asset_id", "media_type", "width", "height", "resized_md5")
+
+
+_MM_FRAMES_SQL = """
+    WITH b AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    f AS (SELECT doc_id, text,
+                 unnest(range(0, greatest(len // 64, 1), 10)) AS fi
+          FROM b)
+    SELECT doc_id AS asset_id, CAST(fi AS INTEGER) AS frame_index,
+           CAST((fi * 1000) // 30 AS BIGINT) AS frame_ts_ms,
+           md5(substr(text, CAST(fi * 64 AS INTEGER) + 1, 64)) AS frame_md5
+    FROM f
+"""
+
+
+@register("multimodal_frames", _MM_FRAMES_SQL, tags=("llm", "X-5", "pandas-udf"))
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling: 1→N row explosion inside mapInPandas (each 64-byte
+    'frame' of the payload, every 10th sampled, with derived timestamps)
+    — the demux/decode fan-out shape of a video pipeline."""
+    return mm.sample_frames(
+        mm.documents_as_assets(_t(spark, sf_dir, "documents")), every_n=10
+    ).select(
+        "asset_id",
+        "frame_index",
+        "frame_ts_ms",
+        F.md5("frame").alias("frame_md5"),
+    )
 
 
 # =====================================================================

@@ -131,6 +131,112 @@ def extract_features(
     return assets.mapInPandas(kernel, schema=_DECODE_OUT_SCHEMA)
 
 
+_RESIZE_OUT_SCHEMA = (
+    "asset_id long, media_type string, width int, height int, "
+    "payload binary, resized_md5 string"
+)
+
+
+def resize_images(
+    assets: DataFrame,
+    target_w: int,
+    target_h: int,
+    *,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Executor-parallel image resize over Arrow batches (mapInPandas).
+
+    Real deployments plug PIL's ``Image.resize`` into the kernel; this
+    container has no codec, so the deterministic fake 'resizes' by
+    nearest-neighbor sampling the payload BYTES to ``target_w*target_h``
+    length — wrong pixels, right plumbing: binary in/binary out, metadata
+    struct updated, batch-shaped, and verifiable via content hash.
+    """
+    from ..util import ensure_package_shipped
+
+    ensure_package_shipped(assets.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        n_out = target_w * target_h
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                if not deterministic_fake:
+                    decode_image_stub(bytes(p), deterministic_fake=False)
+                b = bytes(p) or b"\x00"
+                outs.append(
+                    bytes(b[(i * len(b)) // n_out] for i in range(n_out))
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": outs,
+                    "resized_md5": [hashlib.md5(o).hexdigest() for o in outs],
+                }
+            )
+
+    return assets.mapInPandas(kernel, schema=_RESIZE_OUT_SCHEMA)
+
+
+_FRAMES_OUT_SCHEMA = (
+    "asset_id long, frame_index int, frame_ts_ms long, frame binary"
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    every_n: int = 10,
+    *,
+    fps: int = 30,
+    frame_bytes: int = 64,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for video assets: one output ROW per sampled frame
+    (1→N explode inside ``mapInPandas`` — the yielded batches simply
+    carry more rows than they received, which is the idiomatic Spark
+    shape for demux/decode fan-out; downstream repartitions by
+    ``asset_id`` if per-video locality is needed).
+
+    Real deployments demux via ffmpeg/PyAV; the deterministic fake
+    treats the payload as ``fps`` synthetic 'frames' per payload-KB and
+    slices ``frame_bytes`` windows — again: fake pixels, real schema,
+    real row-explosion, real timestamps.
+    """
+    from ..util import ensure_package_shipped
+
+    ensure_package_shipped(assets.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if not deterministic_fake:
+                    decode_image_stub(bytes(p), deterministic_fake=False)
+                b = bytes(p) or b"\x00"
+                n_frames = max(len(b) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    start = fi * frame_bytes
+                    ids.append(aid)
+                    idxs.append(fi)
+                    tss.append(fi * 1000 // fps)
+                    frames.append(b[start : start + frame_bytes] or b"\x00")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_index": idxs,
+                    "frame_ts_ms": tss,
+                    "frame": frames,
+                }
+            )
+
+    return assets.mapInPandas(kernel, schema=_FRAMES_OUT_SCHEMA)
+
+
 def asset_metadata(assets: DataFrame) -> DataFrame:
     """Pure-JVM metadata projection (no decode): sizes + hashes — the
     cheap pass that runs before any codec is scheduled."""

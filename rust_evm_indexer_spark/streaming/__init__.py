@@ -1,3 +1,4 @@
+from .dedup import stream_dedup_exact  # noqa: F401
 from .ingest_stream import IngestStream  # noqa: F401
 from .windows import (  # noqa: F401
     session_windows_native,

@@ -194,6 +194,35 @@ def test_multimodal_features_batched(spark, docs):
         assert r["byte_len"] > 0 and len(r["payload_md5"]) == 32
 
 
+def test_multimodal_resize_shape_and_determinism(docs):
+    assets = mm.documents_as_assets(docs.limit(20))
+    out = mm.resize_images(assets, 8, 8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(bytes(r["payload"])) == 64
+        assert (r["width"], r["height"]) == (8, 8)
+    again = mm.resize_images(assets, 8, 8).collect()
+    assert {r["resized_md5"] for r in out} == {r["resized_md5"] for r in again}
+
+
+def test_multimodal_frame_sampling_explodes_rows(docs):
+    """1→N fan-out: every asset yields ceil(n_frames/10) rows with
+    monotone frame indexes and fps-derived timestamps."""
+    assets = mm.documents_as_assets(docs.limit(20))
+    rows = mm.sample_frames(assets, every_n=10).collect()
+    by_asset: dict = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    payload_len = {
+        r["asset_id"]: r["byte_len"] for r in mm.asset_metadata(assets).collect()
+    }
+    for aid, frames in by_asset.items():
+        n_frames = max(payload_len[aid] // 64, 1)
+        assert len(frames) == len(range(0, n_frames, 10))
+        for f in frames:
+            assert f["frame_ts_ms"] == f["frame_index"] * 1000 // 30
+
+
 def test_multimodal_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         mm.decode_image_stub(b"abc", deterministic_fake=False)

@@ -16,6 +16,7 @@ from rust_evm_indexer_spark.streaming import (
     session_windows_native,
     sessionize,
     sliding_window_stats,
+    stream_dedup_exact,
     streaming_hourly_counts,
     tumbling_window_stats,
 )
@@ -94,6 +95,34 @@ def test_streaming_hourly_counts_end_to_end(spark, duck):
     assert len(emitted) > 0
     for r in emitted:
         assert batch[(r["w_start_us"], r["event_type"])] == (r["n"], r["sum_value"])
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    """At-least-once redelivery: every event arrives twice; the
+    watermark-bounded streaming dedup must emit each key exactly once."""
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i:02d}:00", i % 3) for i in range(30)],
+        "event_id long, ts_str string, user_id long",
+    ).select("event_id", F.col("ts_str").cast("timestamp").alias("ts"), "user_id")
+    base.unionAll(base).repartition(4).write.parquet(str(tmp_path / "in"))
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(
+        str(tmp_path / "in")
+    )
+    q = (
+        stream_dedup_exact(stream, keys=("event_id",), watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_sink"
+    ).first()
+    assert (got["n"], got["d"]) == (30, 30)
 
 
 def test_ingest_stream_cycles_and_idempotency(spark, tmp_path):
