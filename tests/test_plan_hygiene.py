@@ -86,6 +86,39 @@ def test_q1_partial_agg_and_pushdown(spark):
     assert_pushed_filter(df, "l_shipdate")
 
 
+def test_q10_q17_no_forced_broadcasts_and_pushdown(spark):
+    """The round-2 relational entries follow the same scale rules: no
+    author-forced broadcast of fact-sized tables, selective predicates
+    at the scan."""
+    q10 = CATALOG["q10_returned_items"].fn(spark, SF)
+    assert broadcast_hint_count(q10) == 0
+    assert_pushed_filter(q10, "l_returnflag")
+    assert_pushed_filter(q10, "o_orderdate")
+    assert_takes_ordered_topk(q10)
+    q17 = CATALOG["q17_small_qty_avg"].fn(spark, SF)
+    assert broadcast_hint_count(q17) == 0
+
+
+def test_evm_logs_entries_push_filters(spark):
+    """The EVM-native driver entries keep get_logs' pushdown properties
+    on the fixture parquet."""
+    df = CATALOG["evm_logs_topic_page"].fn(spark, SF)
+    assert_pushed_filter(df, "topic0")
+    assert_takes_ordered_topk(df)
+    df = CATALOG["evm_logs_address_range"].fn(spark, SF)
+    assert_pushed_filter(df, "block_number")
+    assert_pushed_filter(df, "contract_address")
+
+
+def test_embedding_dedup_no_cartesian(spark):
+    """Both embedding-dedup flavors must plan as equi-joins (dimension /
+    band-bucket keys), never a cartesian/broadcast-nested-loop over the
+    corpus."""
+    for name in ("dedup_embedding_cosine", "dedup_embedding_lsh"):
+        plan = physical_plan(CATALOG[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+
+
 def test_ivf_search_prunes_partitions(spark):
     """The materialized IVF index's probe filter must be a PARTITION
     filter (file-listing-level pruning), not a post-scan predicate —
