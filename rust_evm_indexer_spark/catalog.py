@@ -705,6 +705,405 @@ def orders_having(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Deeper TPC-H query shapes (round 3): scan-heavy aggregates, nation-pair
+# role joins, conditional market-share ratios, magnitude filters via
+# decorrelated HAVING, disjunctive join predicates, correlated
+# EXISTS/NOT EXISTS as semi/anti joins, scalar-subquery thresholds.
+# All money math goes through DecimalType (order-independent partial
+# aggregation) per the catalog determinism discipline.
+# ---------------------------------------------------------------------
+
+# the exact-decimal mirror of l_extendedprice * (1 - l_discount)
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def _rev():
+    # built lazily — F.lit needs an active session, and the catalog must
+    # import without one (pytest collection, driver tooling)
+    one = F.lit(1).cast("decimal(3,2)")
+    return _dec("l_extendedprice") * (one - _dec("l_discount"))
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.02 AND l_discount <= 0.04
+      AND l_quantity < 24
+    """,
+    tags=("relational", "scan-agg"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-aggregate — the query whose entire cost
+    is the parquet scan, so every predicate must reach PushedFilters and
+    the projection must prune to 4 columns (asserted in plan-hygiene
+    tests).  No joins, no shuffle beyond the final 1-row reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS volume
+    FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    tags=("relational", "join", "role-join"),
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+    ``nation`` joins twice in different ROLES (supplier side / customer
+    side).  Broadcast hints only on nation — a true fixed-cardinality
+    dimension; supplier/orders/customer are left to AQE because they
+    grow with data."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("volume"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH v AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             n1.n_name AS supp_nation,
+             {_REV_SQL} AS vol
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        JOIN region    ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'ASIA')
+    SELECT l_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM v GROUP BY l_year
+    """,
+    tags=("relational", "join", "conditional-agg"),
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of revenue shipped into a
+    region, per year — conditional aggregation as a CASE inside SUM.
+    Both sums are exact decimals, so the final double ratio is
+    bit-identical across engines and partition orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    ))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    vol = _rev()
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .join(r, F.col("c_rk") == F.col("r_regionkey"))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us,
+           CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("relational", "join", "conditional-agg"),
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promotional revenue share by month.  ``part`` is
+    fact-sized at scale (grows with SF) — no forced broadcast; the
+    shipdate window is pushed to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(18,2)")
+    rev = _rev()
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.unix_micros(F.date_trunc("month", F.col("l_shipdate"))).alias(
+                "month_us"
+            )
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    SELECT c_custkey, c_name, o_orderkey,
+           epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice, total_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    tags=("relational", "join", "having", "topk"),
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers behind the largest-volume orders.  The
+    IN-subquery over a grouped HAVING is written decorrelated (aggregate
+    once, join back) — the plan Spark's rewrite produces anyway — and
+    the top-100 is a TakeOrderedAndProject, never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .where(F.col("qty_dec") > F.lit(300).cast("decimal(18,2)"))
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ; cast is identity under the
+            # UTC session tz that load_driver_table pins
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive",
+    f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#16' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("relational", "join", "disjunctive"),
+)
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-column predicates across both
+    join sides.  Catalyst splits the OR into a residual join filter plus
+    derivable single-side filters (brand/size unions push to the part
+    scan; quantity bounds to lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#11") & sz.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#22") & sz.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#16") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q21_sole_supplier",
+    """
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+    FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY n_orders DESC, s_name LIMIT 20
+    """,
+    tags=("relational", "anti-join", "topk"),
+)
+def q21_sole_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the correlated NOT EXISTS over a self-join —
+    suppliers who were the SOLE supplier of finalized orders.  Expressed
+    as a left-anti join with a compound (equal orderkey, unequal
+    suppkey) condition; the anti side is pre-projected to the two join
+    columns so the shuffle carries 16 bytes/row."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+    ).distinct()
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    sole = l1.join(
+        l2,
+        (l1.l_orderkey == l2.o_key) & (l1.l_suppkey != l2.s_key),
+        "left_anti",
+    )
+    return (
+        sole.join(o, sole.l_orderkey == o.o_orderkey)
+        .join(s, sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH st AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT n FROM st)
+              > (SELECT total FROM st)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    tags=("relational", "anti-join", "scalar-subquery"),
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, grouped by segment.  The average threshold is compared in
+    EXACT integer form (bal·n > total — decimal × count vs decimal sum)
+    so no engine ever materializes a rounded average; the NOT EXISTS is
+    a left-anti join against date-filtered orders."""
+    c = _t(spark, sf_dir, "customer")
+    stats = F.broadcast(
+        c.where(F.col("c_acctbal") > 0.0).agg(
+            F.count("*").alias("n"), F.sum(_dec("c_acctbal")).alias("total")
+        )
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(stats)
+        .where(_dec("c_acctbal") * F.col("n") > F.col("total"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 @register(
     "events_hourly_rollup",
     """

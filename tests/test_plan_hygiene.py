@@ -154,3 +154,60 @@ def test_store_read_prunes_fragments(spark, tmp_path):
     )
     files_scanned = physical_plan(bounded).count("frag-")
     assert files_scanned == 1, f"expected 1 fragment in scan, saw {files_scanned}"
+
+
+def test_q6_scan_only_pushdown_and_pruning(spark):
+    """Q6 is all scan: every predicate must reach PushedFilters and the
+    projection must prune to the 4 referenced columns."""
+    df = CATALOG["q6_forecast_revenue"].fn(spark, SF)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert_pushed_filter(df, col)
+    cols = read_schema_columns(df)
+    assert set(cols) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }, cols
+
+
+def test_q7_q8_broadcast_true_dims_only(spark):
+    """The role-join entries hint only fixed-cardinality dims: nation
+    twice in q7; nation twice + region in q8.  supplier/orders/customer/
+    part are AQE's call — they grow with data."""
+    assert broadcast_hint_count(CATALOG["q7_nation_volume"].fn(spark, SF)) == 2
+    assert broadcast_hint_count(CATALOG["q8_market_share"].fn(spark, SF)) == 3
+    assert broadcast_hint_count(CATALOG["q14_promo_revenue"].fn(spark, SF)) == 0
+    assert broadcast_hint_count(CATALOG["q19_disjunctive"].fn(spark, SF)) == 0
+
+
+def test_q18_topk_no_global_sort(spark):
+    assert_takes_ordered_topk(CATALOG["q18_large_orders"].fn(spark, SF))
+
+
+def test_q19_splits_disjunction_to_both_scans(spark):
+    """Catalyst must derive single-side filters from the OR-of-ANDs so
+    neither scan reads unfiltered."""
+    df = CATALOG["q19_disjunctive"].fn(spark, SF)
+    assert_pushed_filter(df, "p_brand")
+    assert_pushed_filter(df, "l_quantity")
+
+
+def test_q21_q22_no_cartesian(spark):
+    """The NOT EXISTS rewrites must plan as anti equi-joins.  q22's
+    1-row stats frame joins as a broadcast nested loop by design; the
+    corpus-sized joins must not."""
+    for name in ("q21_sole_supplier", "q22_idle_customers"):
+        plan = physical_plan(CATALOG[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+    assert "BroadcastHashJoin" in physical_plan(
+        CATALOG["q21_sole_supplier"].fn(spark, SF)
+    ) or "SortMergeJoin" in physical_plan(
+        CATALOG["q21_sole_supplier"].fn(spark, SF)
+    )
+
+
+def test_pack_and_sample_no_shuffle_inflation(spark):
+    """sample_stratified is a pure scan filter (zero exchanges);
+    pack_sequences shuffles only on the group key (window + final agg)."""
+    plan = physical_plan(CATALOG["sample_stratified"].fn(spark, SF))
+    assert "Exchange" not in plan, plan
+    plan = physical_plan(CATALOG["pack_sequences"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
