@@ -1104,6 +1104,437 @@ def q22_idle_customers(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# The remaining TPC-H query shapes (the driver schema has no partsupp
+# table and omits several classic columns — l_shipmode, l_commitdate,
+# c_phone, *_comment — so Q2/Q9/Q11/Q12/Q16/Q20 are re-expressed with
+# the same SHAPE on the columns that exist: the correlated MIN, the
+# EXISTS probe, the global-scalar HAVING, the CASE-count split, the
+# NOT-IN exclusion, and the half-of-total nested subquery are all
+# preserved; only the source columns differ).  With these the catalog
+# covers all 22 TPC-H query archetypes.
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2),
+    elig AS (
+      SELECT o.unit_cost, s_name, s_acctbal, n_name, p_partkey, p_name
+      FROM offers o
+        JOIN supplier ON s_suppkey = o.l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        JOIN part     ON p_partkey = o.l_partkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        AND p_size BETWEEN 10 AND 20)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(unit_cost, 6) AS unit_cost
+    FROM elig e
+    WHERE unit_cost = (SELECT MIN(e2.unit_cost) FROM elig e2
+                       WHERE e2.p_partkey = e.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    tags=("relational", "correlated-min", "topk"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest supplier per part within a region — a
+    correlated MIN subquery (no partsupp table here, so the offer price
+    is each supplier's best observed unit price from lineitem).
+    Decorrelated as a min-over-window on the already-joined eligible
+    set: ONE shuffle on p_partkey replaces the classic self-join-twice
+    plan.  Broadcast hints only on nation/region (fixed cardinality);
+    part/supplier/offers are left to AQE because they grow with data."""
+    li = _t(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 20)
+    )
+    elig = (
+        offers.join(s, offers.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(p, offers.l_partkey == p.p_partkey)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q4_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                    AND l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "semi-join"),
+)
+def q4_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: orders (one quarter) with at least one line item
+    shipped after the order date, counted by priority.  The correlated
+    EXISTS is a LEFT SEMI join whose condition spans both sides
+    (equal orderkey AND l_shipdate > o_orderdate); the probe side is
+    pre-projected to two columns so the shuffle stays narrow."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  - CAST(l_quantity AS DECIMAL(9,2)) *
+                    CAST(p_retailprice AS DECIMAL(9,2)) *
+                    CAST(0.2 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "join", "multi-fact"),
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    order year.  No partsupp → the cost leg is quantity × retail price ×
+    a fixed margin factor, kept in exact decimals end to end so the
+    grouped sum is partial-aggregation-order independent.  Four-way
+    fact join: only nation is hinted broadcast; part carries the
+    selective LIKE filter so AQE sees a shrunken build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    cost = (
+        F.col("l_quantity").cast("decimal(9,2)")
+        * F.col("p_retailprice").cast("decimal(9,2)")
+        * F.lit("0.2").cast("decimal(2,1)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(_rev() - cost).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    WITH sub AS (
+      SELECT l_partkey, {_REV_SQL} AS rev
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_5'),
+    per AS (SELECT l_partkey, SUM(rev) AS val FROM sub GROUP BY 1),
+    tot AS (SELECT SUM(rev) AS total FROM sub)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS value_sum
+    FROM per, tot WHERE val * 1000 > total
+    ORDER BY value_sum DESC, l_partkey LIMIT 100
+    """,
+    tags=("relational", "scalar-subquery", "having"),
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose revenue within one nation exceeds a
+    fraction of that nation's total — HAVING against a GLOBAL scalar.
+    The threshold compare is exact integer decimal math (val·1000 >
+    total), never a rounded average; the 1-row total is broadcast so
+    the only real shuffle is the per-part rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    )
+    sub = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", _rev().alias("rev"))
+    )
+    per = sub.groupBy("l_partkey").agg(F.sum("rev").alias("val"))
+    tot = F.broadcast(sub.agg(F.sum("rev").alias("total")))
+    return (
+        per.crossJoin(tot)
+        .where(F.col("val") * F.lit(1000) > F.col("total"))
+        .select("l_partkey", F.col("val").cast("double").alias("value_sum"))
+        .orderBy(F.desc("value_sum"), "l_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q12_late_shipments",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    tags=("relational", "conditional-agg"),
+)
+def q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape: line items shipped >90 days after their order
+    date (no l_shipmode/l_commitdate → lateness stands in for the ship
+    mode split), counted by line status with the classic CASE split on
+    order priority.  The date-range predicates push to the lineitem
+    scan; the >90-day compare is join-side arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("relational", "outer-join", "distribution"),
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the customer order-count histogram — LEFT OUTER
+    join (customers with zero qualifying orders must appear as c_count
+    0), per-customer count, then a second aggregation over the counts.
+    The priority exclusion is applied to orders BEFORE the join, which
+    is equivalent to the classic AND-in-ON form and lets the filter
+    push to the scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({_REV_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=("relational", "scalar-subquery", "topk"),
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the top revenue supplier(s) for a quarter — the
+    view + scalar MAX subquery.  Revenue stays decimal so the equality
+    against MAX is exact (no double-rounding tie ambiguity); the 1-row
+    max is broadcast and every tied supplier surfaces, as the spec
+    requires."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("total_revenue"))
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("mx")))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(mx)
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 19, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 40
+    """,
+    tags=("relational", "anti-join", "distinct-agg"),
+)
+def q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per part attribute bucket,
+    excluding a supplier blacklist (negative balance stands in for the
+    complaint-comment scan).  The NOT IN is a left-anti join — safe
+    here because s_suppkey is non-null — and the brand/type/size
+    predicates all push to the part scan."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 19, 25, 36, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(40)
+    )
+
+
+@register(
+    "q20_excess_sellers",
+    """
+    WITH qp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    ps AS (SELECT l_partkey, l_suppkey,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+           FROM lineitem JOIN qp ON p_partkey = l_partkey GROUP BY 1, 2),
+    pt AS (SELECT l_partkey, SUM(qty) AS total_qty FROM ps GROUP BY 1)
+    SELECT s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM ps
+                        JOIN pt USING (l_partkey)
+                        WHERE qty * 8 > total_qty)
+      AND n_name LIKE 'NATION_1%'
+    ORDER BY s_name
+    """,
+    tags=("relational", "semi-join", "nested-subquery"),
+)
+def q20_excess_sellers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who dominate the market for some
+    'small%' part — the nested IN-subquery chain (part-name filter →
+    per-part-supplier rollup → half-of-total compare → supplier semi
+    join).  No partsupp availqty, so 'holds excess stock' becomes
+    'sold more than an eighth of the corpus-wide quantity of that
+    part' — the same doubly-nested aggregation-under-IN plan.
+    Quantities are exact decimals so the share-vs-total compare never
+    ties on rounding (the 1/8 bar is where the driver corpora actually
+    have dominant sellers; at 1/2 the supplier-per-part fan-out leaves
+    the result empty, which would verify nothing)."""
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    ps = (
+        li.join(part_keys, li.l_partkey == part_keys.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = (
+        ps.join(pt, "l_partkey")
+        .where(F.col("qty") * F.lit(8) > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name").like("NATION_1%"))
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )
+
+
 @register(
     "events_hourly_rollup",
     """
@@ -1177,6 +1608,26 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = dd.word_shingles(_t(spark, sf_dir, "documents")).persist()
         _SHINGLE_CACHE[key] = sh
     return sh
+
+
+# the capped J≥0.5 pair list feeds BOTH pipeline entries (survivors'
+# anti-join and clusters' connected components); computing the inverted-
+# index self-join once per corpus+session halves the dedup-family drive
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    pairs = _PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = dd.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"),
+            threshold=0.5,
+            top_shingle_cap=500,
+            shingles=_doc_shingles(spark, sf_dir),
+        ).persist()
+        _PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 @register(
@@ -2051,12 +2502,7 @@ def dedup_survivors_q(spark, sf_dir):
     For J≥0.5 workloads at scale prefer ``minhash_lsh_pairs`` with 32×2
     banding (recall ≈ 1−(1−0.5²)³² ≈ 0.9999 at J=0.5)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(
-        docs,
-        threshold=0.5,
-        top_shingle_cap=500,
-        shingles=_doc_shingles(spark, sf_dir),
-    )
+    pairs = _capped_jaccard_pairs(spark, sf_dir)
     return dd.dedup_survivors(docs, pairs).select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -2167,12 +2613,7 @@ def dedup_clusters_q(spark, sf_dir):
     takes the per-node min, which is exactly the component id the
     propagation converges to."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(
-        docs,
-        threshold=0.5,
-        top_shingle_cap=500,
-        shingles=_doc_shingles(spark, sf_dir),
-    )
+    pairs = _capped_jaccard_pairs(spark, sf_dir)
     return cp.dedup_clusters(docs, pairs)
 
 

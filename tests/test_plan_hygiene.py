@@ -211,3 +211,53 @@ def test_pack_and_sample_no_shuffle_inflation(spark):
     assert "Exchange" not in plan, plan
     plan = physical_plan(CATALOG["pack_sequences"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_round3_tpch_broadcast_posture(spark):
+    """The final TPC-H batch keeps hints on fixed-cardinality dims only:
+    q2 hints nation+region, q9/q20 hint nation, q11 hints the
+    single-nation filter; everything that grows with data (part,
+    supplier, orders, lineitem, per-part rollups) is AQE's call."""
+    assert broadcast_hint_count(CATALOG["q2_min_cost_supplier"].fn(spark, SF)) == 2
+    assert broadcast_hint_count(CATALOG["q4_priority_check"].fn(spark, SF)) == 0
+    assert broadcast_hint_count(CATALOG["q9_product_profit"].fn(spark, SF)) == 1
+    assert broadcast_hint_count(CATALOG["q12_late_shipments"].fn(spark, SF)) == 0
+    assert broadcast_hint_count(CATALOG["q13_order_distribution"].fn(spark, SF)) == 0
+    assert broadcast_hint_count(CATALOG["q16_supplier_counts"].fn(spark, SF)) == 0
+    assert broadcast_hint_count(CATALOG["q20_excess_sellers"].fn(spark, SF)) == 1
+
+
+def test_round3_tpch_pushdown_and_topk(spark):
+    """Selective predicates reach the scans; bounded outputs plan as
+    top-k, not global sorts."""
+    q2 = CATALOG["q2_min_cost_supplier"].fn(spark, SF)
+    assert_pushed_filter(q2, "p_type")
+    assert_pushed_filter(q2, "p_size")
+    assert_takes_ordered_topk(q2)
+    q4 = CATALOG["q4_priority_check"].fn(spark, SF)
+    assert_pushed_filter(q4, "o_orderdate")
+    q9 = CATALOG["q9_product_profit"].fn(spark, SF)
+    assert_pushed_filter(q9, "p_name")
+    q12 = CATALOG["q12_late_shipments"].fn(spark, SF)
+    assert_pushed_filter(q12, "l_shipdate")
+    q16 = CATALOG["q16_supplier_counts"].fn(spark, SF)
+    assert_pushed_filter(q16, "p_size")
+    assert_takes_ordered_topk(q16)
+    q15 = CATALOG["q15_top_supplier"].fn(spark, SF)
+    assert_pushed_filter(q15, "l_shipdate")
+
+
+def test_round3_tpch_no_cartesian_except_scalar(spark):
+    """The scalar-subquery rewrites (q11 total, q15 max) cross-join a
+    1-row broadcast frame — fine.  Nothing corpus-sized may plan as a
+    cartesian: the q2 window decorrelation, q4 semi join, q13 outer
+    join, q20 nested semi joins are all equi-joins."""
+    for name in (
+        "q2_min_cost_supplier",
+        "q4_priority_check",
+        "q9_product_profit",
+        "q13_order_distribution",
+        "q20_excess_sellers",
+    ):
+        plan = physical_plan(CATALOG[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
