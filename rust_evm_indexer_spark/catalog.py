@@ -1605,7 +1605,16 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, str(sf_dir))
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
-        sh = dd.word_shingles(_t(spark, sf_dir, "documents")).persist()
+        # documents.parquet is a single small file at test SFs → ONE scan
+        # partition → the whole normalize/split/k-gram pipeline runs on
+        # one core.  Spread the docs first so shingling uses the full
+        # executor width (on a real corpus the many input files do this
+        # for free; the repartition shuffles only the raw docs, which is
+        # tiny next to the exploded shingle frame it parallelizes).
+        docs = _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        sh = dd.word_shingles(docs).persist()
         _SHINGLE_CACHE[key] = sh
     return sh
 

@@ -58,8 +58,11 @@ def connected_components(
 
     Scale notes: each round is one shuffle (groupBy node) over the edge
     list; ``localCheckpoint`` truncates the lineage so the plan doesn't
-    grow exponentially with rounds; convergence is detected with a
-    single count aggregate on changed labels.
+    grow exponentially with rounds.  Convergence detection exploits the
+    monotonicity of min-propagation: labels only ever DECREASE, so the
+    global ``sum(comp)`` is strictly decreasing until the fixpoint — a
+    one-column aggregate over the just-checkpointed labels replaces the
+    old-vs-new join, halving the per-round job count.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -73,6 +76,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iter):
         # neighbor messages: each edge (u,v) forwards u's current label to v
         msgs = edges.join(labels, edges.u == labels.node).select(
@@ -85,16 +89,11 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        row = new_labels.agg(F.sum("comp").alias("s")).first()
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and row["s"] == prev_sum:
             break
+        prev_sum = row["s"]
     return labels.select(F.col("node"), F.col("comp").alias("component_id"))
 
 
