@@ -223,6 +223,13 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
         .distinct()
+        # pin the (tiny) candidate list: it feeds cand_docs, the verify
+        # semi-join, and the final join — without the pin the banded
+        # self-join over the 64-wide signature aggregate is embedded in
+        # every consumer subtree, multiplying both execution AND codegen
+        # (the generated 64-agg class is large enough that re-JITing each
+        # copy dominates wall time on a warm session)
+        .persist()
     )
     # verify ONLY candidates: restrict the shingle index to docs that
     # appear in some candidate pair before the (expensive) intersection

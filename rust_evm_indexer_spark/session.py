@@ -49,6 +49,22 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Local-mode-only JIT posture: whole-stage codegen emits very large
+        # classes (the 64-wide minhash aggregate alone costs ~60 s of C2
+        # compile time), and a short-lived local session never amortizes
+        # that.  C1-only compilation is ~50x cheaper to JIT at ~30% lower
+        # peak code quality — a large net win for an interactive/bench
+        # session.  On a real cluster (long-lived executors, hours-long
+        # scans) leave the default tiered C2: the warm-up amortizes and
+        # peak throughput wins; this flag is driver-JVM-only and is NOT
+        # set on spark.executor.extraJavaOptions for exactly that reason.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JVM_OPTS",
+                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
+            ),
+        )
     )
     for k, v in _BASE_CONF.items():
         builder = builder.config(k, v)
