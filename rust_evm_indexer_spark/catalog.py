@@ -1866,17 +1866,80 @@ def _ivf_index(spark, sf_dir: str, flavor: str) -> "sim.IvfIndex":
     return idx
 
 
-@register("similarity_ivf_topk", None, tags=("llm", "X-3", "ivf"))
+def _export_ivf_oracle(spark, idx, flavor: str, sf_dir: str) -> None:
+    """Export the materialized index's centroids + cell assignment to a
+    STABLE path so the DuckDB oracle can replay the exact probe the
+    engine ran (same pattern as the simhash signature export).  The
+    index dir itself is keyed by corpus size+mtime, so a marker records
+    which index the export came from and skips rewriting when fresh."""
+    from pathlib import Path as _P
+
+    out = FIXTURE_CACHE / f"ivf_{flavor}_{_P(sf_dir).name}"
+    marker = out / "_EXPORTED_FROM"
+    if marker.exists() and marker.read_text() == str(idx.index_dir):
+        return
+    cent_rows = [
+        (int(c), [float(x) for x in v]) for c, v in sorted(idx.centroids.items())
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "centroids"))
+    idx.vectors().select("vec_id", "cell").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(out / "assign"))
+    marker.write_text(str(idx.index_dir))
+
+
+def _ivf_sql(flavor: str, n_probe: int = 2, k: int = 10) -> str:
+    """DuckDB replay of IvfIndex.search over the exported index: pick the
+    n_probe cells whose centroids are most cosine-similar to the query
+    (ties → lower cell id, matching IvfIndex.probe_cells), then exact
+    cosine top-k inside those cells only.  All math is IEEE double with
+    left-to-right sums on both engines, so the hash compare is exact."""
+    base = f"{FIXTURE_CACHE}/ivf_{flavor}_sf0.01"
+    return f"""
+    WITH cent AS (SELECT cell, centroid
+                  FROM read_parquet('{base}/centroids/*.parquet')),
+         q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         probe AS (SELECT cell FROM cent, q
+                   ORDER BY list_inner_product(centroid, qv)
+                            / (sqrt(list_inner_product(centroid, centroid))
+                               * sqrt(list_inner_product(qv, qv))) DESC, cell
+                   LIMIT {n_probe}),
+         m AS (SELECT e.vec_id,
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings e
+               JOIN read_parquet('{base}/assign/*.parquet') a
+                 ON e.vec_id = a.vec_id
+               WHERE a.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0)
+    SELECT m.vec_id,
+           round(list_inner_product(m.v, q.qv)
+                 / (sqrt(list_inner_product(m.v, m.v))
+                    * sqrt(list_inner_product(q.qv, q.qv))), 6) AS sim
+    FROM m, q
+    ORDER BY sim DESC, m.vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "similarity_ivf_topk",
+    _ivf_sql("label"),
+    tags=("llm", "X-3", "ivf", "oracle-sf0.01"),
+)
 def similarity_ivf_topk(spark, sf_dir):
     """IVF approximate top-10 (probe 2 of the label cells) through the
     MATERIALIZED index: corpus stored partitioned by cell, probe chosen
     driver-side from persisted centroids, scan prunes to the probed
-    cells' files.  Recall vs brute force asserted in tests."""
+    cells' files.  Recall vs brute force asserted in tests; the DuckDB
+    oracle replays the probe from the exported centroids + assignment,
+    so the hash compare verifies the exact approximate result set."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return _ivf_index(spark, sf_dir, "label").search(
-        qvec, k=10, n_probe=2, exclude_ids=(0,)
-    )
+    idx = _ivf_index(spark, sf_dir, "label")
+    _export_ivf_oracle(spark, idx, "label", sf_dir)
+    return idx.search(qvec, k=10, n_probe=2, exclude_ids=(0,))
 
 
 _WORDS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -2576,19 +2639,25 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
-@register("similarity_ivf_kmeans", None, tags=("llm", "X-3", "ivf", "kmeans"))
+@register(
+    "similarity_ivf_kmeans",
+    _ivf_sql("kmeans8"),
+    tags=("llm", "X-3", "ivf", "kmeans", "oracle-sf0.01"),
+)
 def similarity_ivf_kmeans(spark, sf_dir):
     """IVF search against a k-means quantizer trained in Spark (Lloyd's
     iterations, distributed assign/update).  Training + cell assignment
     happen ONCE at index build (round 1 re-trained per query — 7.2 s of
     the 49 s bench); queries read the cell-partitioned store and prune
-    to the probed cells.  Rows-only: iterative algorithm, not
-    SQL-expressible; recall vs brute force asserted in tests."""
+    to the probed cells.  Training is iterative (not SQL-expressible),
+    but the QUERY against the materialized index is: the DuckDB oracle
+    replays the probe from the exported centroids + assignment, so the
+    hash compare verifies the exact approximate result set."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return _ivf_index(spark, sf_dir, "kmeans8").search(
-        qvec, k=10, n_probe=2, exclude_ids=(0,)
-    )
+    idx = _ivf_index(spark, sf_dir, "kmeans8")
+    _export_ivf_oracle(spark, idx, "kmeans8", sf_dir)
+    return idx.search(qvec, k=10, n_probe=2, exclude_ids=(0,))
 
 
 # =====================================================================
