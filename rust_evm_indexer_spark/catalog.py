@@ -31,6 +31,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.timeutil import ts_micros
 from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import similarity as sim
@@ -106,7 +107,7 @@ def _events_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch micros so both engines emit identical BIGINTs)."""
     return _t(spark, sf_dir, "events").select(
         "event_id",
-        F.unix_micros("ts").alias("ts_us"),
+        ts_micros("ts").alias("ts_us"),
         "user_id",
         "event_type",
         "value",
@@ -128,7 +129,7 @@ def logs_page_first(spark, sf_dir):
         .limit(100)
         .select(
             "event_id",
-            F.unix_micros("ts").alias("ts_us"),
+            ts_micros("ts").alias("ts_us"),
             "user_id",
             "event_type",
             "value",
@@ -186,7 +187,7 @@ def logs_keyset_page(spark, sf_dir):
     """Keyset cursor: row-value (ts, event_id) > (T, 0) spelled out as the
     same OR-of-ranges the reference binds (src/api.rs:162-172)."""
     ev = _t(spark, sf_dir, "events")
-    t0 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    t0 = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
     cur = (F.col("ts") > t0) | ((F.col("ts") == t0) & (F.col("event_id") > 0))
     return (
         ev.filter(cur)
@@ -194,7 +195,7 @@ def logs_keyset_page(spark, sf_dir):
         .limit(50)
         .select(
             "event_id",
-            F.unix_micros("ts").alias("ts_us"),
+            ts_micros("ts").alias("ts_us"),
             "user_id",
             "event_type",
             "value",
@@ -216,7 +217,7 @@ def logs_offset_page(spark, sf_dir):
         .limit(50)
         .select(
             "event_id",
-            F.unix_micros("ts").alias("ts_us"),
+            ts_micros("ts").alias("ts_us"),
             "user_id",
             "event_type",
             "value",
@@ -251,7 +252,7 @@ def top1_latest(spark, sf_dir):
         .limit(1)
         .select(
             "event_id",
-            F.unix_micros("ts").alias("ts_us"),
+            ts_micros("ts").alias("ts_us"),
             "user_id",
             "event_type",
             "value",
@@ -450,7 +451,7 @@ def reorg_rollup_exact(spark, sf_dir):
     root = _ensure_reorg_fixture(spark)
     store = TableStore(spark, root / "store")
     return read_rollup(store).select(
-        F.unix_micros("hour_ts").alias("hour_us"),
+        ts_micros("hour_ts").alias("hour_us"),
         "contract_address",
         "topic0",
         "n_logs",
@@ -486,7 +487,7 @@ def q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(3,2)")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -524,10 +525,10 @@ def q3_shipping_priority(spark, sf_dir):
     100×), so AQE picks broadcast vs shuffle from runtime sizes."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     one = F.lit(1).cast("decimal(3,2)")
     return (
@@ -577,8 +578,8 @@ def q5_local_supplier(spark, sf_dir):
     left to AQE (broadcast at small SF, shuffle at scale)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
@@ -626,8 +627,8 @@ def q10_returned_items(spark, sf_dir):
     picks the join strategy; deterministic top-20 via custkey tiebreak."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     one = F.lit(1).cast("decimal(3,2)")
@@ -750,8 +751,8 @@ def q6_forecast_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
             & (F.col("l_discount") >= 0.02)
             & (F.col("l_discount") <= 0.04)
             & (F.col("l_quantity") < 24)
@@ -901,8 +902,8 @@ def q14_promo_revenue(spark, sf_dir):
     fact-sized at scale (grows with SF) — no forced broadcast; the
     shipdate window is pushed to the lineitem scan."""
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
     )
     p = _t(spark, sf_dir, "part")
     zero = F.lit(0).cast("decimal(18,2)")
@@ -910,7 +911,7 @@ def q14_promo_revenue(spark, sf_dir):
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(
-            F.unix_micros(F.date_trunc("month", F.col("l_shipdate"))).alias(
+            ts_micros(F.date_trunc("month", F.col("l_shipdate"))).alias(
                 "month_us"
             )
         )
@@ -966,7 +967,7 @@ def q18_large_orders(spark, sf_dir):
             "o_orderkey",
             # o_orderdate is TIMESTAMP_NTZ; cast is identity under the
             # UTC session tz that load_driver_table pins
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            ts_micros(F.col("o_orderdate")).alias(
                 "o_orderdate_us"
             ),
             "o_totalprice",
@@ -1090,7 +1091,7 @@ def q22_idle_customers(spark, sf_dir):
         )
     )
     recent = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
     ).select("o_custkey")
     return (
         c.crossJoin(stats)
@@ -1207,8 +1208,8 @@ def q4_priority_check(spark, sf_dir):
     (equal orderkey AND l_shipdate > o_orderdate); the probe side is
     pre-projected to two columns so the shuffle stays narrow."""
     o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01 00:00:00").cast("timestamp_ntz"))
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
@@ -1340,8 +1341,8 @@ def q12_late_shipments(spark, sf_dir):
     scan; the >90-day compare is join-side arithmetic."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -1414,8 +1415,8 @@ def q15_top_supplier(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     rev = (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp_ntz"))
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_rev()).alias("total_revenue"))
@@ -1551,7 +1552,7 @@ def events_hourly_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            ts_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
             "event_type",
         )
         .agg(
@@ -2230,7 +2231,7 @@ def window_lag_delta(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros("ts")
+    ts_us = ts_micros("ts")
     return ev.select(
         "user_id",
         "event_id",
@@ -2452,7 +2453,7 @@ def asof_join_events(spark, sf_dir):
     j = asof_join(purchases, clicks, key="user_id", tiebreaker="event_id")
     return j.select(
         "event_id",
-        F.unix_micros("ts").alias("ts_us"),
+        ts_micros("ts").alias("ts_us"),
         "user_id",
         F.col("event_id_asof").alias("click_id"),
         F.col("value_asof").alias("click_value"),
@@ -2523,7 +2524,7 @@ def orders_monthly(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
         .groupBy(
-            F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            ts_micros(F.date_trunc("month", F.col("o_orderdate"))).alias(
                 "month_us"
             )
         )

@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import ts_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -97,7 +99,7 @@ def range_join(
     the cross-product blowup of a raw inequality join never materializes.
     """
     bound_us = bound_seconds * 1_000_000
-    l_us = F.unix_micros(F.col(ts))
+    l_us = ts_micros(F.col(ts))
     l = left.select(
         key,
         F.col(ts).alias("l_ts"),
@@ -106,7 +108,7 @@ def range_join(
     )
     r = right.select(
         key,
-        F.unix_micros(F.col(ts)).alias("r_us"),
+        ts_micros(F.col(ts)).alias("r_us"),
         *[
             F.col(c).alias(right_prefix + c)
             for c in right.columns

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import ts_micros
+
 
 def tumbling_window_stats(
     events: DataFrame,
@@ -37,8 +39,8 @@ def tumbling_window_stats(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_micros(F.col("w.start")).alias("w_start_us"),
-            F.unix_micros(F.col("w.end")).alias("w_end_us"),
+            ts_micros(F.col("w.start")).alias("w_start_us"),
+            ts_micros(F.col("w.end")).alias("w_end_us"),
             "event_type",
             "n",
             "sum_value",
@@ -59,7 +61,7 @@ def sliding_window_stats(
         df.groupBy(F.window(ts_col, width, slide).alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
         .select(
-            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            ts_micros(F.col("w.start")).alias("w_start_us"),
             "event_type",
             "n",
         )
@@ -81,8 +83,8 @@ def session_windows_native(
         .agg(F.count("*").alias("n_events"))
         .select(
             key_col,
-            F.unix_micros(F.col("s.start")).alias("s_start_us"),
-            F.unix_micros(F.col("s.end")).alias("s_end_us"),
+            ts_micros(F.col("s.start")).alias("s_start_us"),
+            ts_micros(F.col("s.end")).alias("s_end_us"),
             "n_events",
         )
     )
@@ -103,7 +105,7 @@ def sessionize(
     with_gap = events.select(
         key_col,
         "event_id",
-        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        ts_micros(F.col(ts_col)).alias("ts_us"),
     ).withColumn(
         "new_session",
         (
@@ -136,33 +138,32 @@ def streaming_hourly_counts(
     """Structured-Streaming smoke pipeline: parquet file stream →
     watermarked tumbling agg → memory sink.  Returns the StreamingQuery;
     callers ``processAllAvailable()`` then read ``SELECT * FROM
-    {queryName}``.  (The events fixture's TIMESTAMP(NANOS) column needs
-    the same nanosAsLong normalization as the batch reader.)"""
+    {queryName}``.  File streams need an explicit schema, and the driver
+    has shipped the events fixture with either TIMESTAMP(NANOS) (read as
+    nano longs via ``nanosAsLong``) or naive TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ) physical types across rounds — so probe the footer
+    with a batch read and normalize whichever form arrives."""
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     from pathlib import Path
 
     p = Path(events_dir)
+    schema = spark.read.parquet(str(p)).schema
     reader = spark.readStream.schema(schema)
     if p.is_file():  # file streams must point at a directory
         reader = reader.option("pathGlobFilter", p.name)
         p = p.parent
-    stream = (
-        reader.parquet(str(p))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = reader.parquet(str(p))
+    if isinstance(schema["ts"].dataType, T.LongType):  # nano longs
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks accept only TIMESTAMP (LTZ); the session tz is
+        # pinned UTC above, so this cast is the identity on the values
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = tumbling_window_stats(stream, "1 hour", watermark)
     return (
         agg.writeStream.outputMode("append")
