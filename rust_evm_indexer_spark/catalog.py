@@ -458,6 +458,107 @@ def reorg_rollup_exact(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Entity joins + U256 analytics under the driver contract (VERDICT.md r2
+# item 5): the blocks→transactions→logs FK hierarchy the reference's
+# schema implies (init.sql:27-41,49-63) and the hex-ABI-decode
+# aggregation its string-typed storage could never serve (SURVEY.md
+# §1.3).  Both run on the deterministic seed-42 fixture so DuckDB can
+# replay them from the exported parquet.
+# ---------------------------------------------------------------------
+
+_EVM_TXS_PQ = f"{FIXTURE_CACHE}/evm/transactions.parquet"
+_EVM_BLOCKS_PQ = f"{FIXTURE_CACHE}/evm/blocks.parquet"
+
+
+def _evm_tables(spark: SparkSession):
+    from .sources import load_evm_tables
+
+    return load_evm_tables(spark, ensure_evm_fixture_parquet())
+
+
+@register(
+    "evm_join_enriched",
+    f"""
+    SELECT l.id, l.block_number, l.transaction_hash,
+           l.contract_address AS address, l.topic0,
+           t.from_address, t.to_address,
+           CAST(t.status AS INTEGER) AS tx_status,
+           b.timestamp AS block_timestamp
+    FROM read_parquet('{_EVM_LOGS_PQ}') l
+    LEFT JOIN read_parquet('{_EVM_TXS_PQ}') t ON l.transaction_hash = t.tx_hash
+    LEFT JOIN read_parquet('{_EVM_BLOCKS_PQ}') b ON l.block_hash = b.block_hash
+    ORDER BY l.block_number, l.id LIMIT 100
+    """,
+    tags=("evm-native", "joins", "§2c"),
+)
+def evm_join_enriched_q(spark, sf_dir):
+    """logs ⋈ transactions ⋈ blocks — the full denormalized event view
+    (operators/joins.py:logs_with_context; FK hierarchy per the
+    reference's init.sql:27-41,49-63).  Blocks broadcast (tiny dim);
+    tx side column-pruned before the join; first page by (block, id)."""
+    from .operators.joins import logs_with_context
+
+    t = _evm_tables(spark)
+    return (
+        logs_with_context(t["logs"], t["transactions"], t["blocks"])
+        .select(
+            "id",
+            "block_number",
+            "transaction_hash",
+            F.col("contract_address").alias("address"),
+            "topic0",
+            "from_address",
+            "to_address",
+            F.col("tx_status").cast("int").alias("tx_status"),
+            "block_timestamp",
+        )
+        .orderBy("block_number", "id")
+        .limit(100)
+    )
+
+
+@register(
+    "evm_transfer_volume",
+    f"""
+    WITH t AS (SELECT contract_address,
+                 lpad(lower(regexp_replace(data, '^0x', '')), 64, '0') AS h
+               FROM read_parquet('{_EVM_LOGS_PQ}')
+               WHERE topic0 = '{_TRANSFER_SIG}'),
+    d AS (SELECT contract_address,
+            CASE WHEN substr(h, 1, 33) = repeat('0', 33) THEN
+              ((CAST(CAST(('0x' || substr(h, 34, 7)) AS BIGINT) AS HUGEINT)
+                   * 4294967296
+                + CAST(('0x' || substr(h, 41, 8)) AS BIGINT)) * 4294967296
+                + CAST(('0x' || substr(h, 49, 8)) AS BIGINT)) * 4294967296
+                + CAST(('0x' || substr(h, 57, 8)) AS BIGINT)
+            ELSE NULL END AS amount
+          FROM t)
+    SELECT contract_address, count(*) AS n_transfers,
+           CAST(sum(amount) AS VARCHAR) AS volume_wei
+    FROM d GROUP BY 1
+    """,
+    tags=("evm-native", "u256", "§2c"),
+)
+def evm_transfer_volume_q(spark, sf_dir):
+    """Per-token ERC-20 Transfer volume: topic0 filter (scan-pushed),
+    uint256 amount ABI-decoded from ``data`` JVM-side
+    (functions/evm.py:hex_to_u256_decimal — two-limb conv, exact below
+    2^124, NULL above), exact decimal sum.  The final decimal is cast to
+    its canonical digit string so Spark's DecimalType and DuckDB's
+    HUGEINT hash identically at any magnitude (a double cast would lose
+    wei above 2^53)."""
+    from .operators.evm_analytics import transfer_volume_by_contract
+
+    return transfer_volume_by_contract(
+        _evm_tables(spark)["logs"], transfer_sig=_TRANSFER_SIG
+    ).select(
+        "contract_address",
+        "n_transfers",
+        F.col("volume").cast("string").alias("volume_wei"),
+    )
+
+
 # =====================================================================
 # Relational coverage: joins / aggregation / windows (SURVEY.md §2c —
 # capabilities the entity model implies; TPC-H-shaped on driver tables)
@@ -2814,3 +2915,99 @@ def pack_sequences_q(spark, sf_dir):
     return cp.pack_sequences(
         _t(spark, sf_dir, "documents"), window_tokens=256
     )
+
+
+# =====================================================================
+# Driver-contract registration order (VERDICT.md r2 item 1).
+#
+# The driver's CORRECTNESS gate checks the FIRST 50 entries of
+# ``queries()`` in registration order (verified: the r2 key list equals
+# ``list(CATALOG)[:50]``).  Decorator order in this file reflects the
+# narrative build order, so the dict is re-keyed here into verification
+# priority instead:
+#
+#   1-15   the flagship logs/evm/stats surface (the reference's core);
+#   16-17  the two round-1 red rows whose fixes have only local green
+#          (multimodal_features, similarity_ivf_kmeans);
+#   18-24  entries that have NEVER had a driver row;
+#   25-26  this round's new entity-join / U256 entries;
+#   27-49  entries last driver-checked in round 1 (green then, but not
+#          re-checked under the code as it stands now);
+#   50     one TPC-H canary (q1) so the archetype family keeps a fresh
+#          row every round.
+#
+# Everything below position 50 holds a green r2 row; the local replay
+# (tests/test_catalog_oracle.py) still covers ALL entries every run.
+# =====================================================================
+
+_DRIVER_PRIORITY = [
+    # -- flagship (r2-green, keep first) --------------------------------
+    "logs_page_first",
+    "logs_filter_eq",
+    "logs_filter_conj",
+    "logs_range",
+    "logs_keyset_page",
+    "logs_offset_page",
+    "point_lookup",
+    "top1_latest",
+    "stats_counts",
+    "stats_lag",
+    "evm_logs_topic_page",
+    "evm_logs_address_range",
+    "evm_logs_cursor_page",
+    "evm_logs_blockhash_override",
+    "reorg_rollup_exact",
+    # -- round-1 failures, fixed but never driver-confirmed -------------
+    "multimodal_features",
+    "similarity_ivf_kmeans",
+    # -- never driver-checked -------------------------------------------
+    "multimodal_resize",
+    "multimodal_frames",
+    "dedup_clusters",
+    "gopher_quality",
+    "pii_redact",
+    "sample_stratified",
+    "pack_sequences",
+    # -- new this round ---------------------------------------------------
+    "evm_join_enriched",
+    "evm_transfer_volume",
+    # -- last checked in round 1 ------------------------------------------
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "events_sessionize",
+    "rollup_orders",
+    "cube_lineitem",
+    "distinct_agg",
+    "set_ops_customers",
+    "semi_join_exists",
+    "anti_join_not_exists",
+    "pivot_order_status",
+    "asof_join_events",
+    "range_join_events",
+    "median_per_type",
+    "orders_monthly",
+    "dedup_survivors",
+    "json_extract_props",
+    "json_agg_by_key",
+    "approx_distinct_users",
+    # -- TPC-H canary -----------------------------------------------------
+    "q1_pricing_summary",
+]
+
+
+def _reorder_catalog() -> None:
+    missing = [n for n in _DRIVER_PRIORITY if n not in CATALOG]
+    if missing:  # fail loud at import: a typo here silently re-hides entries
+        raise RuntimeError(f"_DRIVER_PRIORITY names unknown entries: {missing}")
+    ordered = {n: CATALOG[n] for n in _DRIVER_PRIORITY}
+    ordered.update((n, e) for n, e in CATALOG.items() if n not in ordered)
+    CATALOG.clear()
+    CATALOG.update(ordered)
+
+
+_reorder_catalog()
