@@ -448,6 +448,11 @@ def reorg_rollup_exact(spark, sf_dir):
     from .ingest.rollup import read_rollup
     from .store import TableStore
 
+    # hour_ts is TIMESTAMP (LTZ): ts_micros requires a UTC session tz
+    # (see functions/timeutil.py) — pin it here unconditionally, not just
+    # in the fixture-build branch, so a cache-hit path in a non-UTC
+    # session can't silently shift the epochs
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = _ensure_reorg_fixture(spark)
     store = TableStore(spark, root / "store")
     return read_rollup(store).select(
@@ -1066,8 +1071,8 @@ def q18_large_orders(spark, sf_dir):
             "c_custkey",
             "c_name",
             "o_orderkey",
-            # o_orderdate is TIMESTAMP_NTZ; cast is identity under the
-            # UTC session tz that load_driver_table pins
+            # o_orderdate is TIMESTAMP_NTZ — ts_micros handles the NTZ
+            # type natively, no timezone consulted
             ts_micros(F.col("o_orderdate")).alias(
                 "o_orderdate_us"
             ),
@@ -1881,9 +1886,19 @@ def dedup_simhash(spark, sf_dir):
     hamming<=7) checks the exact pair-set the engine produced."""
     docs = _t(spark, sf_dir, "documents")
     out = FIXTURE_CACHE / f"simhash_sigs_{Path(sf_dir).name}"
-    dd.simhash_signatures(
-        docs, shingles=_doc_shingles(spark, sf_dir)
-    ).write.mode("overwrite").parquet(str(out))
+    # freshness marker keyed by the corpus file's identity (same pattern
+    # as _export_ivf_oracle): signatures are a pure function of the
+    # documents parquet, so a fresh export is skipped — the query path
+    # must not rewrite parquet on every execution (r2 VERDICT item 4)
+    src = Path(sf_dir) / "documents.parquet"
+    st = src.stat()
+    src_key = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    marker = out / "_EXPORTED_FROM"
+    if not (marker.exists() and marker.read_text() == src_key):
+        dd.simhash_signatures(
+            docs, shingles=_doc_shingles(spark, sf_dir)
+        ).write.mode("overwrite").parquet(str(out))
+        marker.write_text(src_key)
     stored = spark.read.parquet(str(out))
     return dd.simhash_pairs(docs, max_hamming=6, signatures=stored)
 
@@ -2416,9 +2431,13 @@ def cube_lineitem(spark, sf_dir):
     "distinct_agg",
     "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, "
     "COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus",
-    tags=("relational", "distinct"),
+    tags=("relational", "distinct", "exact-twin-of:approx_distinct_users"),
 )
 def distinct_agg(spark, sf_dir):
+    """Exact COUNT(DISTINCT) — the hash-verified twin of the sketch entry
+    ``approx_distinct_users``: the driver proves exact distinct-counting
+    on this surface, while the HLL entry's accuracy is bound-tested
+    against exact counts at two SFs (tests/test_llm_ops.py)."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -2730,10 +2749,22 @@ def json_agg_by_key(spark, sf_dir):
     )
 
 
-@register("approx_distinct_users", None, tags=("approx",))
+@register(
+    "approx_distinct_users",
+    None,
+    tags=("approx", "approx-twin-of:distinct_agg"),
+)
 def approx_distinct_users(spark, sf_dir):
-    """HyperLogLog distinct-count per event type (engine-specific sketch →
-    rows-only check; accuracy vs exact asserted in tests)."""
+    """HyperLogLog distinct-count + t-digest median per event type.
+
+    The ONLY oracle-less catalog entry: both sketches are
+    engine-specific (Spark HLL++ and DuckDB HLL disagree by design), so
+    the driver does a rows-only check.  Verification happens on two
+    flanks instead: ``distinct_agg`` is the exact hash-verified twin of
+    the same distinct-count surface, and
+    tests/test_llm_ops.py::test_approx_distinct_accuracy asserts the HLL
+    estimate within its configured rsd bound against the exact count at
+    two scale factors."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -2939,6 +2970,22 @@ def pack_sequences_q(spark, sf_dir):
 # Everything below position 50 holds a green r2 row; the local replay
 # (tests/test_catalog_oracle.py) still covers ALL entries every run.
 # =====================================================================
+
+def clear_session_caches() -> None:
+    """Unpersist and drop the per-session shared frames (shingles, capped
+    pair list, IVF indexes).  The caches make a full catalog drive cheap
+    — four dedup flavors share one shingle scan — but they also make
+    per-entry bench timings non-independent.  ``bench.py --cold`` calls
+    this between queries so each entry pays its own scan."""
+    for cache in (_SHINGLE_CACHE, _PAIRS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
+    _IVF_CACHE.clear()
+
 
 _DRIVER_PRIORITY = [
     # -- flagship (r2-green, keep first) --------------------------------

@@ -22,6 +22,14 @@ def ts_micros(col: Column | str) -> Column:
     """Microseconds since the naive epoch for TIMESTAMP_NTZ / TIMESTAMP /
     DATE input alike (bigint).  DuckDB twin: ``epoch_us(col)``.
 
+    HARD PRECONDITION for TIMESTAMP (LTZ) input: the session timezone
+    must be UTC.  The LTZ→NTZ cast renders the instant as a wall clock
+    in ``spark.sql.session.timeZone`` — under UTC that equals the
+    tz-independent ``unix_micros``, under any other tz the epochs shift
+    silently.  TIMESTAMP_NTZ and DATE input never consult a timezone.
+    Call sites that read LTZ columns (e.g. reorg_rollup_exact) pin the
+    session tz themselves; new callers must do the same.
+
     The epoch literal is built per-call, NOT at module scope: this module
     is imported by executor Python workers (via the package __init__ on
     mapInPandas stages), where no JVM gateway exists — a module-level

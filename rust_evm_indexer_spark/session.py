@@ -25,6 +25,9 @@ _BASE_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
+    # console progress bars interleave with stdout when the harness merges
+    # streams — they corrupted the bench JSON line in round 2's capture
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

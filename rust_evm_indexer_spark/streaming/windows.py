@@ -150,7 +150,23 @@ def streaming_hourly_counts(
     from pathlib import Path
 
     p = Path(events_dir)
-    schema = spark.read.parquet(str(p)).schema
+    try:
+        schema = spark.read.parquet(str(p)).schema
+    except Exception:
+        # empty/not-yet-created directory: fall back to the driver events
+        # schema (TESTDATA.md) so the stream can start before any data
+        # arrives — the batch probe only exists to sniff the ts physical
+        # type, and the NTZ branch below handles files that arrive later
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
     reader = spark.readStream.schema(schema)
     if p.is_file():  # file streams must point at a directory
         reader = reader.option("pathGlobFilter", p.name)

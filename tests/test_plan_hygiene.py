@@ -261,3 +261,21 @@ def test_round3_tpch_no_cartesian_except_scalar(spark):
     ):
         plan = physical_plan(CATALOG[name].fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+
+
+def test_simhash_export_gated_by_freshness_marker(spark):
+    """Second execution of dedup_simhash in a session must NOT rewrite the
+    signature parquet (r2 VERDICT item 4): the export is keyed to the
+    corpus file identity, and the query path is read-only when fresh."""
+    from pathlib import Path
+
+    from rust_evm_indexer_spark.catalog import FIXTURE_CACHE
+
+    CATALOG["dedup_simhash"].fn(spark, SF).count()
+    out = FIXTURE_CACHE / f"simhash_sigs_{Path(SF).name}"
+    marker = out / "_EXPORTED_FROM"
+    assert marker.exists()
+    before = {p.name: p.stat().st_mtime_ns for p in out.iterdir()}
+    CATALOG["dedup_simhash"].fn(spark, SF).count()
+    after = {p.name: p.stat().st_mtime_ns for p in out.iterdir()}
+    assert after == before, "simhash export rewritten on a fresh second run"
