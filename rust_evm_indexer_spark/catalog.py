@@ -2971,6 +2971,50 @@ def pack_sequences_q(spark, sf_dir):
 # (tests/test_catalog_oracle.py) still covers ALL entries every run.
 # =====================================================================
 
+# benchmark-overlap decontamination: the synthetic "benchmark suite" is
+# every 20th doc; 5-grams with a >=3 distinct-overlap threshold sit
+# inside the observed separation (background phrase collisions score
+# 1-2, near-dup partners of benchmark docs score 76-95 at sf0.01/0.1)
+_DECON_K = 5
+_DECON_MIN_HITS = 3
+_DECON_5GRAM = " || ' ' || ".join(f"ws[i+{j}]" for j in range(5)).replace(
+    "ws[i+0]", "ws[i]"
+)
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                        i -> {_DECON_5GRAM})) AS sh
+          FROM t),
+    bg AS (SELECT DISTINCT sh FROM g WHERE doc_id % 20 = 0),
+    tg AS (SELECT doc_id, sh FROM g WHERE doc_id % 20 <> 0),
+    h AS (SELECT tg.doc_id, count(*) AS n_hits FROM tg JOIN bg USING (sh)
+          GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) >= {_DECON_MIN_HITS} AS contaminated
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 20 <> 0
+    """,
+    tags=("llm", "X-4", "decontamination"),
+)
+def decontaminate_ngram_q(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 App. C / Dolma-style): flag every
+    training document sharing >= {min_hits} distinct word 5-grams with
+    the benchmark set (here: every 20th doc_id).  The overlap join is
+    keyed on the n-gram — the same inverted-index equi-join shape as the
+    Jaccard candidate join, benchmark side broadcast (benchmark suites
+    are bounded at any corpus scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select("doc_id")
+    return cp.contamination_report(
+        docs, bench, k=_DECON_K, min_hits=_DECON_MIN_HITS
+    )
+
+
 def clear_session_caches() -> None:
     """Unpersist and drop the per-session shared frames (shingles, capped
     pair list, IVF indexes).  The caches make a full catalog drive cheap
@@ -3018,6 +3062,7 @@ _DRIVER_PRIORITY = [
     # -- new this round ---------------------------------------------------
     "evm_join_enriched",
     "evm_transfer_volume",
+    "decontaminate_ngram",
     # -- last checked in round 1 ------------------------------------------
     "lang_id",
     "quality_score",
@@ -3042,8 +3087,6 @@ _DRIVER_PRIORITY = [
     "json_extract_props",
     "json_agg_by_key",
     "approx_distinct_users",
-    # -- TPC-H canary -----------------------------------------------------
-    "q1_pricing_summary",
 ]
 
 

@@ -316,3 +316,79 @@ def pack_sequences(
         )
         .select(group_col, "seq_id", "n_docs", "total_tokens")
     )
+
+
+# ---------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark_ids: DataFrame,
+    *,
+    k: int = 5,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-overlap decontamination — the standard n-gram filter a
+    training pipeline runs so eval benchmarks don't leak into the
+    corpus (GPT-3 App. C / Dolma-style: flag any training document
+    sharing word n-grams with a held-out benchmark document).
+
+    Returns one row per TRAINING document (``benchmark_ids`` rows are
+    the contamination source, never scored):
+    ``(doc_id, n_hits, contaminated)`` where ``n_hits`` counts DISTINCT
+    shared n-grams and ``contaminated = n_hits >= min_hits``.
+
+    Scale shape: the benchmark n-gram set is built once and joined by
+    shingle equality — an inverted-index equi-join keyed on the n-gram,
+    identical to the Jaccard candidate join, so all-pairs never
+    materializes.  Benchmark suites are bounded (MMLU+GSM8K+… is a few
+    hundred MB of text against a 100 TB corpus), so the benchmark side
+    is the broadcast candidate; at an adversarial benchmark size drop
+    the hint and let AQE pick the join.  Shingling reuses
+    :func:`~.dedup.word_shingles` (distinct word k-grams of the
+    normalized text), so one shared shingle scan can feed dedup AND
+    decontamination in the same pass.
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, k=k)
+    bench_grams = (
+        sh.join(F.broadcast(benchmark_ids), id_col, "left_semi")
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = sh.join(F.broadcast(benchmark_ids), id_col, "left_anti")
+    # word_shingles emits distinct (doc, shingle) rows and bench_grams is
+    # distinct, so the equi-join yields ≤1 row per (doc, shared n-gram):
+    # count(*) IS the distinct-overlap count
+    hits = (
+        train_sh.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    train = docs.join(benchmark_ids, id_col, "left_anti").select(id_col)
+    return train.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark_ids: DataFrame,
+    *,
+    k: int = 5,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training corpus with contaminated documents dropped (the apply
+    side of :func:`contamination_report`)."""
+    rep = contamination_report(
+        docs, benchmark_ids, k=k, min_hits=min_hits, id_col=id_col
+    )
+    keep = rep.where(~F.col("contaminated")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

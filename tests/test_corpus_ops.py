@@ -85,3 +85,37 @@ def test_pack_sequences_respects_group_and_budget(spark):
     assert set(by_src) == {"s0", "s1"}
     for rs in by_src.values():
         assert sum(r.n_docs for r in rs) == 10
+
+
+def test_contamination_report_flags_overlap(spark):
+    """A training doc sharing >= min_hits distinct 5-grams with a
+    benchmark doc is flagged; disjoint docs are not; benchmark docs are
+    never scored; hit counts are DISTINCT n-grams (repeats collapse)."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),  # benchmark member
+            (1, bench_text + " extra words here"),  # heavy overlap
+            (2, "alpha beta gamma delta epsilon"),  # exactly 1 shared 5-gram
+            (3, "totally different words without any shared phrases at all"),
+            # repeated phrase: the SAME 5-gram twice must count once
+            (4, bench_text + " filler " + bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 0).select("doc_id")
+    rep = {
+        r["doc_id"]: r
+        for r in cp.contamination_report(docs, bench, k=5, min_hits=2).collect()
+    }
+    assert 0 not in rep  # benchmark rows are the source, never scored
+    assert rep[1]["contaminated"] and rep[1]["n_hits"] == 5
+    assert rep[2]["n_hits"] == 1 and not rep[2]["contaminated"]
+    assert rep[3]["n_hits"] == 0 and not rep[3]["contaminated"]
+    assert rep[4]["n_hits"] == 5  # distinct overlap, not occurrence count
+
+    kept = {
+        r["doc_id"]
+        for r in cp.decontaminate(docs, bench, k=5, min_hits=2).collect()
+    }
+    assert kept == {2, 3}
