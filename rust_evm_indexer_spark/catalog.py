@@ -2961,13 +2961,15 @@ def pack_sequences_q(spark, sf_dir):
 #   16-17  the two round-1 red rows whose fixes have only local green
 #          (multimodal_features, similarity_ivf_kmeans);
 #   18-24  entries that have NEVER had a driver row;
-#   25-26  this round's new entity-join / U256 entries;
-#   27-49  entries last driver-checked in round 1 (green then, but not
-#          re-checked under the code as it stands now);
-#   50     one TPC-H canary (q1) so the archetype family keeps a fresh
-#          row every round.
+#   25-28  this round's new entries (entity join, U256 volume,
+#          decontamination, unigram NLL);
+#   29-…   entries last driver-checked in round 1 (green then, but not
+#          re-checked under the code as it stands now), ordered so the
+#          weakest check (`approx_distinct_users`, rows-only by design)
+#          is the first to fall outside a 50-entry window.
 #
-# Everything below position 50 holds a green r2 row; the local replay
+# Entries past the window hold green r2 rows (or, for the sketch entry,
+# only ever a rows-only check); the local replay
 # (tests/test_catalog_oracle.py) still covers ALL entries every run.
 # =====================================================================
 
@@ -3013,6 +3015,28 @@ def decontaminate_ngram_q(spark, sf_dir):
     return cp.contamination_report(
         docs, bench, k=_DECON_K, min_hits=_DECON_MIN_HITS
     )
+
+
+@register(
+    "unigram_nll",
+    f"""
+    WITH w AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+               FROM documents),
+    w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    v AS (SELECT word, count(*) AS c FROM w2 GROUP BY 1),
+    tot AS (SELECT sum(c) AS t FROM v)
+    SELECT doc_id, count(*) AS n_words,
+           round(avg(-ln(CAST(c AS DOUBLE) / t)), 6) AS avg_nll
+    FROM w2 JOIN v USING (word), tot GROUP BY doc_id
+    """,
+    tags=("llm", "X-4", "perplexity"),
+)
+def unigram_nll_q(spark, sf_dir):
+    """CCNet-style perplexity-filter signal: mean unigram NLL per doc
+    under a corpus-fit model (operators/textops.py:unigram_nll).  The
+    vocabulary table broadcasts (Heaps'-law bounded); the only wide
+    stage is the vocab groupBy."""
+    return tx.unigram_nll(_t(spark, sf_dir, "documents"))
 
 
 def clear_session_caches() -> None:
@@ -3063,6 +3087,7 @@ _DRIVER_PRIORITY = [
     "evm_join_enriched",
     "evm_transfer_volume",
     "decontaminate_ngram",
+    "unigram_nll",
     # -- last checked in round 1 ------------------------------------------
     "lang_id",
     "quality_score",

@@ -135,3 +135,37 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+def unigram_nll(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality score: per-document mean
+    negative log-likelihood under a unigram model fit on the corpus
+    itself (low = stereotyped/common text, high = rare-token noise —
+    both tails are what perplexity filtering prunes).
+
+    Shape at scale: one (word) groupBy builds the vocabulary counts (a
+    bounded table — vocabularies grow ~O(corpus^0.5) by Heaps' law, so
+    it broadcasts even when the corpus doesn't), one 1-row total joined
+    by broadcast, then a word-keyed equi-join back to the exploded
+    corpus and a per-doc average.  No Python; all whole-stage codegen.
+    The mean is rounded to 6dp so partial-sum association order can't
+    leak into cross-engine hash compares (same policy as ``cos_sim``).
+    """
+    from .dedup import normalize_text
+
+    words = (
+        df.select("doc_id", F.split(normalize_text(text_col), " ").alias("ws"))
+        .select("doc_id", F.explode("ws").alias("word"))
+        .where(F.col("word") != "")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias("avg_nll"),
+        )
+    )
