@@ -2059,6 +2059,69 @@ def similarity_ivf_topk(spark, sf_dir):
     return idx.search(qvec, k=10, n_probe=2, exclude_ids=(0,))
 
 
+def _ivf_knn_sql(flavor: str, n_probe: int = 2, k: int = 3, n_q: int = 5) -> str:
+    """DuckDB replay of IvfIndex.knn_join over the exported index: the
+    multi-query generalization of ``_ivf_sql`` — per-query probe-cell
+    rank (ties → lower cell), candidates from the assignment join, exact
+    cosine + per-query rank window.  Same IEEE left-to-right double math
+    on both engines, so the hash compare is exact."""
+    base = f"{FIXTURE_CACHE}/ivf_{flavor}_sf0.01"
+    return f"""
+    WITH cent AS (SELECT cell, centroid
+                  FROM read_parquet('{base}/centroids/*.parquet')),
+         q AS (SELECT vec_id AS q_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < {n_q}),
+         pc AS (SELECT q_id, qv, cell,
+                       row_number() OVER (
+                         PARTITION BY q_id
+                         ORDER BY list_inner_product(centroid, qv)
+                                  / (sqrt(list_inner_product(centroid, centroid))
+                                     * sqrt(list_inner_product(qv, qv))) DESC,
+                                  cell) AS rk
+                FROM q, cent),
+         probe AS (SELECT q_id, qv, cell FROM pc WHERE rk <= {n_probe}),
+         m AS (SELECT p.q_id, p.qv, e.vec_id,
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM probe p
+               JOIN read_parquet('{base}/assign/*.parquet') a USING (cell)
+               JOIN embeddings e ON e.vec_id = a.vec_id),
+         s AS (SELECT q_id, vec_id,
+                      round(list_inner_product(v, qv)
+                            / (sqrt(list_inner_product(v, v))
+                               * sqrt(list_inner_product(qv, qv))), 6) AS sim
+               FROM m),
+         r AS (SELECT q_id, vec_id, sim,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY sim DESC, vec_id) AS rank
+               FROM s)
+    SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= {k}
+    """
+
+
+@register(
+    "similarity_ivf_knn_join",
+    _ivf_knn_sql("kmeans8"),
+    tags=("llm", "X-3", "ivf", "kmeans", "join", "oracle-sf0.01"),
+)
+def similarity_ivf_knn_join(spark, sf_dir):
+    """Approximate 3-NN JOIN through the materialized k-means IVF index
+    (IvfIndex.knn_join): probe cells assigned DISTRIBUTED via a
+    broadcast centroid rank — no driver round-trip, no broadcast of the
+    query set — then a cell equi-join against the cell-partitioned
+    corpus and a per-query rank window.  This is the scale path that
+    removes ``similarity_knn_join``'s broadcast-query-set bound; the
+    DuckDB oracle replays the identical probe + rank over the exported
+    index, so the hash compare verifies the exact approximate result."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivf_index(spark, sf_dir, "kmeans8")
+    _export_ivf_oracle(spark, idx, "kmeans8", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return idx.knn_join(queries, k=3, n_probe=2)
+
+
 _WORDS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
@@ -2961,9 +3024,9 @@ def pack_sequences_q(spark, sf_dir):
 #   16-17  the two round-1 red rows whose fixes have only local green
 #          (multimodal_features, similarity_ivf_kmeans);
 #   18-24  entries that have NEVER had a driver row;
-#   25-28  this round's new entries (entity join, U256 volume,
-#          decontamination, unigram NLL);
-#   29-…   entries last driver-checked in round 1 (green then, but not
+#   25-29  this round's new entries (entity join, U256 volume,
+#          decontamination, unigram NLL, IVF knn-join);
+#   30-…   entries last driver-checked in round 1 (green then, but not
 #          re-checked under the code as it stands now), ordered so the
 #          weakest check (`approx_distinct_users`, rows-only by design)
 #          is the first to fall outside a 50-entry window.
@@ -3088,6 +3151,7 @@ _DRIVER_PRIORITY = [
     "evm_transfer_volume",
     "decontaminate_ngram",
     "unigram_nll",
+    "similarity_ivf_knn_join",
     # -- last checked in round 1 ------------------------------------------
     "lang_id",
     "quality_score",

@@ -330,6 +330,76 @@ class IvfIndex:
             .limit(k)
         )
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 2,
+        *,
+        q_id_col: str = "q_id",
+        q_vec_col: str = "q_vec",
+    ) -> DataFrame:
+        """Approximate k-NN JOIN through the index — the scale path for
+        query sets too large to broadcast (``knn_join`` above holds the
+        whole query side in a broadcast nested loop; this one never
+        does).
+
+        Probe assignment is DISTRIBUTED: the centroid table (n_cells
+        rows — bounded by index design, never by corpus size) broadcasts
+        against the query frame, a per-query rank window keeps the
+        ``n_probe`` most-similar cells (ties → lower cell id, matching
+        :meth:`probe_cells`), and candidates come from a ``cell``
+        equi-join against the cell-partitioned corpus — shuffle keyed by
+        cell, all-pairs never materializes, and dynamic partition
+        pruning can skip unprobed cells' files entirely.  Works for 5
+        queries or 5 billion.
+
+        Output: (q_id, vec_id, sim, rank), rank ≤ k per query — same
+        shape as :func:`knn_join`.
+        """
+        from pyspark.sql import Window
+
+        cent = self.spark.createDataFrame(
+            [
+                (int(c), [float(x) for x in v])
+                for c, v in sorted(self.centroids.items())
+            ],
+            "cell int, centroid array<double>",
+        )
+        csim = cosine(F.col(q_vec_col), F.col("centroid"))
+        by_query = Window.partitionBy(q_id_col)
+        probes = (
+            queries.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    by_query.orderBy(F.desc(csim), F.asc("cell"))
+                ),
+            )
+            .where(F.col("_rk") <= n_probe)
+            .select(q_id_col, q_vec_col, "cell")
+        )
+        cand = probes.join(
+            self.vectors().select(self.id_col, self.vec_col, "cell"), "cell"
+        )
+        scored = cand.select(
+            F.col(q_id_col),
+            F.col(self.id_col),
+            F.round(
+                cosine(F.col(self.vec_col), F.col(q_vec_col)), 6
+            ).alias("sim"),
+        )
+        return (
+            scored.withColumn(
+                "rank",
+                F.row_number().over(
+                    by_query.orderBy(F.desc("sim"), F.asc(self.id_col))
+                ),
+            )
+            .where(F.col("rank") <= k)
+            .select(q_id_col, self.id_col, "sim", "rank")
+        )
+
 
 def ivf_topk(
     embeddings: DataFrame,

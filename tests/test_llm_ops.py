@@ -294,3 +294,31 @@ def test_kmeans_ivf_improves_over_label_cells(emb):
     }
     assert len(trained & exact) >= len(label_cells & exact)
     assert len(trained & exact) >= 5  # real recall from a trained index
+
+
+def test_ivf_knn_join_matches_exact_knn(emb, tmp_path):
+    """The distributed IVF knn-join must agree with the exact broadcast
+    knn_join wherever the probed cells contain the true neighbors, and
+    always return exactly k ranked rows per query with self at rank 1."""
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf", k=8, iters=3)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    approx = idx.knn_join(queries, k=3, n_probe=2).collect()
+    assert len(approx) == 15  # 5 queries x 3 ranks
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["q_id"], []).append(r)
+    exact = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in sim.knn_join(emb, queries, k=3).collect()
+    }
+    recall_hits = 0
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == q_id and rows[0]["sim"] == 1.0  # self
+        recall_hits += sum(
+            1 for r in rows if exact[(q_id, r["rank"])] == r["vec_id"]
+        )
+    # probing 2/8 cells must still find most true neighbors
+    assert recall_hits >= 10

@@ -279,3 +279,16 @@ def test_simhash_export_gated_by_freshness_marker(spark):
     CATALOG["dedup_simhash"].fn(spark, SF).count()
     after = {p.name: p.stat().st_mtime_ns for p in out.iterdir()}
     assert after == before, "simhash export rewritten on a fresh second run"
+
+
+def test_decon_and_nll_broadcast_posture(spark):
+    """decontaminate_ngram joins by n-gram with the (bounded) benchmark
+    side broadcast; unigram_nll broadcasts vocab + 1-row total.  Neither
+    may plan a cartesian product or a sort-merge join against the
+    benchmark/vocab side."""
+    plan = physical_plan(CATALOG["decontaminate_ngram"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+    plan = physical_plan(CATALOG["unigram_nll"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
