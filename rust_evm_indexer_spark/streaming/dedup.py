@@ -33,3 +33,39 @@ def stream_dedup_exact(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_dedup_canonical(
+    docs: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression (the streaming twin of X-2's
+    exact tier): dedup on the canonical-text fingerprint rather than the
+    raw bytes, so re-crawls that differ only in case, punctuation, or
+    whitespace are swallowed as duplicates.
+
+    The fingerprint is ``xxhash64(normalize(text))`` — one codegen'd
+    column, no shuffle before the stateful operator — and the state
+    store holds only fingerprints younger than the watermark delay
+    (arrival-rate x delay, independent of stream lifetime).
+
+    This is the honest streaming tier of near-dedup: banded MinHash/LSH
+    requires cross-bucket joins that batch recomputes cheaply but a
+    stream cannot bound; production pipelines therefore dedup the
+    stream canonically and run the full LSH family in the batch
+    compaction pass (dedup.py::minhash_lsh_pairs) — same split as the
+    ingest/compaction division in the table store."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import normalize_text
+
+    fp = F.xxhash64(normalize_text(text_col))
+    return (
+        docs.withColumn("_canon_fp", fp)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_canon_fp"])
+        .drop("_canon_fp")
+    )

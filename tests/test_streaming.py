@@ -167,3 +167,38 @@ def test_streaming_starts_on_empty_dir(spark, tmp_path):
         assert q.lastProgress is not None
     finally:
         q.stop()
+
+
+def test_stream_dedup_canonical_swallows_formatting_variants(spark, tmp_path):
+    """Near-dup suppression on the canonical fingerprint: a re-crawl
+    differing only in case/punctuation/whitespace is a duplicate; a
+    genuinely different doc is not."""
+    from rust_evm_indexer_spark.streaming.dedup import stream_dedup_canonical
+
+    rows = [
+        (1, "2024-01-01 00:01:00", "The quick brown fox."),
+        (2, "2024-01-01 00:02:00", "the  QUICK   brown fox"),  # canonical dup
+        (3, "2024-01-01 00:03:00", "a different document entirely"),
+        (4, "2024-01-01 00:04:00", "The quick brown fox"),  # dup again
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts_str string, text string"
+    ).select("doc_id", F.col("ts_str").cast("timestamp").alias("ts"), "text")
+    df.coalesce(1).write.parquet(str(tmp_path / "docs_in"))
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(tmp_path / "docs_in")
+    )
+    q = (
+        stream_dedup_canonical(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("canon_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["text"] for r in spark.sql("SELECT text FROM canon_sink").collect()}
+    assert len(got) == 2  # one fox variant + the different doc
+    assert "a different document entirely" in got
