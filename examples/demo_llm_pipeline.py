@@ -1,6 +1,7 @@
 """End-to-end LLM-training-data pipeline demo on the driver tables:
-quality filter → near-dup dedup (MinHash-LSH) → text stats →
-embedding similarity search.
+quality filter → Gopher gate → benchmark decontamination → near-dup
+dedup (MinHash-LSH) → cluster keep-one → perplexity tails → stratified
+sample → sequence packing → embedding similarity search.
 
 Run: python examples/demo_llm_pipeline.py [sf_dir]
 """
@@ -14,7 +15,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F
 
-from rust_evm_indexer_spark.operators import dedup, similarity, textops
+from rust_evm_indexer_spark.operators import corpus, dedup, similarity, textops
 from rust_evm_indexer_spark.session import get_spark
 from rust_evm_indexer_spark.sources.batch import load_driver_table
 
@@ -32,13 +33,48 @@ def main() -> None:
     n1 = kept.count()
     print(f"quality filter: {n0} -> {n1} docs")
 
-    # 2. near-dup dedup (LSH candidates, exact-verified)
-    pairs = dedup.minhash_lsh_pairs(kept, threshold=0.5)
-    survivors = dedup.dedup_survivors(kept, pairs)
-    n2 = survivors.count()
-    print(f"near-dup dedup: {n1} -> {n2} docs ({pairs.count()} dup pairs)")
+    # 2. Gopher-style structural gate
+    gated = kept.join(
+        corpus.gopher_quality(kept).where(F.col("keep")).select("doc_id"),
+        "doc_id",
+    )
+    n1g = gated.count()
+    print(f"gopher gate: {n1} -> {n1g} docs")
 
-    # 3. corpus stats on the cleaned set
+    # 3. benchmark decontamination (synthetic suite: every 20th doc)
+    bench = gated.where(F.col("doc_id") % 20 == 0).select("doc_id")
+    clean = corpus.decontaminate(gated, bench, k=5, min_hits=3)
+    n1d = clean.count()
+    print(f"decontamination: {n1g} -> {n1d} docs "
+          f"(benchmark {bench.count()} docs removed + overlap dropped)")
+
+    # 4. near-dup dedup (LSH candidates, exact-verified) + cluster keep-one
+    pairs = dedup.minhash_lsh_pairs(clean, threshold=0.5)
+    survivors = dedup.dedup_survivors(clean, pairs)
+    n2 = survivors.count()
+    print(f"near-dup dedup: {n1d} -> {n2} docs ({pairs.count()} dup pairs)")
+    clusters = corpus.dedup_clusters(clean, pairs)
+    n_comp = clusters.select("component_id").distinct().count()
+    print(f"cluster keep-one would retain {n_comp} components")
+
+    # 5. perplexity tails (corpus-fit unigram NLL)
+    nll = textops.unigram_nll(survivors)
+    tails = nll.agg(
+        F.expr("percentile(avg_nll, 0.01)").alias("p01"),
+        F.expr("percentile(avg_nll, 0.99)").alias("p99"),
+    ).first()
+    print(f"unigram NLL tails: p01={tails['p01']:.2f} p99={tails['p99']:.2f}")
+
+    # 6. reproducible stratified sample + sequence packing
+    sampled = corpus.stratified_sample(
+        survivors, rates={"en": 0.5}, default_rate=0.25
+    )
+    packed = corpus.pack_sequences(sampled, window_tokens=256)
+    n3 = sampled.count()
+    shards = packed.count()
+    print(f"sample+pack: {n2} -> {n3} docs -> {shards} 256-token shards")
+
+    # 7. corpus stats on the cleaned set
     stats = textops.text_stats(survivors).agg(
         F.round(F.avg("n_words"), 1).alias("avg_words"),
         F.round(F.avg("alpha_ratio"), 3).alias("avg_alpha"),
@@ -46,7 +82,7 @@ def main() -> None:
     print(f"cleaned corpus: avg_words={stats['avg_words']} "
           f"avg_alpha={stats['avg_alpha']}")
 
-    # 4. similarity search over embeddings
+    # 8. similarity search over embeddings
     emb = load_driver_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     top = similarity.brute_force_topk(emb, q, k=5, exclude_ids=(0,)).collect()
