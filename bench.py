@@ -68,9 +68,17 @@ def main() -> None:
     # extra warm-ups run at sf0.001 (500 docs — sub-second) and their
     # session caches are cleared so no measured entry inherits state.
     CATALOG["logs_page_first"].fn(spark, sf_dir).collect()
-    warm_sf = "/root/testdata/sf0.001"
-    CATALOG["dedup_ngram_jaccard"].fn(spark, warm_sf).count()
-    CATALOG["similarity_topk"].fn(spark, warm_sf).count()
+    # prefer the sibling sf0.001 corpus (sub-second); fall back to the
+    # measured corpus itself, and never let a missing warm-up path kill
+    # the run before the JSON line is emitted
+    warm_sf = str(Path(sf_dir).parent / "sf0.001")
+    if not Path(warm_sf).is_dir():
+        warm_sf = sf_dir
+    try:
+        CATALOG["dedup_ngram_jaccard"].fn(spark, warm_sf).count()
+        CATALOG["similarity_topk"].fn(spark, warm_sf).count()
+    except Exception as e:  # warm-up is best-effort by definition
+        print(f"warm-up skipped: {e}", file=sys.stderr)
     clear_session_caches()
 
     timings: dict[str, float] = {}

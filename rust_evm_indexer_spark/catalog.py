@@ -3026,13 +3026,15 @@ def pack_sequences_q(spark, sf_dir):
 #   18-24  entries that have NEVER had a driver row;
 #   25-29  this round's new entries (entity join, U256 volume,
 #          decontamination, unigram NLL, IVF knn-join);
-#   30-…   entries last driver-checked in round 1 (green then, but not
-#          re-checked under the code as it stands now), ordered so the
-#          weakest check (`approx_distinct_users`, rows-only by design)
-#          is the first to fall outside a 50-entry window.
+#   30-50  entries last driver-checked in round 1 (green then, but not
+#          re-checked under the code as it stands now).
 #
-# Entries past the window hold green r2 rows (or, for the sketch entry,
-# only ever a rows-only check); the local replay
+# The list is EXACTLY 50 names (asserted below): every r1-only entry is
+# re-verified except two deliberate drops — `approx_distinct_users`
+# (rows-only by design: a sketch; its exact twin `distinct_agg` IS in
+# the window) and `multimodal_meta` (the simplest of the four X-5
+# entries, whose three heavier siblings are all in the window).  Entries
+# past the window hold green r1/r2 rows; the local replay
 # (tests/test_catalog_oracle.py) still covers ALL entries every run.
 # =====================================================================
 
@@ -3156,7 +3158,6 @@ _DRIVER_PRIORITY = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
-    "multimodal_meta",
     "window_topk_per_group",
     "window_running_sum",
     "window_lag_delta",
@@ -3175,7 +3176,6 @@ _DRIVER_PRIORITY = [
     "dedup_survivors",
     "json_extract_props",
     "json_agg_by_key",
-    "approx_distinct_users",
 ]
 
 
@@ -3183,6 +3183,11 @@ def _reorder_catalog() -> None:
     missing = [n for n in _DRIVER_PRIORITY if n not in CATALOG]
     if missing:  # fail loud at import: a typo here silently re-hides entries
         raise RuntimeError(f"_DRIVER_PRIORITY names unknown entries: {missing}")
+    if len(_DRIVER_PRIORITY) != 50:  # the driver verifies exactly 50 entries
+        raise RuntimeError(
+            f"_DRIVER_PRIORITY must be exactly 50 names (the driver's "
+            f"CORRECTNESS window), got {len(_DRIVER_PRIORITY)}"
+        )
     ordered = {n: CATALOG[n] for n in _DRIVER_PRIORITY}
     ordered.update((n, e) for n, e in CATALOG.items() if n not in ordered)
     CATALOG.clear()

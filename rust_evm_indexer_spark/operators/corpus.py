@@ -329,7 +329,6 @@ def contamination_report(
     *,
     k: int = 5,
     min_hits: int = 1,
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Benchmark-overlap decontamination — the standard n-gram filter a
     training pipeline runs so eval benchmarks don't leak into the
@@ -351,27 +350,30 @@ def contamination_report(
     :func:`~.dedup.word_shingles` (distinct word k-grams of the
     normalized text), so one shared shingle scan can feed dedup AND
     decontamination in the same pass.
+
+    Schema contract (matching :func:`~.dedup.word_shingles`): ``docs``
+    carries ``doc_id`` + ``text``; ``benchmark_ids`` carries ``doc_id``.
     """
     from .dedup import word_shingles
 
     sh = word_shingles(docs, k=k)
     bench_grams = (
-        sh.join(F.broadcast(benchmark_ids), id_col, "left_semi")
+        sh.join(F.broadcast(benchmark_ids), "doc_id", "left_semi")
         .select("shingle")
         .distinct()
     )
-    train_sh = sh.join(F.broadcast(benchmark_ids), id_col, "left_anti")
+    train_sh = sh.join(F.broadcast(benchmark_ids), "doc_id", "left_anti")
     # word_shingles emits distinct (doc, shingle) rows and bench_grams is
     # distinct, so the equi-join yields ≤1 row per (doc, shared n-gram):
     # count(*) IS the distinct-overlap count
     hits = (
         train_sh.join(F.broadcast(bench_grams), "shingle")
-        .groupBy(id_col)
+        .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
-    train = docs.join(benchmark_ids, id_col, "left_anti").select(id_col)
-    return train.join(hits, id_col, "left").select(
-        F.col(id_col),
+    train = docs.join(benchmark_ids, "doc_id", "left_anti").select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        F.col("doc_id"),
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
     )
@@ -383,12 +385,10 @@ def decontaminate(
     *,
     k: int = 5,
     min_hits: int = 1,
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Training corpus with contaminated documents dropped (the apply
-    side of :func:`contamination_report`)."""
-    rep = contamination_report(
-        docs, benchmark_ids, k=k, min_hits=min_hits, id_col=id_col
-    )
-    keep = rep.where(~F.col("contaminated")).select(id_col)
-    return docs.join(keep, id_col, "left_semi")
+    side of :func:`contamination_report`; same ``doc_id``/``text``
+    schema contract)."""
+    rep = contamination_report(docs, benchmark_ids, k=k, min_hits=min_hits)
+    keep = rep.where(~F.col("contaminated")).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")

@@ -62,7 +62,14 @@ def stream_dedup_canonical(
 
     from ..operators.dedup import normalize_text
 
-    fp = F.xxhash64(normalize_text(text_col))
+    # NULL text must pass through un-deduped: the stateful operator
+    # treats NULL keys as equal, so without the guard every malformed
+    # (text-less) record after the first would be silently swallowed as
+    # a "duplicate" of unrelated records.  A per-row random fingerprint
+    # exempts them from the key space.
+    fp = F.when(
+        F.col(text_col).isNull(), F.xxhash64(F.expr("uuid()"))
+    ).otherwise(F.xxhash64(normalize_text(text_col)))
     return (
         docs.withColumn("_canon_fp", fp)
         .withWatermark(ts_col, watermark)

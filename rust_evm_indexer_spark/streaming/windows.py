@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 from pyspark.sql.window import Window
 
 from ..functions.timeutil import ts_micros
@@ -152,11 +153,18 @@ def streaming_hourly_counts(
     p = Path(events_dir)
     try:
         schema = spark.read.parquet(str(p)).schema
-    except Exception:
-        # empty/not-yet-created directory: fall back to the driver events
-        # schema (TESTDATA.md) so the stream can start before any data
-        # arrives — the batch probe only exists to sniff the ts physical
-        # type, and the NTZ branch below handles files that arrive later
+    except AnalysisException:
+        # empty/not-yet-created directory ([PATH_NOT_FOUND] /
+        # [UNABLE_TO_INFER_SCHEMA]): fall back to the driver events
+        # schema in its CURRENT micros-NTZ flavor (TESTDATA.md;
+        # verified: ts is Timestamp(isAdjustedToUTC=false, MICROS)) so
+        # the stream can start before any data arrives.  The probe only
+        # exists to sniff the ts physical type; the legacy nanos-long
+        # flavor from earlier rounds still requires a non-empty
+        # directory at start, because a file stream's schema is fixed
+        # at start time.  Only AnalysisException is caught — a corrupt
+        # file or permission error on a NON-empty directory must fail
+        # loudly, not silently mis-declare the schema.
         schema = T.StructType(
             [
                 T.StructField("event_id", T.LongType()),

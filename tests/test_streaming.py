@@ -202,3 +202,37 @@ def test_stream_dedup_canonical_swallows_formatting_variants(spark, tmp_path):
     got = {r["text"] for r in spark.sql("SELECT text FROM canon_sink").collect()}
     assert len(got) == 2  # one fox variant + the different doc
     assert "a different document entirely" in got
+
+
+def test_stream_dedup_canonical_passes_null_text_through(spark, tmp_path):
+    """Malformed (text-less) records are exempt from the dedup key space:
+    NULL keys would otherwise compare equal in the state store and
+    swallow unrelated records as duplicates."""
+    from rust_evm_indexer_spark.streaming.dedup import stream_dedup_canonical
+
+    rows = [
+        (1, "2024-01-01 00:01:00", None),
+        (2, "2024-01-01 00:02:00", None),
+        (3, "2024-01-01 00:03:00", None),
+        (4, "2024-01-01 00:04:00", "real content"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts_str string, text string"
+    ).select("doc_id", F.col("ts_str").cast("timestamp").alias("ts"), "text")
+    df.coalesce(1).write.parquet(str(tmp_path / "null_in"))
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(tmp_path / "null_in")
+    )
+    q = (
+        stream_dedup_canonical(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("null_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM null_sink").collect()}
+    assert got == {1, 2, 3, 4}  # all three null-text rows survive

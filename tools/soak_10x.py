@@ -44,9 +44,14 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SRC = Path("/root/testdata/sf0.1")
-SOAK = REPO / ".soak_cache" / "sf1_10x"
+SOAK = REPO / ".soak_cache" / "sf1_10x_v2"
 COPIES = 10
 ID_STRIDE = 10_000_000
+# word-suffix marker: must survive normalize_text (alphanumeric) and be
+# absent from the source corpus, else a copy-0 word could collide with a
+# suffixed copy-k word and create cross-copy shingles (a plain digit
+# suffix collides with any digit-final word).  Checked at build time.
+MARKER = "qz"
 
 
 def build_corpus() -> None:
@@ -55,15 +60,22 @@ def build_corpus() -> None:
     SOAK.mkdir(parents=True, exist_ok=True)
 
     docs = pq.read_table(SRC / "documents.parquet").to_pandas()
+    # precondition for exact-10x linearity: no source word may already
+    # contain the marker bigram, else suffixing creates cross-copy
+    # shingle collisions and the linearity assertions fail spuriously
+    assert not docs["text"].str.contains(MARKER, case=False).any(), (
+        f"source corpus contains the marker {MARKER!r}; pick another"
+    )
     out = []
     for k in range(COPIES):
         c = docs.copy()
         c["doc_id"] = c["doc_id"] + k * ID_STRIDE
         if k:
-            # suffix every word with the copy index: intra-copy shingle
-            # relations preserved, cross-copy shingles disjoint
+            # suffix every word with a marked copy index ("fox" ->
+            # "foxqz1"): intra-copy shingle relations preserved,
+            # cross-copy shingles disjoint even for digit-final words
             c["text"] = c["text"].map(
-                lambda t, k=k: re.sub(r"(\w+)", rf"\g<1>{k}", t)
+                lambda t, k=k: re.sub(r"(\w+)", rf"\g<1>{MARKER}{k}", t)
             )
         out.append(c)
     big_docs = pa.Table.from_pandas(
