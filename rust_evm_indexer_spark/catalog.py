@@ -3024,16 +3024,19 @@ def pack_sequences_q(spark, sf_dir):
 #   16-17  the two round-1 red rows whose fixes have only local green
 #          (multimodal_features, similarity_ivf_kmeans);
 #   18-24  entries that have NEVER had a driver row;
-#   25-29  this round's new entries (entity join, U256 volume,
+#   25-31  this round's new entries (entity joins, U256 analytics,
 #          decontamination, unigram NLL, IVF knn-join);
-#   30-50  entries last driver-checked in round 1 (green then, but not
+#   32-50  entries last driver-checked in round 1 (green then, but not
 #          re-checked under the code as it stands now).
 #
-# The list is EXACTLY 50 names (asserted below): every r1-only entry is
-# re-verified except two deliberate drops — `approx_distinct_users`
-# (rows-only by design: a sketch; its exact twin `distinct_agg` IS in
-# the window) and `multimodal_meta` (the simplest of the four X-5
-# entries, whose three heavier siblings are all in the window).  Entries
+# The list is EXACTLY 50 names (asserted below): every entry that has
+# never had a driver row is in the window; r1-only entries are
+# re-verified except four deliberate drops to make room —
+# `approx_distinct_users` (rows-only by design: a sketch; its exact twin
+# `distinct_agg` IS in the window), `multimodal_meta` (simplest of the
+# four X-5 entries, its three heavier siblings all in-window), and
+# `window_running_sum`/`window_lag_delta` (window-function archetypes
+# whose most complex cousin `window_topk_per_group` stays in).  Entries
 # past the window hold green r1/r2 rows; the local replay
 # (tests/test_catalog_oracle.py) still covers ALL entries every run.
 # =====================================================================
@@ -3080,6 +3083,71 @@ def decontaminate_ngram_q(spark, sf_dir):
     return cp.contamination_report(
         docs, bench, k=_DECON_K, min_hits=_DECON_MIN_HITS
     )
+
+
+@register(
+    "evm_address_activity",
+    f"""
+    WITH t AS (SELECT from_address, to_address, value
+               FROM read_parquet('{_EVM_TXS_PQ}')),
+    u AS (SELECT from_address AS address, 1 AS n_s, 0 AS n_r,
+                 CAST(value AS HUGEINT) AS w_s, CAST(0 AS HUGEINT) AS w_r
+          FROM t
+          UNION ALL
+          SELECT to_address, 0, 1, CAST(0 AS HUGEINT), CAST(value AS HUGEINT)
+          FROM t WHERE to_address IS NOT NULL)
+    SELECT address, CAST(SUM(n_s) AS BIGINT) AS n_sent,
+           CAST(SUM(n_r) AS BIGINT) AS n_recv,
+           CAST(SUM(w_s) AS VARCHAR) AS wei_sent,
+           CAST(SUM(w_r) AS VARCHAR) AS wei_recv
+    FROM u GROUP BY 1
+    """,
+    tags=("evm-native", "u256", "§2c"),
+)
+def evm_address_activity_q(spark, sf_dir):
+    """Per-address activity rollup (operators/joins.py:address_activity):
+    sent/received counts + exact wei totals from the U256 value strings,
+    one unpivot + one shuffle.  Wei decimals are emitted as canonical
+    digit strings so DecimalType and DuckDB HUGEINT hash identically."""
+    from .operators.joins import address_activity
+
+    out = address_activity(_evm_tables(spark)["transactions"])
+    return out.select(
+        "address",
+        "n_sent",
+        "n_recv",
+        F.col("wei_sent").cast("string").alias("wei_sent"),
+        F.col("wei_recv").cast("string").alias("wei_recv"),
+    )
+
+
+@register(
+    "evm_block_activity",
+    f"""
+    WITH tx AS (SELECT block_hash, count(*) AS n_txs,
+                       sum(CASE WHEN status = 1 THEN 1 ELSE 0 END) AS n_ok
+                FROM read_parquet('{_EVM_TXS_PQ}') GROUP BY 1),
+    lg AS (SELECT block_hash, count(*) AS n_logs
+           FROM read_parquet('{_EVM_LOGS_PQ}') GROUP BY 1)
+    SELECT b.block_hash, b.block_number, b.timestamp,
+           CAST(COALESCE(tx.n_txs, 0) AS BIGINT) AS n_txs,
+           CAST(COALESCE(tx.n_ok, 0) AS BIGINT) AS n_ok,
+           CAST(COALESCE(lg.n_logs, 0) AS BIGINT) AS n_logs
+    FROM read_parquet('{_EVM_BLOCKS_PQ}') b
+    LEFT JOIN tx ON b.block_hash = tx.block_hash
+    LEFT JOIN lg ON b.block_hash = lg.block_hash
+    """,
+    tags=("evm-native", "joins", "§2c"),
+)
+def evm_block_activity_q(spark, sf_dir):
+    """Per-block rollup (operators/joins.py:block_activity): tx count,
+    success count, log count — partial aggregates computed per child
+    table THEN joined, so shuffles carry one row per block rather than
+    one per tx/log (aggregate-then-join at any scale)."""
+    from .operators.joins import block_activity
+
+    t = _evm_tables(spark)
+    return block_activity(t["blocks"], t["transactions"], t["logs"])
 
 
 @register(
@@ -3151,6 +3219,8 @@ _DRIVER_PRIORITY = [
     # -- new this round ---------------------------------------------------
     "evm_join_enriched",
     "evm_transfer_volume",
+    "evm_address_activity",
+    "evm_block_activity",
     "decontaminate_ngram",
     "unigram_nll",
     "similarity_ivf_knn_join",
@@ -3159,8 +3229,6 @@ _DRIVER_PRIORITY = [
     "quality_score",
     "doc_fingerprint",
     "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_delta",
     "events_sessionize",
     "rollup_orders",
     "cube_lineitem",
