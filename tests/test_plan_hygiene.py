@@ -292,3 +292,17 @@ def test_decon_and_nll_broadcast_posture(spark):
     plan = physical_plan(CATALOG["unigram_nll"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_r3_evm_and_ann_join_plans(spark):
+    """Round-3 entries keep their designed shuffle shapes: the IVF knn
+    join's only nested loop is the bounded centroid broadcast; address
+    activity is a single hash shuffle on the group key; block activity
+    aggregates before joining (no cartesian anywhere)."""
+    plan = physical_plan(CATALOG["similarity_ivf_knn_join"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    plan = physical_plan(CATALOG["evm_address_activity"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    plan = physical_plan(CATALOG["evm_block_activity"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
