@@ -111,6 +111,11 @@ def main() -> None:
     )
     spark.stop()  # stop BEFORE printing: no JVM output can trail the line
     line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1950:  # stay under ~2 KB line-buffer capture windows
+        result["queries"] = {
+            n: round(t, 1) for n, t in result["queries"].items()
+        }
+        line = json.dumps(result, separators=(",", ":"))
     print(line, flush=True)
 
 
