@@ -110,11 +110,19 @@ def main() -> None:
         )
     )
     spark.stop()  # stop BEFORE printing: no JVM output can trail the line
+    # stay under ~2 KB line-buffer capture windows, degrading gracefully:
+    # 2dp -> 1dp -> drop sub-second entries from the stdout map (they
+    # remain in the sidecar), recording how many were elided.  The line
+    # must ALWAYS parse; per-query detail is the first thing sacrificed.
     line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 1950:  # stay under ~2 KB line-buffer capture windows
-        result["queries"] = {
-            n: round(t, 1) for n, t in result["queries"].items()
-        }
+    if len(line) > 1950:
+        result["queries"] = {n: round(t, 1) for n, t in result["queries"].items()}
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1950:
+        q = result["queries"]
+        kept = {n: t for n, t in q.items() if t >= 1.0}
+        result["queries"] = kept
+        result["queries_elided_sub_1s"] = len(q) - len(kept)
         line = json.dumps(result, separators=(",", ":"))
     print(line, flush=True)
 

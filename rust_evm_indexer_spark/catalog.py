@@ -3091,10 +3091,12 @@ def decontaminate_ngram_q(spark, sf_dir):
     WITH t AS (SELECT from_address, to_address, value
                FROM read_parquet('{_EVM_TXS_PQ}')),
     u AS (SELECT from_address AS address, 1 AS n_s, 0 AS n_r,
-                 CAST(value AS HUGEINT) AS w_s, CAST(0 AS HUGEINT) AS w_r
+                 TRY_CAST(value AS DECIMAL(38,0)) AS w_s,
+                 CAST(0 AS DECIMAL(38,0)) AS w_r
           FROM t
           UNION ALL
-          SELECT to_address, 0, 1, CAST(0 AS HUGEINT), CAST(value AS HUGEINT)
+          SELECT to_address, 0, 1, CAST(0 AS DECIMAL(38,0)),
+                 TRY_CAST(value AS DECIMAL(38,0))
           FROM t WHERE to_address IS NOT NULL)
     SELECT address, CAST(SUM(n_s) AS BIGINT) AS n_sent,
            CAST(SUM(n_r) AS BIGINT) AS n_recv,
@@ -3108,7 +3110,10 @@ def evm_address_activity_q(spark, sf_dir):
     """Per-address activity rollup (operators/joins.py:address_activity):
     sent/received counts + exact wei totals from the U256 value strings,
     one unpivot + one shuffle.  Wei decimals are emitted as canonical
-    digit strings so DecimalType and DuckDB HUGEINT hash identically."""
+    digit strings, and the oracle mirrors the engine's overflow contract
+    exactly (TRY_CAST to DECIMAL(38,0): values >= 10^38 become NULL and
+    drop out of the sum on BOTH engines — same policy as
+    functions/evm.py:u256_to_decimal)."""
     from .operators.joins import address_activity
 
     out = address_activity(_evm_tables(spark)["transactions"])

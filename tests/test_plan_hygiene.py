@@ -296,13 +296,26 @@ def test_decon_and_nll_broadcast_posture(spark):
 
 def test_r3_evm_and_ann_join_plans(spark):
     """Round-3 entries keep their designed shuffle shapes: the IVF knn
-    join's only nested loop is the bounded centroid broadcast; address
-    activity is a single hash shuffle on the group key; block activity
-    aggregates before joining (no cartesian anywhere)."""
+    join's only nested loops are the bounded centroid broadcast (an
+    IdentityBroadcastMode cross of n_cells rows); address activity is a
+    single hash shuffle on the group key; block activity aggregates
+    BEFORE joining — its only hash shuffles are block_hash-keyed partial
+    aggregations, and the joins consume the aggregated (one row per
+    block) sides as broadcasts, never a row-per-tx/log shuffle join."""
     plan = physical_plan(CATALOG["similarity_ivf_knn_join"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan
+    n_bnlj = plan.count("+- BroadcastNestedLoopJoin")
+    assert n_bnlj >= 1, plan
+    assert plan.count("+- BroadcastNestedLoopJoin Cross BuildRight") == n_bnlj, plan
+
     plan = physical_plan(CATALOG["evm_address_activity"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
     plan = physical_plan(CATALOG["evm_block_activity"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    import re
+
+    shuffles = re.findall(r"hashpartitioning\(([A-Za-z_]+)#", plan)
+    assert shuffles and all(k == "block_hash" for k in shuffles), plan
