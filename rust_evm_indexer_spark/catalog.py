@@ -1668,6 +1668,32 @@ def events_hourly_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "events_sliding_rollup",
+    """
+    WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+    w AS (SELECT (CAST(floor(t / 900000000) AS BIGINT) * 900000000)
+                   - k * 900000000 AS w_start_us,
+                 event_type
+          FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+    SELECT w_start_us, event_type, COUNT(*) AS n FROM w GROUP BY 1, 2
+    """,
+    tags=("evm-shape", "agg", "time", "sliding", "X-6"),
+)
+def events_sliding_rollup(spark, sf_dir):
+    """Sliding-window rollup (1 h window, 15 min slide — the overlapping
+    twin of ``events_hourly_rollup``): each event lands in exactly
+    width/slide = 4 windows.  The oracle replays Spark's epoch-aligned
+    window() semantics arithmetically: window starts are the four
+    15-minute boundaries at or before the event, all within 1 h."""
+    from .streaming.windows import sliding_window_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_stats(
+        ev, "1 hour", "15 minutes", watermark=None
+    )
+
+
 # =====================================================================
 # LLM-data-pipeline operators (X-1..X-5, SURVEY.md §2d) on documents /
 # embeddings.  Implementations live in operators/{dedup,similarity,
@@ -3036,7 +3062,9 @@ def pack_sequences_q(spark, sf_dir):
 # `distinct_agg` IS in the window), `multimodal_meta` (simplest of the
 # four X-5 entries, its three heavier siblings all in-window), and
 # `window_running_sum`/`window_lag_delta` (window-function archetypes
-# whose most complex cousin `window_topk_per_group` stays in).  Entries
+# whose most complex cousin `window_topk_per_group` stays in), and
+# `pivot_order_status` (displaced by the new oracle-gated sliding-window
+# entry).  Entries
 # past the window hold green r1/r2 rows; the local replay
 # (tests/test_catalog_oracle.py) still covers ALL entries every run.
 # =====================================================================
@@ -3235,13 +3263,13 @@ _DRIVER_PRIORITY = [
     "doc_fingerprint",
     "window_topk_per_group",
     "events_sessionize",
+    "events_sliding_rollup",
     "rollup_orders",
     "cube_lineitem",
     "distinct_agg",
     "set_ops_customers",
     "semi_join_exists",
     "anti_join_not_exists",
-    "pivot_order_status",
     "asof_join_events",
     "range_join_events",
     "median_per_type",
