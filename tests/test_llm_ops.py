@@ -322,3 +322,136 @@ def test_ivf_knn_join_matches_exact_knn(emb, tmp_path):
         )
     # probing 2/8 cells must still find most true neighbors
     assert recall_hits >= 10
+
+
+# -- pure-Python xxHash64: independent verification of the simhash
+# signature basis.  Spark's xxhash64 cannot be replayed in DuckDB, so
+# the catalog oracle for dedup_simhash verifies the PAIR computation
+# over exported signatures; this reimplementation (straight from the
+# public xxHash64 spec, seed 42 = Spark's default) closes the remaining
+# gap by verifying the signature computation itself — normalization,
+# shingling, hashing, and the per-bit majority vote — against an engine
+# that shares no code with Spark.
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc, inp):
+    acc = (acc + inp * _P2) & _M64
+    return (_rotl64(acc, 31) * _P1) & _M64
+
+
+def _xxh_merge(acc, val):
+    acc ^= _xxh_round(0, val)
+    return (acc * _P1 + _P4) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """xxHash64 (public spec), returned as Spark's signed long."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _xxh_merge(h, v)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xxh_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl64(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl64(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _py_simhash(text: str, k: int = 3) -> int | None:
+    """Reference simhash: normalize → distinct word k-grams → xxh64 →
+    per-bit ±1 majority vote (ties → 0, matching `> 0`)."""
+    import re
+
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", "", text.lower())).strip()
+    words = norm.split(" ")
+    grams = {
+        " ".join(words[j : j + k]) for j in range(len(words) - k + 1)
+    } - {""}
+    if not grams:
+        return None
+    votes = [0] * 64
+    for g in grams:
+        h = _xxh64(g.encode("utf-8")) & _M64
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_xxhash64_matches_spark(spark):
+    """The pure-Python xxHash64 agrees with Spark's builtin on every
+    length class (empty, <4, 4-7, 8-15, 16-31, >=32 bytes)."""
+    strs = ["", "a", "abc", "word", "1234567", "12345678", "x" * 15,
+            "y" * 16, "z" * 31, "w" * 32, "v" * 57,
+            "the quick brown fox jumps over the lazy dog"]
+    got = spark.createDataFrame([(s,) for s in strs], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    ).collect()
+    for r in got:
+        assert _xxh64(r["s"].encode("utf-8")) == r["h"], repr(r["s"])
+
+
+def test_simhash_signatures_match_pure_python(docs):
+    """End-to-end signature parity: Spark's simhash_signatures (split /
+    regex / xxhash64 / 64 vote-sums, all JVM builtins) equals the pure-
+    Python reference for EVERY sf0.01 document — the cross-engine check
+    the DuckDB oracle cannot provide for a hash it lacks."""
+    spark_sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dd.simhash_signatures(docs).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    assert len(spark_sigs) > 0
+    checked = 0
+    for r in rows:
+        expect = _py_simhash(r["text"])
+        if expect is None:
+            assert r["doc_id"] not in spark_sigs
+            continue
+        assert spark_sigs[r["doc_id"]] == expect, r["doc_id"]
+        checked += 1
+    assert checked == len(spark_sigs)
