@@ -445,22 +445,33 @@ def reorg_rollup_exact(spark, sf_dir):
     rollup maintained as per-batch partials (ingest/rollup.py) and
     retracted block-exactly by ``rollback_from`` — compared against a
     direct re-aggregation of the converged base tables."""
+    from .functions.timeutil import require_utc_session
     from .ingest.rollup import read_rollup
     from .store import TableStore
 
     # hour_ts is TIMESTAMP (LTZ): ts_micros requires a UTC session tz
-    # (see functions/timeutil.py) — pin it here unconditionally, not just
-    # in the fixture-build branch, so a cache-hit path in a non-UTC
-    # session can't silently shift the epochs
+    # (functions/timeutil.py) — pin it for the fixture build AND the
+    # plan analysis, then RESTORE the caller's tz (ADVICE r3: a catalog
+    # entry must not mutate global session state for later entries).
+    # Restoring after construction is safe: DataFrame analysis is eager
+    # and ResolveTimeZone stamps the UTC timeZoneId into the LTZ→NTZ
+    # cast at analysis time, so collection under a different session tz
+    # cannot shift the epochs (proven by the America/New_York drive in
+    # tools/drive_driver_contract.py).
+    prior = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    root = _ensure_reorg_fixture(spark)
-    store = TableStore(spark, root / "store")
-    return read_rollup(store).select(
-        ts_micros("hour_ts").alias("hour_us"),
-        "contract_address",
-        "topic0",
-        "n_logs",
-    )
+    try:
+        require_utc_session(spark)  # the ts_micros-on-LTZ precondition
+        root = _ensure_reorg_fixture(spark)
+        store = TableStore(spark, root / "store")
+        return read_rollup(store).select(
+            ts_micros("hour_ts").alias("hour_us"),
+            "contract_address",
+            "topic0",
+            "n_logs",
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
 
 
 # ---------------------------------------------------------------------
@@ -3111,35 +3122,37 @@ def pack_sequences_q(spark, sf_dir):
 
 
 # =====================================================================
-# Driver-contract registration order (VERDICT.md r2 item 1).
+# Driver-contract registration order (freshness rotation, VERDICT r3
+# item 1).
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of
 # ``queries()`` in registration order (verified: the r2 key list equals
 # ``list(CATALOG)[:50]``).  Decorator order in this file reflects the
 # narrative build order, so the dict is re-keyed here into verification
-# priority instead:
+# priority instead.  Round-4 window — oldest-green-first rotation:
 #
-#   1-15   the flagship logs/evm/stats surface (the reference's core);
-#   16-17  the two round-1 red rows whose fixes have only local green
-#          (multimodal_features, similarity_ivf_kmeans);
-#   18-24  entries that have NEVER had a driver row;
-#   25-31  this round's new entries (entity joins, U256 analytics,
-#          decontamination, unigram NLL, IVF knn-join);
-#   32-50  entries last driver-checked in round 1 (green then, but not
-#          re-checked under the code as it stands now).
+#   1-15   the flagship logs/evm/stats surface (kept every round — the
+#          reference's core);
+#   16-19  the four entries green ONLY on round-1 code
+#          (multimodal_meta, window_running_sum, window_lag_delta,
+#          pivot_order_status) — the stalest rows in the catalog;
+#   20     approx_distinct_users — first-ever driver row, now
+#          hash-matchable via the deterministic HLL bound check;
+#   21-44  the r2-green cohort not re-checked in r3: all 22 TPC-H
+#          archetypes, orders_having, events_hourly_rollup — the
+#          ts_micros rewrite touched every timestamp-bearing oracle
+#          here, so these carry the most churn risk;
+#   45-50  dedup family + similarity_ivf_topk (r2-green; the simhash
+#          marker and IVF oracle changed THIS round).
 #
-# The list is EXACTLY 50 names (asserted below): every entry that has
-# never had a driver row is in the window; r1-only entries are
-# re-verified except four deliberate drops to make room —
-# `approx_distinct_users` (rows-only by design: a sketch; its exact twin
-# `distinct_agg` IS in the window), `multimodal_meta` (simplest of the
-# four X-5 entries, its three heavier siblings all in-window), and
-# `window_running_sum`/`window_lag_delta` (window-function archetypes
-# whose most complex cousin `window_topk_per_group` stays in), and
-# `pivot_order_status` (displaced by the new oracle-gated sliding-window
-# entry).  Entries
-# past the window hold green r1/r2 rows; the local replay
-# (tests/test_catalog_oracle.py) still covers ALL entries every run.
+# Deliberately deferred to round 5 (r2-green, lowest churn — trivial
+# stable operators whose code paths are untouched since r2):
+# dedup_exact, similarity_topk, similarity_knn_join, text_stats,
+# token_counts.  Also out-of-window: the 45 r3-green entries (1 round
+# old).  The expected out-of-window set is pinned by
+# tests/test_catalog_oracle.py::test_driver_window_drop_list (ADVICE r3
+# item 5) so a reorder can't silently drop external coverage, and the
+# local replay still covers ALL 90 entries every run.
 # =====================================================================
 
 # benchmark-overlap decontamination: the synthetic "benchmark suite" is
@@ -3265,7 +3278,8 @@ def evm_block_activity_q(spark, sf_dir):
     v AS (SELECT word, count(*) AS c FROM w2 GROUP BY 1),
     tot AS (SELECT sum(c) AS t FROM v)
     SELECT doc_id, count(*) AS n_words,
-           round(avg(-ln(CAST(c AS DOUBLE) / t)), 6) AS avg_nll
+           round(CAST(sum(CAST(-ln(CAST(c AS DOUBLE) / t) AS DECIMAL(27,15)))
+                      AS DOUBLE) / count(*), 6) AS avg_nll
     FROM w2 JOIN v USING (word), tot GROUP BY doc_id
     """,
     tags=("llm", "X-4", "perplexity"),
@@ -3295,7 +3309,7 @@ def clear_session_caches() -> None:
 
 
 _DRIVER_PRIORITY = [
-    # -- flagship (r2-green, keep first) --------------------------------
+    # -- flagship (green r1+r2+r3, keep first every round) --------------
     "logs_page_first",
     "logs_filter_eq",
     "logs_filter_conj",
@@ -3311,45 +3325,45 @@ _DRIVER_PRIORITY = [
     "evm_logs_cursor_page",
     "evm_logs_blockhash_override",
     "reorg_rollup_exact",
-    # -- round-1 failures, fixed but never driver-confirmed -------------
-    "multimodal_features",
-    "similarity_ivf_kmeans",
-    # -- never driver-checked -------------------------------------------
-    "multimodal_resize",
-    "multimodal_frames",
-    "dedup_clusters",
-    "gopher_quality",
-    "pii_redact",
-    "sample_stratified",
-    "pack_sequences",
-    # -- new this round ---------------------------------------------------
-    "evm_join_enriched",
-    "evm_transfer_volume",
-    "evm_address_activity",
-    "evm_block_activity",
-    "decontaminate_ngram",
-    "unigram_nll",
-    "similarity_ivf_knn_join",
-    # -- last checked in round 1 ------------------------------------------
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "window_topk_per_group",
-    "events_sessionize",
-    "events_sliding_rollup",
-    "rollup_orders",
-    "cube_lineitem",
-    "distinct_agg",
-    "set_ops_customers",
-    "semi_join_exists",
-    "anti_join_not_exists",
-    "asof_join_events",
-    "range_join_events",
-    "median_per_type",
-    "orders_monthly",
-    "dedup_survivors",
-    "json_extract_props",
-    "json_agg_by_key",
+    # -- green only on round-1 code (stalest rows) ----------------------
+    "multimodal_meta",
+    "window_running_sum",
+    "window_lag_delta",
+    "pivot_order_status",
+    # -- never hash-green: first driver row for the HLL bound check -----
+    "approx_distinct_users",
+    # -- r2-green cohort, not re-checked in r3 (ts_micros churn) --------
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_check",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_avg",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_excess_sellers",
+    "q21_sole_supplier",
+    "q22_idle_customers",
+    "orders_having",
+    "events_hourly_rollup",
+    # -- r2-green dedup family + the IVF entry whose oracle changed -----
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "similarity_ivf_topk",
 ]
 
 

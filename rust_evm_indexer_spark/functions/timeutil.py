@@ -38,3 +38,22 @@ def ts_micros(col: Column | str) -> Column:
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
     # comparing against TIMESTAMP_NTZ never consults a timezone
     return F.timestamp_diff("MICROSECOND", epoch, c.cast("timestamp_ntz"))
+
+
+def require_utc_session(spark) -> None:
+    """Assert :func:`ts_micros`'s HARD PRECONDITION for TIMESTAMP (LTZ)
+    input: the session timezone must be UTC, or the LTZ→NTZ rendering
+    silently shifts every epoch by the zone offset.  Call this at any
+    site that applies ``ts_micros`` to an LTZ column (NTZ/DATE input
+    never consults a timezone and needs no guard).  Raises instead of
+    returning wrong data — a shifted epoch is a silent-corruption bug,
+    not a recoverable condition."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            "ts_micros over a TIMESTAMP (LTZ) column requires "
+            f"spark.sql.session.timeZone=UTC (session has {tz!r}): the "
+            "LTZ value would be rendered as a wall clock in that zone "
+            "and the extracted epoch silently shifted.  Pin UTC before "
+            "building the plan (see catalog.reorg_rollup_exact)."
+        )

@@ -148,8 +148,15 @@ def unigram_nll(df: DataFrame, text_col: str = "text") -> DataFrame:
     it broadcasts even when the corpus doesn't), one 1-row total joined
     by broadcast, then a word-keyed equi-join back to the exploded
     corpus and a per-doc average.  No Python; all whole-stage codegen.
-    The mean is rounded to 6dp so partial-sum association order can't
-    leak into cross-engine hash compares (same policy as ``cos_sim``).
+
+    Cross-engine determinism: a grouped AVG over doubles sums in
+    partition order, which differs between Spark and DuckDB — a 6dp
+    round can't fix a mean that straddles a rounding boundary (ADVICE
+    r3).  The per-word NLLs are therefore accumulated through
+    DECIMAL(27,15) — exact, order-independent integer arithmetic — and
+    only the final sum/count division happens in double before the 6dp
+    round, so both engines see bit-identical means by construction
+    (same policy as the verify-skill decimal-aggregation rule).
     """
     from .dedup import normalize_text
 
@@ -166,6 +173,12 @@ def unigram_nll(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias("avg_nll"),
+            F.round(
+                F.sum(
+                    (-F.log(F.col("c") / F.col("t"))).cast("decimal(27,15)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_nll"),
         )
     )

@@ -41,6 +41,7 @@ def stream_dedup_canonical(
     watermark: str = "10 minutes",
     ts_col: str = "ts",
     text_col: str = "text",
+    id_col: str | None = "doc_id",
 ) -> DataFrame:
     """Streaming NEAR-duplicate suppression (the streaming twin of X-2's
     exact tier): dedup on the canonical-text fingerprint rather than the
@@ -65,11 +66,23 @@ def stream_dedup_canonical(
     # NULL text must pass through un-deduped: the stateful operator
     # treats NULL keys as equal, so without the guard every malformed
     # (text-less) record after the first would be silently swallowed as
-    # a "duplicate" of unrelated records.  A per-row random fingerprint
-    # exempts them from the key space.
-    fp = F.when(
-        F.col(text_col).isNull(), F.xxhash64(F.expr("uuid()"))
-    ).otherwise(F.xxhash64(normalize_text(text_col)))
+    # a "duplicate" of unrelated records.  The exemption key is derived
+    # from STABLE row identity (a salted hash of ``id_col``), not
+    # ``uuid()``: uuid() is re-seeded on query restart, so null-text
+    # rows replayed across a checkpoint recovery would get fresh
+    # fingerprints and be emitted twice, breaking the exactly-once
+    # contract the watermarked dedup otherwise provides (ADVICE r3).
+    # Side effect (intended): a re-DELIVERY of the same null-text row id
+    # within the watermark is correctly swallowed as a duplicate.
+    # ``id_col=None`` falls back to uuid() for id-less streams — single-
+    # run semantics only; duplicates possible across restart replay.
+    if id_col is not None:
+        null_fp = F.xxhash64(F.lit("__null_text__"), F.col(id_col))
+    else:
+        null_fp = F.xxhash64(F.expr("uuid()"))
+    fp = F.when(F.col(text_col).isNull(), null_fp).otherwise(
+        F.xxhash64(normalize_text(text_col))
+    )
     return (
         docs.withColumn("_canon_fp", fp)
         .withWatermark(ts_col, watermark)

@@ -28,3 +28,44 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# Round-4 out-of-window set: every name here holds a green driver row
+# from a PREVIOUS round (r3 unless noted) and was deliberately rotated
+# out of the 50-entry window to make room for staler entries.  Pinning
+# the set makes window reorders EXPLICIT: adding a catalog entry or
+# reshuffling _DRIVER_PRIORITY must consciously update this list, so
+# external driver coverage can never be dropped silently (ADVICE r3).
+_EXPECTED_OUT_OF_WINDOW = {
+    # r3-green, 1 round old
+    "multimodal_features", "similarity_ivf_kmeans", "multimodal_resize",
+    "multimodal_frames", "dedup_clusters", "gopher_quality", "pii_redact",
+    "sample_stratified", "pack_sequences", "evm_join_enriched",
+    "evm_transfer_volume", "evm_address_activity", "evm_block_activity",
+    "decontaminate_ngram", "unigram_nll", "similarity_ivf_knn_join",
+    "lang_id", "quality_score", "doc_fingerprint", "window_topk_per_group",
+    "events_sessionize", "events_sliding_rollup", "rollup_orders",
+    "cube_lineitem", "distinct_agg", "set_ops_customers",
+    "semi_join_exists", "anti_join_not_exists", "asof_join_events",
+    "range_join_events", "median_per_type", "orders_monthly",
+    "dedup_survivors", "json_extract_props", "json_agg_by_key",
+    # r2-green, lowest-churn deferrals — FIRST IN LINE for the r5 window
+    "dedup_exact", "similarity_topk", "similarity_knn_join",
+    "text_stats", "token_counts",
+}
+
+
+def test_driver_window_drop_list():
+    """The driver verifies exactly the first 50 catalog entries; every
+    entry outside that window must be on the explicit, reviewed drop
+    list above — no silent loss of external verification coverage."""
+    from rust_evm_indexer_spark.catalog import _DRIVER_PRIORITY
+
+    in_window = set(_DRIVER_PRIORITY)
+    assert len(_DRIVER_PRIORITY) == 50
+    assert list(CATALOG)[:50] == _DRIVER_PRIORITY
+    out = set(CATALOG) - in_window
+    assert out == _EXPECTED_OUT_OF_WINDOW
+    # drop list and window must partition the catalog exactly
+    assert in_window | out == set(CATALOG)
+    assert not (in_window & _EXPECTED_OUT_OF_WINDOW)

@@ -97,6 +97,36 @@ def test_streaming_hourly_counts_end_to_end(spark, duck):
         assert batch[(r["w_start_us"], r["event_type"])] == (r["n"], r["sum_value"])
 
 
+def test_streaming_hourly_counts_empty_dir_start(spark, tmp_path):
+    """The stream must START on an empty/not-yet-populated directory via
+    the explicit schema fallback (a real deployment's sink dir exists
+    before its first file), then pick up files that arrive later and
+    produce the same closed windows as a warm start (VERDICT r3 item 5 /
+    streaming/windows.py fallback branch)."""
+    import shutil
+
+    in_dir = tmp_path / "events_in"
+    in_dir.mkdir()  # exists but EMPTY: batch-probe raises, fallback used
+    q = streaming_hourly_counts(spark, str(in_dir), queryName="t_hourly_empty")
+    try:
+        q.processAllAvailable()  # zero batches, but the query is live
+        assert spark.sql("SELECT * FROM t_hourly_empty").count() == 0
+        shutil.copy(SF_ORACLE / "events.parquet", in_dir / "events.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_hourly_empty").collect()
+    assert len(got) > 0
+    batch = {
+        (r["w_start_us"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_window_stats(
+            load_driver_table(spark, SF_ORACLE, "events"), "1 hour", watermark=None
+        ).collect()
+    }
+    for r in got:
+        assert batch[(r["w_start_us"], r["event_type"])] == (r["n"], r["sum_value"])
+
+
 def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     """At-least-once redelivery: every event arrives twice; the
     watermark-bounded streaming dedup must emit each key exactly once."""
@@ -215,6 +245,9 @@ def test_stream_dedup_canonical_passes_null_text_through(spark, tmp_path):
         (2, "2024-01-01 00:02:00", None),
         (3, "2024-01-01 00:03:00", None),
         (4, "2024-01-01 00:04:00", "real content"),
+        # re-DELIVERY of null-text row 1: the id-salted exemption key is
+        # stable, so this IS a duplicate and must be swallowed
+        (1, "2024-01-01 00:05:00", None),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, ts_str string, text string"
@@ -234,5 +267,7 @@ def test_stream_dedup_canonical_passes_null_text_through(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM null_sink").collect()}
-    assert got == {1, 2, 3, 4}  # all three null-text rows survive
+    got = [r["doc_id"] for r in spark.sql("SELECT doc_id FROM null_sink").collect()]
+    # all three DISTINCT null-text rows survive; the re-delivered one
+    # is deduped on its stable id-salted fingerprint
+    assert sorted(got) == [1, 2, 3, 4]
