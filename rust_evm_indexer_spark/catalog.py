@@ -475,6 +475,100 @@ def reorg_rollup_exact(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# Compaction under the driver contract (VERDICT.md r3 item 6): streaming
+# ingest leaves one small fragment per 5-block batch; TableStore.compact
+# merges them into block-range-clustered fragments (the background
+# maintenance a 100 TB deployment runs continuously).  The oracle reads a
+# PRE-compaction snapshot while the entry queries the POST-compaction
+# layout, so a compaction bug that loses, duplicates, or reorders rows
+# breaks the hash match.  (The ingest path feeding the snapshot is itself
+# hash-verified by reorg_rollup_exact; this entry isolates compact().)
+# ---------------------------------------------------------------------
+
+_COMPACT_DIR = FIXTURE_CACHE / "compact"
+
+
+# bump when chain params or the compaction layout contract change — the
+# marker is checked by CONTENT, so a stale cached store can't silently
+# serve an old layout to both engines (ADVICE r3: param-keyed markers)
+_COMPACT_FIXTURE_KEY = "seed=123 n_blocks=40 max_fragments=2 layout=per-range-fragment"
+
+
+def _ensure_compact_fixture(spark: SparkSession) -> Path:
+    """Ingest 40 blocks (8 fragments) → snapshot logs → compact to 2
+    block-range fragments with (contract_address, topic0) clustering →
+    vacuum the old fragments.  Deterministic (seed 123), cached."""
+    marker = _COMPACT_DIR / "_COMPACT_DONE"
+    if marker.exists() and not marker.read_text().startswith(_COMPACT_FIXTURE_KEY):
+        import shutil
+
+        shutil.rmtree(_COMPACT_DIR, ignore_errors=True)
+    if not marker.exists():
+        from . import datagen
+        from .ingest import EvmIngester
+        from .sources.rpc import MockRpcClient
+        from .store import TableStore
+
+        chain = datagen.generate_chain(n_blocks=40, seed=123)
+        client = MockRpcClient(chain)
+        store = TableStore(spark, _COMPACT_DIR / "store")
+        ing = EvmIngester(
+            spark,
+            client,
+            store,
+            start_block=datagen.START_BLOCK,
+            backoff_base=0.01,
+        )
+        ing.run_until_caught_up()
+        store.read("logs").write.mode("overwrite").parquet(
+            str(_COMPACT_DIR / "logs_snapshot")
+        )
+        n_before = store.compact(
+            "logs", max_fragments=2, sort_within=("contract_address", "topic0")
+        )
+        store.vacuum()
+        marker.write_text(f"{_COMPACT_FIXTURE_KEY} fragments_before={n_before}")
+    return _COMPACT_DIR
+
+
+_COMPACT_SQL = f"""
+    SELECT {_LOGS_PROJ_SQL}
+    FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')
+    WHERE topic0 = '{_TRANSFER_SIG}'
+      AND block_number >= 1000005 AND block_number <= 1000030
+    ORDER BY block_number, id LIMIT 100
+"""
+
+
+@register(
+    "store_compacted_logs",
+    _COMPACT_SQL,
+    tags=("evm-native", "O-7", "compaction", "store"),
+)
+def store_compacted_logs(spark, sf_dir):
+    """Flagship log search served from the compacted store layout.  The
+    block bounds reach TableStore.read as manifest-level fragment pruning
+    (the coarse tier) before the same predicates hit parquet row groups
+    clustered by the compaction sort — the Z-order-lite analog of the
+    reference's composite indexes (init.sql:71-74)."""
+    from .operators import GetLogsFilter, get_logs
+    from .store import TableStore
+
+    root = _ensure_compact_fixture(spark)
+    store = TableStore(spark, root / "store")
+    logs = store.read("logs", min_block=1_000_005, max_block=1_000_030)
+    return get_logs(
+        logs,
+        GetLogsFilter(
+            topic0=_TRANSFER_SIG,
+            from_block=1_000_005,
+            to_block=1_000_030,
+            page_size=100,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
 # Entity joins + U256 analytics under the driver contract (VERDICT.md r2
 # item 5): the blocks→transactions→logs FK hierarchy the reference's
 # schema implies (init.sql:27-41,49-63) and the hex-ABI-decode
@@ -3332,9 +3426,13 @@ _DRIVER_PRIORITY = [
     "pivot_order_status",
     # -- never hash-green: first driver row for the HLL bound check -----
     "approx_distinct_users",
+    # -- never driver-checked: new round-4 entries ----------------------
+    "store_compacted_logs",
     # -- r2-green cohort, not re-checked in r3 (ts_micros churn) --------
+    # (q2/q11/q16 are date-free — no ts_micros exposure — and deferred
+    # to r5 to make room for the round-4 entries; see the pinned
+    # out-of-window set in tests/test_catalog_oracle.py)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_priority_check",
     "q5_local_supplier",

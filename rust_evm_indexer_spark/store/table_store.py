@@ -288,13 +288,18 @@ class TableStore:
         *,
         sort_within: tuple[str, ...] = (),
     ) -> int:
-        """Merge a table's fragments into ``max_fragments`` larger ones,
-        sorted by block_number (restores range clustering), in one atomic
-        swap.  Readers never see a partial compaction; old fragments stay
-        on disk until :meth:`vacuum`.  Run in the background at scale —
-        streaming ingest creates one small fragment per batch, and scan
-        cost is ∝ fragment count for small queries.  Returns the number
-        of fragments before compaction."""
+        """Merge a table's fragments into ≤ ``max_fragments`` larger ones,
+        range-partitioned by block_number, in one atomic swap.  Readers
+        never see a partial compaction; old fragments stay on disk until
+        :meth:`vacuum`.  Run in the background at scale — streaming ingest
+        creates one small fragment per batch, and scan cost is ∝ fragment
+        count for small queries.  Returns fragments before compaction.
+
+        Each range partition becomes its OWN manifest fragment (one data
+        pass — Spark writes the range-partitioned output once, then the
+        part-files are renamed into fragment dirs), so the manifest's
+        coarse min/max pruning tier survives compaction: a narrow block
+        range still touches one fragment, not the whole table."""
         from pyspark.sql import functions as F
 
         m = self.current_manifest()
@@ -312,16 +317,59 @@ class TableStore:
             df = df.sortWithinPartitions(*[F.col(c) for c in keys])
         else:
             df = df.repartition(max_fragments)
-        merged = self._write_fragment(table, df)
+        staging = self.root / "data" / table / f".compact-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(staging))
+        new_frags: list[Fragment] = []
+        try:
+            for part in sorted(staging.glob("part-*.parquet")):
+                frag = self._adopt_file_as_fragment(table, part)
+                if frag is not None:
+                    new_frags.append(frag)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        new_frags.sort(
+            key=lambda f: (f.min_block is None, f.min_block, f.path)
+        )
         new = Manifest(
             version=m.version + 1,
             txns=dict(m.txns),
             status=m.status,
             tables={t: list(fs) for t, fs in m.tables.items()},
         )
-        new.tables[table] = [merged] if merged is not None else []
+        new.tables[table] = new_frags
         self._swap(new)
         return len(frags)
+
+    def _adopt_file_as_fragment(self, table: str, part: Path) -> Fragment | None:
+        """Move one written parquet part-file into its own fragment dir;
+        stats from the footer (no data pass).  Zero-row parts dropped."""
+        md = pq.read_metadata(part)
+        if md.num_rows == 0:
+            return None
+        rel = f"data/{table}/frag-{uuid.uuid4().hex}"
+        fdir = self.root / rel
+        fdir.mkdir(parents=True)
+        os.replace(part, fdir / part.name)
+        frag = Fragment(path=rel, rows=md.num_rows)
+        # leaf index, not top-level field index: nested columns (e.g. the
+        # all_topics array) flatten to multiple leaves in the footer
+        idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).path == "block_number"
+            ),
+            None,
+        )
+        if idx is not None:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            frag.min_block, frag.max_block = lo, hi
+        return frag
 
     def vacuum(self) -> int:
         """Delete fragment dirs unreferenced by the CURRENT manifest (old

@@ -52,6 +52,9 @@ _EXPECTED_OUT_OF_WINDOW = {
     # r2-green, lowest-churn deferrals — FIRST IN LINE for the r5 window
     "dedup_exact", "similarity_topk", "similarity_knn_join",
     "text_stats", "token_counts",
+    # r2-green date-free TPC-H (no ts_micros exposure), deferred in r4
+    # to make room for the new round-4 entries
+    "q2_min_cost_supplier",
 }
 
 

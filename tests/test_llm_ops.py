@@ -243,11 +243,12 @@ def test_multimodal_meta_matches_features(spark, docs):
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
 def test_approx_distinct_accuracy(spark, sf_dir):
-    """HLL estimate within its configured rsd bound (default 5%) of the
-    exact count — at TWO scale factors, so the bound holds across
-    cardinality regimes; approx median within the IQR.  This is the
-    accuracy flank of the oracle-less ``approx_distinct_users`` entry
-    (its hash-verified exact twin is ``distinct_agg``)."""
+    """The driver-verifiable bound-check shape (r3 d610184): the entry
+    emits ``(event_type, exact_users, within_5pct)`` where within_5pct
+    compares the HLL++ estimate (rsd=0.01) to the exact count
+    Spark-side.  At TWO scale factors: every bound bit must be TRUE and
+    exact_users must equal an independently computed COUNT(DISTINCT),
+    so the bound check can't pass vacuously on a broken exact count."""
     from rust_evm_indexer_spark.catalog import CATALOG
 
     got = {
@@ -257,18 +258,16 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     from rust_evm_indexer_spark.sources.batch import load_driver_table
 
     exact = {
-        r["event_type"]: r
+        r["event_type"]: r["n"]
         for r in load_driver_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n"),
-            F.expr("percentile(value, 0.5)").alias("med"),
-        )
+        .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
+    assert set(got) == set(exact)
     for et, row in got.items():
-        assert abs(row["approx_users"] - exact[et]["n"]) <= 0.05 * exact[et]["n"] + 1
-        assert abs(row["approx_median"] - exact[et]["med"]) < 5.0
+        assert row["within_5pct"] is True
+        assert row["exact_users"] == exact[et]
 
 
 def test_kmeans_ivf_improves_over_label_cells(emb):
