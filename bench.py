@@ -103,8 +103,11 @@ def main() -> None:
         "regime": regime,
     }
     # full-precision sidecar with unabbreviated names (judge-readable even
-    # if the harness's stdout capture truncates)
-    (Path(__file__).resolve().parent / "bench_result.json").write_text(
+    # if the harness's stdout capture truncates).  Cold runs land in their
+    # own file so publishing cold numbers never clobbers the shared-regime
+    # sidecar the driver's BENCH capture corresponds to (VERDICT r3 item 4).
+    sidecar = "bench_result_cold.json" if cold else "bench_result.json"
+    (Path(__file__).resolve().parent / sidecar).write_text(
         json.dumps(
             {**result, "queries": timings, "cpus": os.cpu_count()}, indent=1
         )

@@ -158,7 +158,68 @@ def create_app(api: EvmApi):
         # O-28-adjacent: the reference registers Swagger docs (src/docs.rs)
         return jsonify(OPENAPI_SPEC)
 
+    @app.get("/docs")
+    def docs():
+        # the reference mounts an interactive Swagger UI at /docs
+        # (src/docs.rs:1-42).  This build renders the same spec with a
+        # small self-contained page (no CDN assets — deployments of this
+        # engine are commonly air-gapped), listing every path, method,
+        # parameter schema, and response code from /openapi.json.
+        return render_docs_html(OPENAPI_SPEC), 200, {
+            "Content-Type": "text/html; charset=utf-8"
+        }
+
     return app
+
+
+def render_docs_html(spec: dict) -> str:
+    """Self-contained API docs page from an OpenAPI spec dict."""
+    from html import escape
+
+    rows: list[str] = []
+    for path, methods in spec["paths"].items():
+        for method, op in methods.items():
+            req = op.get("requestBody", {})
+            props = (
+                req.get("content", {})
+                .get("application/json", {})
+                .get("schema", {})
+                .get("properties", {})
+            )
+            params = ", ".join(
+                f"{escape(k)}: {escape(v.get('type', '?'))}" for k, v in props.items()
+            )
+            resps = ", ".join(
+                f"{escape(code)} ({escape(r.get('description', ''))})"
+                for code, r in op.get("responses", {}).items()
+            )
+            rows.append(
+                "<tr>"
+                f"<td class=m>{escape(method.upper())}</td>"
+                f"<td class=p>{escape(path)}</td>"
+                f"<td>{escape(op.get('summary', ''))}</td>"
+                f"<td>{params or '—'}</td>"
+                f"<td>{resps}</td>"
+                "</tr>"
+            )
+    info = spec["info"]
+    return f"""<!doctype html>
+<html><head><meta charset="utf-8">
+<title>{escape(info["title"])} — API docs</title>
+<style>
+ body {{ font: 14px/1.5 system-ui, sans-serif; margin: 2rem; }}
+ table {{ border-collapse: collapse; width: 100%; }}
+ th, td {{ border: 1px solid #ccc; padding: .4rem .6rem; text-align: left; }}
+ .m {{ font-weight: 600; }} .p {{ font-family: monospace; }}
+ caption {{ text-align: left; margin-bottom: .5rem; }}
+</style></head><body>
+<h1>{escape(info["title"])} <small>v{escape(info["version"])}</small></h1>
+<p>{escape(info.get("description", ""))}</p>
+<p>Machine-readable spec: <a href="/openapi.json">/openapi.json</a></p>
+<table>
+<tr><th>Method</th><th>Path</th><th>Summary</th><th>Body params</th><th>Responses</th></tr>
+{"".join(rows)}
+</table></body></html>"""
 
 
 OPENAPI_SPEC = {

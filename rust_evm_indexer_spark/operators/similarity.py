@@ -182,6 +182,50 @@ def assign_cells(
     )
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then mark within-cluster pairs whose
+    cosine similarity ≥ ``threshold`` as semantic duplicates — documents
+    that say the same thing in different words, invisible to MinHash/
+    SimHash lexical dedup.
+
+    The cell equi-join IS the blocking step: candidate generation costs
+    Σ|cell|² instead of N², and at scale k grows with N (the paper uses
+    ~100k clusters for web corpora) to hold cell sizes — and therefore
+    per-cell quadratic work — constant.  Same shuffle shape as the IVF
+    knn join: one hash shuffle keyed by cell, no cartesian product.
+
+    Output: (cell, id_a, id_b, sim) with id_a < id_b, sim rounded to 6dp
+    BEFORE the threshold compare so the boundary is cross-engine stable.
+    Survivor selection (keep one doc per duplicate group) composes with
+    ``operators.dedup.dedup_survivors`` / ``corpus.connected_components``
+    exactly like the lexical pair generators."""
+    assigned = assign_cells(embeddings, centroids, vec_col=vec_col).select(
+        F.col(id_col), F.col("cell"), F.col(vec_col)
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("_va")
+    )
+    bb = assigned.select(
+        F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("_vb")
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.join(bb, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+        .select("cell", "id_a", "id_b", "sim")
+    )
+
+
 def _py_cos(a: list[float], b: list[float]) -> float:
     d = sum(x * y for x, y in zip(a, b))
     na = math.sqrt(sum(x * x for x in a))

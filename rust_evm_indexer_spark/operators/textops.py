@@ -137,6 +137,76 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 full-text ranking (Robertson et al., TREC-3; the idf
+    variant is Lucene's ``ln(1 + (N - df + .5)/(df + .5))`` — always
+    positive).  The log-search analog for the documents corpus: the
+    reference serves filtered lookups over logs, a training-data engine
+    serves relevance-ranked lookups over text.
+
+    Shape at scale: one explode + per-doc length aggregate (shuffle on
+    doc_id), a term-frequency aggregate FILTERED to the query terms
+    before the shuffle (so the wide stage carries |terms| rows per doc,
+    not the corpus), per-term document frequencies as a tiny broadcast,
+    and a distributed top-k (TakeOrderedAndProject) — no global sort,
+    no Python.
+
+    Cross-engine determinism: per-(doc, term) scores are pure IEEE
+    double expressions; the per-doc sum across terms goes through
+    DECIMAL(27,15) (order-independent), and ranking uses the 6dp-rounded
+    score with doc_id tiebreak — same policy as unigram_nll."""
+    from .dedup import normalize_text
+
+    words = (
+        df.select("doc_id", F.split(normalize_text(text_col), " ").alias("ws"))
+        .select("doc_id", F.explode("ws").alias("word"))
+        .where(F.col("word") != "")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # avgdl/N: exact integer sums/counts → identical double division
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    terms = [t.lower() for t in query_terms]
+    tf = (
+        words.where(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    per_term = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(per_term.cast("decimal(27,15)")).cast("double"), 6
+            ).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def unigram_nll(df: DataFrame, text_col: str = "text") -> DataFrame:
     """CCNet-style language-model quality score: per-document mean
     negative log-likelihood under a unigram model fit on the corpus

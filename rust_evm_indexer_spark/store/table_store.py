@@ -211,9 +211,16 @@ class TableStore:
         from pyspark.sql import functions as F
 
         m = self.current_manifest()
+        # Regress idempotency watermarks past the fork: a watermark is
+        # "last committed block version", and versions ≥ height were just
+        # retracted — leaving them high makes every re-ingest batch whose
+        # to_block ≤ old-watermark a silent no-op, livelocking any reorg
+        # deeper than BLOCKS_PER_BATCH (found by the deep-reorg property
+        # test; depth ≤ batch size masked it because the single re-ingest
+        # batch overtopped the stale watermark).
         new = Manifest(
             version=m.version + 1,
-            txns=dict(m.txns),
+            txns={app: min(v, height - 1) for app, v in m.txns.items()},
             status=status if status is not None else m.status,
             tables={},
         )

@@ -82,3 +82,21 @@ def test_openapi_spec(client):
     assert set(body["paths"]) == {
         "/logs", "/block/{identifier}", "/transaction/{txHash}", "/stats"
     }
+
+
+def test_docs_page_renders_full_surface(client):
+    """The /docs page (src/docs.rs parity) is self-contained HTML —
+    no external assets — and lists every path/method in the spec."""
+    r = client.get("/docs")
+    assert r.status_code == 200
+    assert r.content_type.startswith("text/html")
+    html = r.get_data(as_text=True)
+    from rust_evm_indexer_spark.api import OPENAPI_SPEC
+
+    for path, methods in OPENAPI_SPEC["paths"].items():
+        assert path in html
+        for method in methods:
+            assert method.upper() in html
+    # air-gap discipline: nothing fetched from a CDN
+    assert "http://" not in html and "https://" not in html
+    assert "/openapi.json" in html

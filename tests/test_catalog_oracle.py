@@ -54,7 +54,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "text_stats", "token_counts",
     # r2-green date-free TPC-H (no ts_micros exposure), deferred in r4
     # to make room for the new round-4 entries
-    "q2_min_cost_supplier",
+    "q2_min_cost_supplier", "q11_important_parts", "q16_supplier_counts",
 }
 
 

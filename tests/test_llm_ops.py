@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from rust_evm_indexer_spark.operators import dedup as dd
 from rust_evm_indexer_spark.operators import multimodal as mm
 from rust_evm_indexer_spark.operators import similarity as sim
+from rust_evm_indexer_spark.operators import textops as tx
 
 from conftest import SF_ORACLE
 
@@ -454,3 +455,80 @@ def test_simhash_signatures_match_pure_python(docs):
         assert spark_sigs[r["doc_id"]] == expect, r["doc_id"]
         checked += 1
     assert checked == len(spark_sigs)
+
+
+def test_semantic_dedup_finds_planted_pairs(spark, emb):
+    """SemDeDup (similarity.semantic_dedup_pairs): scaled copies (cosine
+    exactly 1) are always found — scaling preserves both direction AND
+    cell assignment; natural sf0.01 pairs (max cos ~0.51) never cross
+    the threshold; every emitted pair shares a cell (the blocking
+    invariant)."""
+    cents = sim.kmeans_fit(emb, k=4, iters=2)
+    scaled = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(scaled)
+    pairs = sim.semantic_dedup_pairs(corpus, cents, threshold=0.98).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(i, i + 100000) for i in range(10)}
+    assert all(r["sim"] == 1.0 for r in pairs)
+
+
+def test_semantic_dedup_cell_blocking_bounds_comparisons(spark, emb):
+    """The pair join is cell-blocked: a pair in different cells is never
+    compared, so candidate volume is Σ|cell|², not N² — checked by
+    recomputing each emitted pair's cells independently."""
+    cents = sim.kmeans_fit(emb, k=4, iters=2)
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_cells(corpus, cents).select("vec_id", "cell").collect()
+    }
+    pairs = sim.semantic_dedup_pairs(corpus, cents, threshold=0.3).collect()
+    assert pairs, "threshold 0.3 must produce within-cell pairs"
+    for r in pairs:
+        assert cells[r["id_a"]] == cells[r["id_b"]] == r["cell"]
+
+
+def test_bm25_matches_python_model(spark, docs):
+    """bm25_topk against a 15-line pure-Python BM25 over the collected
+    corpus: same scores (6dp) and same ranking."""
+    import math
+    import re as _re
+
+    rows = docs.select("doc_id", "text").collect()
+    norm = lambda s: _re.sub(" +", " ", _re.sub("[^a-z0-9 ]", "", s.lower())).strip()
+    toks = {r["doc_id"]: [w for w in norm(r["text"]).split(" ") if w] for r in rows}
+    toks = {d: ws for d, ws in toks.items() if ws}
+    n_docs = len(toks)
+    avgdl = sum(len(ws) for ws in toks.values()) / n_docs
+    terms = ["vector", "stream", "hash"]
+    dfreq = {t: sum(1 for ws in toks.values() if t in ws) for t in terms}
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, ws in toks.items():
+        s = 0.0
+        hits = 0
+        for t in terms:
+            tf = ws.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * len(ws)) / avgdl))
+        if hits:
+            want[d] = (round(s, 6), hits)
+    got = tx.bm25_topk(docs, terms, k=20).collect()
+    assert len(got) == min(20, len(want))
+    expected_order = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    for r, (d, (score, hits)) in zip(got, expected_order):
+        assert r["doc_id"] == d
+        assert abs(r["score"] - score) < 1e-6
+        assert r["n_terms_hit"] == hits

@@ -319,3 +319,19 @@ def test_r3_evm_and_ann_join_plans(spark):
 
     shuffles = re.findall(r"hashpartitioning\(([A-Za-z_]+)#", plan)
     assert shuffles and all(k == "block_hash" for k in shuffles), plan
+
+
+def test_semantic_dedup_and_bm25_plans(spark):
+    """Round-4 entries: SemDeDup must plan the pair stage as a cell
+    equi-join (never cartesian); BM25 must broadcast only the bounded
+    sides (df table + 1-row stats) and plan its LIMIT-after-ORDER as a
+    distributed top-k."""
+    sd = CATALOG["semantic_dedup"].fn(spark, SF)
+    plan = physical_plan(sd)
+    assert "CartesianProduct" not in plan, "semantic_dedup plans a cartesian"
+
+    bm = CATALOG["bm25_search"].fn(spark, SF)
+    assert_takes_ordered_topk(bm)
+    # forced broadcasts are exactly the two bounded frames: per-term df
+    # (|query terms| rows) and the 1-row corpus stats
+    assert broadcast_hint_count(bm) == 2
