@@ -2072,10 +2072,46 @@ def semantic_dedup(spark, sf_dir):
         F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
     )
     corpus = emb.unionByName(scaled).unionByName(shifted)
-    idx = _ivf_index(spark, sf_dir, "kmeans8")
-    _export_ivf_oracle(spark, idx, "kmeans8", sf_dir)
-    cents = [v for _, v in sorted(idx.centroids.items())]
+    cents = _semdedup_centroids(spark, sf_dir)
     return sim.semantic_dedup_pairs(corpus, cents, threshold=_SEMDEDUP_TAU)
+
+
+#: SemDeDup's scaling rule: cluster count grows with the corpus so
+#: per-cell quadratic work stays constant (~TARGET_CELL vectors/cell —
+#: the paper runs ~100k clusters on web corpora).  At the oracle SF
+#: (sf0.01, 500 vectors) this yields k=8, identical to the kmeans8
+#: quantizer the oracle's exported-centroid replay uses; larger corpora
+#: train a larger quantizer, cached on disk keyed by corpus identity.
+_SEMDEDUP_TARGET_CELL = 64
+
+
+def _semdedup_centroids(spark, sf_dir: str) -> list[list[float]]:
+    from pathlib import Path as _P
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // _SEMDEDUP_TARGET_CELL)
+    if k == 8:
+        # same params as the kmeans8 IVF quantizer (k=8, iters=3,
+        # deterministic lowest-id init) → identical centroids; reuse its
+        # index + the centroid export the oracle replays
+        idx = _ivf_index(spark, sf_dir, "kmeans8")
+        _export_ivf_oracle(spark, idx, "kmeans8", sf_dir)
+        return [v for _, v in sorted(idx.centroids.items())]
+    import json as _json
+
+    src = _P(sf_dir) / "embeddings.parquet"
+    st = src.stat()
+    cache = (
+        _P(__file__).resolve().parent.parent
+        / ".ivf_cache"
+        / f"semdedup_{_P(sf_dir).name}_{k}_{st.st_size}_{st.st_mtime_ns}.json"
+    )
+    if cache.exists():
+        return _json.loads(cache.read_text())
+    cents = sim.kmeans_fit(emb, k=k, iters=3)
+    cache.parent.mkdir(parents=True, exist_ok=True)
+    cache.write_text(_json.dumps(cents))
+    return cents
 
 
 # The simhash pair set IS SQL-checkable once the engine-computed

@@ -146,7 +146,14 @@ def kmeans_fit(
     )
     cents = [list(map(float, r[0])) for r in seeds]
     for _ in range(iters):
-        assigned = assign_cells(embeddings, cents, vec_col=vec_col)
+        # same argmax rule either way; the join form keeps large-k
+        # assignment inside codegen (see assign_cells_join)
+        if k > 16:
+            assigned = assign_cells_join(
+                embeddings, cents, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            assigned = assign_cells(embeddings, cents, vec_col=vec_col)
         new = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cell", "pos")
@@ -170,15 +177,67 @@ def assign_cells(
 ) -> DataFrame:
     """Add a 0-based ``cell`` column: argmax cosine over the centroid
     list (k sim columns + array_position argmax — all codegen'd; ties →
-    lowest cell id)."""
+    lowest cell id).
+
+    Centroid norms are constants — computed driver-side (left-to-right
+    double sum + sqrt, bit-identical to the JVM fold) — and the row's
+    norm folds once behind a select boundary, so each row costs k dot
+    folds + 1, not 3k (the SCALE.md lambda-re-evaluation lesson)."""
+    cnorms = []
+    for c in centroids:
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        cnorms.append(math.sqrt(acc))
+    cols = embeddings.columns
+    staged = embeddings.select("*", _norm(F.col(vec_col)).alias("_vn"))
     sims = F.array(
         *[
-            cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
-            for c in centroids
+            _dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+            / (F.col("_vn") * F.lit(cn))
+            for c, cn in zip(centroids, cnorms)
         ]
     )
-    return embeddings.withColumn(
+    return staged.withColumn(
         "cell", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    ).select(*cols, "cell")
+
+
+def assign_cells_join(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``assign_cells`` via a broadcast centroid JOIN + per-row rank
+    window instead of a k-wide literal expression array.  Same rule
+    (argmax cosine, ties → lowest cell) and bit-identical sims, but the
+    centroid matrix rides as DATA, so it scales to large k where the
+    literal form blows past codegen limits and falls back to
+    interpreted evaluation (measured ~10× at k≈80).  This is the same
+    broadcast-rank shape as IvfIndex.knn_join's probe assignment."""
+    from pyspark.sql.window import Window
+
+    spark = embeddings.sparkSession
+    cent_rows = []
+    for i, c in enumerate(centroids):
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        cent_rows.append((i, [float(x) for x in c], math.sqrt(acc)))
+    cents = spark.createDataFrame(
+        cent_rows, "cell int, _cent array<double>, _cn double"
+    )
+    staged = embeddings.select("*", _norm(F.col(vec_col)).alias("_vn"))
+    sim = _dot(F.col(vec_col), F.col("_cent")) / (F.col("_vn") * F.col("_cn"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        staged.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*embeddings.columns, "cell")
     )
 
 
@@ -207,16 +266,34 @@ def semantic_dedup_pairs(
     Survivor selection (keep one doc per duplicate group) composes with
     ``operators.dedup.dedup_survivors`` / ``corpus.connected_components``
     exactly like the lexical pair generators."""
-    assigned = assign_cells(embeddings, centroids, vec_col=vec_col).select(
-        F.col(id_col), F.col("cell"), F.col(vec_col)
+    # Each vector's norm is computed ONCE here, behind a select boundary,
+    # instead of inside the pair expression — cosine() would otherwise
+    # fold ‖a‖ and ‖b‖ per PAIR (3 array folds × Σ|cell|² pairs; measured
+    # 3× the whole entry's cost at sf0.1).  dot/(na·nb) is the exact same
+    # IEEE expression the oracle computes, so parity is unaffected.
+    # Assignment goes through the broadcast-join form: k grows with the
+    # corpus under the SemDeDup scaling rule, and the literal-array form
+    # leaves codegen at large k.
+    assigned = assign_cells_join(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col), F.col("cell"), F.col(vec_col), _norm(F.col(vec_col)).alias("_n")
     )
     a = assigned.select(
-        F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("_va")
+        F.col(id_col).alias("id_a"),
+        "cell",
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
     )
     bb = assigned.select(
-        F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("_vb")
+        F.col(id_col).alias("id_b"),
+        "cell",
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    sim = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
     return (
         a.join(bb, "cell")
         .where(F.col("id_a") < F.col("id_b"))

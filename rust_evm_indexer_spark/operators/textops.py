@@ -165,22 +165,33 @@ def bm25_topk(
     score with doc_id tiebreak — same policy as unigram_nll."""
     from .dedup import normalize_text
 
+    terms = [t.lower() for t in query_terms]
     words = (
         df.select("doc_id", F.split(normalize_text(text_col), " ").alias("ws"))
         .select("doc_id", F.explode("ws").alias("word"))
         .where(F.col("word") != "")
     )
-    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # ONE pass over the exploded corpus: doc length + per-term tf in the
+    # same doc_id-keyed aggregation (a second scan for tf would re-run
+    # normalize+explode — measured ~2× the entry).  The per-term columns
+    # unpivot back to (doc_id, word, tf) rows for the scoring join.
+    per_doc = words.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("word") == F.lit(t)).cast("long")).alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stack_args = ", ".join(f"'{t}', _tf_{i}" for i, t in enumerate(terms))
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(terms)}, {stack_args}) AS (word, tf)"),
+    ).where(F.col("tf") > 0)
     # avgdl/N: exact integer sums/counts → identical double division
-    stats = dl.agg(
+    stats = per_doc.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         F.count("*").alias("n_docs"),
-    )
-    terms = [t.lower() for t in query_terms]
-    tf = (
-        words.where(F.col("word").isin(terms))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -193,7 +204,6 @@ def bm25_topk(
     per_term = idf * (F.col("tf") * (k1 + 1.0)) / denom
     return (
         tf.join(F.broadcast(dfreq), "word")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
