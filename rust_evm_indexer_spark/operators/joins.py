@@ -54,6 +54,42 @@ def logs_with_context(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    *,
+    n_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist a table BUCKETED by its join key (Spark bucketing:
+    hash(key) % n_buckets decides the file, recorded in the catalog).
+
+    This is the at-rest layout SCALE.md promises for the fact⋈fact
+    ``transactions ⋈ logs`` join: when both sides are bucketed on the
+    join key with the same bucket count, the join is co-located — the
+    planner emits NO Exchange (and with ``sortBy``, no Sort either), so
+    the only cluster-wide data movement for a 100 TB join is reading
+    each bucket pair.  Asserted in
+    ``test_plan_hygiene.py::test_bucketed_tx_log_join_no_shuffle``."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def colocated_logs_with_txs(spark, logs_table: str, txs_table: str) -> DataFrame:
+    """logs ⋈ transactions from bucketed tables — shuffle-free."""
+    lg = spark.table(logs_table)
+    t = spark.table(txs_table).select(
+        F.col("tx_hash"),
+        "from_address",
+        "to_address",
+        F.col("status").alias("tx_status"),
+    )
+    return lg.join(t, lg.transaction_hash == t.tx_hash, "left").drop("tx_hash")
+
+
 def address_activity(transactions: DataFrame) -> DataFrame:
     """Per-address activity rollup: sent/received counts + wei totals.
     The from/to union is a single unpivot (no double scan after Catalyst

@@ -335,3 +335,46 @@ def test_semantic_dedup_and_bm25_plans(spark):
     # forced broadcasts are exactly the two bounded frames: per-term df
     # (|query terms| rows) and the 1-row corpus stats
     assert broadcast_hint_count(bm) == 2
+
+
+def test_bucketed_tx_log_join_no_shuffle(spark, evm):
+    """The at-rest bucketing layout SCALE.md promises: transactions and
+    logs written bucketed by the tx-hash join key (same bucket count) →
+    the fact⋈fact join plans with ZERO Exchange — the shuffle that
+    dominates a 100 TB entity join simply disappears.  Results must
+    equal the unbucketed join."""
+    from rust_evm_indexer_spark.operators.joins import (
+        colocated_logs_with_txs,
+        logs_with_context,
+        write_bucketed,
+    )
+
+    write_bucketed(evm["transactions"], "b_txs", "tx_hash", n_buckets=8)
+    write_bucketed(evm["logs"], "b_logs", "transaction_hash", n_buckets=8)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: at test scale the planner would
+        # broadcast one side, which also avoids the shuffle but proves
+        # nothing about the 100 TB layout
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = colocated_logs_with_txs(spark, "b_logs", "b_txs")
+        plan = physical_plan(df)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+
+        got = {
+            (r["id"], r["from_address"], r["tx_status"])
+            for r in df.select("id", "from_address", "tx_status").collect()
+        }
+        want = {
+            (r["id"], r["from_address"], r["tx_status"])
+            for r in logs_with_context(
+                evm["logs"], evm["transactions"], evm["blocks"]
+            )
+            .select("id", "from_address", "tx_status")
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS b_txs")
+        spark.sql("DROP TABLE IF EXISTS b_logs")
