@@ -193,8 +193,21 @@ class TableStore:
             status=status if status is not None else m.status,
             tables={t: list(frags) for t, frags in m.tables.items()},
         )
-        for table, df in writes.items():
-            frag = self._write_fragment(table, df)
+        # The per-table fragment writes are independent Spark jobs; run
+        # them concurrently (Spark's scheduler interleaves them across
+        # cores) so a 4-table micro-batch costs ~one write's wall time,
+        # not four.  Atomicity is untouched: nothing is visible until
+        # the single manifest swap below, and any write failure raises
+        # before the swap (measured: tip-following cycle 3.0 s → see
+        # tools/ingest_throughput.py).
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(writes.items())
+        with ThreadPoolExecutor(max_workers=max(1, len(items))) as pool:
+            frags_out = list(
+                pool.map(lambda tv: self._write_fragment(tv[0], tv[1]), items)
+            )
+        for (table, _), frag in zip(items, frags_out):
             if frag is not None:
                 new.tables.setdefault(table, []).append(frag)
         if txn_app_id is not None and txn_version is not None:
