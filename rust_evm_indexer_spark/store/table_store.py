@@ -391,22 +391,49 @@ class TableStore:
             frag.min_block, frag.max_block = lo, hi
         return frag
 
-    def vacuum(self) -> int:
+    def vacuum(self, *, grace_seconds: float = 0.0, keep_manifests: int = 10) -> int:
         """Delete fragment dirs unreferenced by the CURRENT manifest (old
-        versions' rewrites, crash orphans).  Safe any time: fragments are
-        immutable and only CURRENT is served.  Returns dirs removed."""
-        live = {
-            f.path
-            for frags in self.current_manifest().tables.values()
-            for f in frags
-        }
+        versions' rewrites, crash orphans) and prune old manifest
+        versions.  Returns fragment dirs removed.
+
+        ``grace_seconds`` protects IN-FLIGHT readers: a DataFrame built
+        from an older manifest holds file paths lazily, and deleting a
+        fragment it hasn't scanned yet fails the job mid-flight.  A
+        fragment is only reclaimed once unreferenced for longer than the
+        longest query you expect to run (Delta VACUUM's retention
+        contract; tests use 0 because reads are materialized eagerly).
+
+        ``keep_manifests`` bounds metadata growth: every commit writes a
+        new manifest version; all but the newest N (and CURRENT) are
+        deleted.  Old versions exist only for debugging/time-travel —
+        correctness needs just CURRENT."""
+        import time as _time
+
+        m = self.current_manifest()
+        live = {f.path for frags in m.tables.values() for f in frags}
+        now = _time.time()
         removed = 0
         for tdir in (self.root / "data").iterdir():
             if not tdir.is_dir():
                 continue
             for frag_dir in tdir.iterdir():
                 rel = str(frag_dir.relative_to(self.root))
-                if rel not in live:
-                    shutil.rmtree(frag_dir, ignore_errors=True)
-                    removed += 1
+                if rel in live:
+                    continue
+                if grace_seconds > 0:
+                    try:
+                        age = now - frag_dir.stat().st_mtime
+                    except OSError:
+                        continue
+                    if age < grace_seconds:
+                        continue
+                shutil.rmtree(frag_dir, ignore_errors=True)
+                removed += 1
+        mdir = self.root / "_manifests"
+        versions = sorted(
+            (p for p in mdir.glob("v*.json")),
+            key=lambda p: p.name,
+        )
+        for p in versions[:-keep_manifests]:
+            p.unlink(missing_ok=True)
         return removed

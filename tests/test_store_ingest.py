@@ -258,3 +258,22 @@ def test_concurrent_commit_detected(spark, tmp_path):
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store.set_status({"indexer_name": "x", "last_processed_block": 1,
                           "chain_head_at_last_poll": 2})
+
+
+def test_vacuum_grace_period_and_manifest_gc(spark, tmp_path):
+    """grace_seconds protects fragments for in-flight readers (fresh
+    orphans survive, aged ones go); manifest versions are pruned to the
+    newest keep_manifests while CURRENT stays serveable."""
+    ing, client, store = make_ingester(spark, tmp_path, n_blocks=20)
+    ing.run_until_caught_up()
+    store.rollback_from(client.head - 1)
+    # fresh orphans within the grace window survive
+    assert store.vacuum(grace_seconds=3600) == 0
+    assert store.vacuum() > 0  # immediate reclaim without grace
+    m = store.current_manifest()
+    store.vacuum(keep_manifests=2)
+    kept = sorted((store.root / "_manifests").glob("v*.json"))
+    assert len(kept) == 2
+    # CURRENT still resolves and serves the same snapshot
+    assert store.current_manifest().version == m.version
+    assert store.read("blocks").count() > 0
