@@ -114,7 +114,18 @@ class TableStore:
         if not cur.exists():
             return Manifest()
         version = int(cur.read_text())
+        return self.manifest_at(version)
+
+    def manifest_at(self, version: int) -> Manifest:
+        """A specific manifest version — time travel, bounded by
+        :meth:`vacuum`'s ``keep_manifests`` retention (the Delta
+        ``versionAsOf`` analog; every commit/rollback/compaction is a
+        version, so this reads the store as of any retained point)."""
         path = self.root / "_manifests" / f"v{version:06d}.json"
+        if not path.exists():
+            raise ValueError(
+                f"manifest v{version} not found (vacuumed or never written)"
+            )
         return Manifest.from_json(json.loads(path.read_text()))
 
     def _swap(self, manifest: Manifest) -> None:
@@ -274,11 +285,16 @@ class TableStore:
         *,
         min_block: int | None = None,
         max_block: int | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        """Current snapshot of a table as a DataFrame.  Optional block
-        bounds prune fragments manifest-side before Spark lists a single
-        file (the coarse tier above parquet row-group pruning)."""
-        m = self.current_manifest()
+        """Snapshot of a table as a DataFrame — CURRENT by default, or
+        any retained manifest ``version`` (time travel: pre-reorg /
+        pre-compaction states stay readable until vacuumed, since
+        fragments are immutable and only unreferenced ones are
+        reclaimed).  Optional block bounds prune fragments manifest-side
+        before Spark lists a single file (the coarse tier above parquet
+        row-group pruning)."""
+        m = self.current_manifest() if version is None else self.manifest_at(version)
         frags = m.tables.get(table, [])
         if min_block is not None:
             frags = [f for f in frags if f.max_block is None or f.max_block >= min_block]

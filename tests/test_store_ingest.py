@@ -277,3 +277,35 @@ def test_vacuum_grace_period_and_manifest_gc(spark, tmp_path):
     # CURRENT still resolves and serves the same snapshot
     assert store.current_manifest().version == m.version
     assert store.read("blocks").count() > 0
+
+
+def test_time_travel_read_pre_reorg(spark, tmp_path):
+    """Version-pinned reads (the Delta versionAsOf analog): the
+    pre-reorg snapshot stays readable at its manifest version after the
+    fork is rolled back and re-ingested — fragments are immutable and
+    survive until vacuum — while CURRENT serves the canonical chain."""
+    ing, client, store = make_ingester(spark, tmp_path, n_blocks=15)
+    ing.run_until_caught_up()
+    v_before = store.current_manifest().version
+    old_tip = client._by_height[client.head]["block_hash"]
+
+    client.schedule_reorg(depth=3)
+    ing.run_until_caught_up(max_cycles=20)
+
+    # CURRENT: orphan gone
+    cur_hashes = {
+        r[0] for r in store.read("blocks").select("block_hash").collect()
+    }
+    assert old_tip not in cur_hashes
+    # time travel: the orphaned tip is still in the pinned snapshot
+    old_hashes = {
+        r[0]
+        for r in store.read("blocks", version=v_before)
+        .select("block_hash")
+        .collect()
+    }
+    assert old_tip in old_hashes
+    # vacuumed version raises loudly
+    store.vacuum(keep_manifests=1)
+    with pytest.raises(ValueError, match="not found"):
+        store.manifest_at(v_before)
