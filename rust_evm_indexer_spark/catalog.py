@@ -3278,6 +3278,106 @@ def pii_redact_q(spark, sf_dir):
     return cp.pii_scan(docs)
 
 
+# word k-gram multisets (WITH positional multiplicity — repetition
+# metrics, unlike set-Jaccard, count every occurrence) shared by the
+# repetition_signals and substring_dup oracles
+_WS_CTE = f"WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents)"
+
+
+def _gram_sql(k: int) -> str:
+    """DuckDB word-k-gram-with-multiplicity mirror of cp._gram_multiset:
+    1-based positions 1..len-k+1, space-joined slices."""
+    body = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(k))
+    return (
+        f"SELECT doc_id, unnest(list_transform(range(1, len(ws)-{k - 2}), "
+        f"i -> {body})) AS gram FROM t"
+    )
+
+
+@register(
+    "repetition_signals",
+    f"""
+    {_WS_CTE},
+    g2 AS ({_gram_sql(2)}), g3 AS ({_gram_sql(3)}),
+    p2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 WHERE gram <> '' GROUP BY 1, 2),
+    p3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 WHERE gram <> '' GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_2g,
+                  count(*) AS distinct_2g, max(cnt) AS top_2g FROM p2 GROUP BY 1),
+    s3 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_3g,
+                  count(*) AS distinct_3g FROM p3 GROUP BY 1),
+    m AS (SELECT doc_id, total_2g AS n_2grams,
+                 round(1.0 - CAST(distinct_2g AS DOUBLE) / total_2g, 6) AS dup_2gram_frac,
+                 round(CAST(top_2g AS DOUBLE) / total_2g, 6) AS top_2gram_frac,
+                 round(1.0 - CAST(distinct_3g AS DOUBLE) / total_3g, 6) AS dup_3gram_frac
+          FROM s2 JOIN s3 USING (doc_id))
+    SELECT doc_id, n_2grams, dup_2gram_frac, top_2gram_frac, dup_3gram_frac,
+           (dup_2gram_frac <= 0.08 AND top_2gram_frac <= 0.08
+            AND dup_3gram_frac <= 0.02) AS keep
+    FROM m
+    """,
+    tags=("llm", "X-4", "repetition"),
+)
+def repetition_signals_q(spark, sf_dir):
+    """Gopher §A1.1 repetition gate (word-level): duplicate/top k-gram
+    fractions from the (doc, gram) inverted-index shape — two hash
+    shuffles per k, map-side partial agg, all JVM built-ins.  The 6dp
+    round guards nothing subtle: each metric is ONE IEEE division of two
+    exact integers, identical on both engines."""
+    return cp.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "substring_dup",
+    f"""
+    {_WS_CTE},
+    g AS ({_gram_sql(8)}),
+    pd AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    gl AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1),
+    s AS (SELECT p.doc_id, CAST(sum(p.cnt) AS BIGINT) AS n_windows,
+                 CAST(sum(CASE WHEN gl.n_docs > 1 THEN p.cnt ELSE 0 END) AS BIGINT)
+                     AS dup_windows
+          FROM pd p JOIN gl ON p.gram = gl.gram GROUP BY 1),
+    m AS (SELECT doc_id, n_windows, dup_windows,
+                 round(CAST(dup_windows AS DOUBLE) / n_windows, 6) AS dup_frac FROM s)
+    SELECT doc_id, n_windows, dup_windows, dup_frac, dup_frac <= 0.5 AS keep FROM m
+    """,
+    tags=("llm", "X-2", "substring-dedup"),
+)
+def substring_dup_q(spark, sf_dir):
+    """Exact-substring duplication fraction (Lee et al. 2107.06499, the
+    inverted-window-index approximation of the suffix-array method): per
+    doc, the share of word-8-gram windows that also occur in another
+    document.  The planted near-dup cohort lands at dup_frac ≈ 1 and
+    fails ``keep``; organic docs pass."""
+    return cp.substring_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_mix_weights",
+    f"""
+    WITH toks AS (SELECT source,
+                    len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+                  FROM documents),
+    s AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS _tot, count(*) AS _n_src FROM s),
+    m AS (SELECT source, n_docs, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / _tot AS share,
+                 (1.0 / _n_src) / (CAST(n_tokens AS DOUBLE) / _tot) AS w
+          FROM s, tot)
+    SELECT source, n_docs, n_tokens, round(share, 6) AS token_share,
+           round(w, 6) AS mix_weight, round(least(w, 1.0), 6) AS sampling_rate
+    FROM m ORDER BY source
+    """,
+    tags=("llm", "X-4", "mixing"),
+)
+def source_mix_weights_q(spark, sf_dir):
+    """Domain-mixture rebalancing weights (uniform-target): one shuffle
+    on source over narrow (source, n_tokens) rows, then a broadcast-scale
+    total join — the whole result is #sources rows."""
+    return cp.source_mix_weights(_t(spark, sf_dir, "documents"))
+
+
 # integer thresholds precomputed in Python: DuckDB CAST(double AS BIGINT)
 # ROUNDS while Spark's truncates, so the rate→threshold conversion must
 # happen once, driver-side, and be spliced into both plans as literals
@@ -3593,6 +3693,9 @@ _DRIVER_PRIORITY = [
     "store_compacted_logs",
     "semantic_dedup",
     "bm25_search",
+    "repetition_signals",
+    "substring_dup",
+    "source_mix_weights",
     # -- r2-green cohort, not re-checked in r3 (ts_micros churn) --------
     # (q2/q11/q16 are date-free — no ts_micros exposure — and deferred
     # to r5 to make room for the round-4 entries; see the pinned
@@ -3607,7 +3710,6 @@ _DRIVER_PRIORITY = [
     "q9_product_profit",
     "q10_returned_items",
     "q12_late_shipments",
-    "q13_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_qty_avg",
@@ -3616,8 +3718,6 @@ _DRIVER_PRIORITY = [
     "q20_excess_sellers",
     "q21_sole_supplier",
     "q22_idle_customers",
-    "orders_having",
-    "events_hourly_rollup",
     # -- r2-green dedup family + the IVF entry whose oracle changed -----
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -392,3 +392,163 @@ def decontaminate(
     rep = contamination_report(docs, benchmark_ids, k=k, min_hits=min_hits)
     keep = rep.where(~F.col("contaminated")).select("doc_id")
     return docs.join(keep, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------
+# Repetition / substring-duplication signals + corpus mixing
+# ---------------------------------------------------------------------
+
+
+def _gram_multiset(words: DataFrame, k: int) -> DataFrame:
+    """(doc_id, gram) word k-grams WITH positional multiplicity — unlike
+    :func:`..dedup.word_shingles` (distinct shingles for set-similarity),
+    repetition metrics need every occurrence.  ``words`` must already
+    carry the materialized ``_ws`` split array (see word_shingles for why
+    the split is hoisted behind a select boundary)."""
+    ws = F.col("_ws")
+    n = F.size(ws) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kgrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.try_element_at(ws, i + j) for j in range(k)]),
+    )
+    return words.select("doc_id", F.explode(kgrams).alias("gram")).where(
+        F.col("gram") != ""
+    )
+
+
+def _rep_stats(words: DataFrame, k: int) -> DataFrame:
+    """Per-doc k-gram repetition rollup: total/distinct/top counts via
+    the (doc, gram) inverted-index shape — two hash shuffles, map-side
+    partial aggregation on both, all JVM built-ins."""
+    per = _gram_multiset(words, k).groupBy("doc_id", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("cnt").alias(f"total_{k}g"),
+        F.count("*").alias(f"distinct_{k}g"),
+        F.max("cnt").alias(f"top_{k}g"),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText repetition filters (Rae et al. 2112.11446
+    §A1.1), adapted word-level because the driver corpus has no line
+    structure:
+
+    - ``dup_{2,3}gram_frac`` — fraction of k-gram positions that repeat
+      an earlier k-gram of the same doc (1 − distinct/total);
+    - ``top_2gram_frac``     — share of the single most frequent 2-gram;
+    - ``keep``               — composite gate, thresholds placed at the
+      observed sf0.01/sf0.1 95th percentiles so the gate discriminates.
+
+    Docs shorter than 3 words have no 3-grams and drop out (inner join),
+    mirrored exactly by the oracle; the driver corpus min length is 10.
+    """
+    words = df.select(
+        F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
+    )
+    s2, s3 = _rep_stats(words, 2), _rep_stats(words, 3)
+    j = s2.join(s3, "doc_id")
+    t2 = F.col("total_2g").cast("double")
+    t3 = F.col("total_3g").cast("double")
+    dup2 = F.round(F.lit(1.0) - F.col("distinct_2g") / t2, 6)
+    dup3 = F.round(F.lit(1.0) - F.col("distinct_3g") / t3, 6)
+    top2 = F.round(F.col("top_2g") / t2, 6)
+    keep = (dup2 <= 0.08) & (top2 <= 0.08) & (dup3 <= 0.02)
+    return j.select(
+        "doc_id",
+        F.col("total_2g").alias("n_2grams"),
+        dup2.alias("dup_2gram_frac"),
+        top2.alias("top_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+        keep.alias("keep"),
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2107.06499
+    "Deduplicating Training Data Makes Language Models Better"), the
+    distributed approximation: instead of a corpus-global suffix array,
+    index every word k-gram WINDOW and measure, per doc, the fraction of
+    its windows whose k-gram also occurs in at least one OTHER document.
+
+    Shape: (doc, gram) multiset → global gram→distinct-doc-count → equi
+    join back.  The global side is the same inverted index the dedup
+    family builds — one wide shuffle keyed by gram, partial aggregation
+    on both sides, no broadcast of anything corpus-sized, no all-pairs
+    product.  At 100 TB the gram index is the dominant shuffle; cap the
+    per-gram postings list (hot boilerplate grams) the same way
+    ``top_shingle_cap`` bounds the Jaccard join.
+
+    ``dup_frac`` ≈ the suffix-array method's duplicated-span fraction
+    for spans ≥ k words; ``keep`` drops docs that are mostly duplicated
+    spans (threshold 0.5 ⇒ the planted near-dup cohort fails, organic
+    docs pass).
+    """
+    words = df.select(
+        F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
+    )
+    grams = _gram_multiset(words, k)
+    per_doc = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    global_df = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    joined = per_doc.join(global_df, "gram")
+    stats = joined.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_windows"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_windows"
+        ),
+    )
+    dup_frac = F.round(
+        F.col("dup_windows").cast("double") / F.col("n_windows"), 6
+    )
+    return stats.select(
+        "doc_id",
+        "n_windows",
+        "dup_windows",
+        dup_frac.alias("dup_frac"),
+        (dup_frac <= 0.5).alias("keep"),
+    )
+
+
+def source_mix_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Domain-mixture rebalancing weights (the DoReMi/Pile-style mixing
+    knob, uniform-target variant): per source, token counts and the
+    resampling weight that would equalize each source's token share.
+
+    One hash shuffle (groupBy source) over pre-aggregated per-row token
+    counts — the token count is a narrow map, so the shuffle moves one
+    row per input row with two small columns, then a broadcast-scale
+    result (#sources rows).  ``mix_weight > 1`` ⇒ upsample, ``< 1`` ⇒
+    downsample; ``sampling_rate`` is the capped keep-probability form
+    used by a one-pass Bernoulli resampler.
+    """
+    toks = df.select(
+        F.col("source"),
+        F.size(F.split(normalize_text(text_col), " ")).alias("n_tokens"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    # total over sources: window-free via a cross join on a 1-row aggregate
+    # (broadcast by AQE — #sources rows vs 1 row, never a real shuffle)
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("_tot"), F.count("*").alias("_n_src")
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    share = F.col("n_tokens").cast("double") / F.col("_tot")
+    weight = (F.lit(1.0) / F.col("_n_src")) / share
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(F.least(weight, F.lit(1.0)), 6).alias("sampling_rate"),
+    ).orderBy("source")
