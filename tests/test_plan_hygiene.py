@@ -378,3 +378,29 @@ def test_bucketed_tx_log_join_no_shuffle(spark, evm):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS b_txs")
         spark.sql("DROP TABLE IF EXISTS b_logs")
+
+
+def test_repetition_and_substring_dup_plans(spark):
+    """Second round-4 batch: the repetition/substring-dup gram pipelines
+    must plan as hash aggregations over the gram inverted index — no
+    cartesian anywhere, partial (map-side) aggregation before both
+    shuffle stages, and no forced broadcast of anything corpus-sized."""
+    rep = CATALOG["repetition_signals"].fn(spark, SF)
+    plan = physical_plan(rep)
+    assert "CartesianProduct" not in plan
+    # partial → final agg pairs: the (doc,gram) count and per-doc rollup
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert broadcast_hint_count(rep) == 0
+
+    sub = CATALOG["substring_dup"].fn(spark, SF)
+    plan = physical_plan(sub)
+    assert "CartesianProduct" not in plan
+    assert broadcast_hint_count(sub) == 0
+
+    mix = CATALOG["source_mix_weights"].fn(spark, SF)
+    plan = physical_plan(mix)
+    # the total join must be the broadcast (1-row build side) form of the
+    # cross join, never an unbroadcast CartesianProduct
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert broadcast_hint_count(mix) == 1
