@@ -52,9 +52,9 @@ def connected_components(
     label changes.  Rounds needed = graph diameter.  Near-dup clusters
     in a dedup graph are small and dense (diameter ≤ a handful), so this
     terminates in 2–4 rounds in practice; for adversarial long-chain
-    graphs the two-phase large-star/small-star contraction (Kiveris et
-    al., "Connected Components in MapReduce and Beyond") converges in
-    O(log n) rounds and slots into the same loop shape.
+    graphs use :func:`connected_components_star` (Kiveris et al. two-
+    phase large-star/small-star contraction, O(log n) rounds — same
+    output contract, CI-asserted equivalent).
 
     Scale notes: each round is one shuffle (groupBy node) over the edge
     list; ``localCheckpoint`` truncates the lineage so the plan doesn't
@@ -98,12 +98,25 @@ def connected_components(
 
 
 def dedup_clusters(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Full-corpus cluster assignment: every document mapped to its
     near-dup component (singletons map to themselves).  The canonical
-    keep-one-per-cluster policy is then ``component_id = doc_id``."""
-    comps = connected_components(pairs)
+    keep-one-per-cluster policy is then ``component_id = doc_id``.
+
+    ``algorithm``: ``"propagation"`` (min-label, rounds = diameter —
+    fastest on the small-diameter graphs dedup produces) or ``"star"``
+    (:func:`connected_components_star`, O(log n) rounds — switch when
+    the pair graph's diameter is unknown or adversarial).  Both return
+    the identical labeling (CI-asserted), so the choice is purely a
+    convergence/perf knob."""
+    cc = (
+        connected_components_star if algorithm == "star" else connected_components
+    )
+    comps = cc(pairs)
     return (
         docs.select(id_col)
         .join(comps, docs[id_col] == comps["node"], "left")
@@ -552,3 +565,96 @@ def source_mix_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(weight, 6).alias("mix_weight"),
         F.round(F.least(weight, F.lit(1.0)), 6).alias("sampling_rate"),
     ).orderBy("source")
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star contraction round (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Input/output are canonical directed edge lists (u, v) with u > v —
+    i.e. every node points at a strictly smaller node.  Per center node
+    u we take m = min(neighbors ∪ {u}) and re-attach:
+
+    - large-star: every neighbor LARGER than u points at m;
+    - small-star: every neighbor ≤ u (and u itself) points at m.
+
+    Each round is one groupBy-node shuffle (collect the neighborhood
+    min via a window-free aggregate + join) — no neighborhood blowup:
+    the emitted edge count never exceeds the input edge count.
+    """
+    if large:
+        # large-star centers see the FULL neighborhood (both orientations)
+        nbrs = edges.select(
+            F.col("u").alias("c"), F.col("v").alias("n")
+        ).union(edges.select(F.col("v").alias("c"), F.col("u").alias("n")))
+    else:
+        # small-star centers see only their strictly-smaller neighbors
+        # (edges are canonical u > v, so keying by u is exactly that)
+        nbrs = edges.select(F.col("u").alias("c"), F.col("v").alias("n"))
+    mins = nbrs.groupBy("c").agg(F.min("n").alias("mn"))
+    # m = min(neighborhood ∪ {self})
+    mins = mins.select("c", F.least("mn", F.col("c")).alias("m"))
+    j = nbrs.join(mins, "c")
+    if large:
+        # every strictly-larger neighbor re-attaches to m (n > c ≥ m,
+        # so the emitted (n, m) is already in canonical orientation)
+        out = j.where(F.col("n") > F.col("c")).select(
+            F.col("n").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        # every smaller neighbor AND the center re-attach to m
+        out = j.select(F.col("n").alias("u"), F.col("m").alias("v")).union(
+            mins.select(F.col("c").alias("u"), F.col("m").alias("v"))
+        )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction — the O(log n)-round algorithm (Kiveris et al. SoCC'14)
+    that replaces :func:`connected_components`' min-label propagation
+    when the graph diameter is adversarial (propagation needs
+    diameter-many rounds; star contraction halves star heights every
+    alternation regardless of diameter).
+
+    Same contract as :func:`connected_components`: (node, component_id)
+    with component_id = min node id of the component.  Convergence is an
+    EXACT edge-set fixpoint (per-round ``exceptAll`` probe, one extra
+    bounded job), not a hash heuristic; each round is two node-keyed
+    shuffles with per-round ``localCheckpoint`` lineage truncation.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .union(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        e1 = _star_round(edges, large=True).localCheckpoint(eager=True)
+        e2 = _star_round(e1, large=False).localCheckpoint(eager=True)
+        changed = (
+            e2.exceptAll(edges).limit(1).count() + edges.exceptAll(e2).limit(1).count()
+        )
+        edges = e2
+        if changed == 0:
+            break
+    # fixpoint is a forest of depth-1 stars: u → component min
+    comps = edges.select(F.col("u").alias("node"), F.col("v").alias("component_id"))
+    roots = all_nodes.join(
+        comps.select(F.col("node").alias("_n")), all_nodes.node == F.col("_n"), "left_anti"
+    ).select("node", F.col("node").alias("component_id"))
+    return comps.union(roots)

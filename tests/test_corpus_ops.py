@@ -119,3 +119,60 @@ def test_contamination_report_flags_overlap(spark):
         for r in cp.decontaminate(docs, bench, k=5, min_hits=2).collect()
     }
     assert kept == {2, 3}
+
+
+def test_star_cc_matches_propagation(spark):
+    """Large-star/small-star contraction must produce exactly the same
+    (node, min-id component) labeling as min-label propagation on graphs
+    where propagation provably converges."""
+    import random
+
+    cases = {
+        "path60": [(i, i + 1) for i in range(60)],
+        # a center with TWO smaller neighbors — the case where a naive
+        # small-star that re-attaches only the center severs n2
+        "multi-small": [(10, 3), (10, 7), (7, 5)],
+        "clique+pair": [(i, j) for i in range(20) for j in range(i)]
+        + [(1000, 1001)],
+        "random": [
+            (r.randrange(300), r.randrange(300))
+            for r in [random.Random(7)]
+            for _ in range(250)
+        ],
+    }
+    for name, edges in cases.items():
+        pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+        prop = {
+            (r.node, r.component_id)
+            for r in cp.connected_components(pairs, max_iter=200).collect()
+        }
+        star = {
+            (r.node, r.component_id)
+            for r in cp.connected_components_star(pairs).collect()
+        }
+        assert star == prop, name
+
+
+def test_star_cc_adversarial_diameter(spark):
+    """Diameter-300 path: min-label propagation needs ~300 rounds (it
+    cannot finish within any practical budget); star contraction must
+    converge within its 30-round cap and still label every node with the
+    true component min."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "a_id long, b_id long"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in cp.connected_components_star(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(301)}
+
+
+def test_dedup_clusters_star_algorithm(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "a_id long, b_id long")
+    got = {
+        (r.doc_id, r.component_id)
+        for r in cp.dedup_clusters(docs, pairs, algorithm="star").collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 0), (4, 4), (5, 0)}
