@@ -3160,6 +3160,48 @@ def approx_distinct_users(spark, sf_dir):
 
 
 @register(
+    "approx_quantile_p90",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.885) AS lo_rank_value,
+           quantile_cont(value, 0.915) AS hi_rank_value,
+           TRUE AS within_rank_bound
+    FROM events GROUP BY event_type
+    """,
+    tags=("approx", "approx-twin-of:median_per_type"),
+)
+def approx_quantile_p90(spark, sf_dir):
+    """Greenwald-Khanna approximate p90 per event type, driver-verified
+    via the same deterministic bound-check shape as
+    ``approx_distinct_users``: sketch outputs are engine-specific, so
+    the entry emits the EXACT values at ranks 0.885/0.915 (both engines
+    interpolate identically → hash-comparable) plus a Spark-side boolean
+    asserting the sketch's p90 lands between them.  percentile_approx at
+    accuracy=10000 guarantees rank error ≤ 1e-4; the ±0.015 rank margin
+    is 150× headroom, so the boolean cannot flake under sketch-merge
+    reordering (any element within the guaranteed rank band satisfies
+    it, by monotonicity of the quantile function)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.885)").alias("lo_rank_value"),
+            F.expr("percentile(value, 0.915)").alias("hi_rank_value"),
+            F.percentile_approx("value", 0.9, 10000).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "lo_rank_value",
+            "hi_rank_value",
+            (
+                (F.col("_approx") >= F.col("lo_rank_value"))
+                & (F.col("_approx") <= F.col("hi_rank_value"))
+            ).alias("within_rank_bound"),
+        )
+    )
+
+
+@register(
     "similarity_ivf_kmeans",
     _ivf_sql("kmeans8"),
     tags=("llm", "X-3", "ivf", "kmeans", "oracle-sf0.01"),

@@ -61,6 +61,10 @@ _EXPECTED_OUT_OF_WINDOW = {
     # epoch-window machinery is freshly covered by events_sliding_rollup
     # (r3-green) over the same code path
     "q13_order_distribution", "orders_having", "events_hourly_rollup",
+    # never driver-checked yet (added late in r4, window already full of
+    # staler rows) — FIRST IN LINE for the r5 window; until then covered
+    # by the local oracle replay + the two-SF bound test in test_llm_ops
+    "approx_quantile_p90",
 }
 
 

@@ -532,3 +532,35 @@ def test_bm25_matches_python_model(spark, docs):
         assert r["doc_id"] == d
         assert abs(r["score"] - score) < 1e-6
         assert r["n_terms_hit"] == hits
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_approx_quantile_bound(spark, sf_dir):
+    """Quantile twin of the HLL bound check: at two scale factors every
+    within_rank_bound bit must be TRUE, and the rank-band endpoints must
+    equal independently computed exact percentiles so the bound can't
+    pass vacuously on a broken exact side."""
+    from rust_evm_indexer_spark.catalog import CATALOG
+    from rust_evm_indexer_spark.sources.batch import load_driver_table
+
+    got = {
+        r["event_type"]: r
+        for r in CATALOG["approx_quantile_p90"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in load_driver_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.885)").alias("lo"),
+            F.expr("percentile(value, 0.915)").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, row in got.items():
+        assert row["within_rank_bound"] is True
+        assert row["lo_rank_value"] == exact[et]["lo"]
+        assert row["hi_rank_value"] == exact[et]["hi"]
