@@ -25,7 +25,13 @@ versioned manifest covering every table*:
 - **rollback_from(height)** drops every fragment wholly ≥ height and
   rewrites straddling fragments with a pushdown filter — across all
   tables in one manifest swap, so the children-first delete ordering the
-  reference needs is moot.
+  reference needs is moot;
+- **additive schema evolution**: the manifest carries each table's
+  evolved read schema, updated inside the same swap as the data that
+  introduced it — new columns append nullable, type changes fail loud,
+  and reads resolve the schema in O(1) from the manifest instead of
+  merging N file footers (``mergeSchema`` at 100 TB reads every footer
+  before the first data byte).
 
 Scale posture (100 TB): fragments are written per ingest batch, so they
 are naturally block-range clustered; the manifest's min/max stats prune
@@ -74,6 +80,9 @@ class Manifest:
     txns: dict[str, int] = field(default_factory=dict)  # app_id -> version
     status: dict[str, Any] | None = None  # ingest checkpoint row
     tables: dict[str, list[Fragment]] = field(default_factory=dict)
+    # per-table evolved read schema (Spark StructType jsonValue).  Absent
+    # for tables that never evolved past EVM_SCHEMAS / their first write.
+    schemas: dict[str, dict] = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -83,6 +92,7 @@ class Manifest:
             "tables": {
                 t: [f.to_json() for f in frags] for t, frags in self.tables.items()
             },
+            "schemas": self.schemas,
         }
 
     @classmethod
@@ -95,7 +105,37 @@ class Manifest:
                 t: [Fragment(**f) for f in frags]
                 for t, frags in d.get("tables", {}).items()
             },
+            schemas=dict(d.get("schemas", {})),
         )
+
+
+def _evolve_schema(old: "T.StructType | None", new: "T.StructType") -> "T.StructType":
+    """Additive schema evolution (the Delta ``mergeSchema`` contract):
+    new columns append as NULLABLE; a type change on an existing column
+    is a loud error, never a silent cast.  Columns the writer dropped
+    stay in the evolved schema (old data still has them; new fragments
+    read them as NULL under the explicit schema).  Nullability is not
+    part of the compatibility check — parquet stats differ per fragment.
+    """
+    from pyspark.sql import types as T
+
+    if old is None:
+        return new
+    by_name = {f.name: f for f in old.fields}
+    for f in new.fields:
+        prev = by_name.get(f.name)
+        if prev is not None and prev.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution rejected: column '{f.name}' changes type "
+                f"{prev.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                " (additive-only evolution; migrate via an explicit rewrite)"
+            )
+    added = [
+        T.StructField(f.name, f.dataType, nullable=True)
+        for f in new.fields
+        if f.name not in by_name
+    ]
+    return T.StructType(list(old.fields) + added) if added else old
 
 
 class TableStore:
@@ -218,9 +258,15 @@ class TableStore:
             frags_out = list(
                 pool.map(lambda tv: self._write_fragment(tv[0], tv[1]), items)
             )
-        for (table, _), frag in zip(items, frags_out):
+        new.schemas = dict(m.schemas)
+        for (table, df), frag in zip(items, frags_out):
             if frag is not None:
                 new.tables.setdefault(table, []).append(frag)
+                # schema evolution lands WITH its data, inside the same
+                # atomic swap: readers see new columns and new rows
+                # together or neither
+                evolved = _evolve_schema(self._read_schema(m, table), df.schema)
+                new.schemas[table] = evolved.jsonValue()
         if txn_app_id is not None and txn_version is not None:
             new.txns[txn_app_id] = txn_version
         self._swap(new)
@@ -247,6 +293,7 @@ class TableStore:
             txns={app: min(v, height - 1) for app, v in m.txns.items()},
             status=status if status is not None else m.status,
             tables={},
+            schemas=dict(m.schemas),
         )
         touched = 0
         for table, frags in m.tables.items():
@@ -273,7 +320,11 @@ class TableStore:
         m = self.current_manifest()
         self._swap(
             Manifest(
-                version=m.version + 1, txns=dict(m.txns), status=status, tables=m.tables
+                version=m.version + 1,
+                txns=dict(m.txns),
+                status=status,
+                tables=m.tables,
+                schemas=dict(m.schemas),
             )
         )
 
@@ -300,7 +351,13 @@ class TableStore:
             frags = [f for f in frags if f.max_block is None or f.max_block >= min_block]
         if max_block is not None:
             frags = [f for f in frags if f.min_block is None or f.min_block <= max_block]
-        schema = EVM_SCHEMAS.get(table)
+        # evolved schema comes from the MANIFEST, not from merging file
+        # footers: at 100 TB, mergeSchema would read N footers before the
+        # first byte of data; here schema resolution is O(1) and
+        # versioned with the snapshot (time travel sees the schema as of
+        # that version).  Fragments missing an evolved column read it as
+        # NULL under the explicit schema.
+        schema = self._read_schema(m, table)
         if not frags:
             return self.spark.createDataFrame([], schema) if schema is not None else (
                 self.spark.range(0).drop("id")
@@ -309,6 +366,15 @@ class TableStore:
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[str(self.root / f.path) for f in frags])
+
+    def _read_schema(self, m: Manifest, table: str):
+        """Snapshot read schema: the manifest's evolved schema if any,
+        else the static EVM DDL schema, else None (schema-on-read)."""
+        from pyspark.sql import types as T
+
+        if table in m.schemas:
+            return T.StructType.fromJson(m.schemas[table])
+        return EVM_SCHEMAS.get(table)
 
     def read_status(self) -> dict | None:
         return self.current_manifest().status
@@ -371,6 +437,7 @@ class TableStore:
             txns=dict(m.txns),
             status=m.status,
             tables={t: list(fs) for t, fs in m.tables.items()},
+            schemas=dict(m.schemas),
         )
         new.tables[table] = new_frags
         self._swap(new)

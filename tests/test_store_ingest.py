@@ -309,3 +309,75 @@ def test_time_travel_read_pre_reorg(spark, tmp_path):
     store.vacuum(keep_manifests=1)
     with pytest.raises(ValueError, match="not found"):
         store.manifest_at(v_before)
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Additive evolution: new columns land WITH their data in one swap,
+    old fragments read them as NULL, time travel sees the pre-evolution
+    schema, and a type change is a loud error (never a silent cast)."""
+    store = TableStore(spark, tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a")], "block_number long, payload string"
+    )
+    store.commit({"t": base})
+    evolved = spark.createDataFrame(
+        [(2, "b", "spam")],
+        "block_number long, payload string, quality_tag string",
+    )
+    store.commit({"t": evolved})
+
+    df = store.read("t")
+    assert df.columns == ["block_number", "payload", "quality_tag"]
+    rows = {(r.block_number, r.payload, r.quality_tag) for r in df.collect()}
+    assert rows == {(1, "a", None), (2, "b", "spam")}
+    assert df.filter("quality_tag = 'spam'").count() == 1
+
+    # time travel: version 1 predates the evolution → old schema
+    old = store.read("t", version=1)
+    assert old.columns == ["block_number", "payload"]
+
+    # type change rejected before the manifest swap (fragment orphaned,
+    # reclaimed by vacuum — never visible to readers)
+    bad = spark.createDataFrame([(3, 5)], "block_number long, payload long")
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        store.commit({"t": bad})
+    assert store.read("t").count() == 2
+    assert store.vacuum(keep_manifests=100) >= 1  # the orphaned fragment
+
+    # writer dropping a column: evolved schema keeps it, new rows NULL
+    dropped = spark.createDataFrame([(4,)], "block_number long")
+    store.commit({"t": dropped})
+    r4 = store.read("t").filter("block_number = 4").collect()[0]
+    assert (r4.payload, r4.quality_tag) == (None, None)
+
+
+def test_schema_evolution_survives_compaction_and_rollback(spark, tmp_path):
+    """Compaction merges pre- and post-evolution fragments under the
+    manifest schema; rollback keeps the evolved schema."""
+    store = TableStore(spark, tmp_path / "store")
+    for b in range(6):
+        store.commit(
+            {"t": spark.createDataFrame([(b, f"p{b}")], "block_number long, payload string")}
+        )
+    store.commit(
+        {
+            "t": spark.createDataFrame(
+                [(6, "p6", 0.5)],
+                "block_number long, payload string, score double",
+            )
+        }
+    )
+    before = store.compact("t", max_fragments=2)
+    assert before == 7
+    df = store.read("t")
+    assert df.columns == ["block_number", "payload", "score"]
+    assert df.count() == 7
+    assert df.filter("score is not null").count() == 1
+    # fragment pruning still works post-compaction on the evolved table
+    assert len(store.current_manifest().tables["t"]) <= 2
+
+    store.rollback_from(6)
+    df = store.read("t")
+    assert df.columns == ["block_number", "payload", "score"]
+    assert df.count() == 6
+    assert df.filter("score is not null").count() == 0
