@@ -195,3 +195,52 @@ def streaming_hourly_counts(
         .queryName(queryName)
         .start()
     )
+
+
+def stream_enrich_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "event_type",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup stage every
+    event pipeline runs before aggregation (≙ the reference resolving a
+    log's contract/tx context at query time, src/api.rs joins).
+
+    Stateless by construction: stream-static joins keep NO watermark
+    state — each micro-batch hash-joins against the static side.  The
+    broadcast hint is the 100 TB posture: dims are executor-memory-sized
+    by definition, so the join never shuffles the stream side.
+
+    CAVEAT (measured, not assumed): the static side's FILE INDEX is
+    pinned when the query starts — overwriting or appending to the dim
+    path mid-query either errors (deleted files) or is silently ignored.
+    For slowly-changing dims use :func:`stream_enrich_refreshing`, which
+    re-resolves the dim per micro-batch."""
+    return stream.join(F.broadcast(dim), key, how)
+
+
+def stream_enrich_refreshing(
+    spark,
+    stream: DataFrame,
+    dim_path: str,
+    out_path: str,
+    *,
+    key: str = "event_type",
+    how: str = "left",
+):
+    """Slowly-changing-dimension enrichment: ``foreachBatch`` re-reads
+    the dim path at EVERY micro-batch, so a dim refresh (full overwrite
+    between triggers) is picked up without restarting the stream — the
+    standard Structured Streaming SCD pattern (plain-parquet equivalent
+    of a Delta static side, which re-resolves snapshots natively).
+    Enriched micro-batches append to ``out_path`` (parquet); returns the
+    started query."""
+
+    def _enrich(batch_df: DataFrame, _epoch: int) -> None:
+        dim = spark.read.parquet(dim_path)  # re-resolved THIS trigger
+        batch_df.join(F.broadcast(dim), key, how).write.mode("append").parquet(
+            out_path
+        )
+
+    return stream.writeStream.outputMode("append").foreachBatch(_enrich).start()

@@ -271,3 +271,85 @@ def test_stream_dedup_canonical_passes_null_text_through(spark, tmp_path):
     # all three DISTINCT null-text rows survive; the re-delivered one
     # is deduped on its stable id-salted fingerprint
     assert sorted(got) == [1, 2, 3, 4]
+
+
+def test_stream_enrich_static_stateless(spark, tmp_path):
+    """Stream-static enrichment: every event row gains its dim columns,
+    no watermark state, row count preserved under a left join on a
+    unique dim key."""
+    import shutil
+
+    from rust_evm_indexer_spark.streaming.windows import stream_enrich_static
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(SF_ORACLE / "events.parquet", in_dir / "a.parquet")
+    src = spark.read.parquet(str(in_dir))
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "passive")],
+        "event_type string, tier string",
+    )
+    stream = spark.readStream.schema(src.schema).parquet(str(in_dir))
+    q = (
+        stream_enrich_static(stream, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_enrich")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_enrich")
+    assert got.count() == src.count()  # left join, unique dim key
+    assert got.filter("event_type = 'click' AND tier != 'engagement'").count() == 0
+    assert got.filter("tier IS NOT NULL").count() == src.filter(
+        "event_type IN ('click','view')"
+    ).count()
+
+
+def test_stream_enrich_refreshing_picks_up_dim_overwrite(spark, tmp_path):
+    """The foreachBatch SCD variant must re-resolve the dim per
+    micro-batch: after a full dim overwrite between triggers, rows from
+    the second batch are enriched under the NEW mapping (a plain
+    stream-static join would error on the deleted files — measured)."""
+    import shutil
+
+    from rust_evm_indexer_spark.streaming.windows import stream_enrich_refreshing
+
+    in_dir, dim_dir, out_dir = (
+        tmp_path / "in",
+        str(tmp_path / "dim"),
+        str(tmp_path / "out"),
+    )
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [("click", "engagement")], "event_type string, tier string"
+    ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+    shutil.copy(SF_ORACLE / "events.parquet", in_dir / "a.parquet")
+    src = spark.read.parquet(str(in_dir))
+    stream = spark.readStream.schema(src.schema).parquet(str(in_dir))
+    q = stream_enrich_refreshing(spark, stream, dim_dir, out_dir)
+    try:
+        q.processAllAvailable()
+        n_click = src.filter("event_type = 'click'").count()
+        got1 = spark.read.parquet(out_dir)
+        assert got1.count() == src.count()
+        assert got1.filter("tier = 'engagement'").count() == n_click
+        assert got1.filter("tier = 'revenue'").count() == 0
+        # full dim overwrite between triggers (new file names)
+        spark.createDataFrame(
+            [("click", "engagement"), ("purchase", "revenue")],
+            "event_type string, tier string",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+        shutil.copy(SF_ORACLE / "events.parquet", in_dir / "b.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2 * src.count()
+    # second batch saw the refreshed dim
+    assert got.filter("tier = 'revenue'").count() == src.filter(
+        "event_type = 'purchase'"
+    ).count()
