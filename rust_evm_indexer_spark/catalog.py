@@ -491,7 +491,10 @@ _COMPACT_DIR = FIXTURE_CACHE / "compact"
 # bump when chain params or the compaction layout contract change — the
 # marker is checked by CONTENT, so a stale cached store can't silently
 # serve an old layout to both engines (ADVICE r3: param-keyed markers)
-_COMPACT_FIXTURE_KEY = "seed=123 n_blocks=40 max_fragments=2 layout=per-range-fragment"
+_COMPACT_FIXTURE_KEY = (
+    "seed=123 n_blocks=40 max_fragments=2 layout=per-range-fragment "
+    "blooms=v1 txs_snapshot=v1"
+)
 
 
 def _ensure_compact_fixture(spark: SparkSession) -> Path:
@@ -522,6 +525,11 @@ def _ensure_compact_fixture(spark: SparkSession) -> Path:
         ing.run_until_caught_up()
         store.read("logs").write.mode("overwrite").parquet(
             str(_COMPACT_DIR / "logs_snapshot")
+        )
+        # transactions stay per-batch-fragmented (8 fragments) — the
+        # shape the bloom point-lookup entry prunes against
+        store.read("transactions").write.mode("overwrite").parquet(
+            str(_COMPACT_DIR / "txs_snapshot")
         )
         n_before = store.compact(
             "logs", max_fragments=2, sort_within=("contract_address", "topic0")
@@ -565,6 +573,53 @@ def store_compacted_logs(spark, sf_dir):
             to_block=1_000_030,
             page_size=100,
         ),
+    )
+
+
+_TX_BLOOM_COLS = (
+    "tx_hash, block_number, block_hash, transaction_index, "
+    "from_address, to_address, value, status"
+)
+_TX_BLOOM_SQL = f"""
+    SELECT {_TX_BLOOM_COLS}
+    FROM read_parquet('{_COMPACT_DIR}/txs_snapshot/*.parquet')
+    WHERE tx_hash = (
+        SELECT min(tx_hash)
+        FROM read_parquet('{_COMPACT_DIR}/txs_snapshot/*.parquet')
+    )
+"""
+
+
+@register(
+    "store_tx_bloom_lookup",
+    _TX_BLOOM_SQL,
+    tags=("evm-native", "O-22", "store", "bloom"),
+)
+def store_tx_bloom_lookup(spark, sf_dir):
+    """/tx/:hash point lookup served through the store's bloom index
+    tier.  A tx hash is uniformly spread across block ranges, so the
+    manifest's min/max stats prune NOTHING for this predicate — the
+    per-fragment bloom sidecars (store/bloom.py) drop every fragment
+    that definitely lacks the hash before Spark lists a file, restoring
+    the reference's Postgres-indexed sub-ms lookup shape (init.sql:71-74,
+    src/api.rs /tx/:hash).  The probe key is derived deterministically
+    (min tx hash) so the oracle replays it input-independently; pruning
+    itself is CI-asserted in test_bloom_pruning.py."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql import functions as F
+
+    from .store import TableStore
+
+    root = _ensure_compact_fixture(spark)
+    store = TableStore(spark, root / "store")
+    probe = _pc.min(
+        _pq.read_table(str(root / "txs_snapshot"), columns=["tx_hash"])["tx_hash"]
+    ).as_py()
+    txs = store.read("transactions", equals={"tx_hash": probe})
+    return txs.filter(F.col("tx_hash") == probe).selectExpr(
+        *[c.strip() for c in _TX_BLOOM_COLS.split(",")]
     )
 
 
@@ -3733,6 +3788,7 @@ _DRIVER_PRIORITY = [
     "approx_distinct_users",
     # -- never driver-checked: new round-4 entries ----------------------
     "store_compacted_logs",
+    "store_tx_bloom_lookup",
     "semantic_dedup",
     "bm25_search",
     "repetition_signals",
@@ -3753,7 +3809,6 @@ _DRIVER_PRIORITY = [
     "q10_returned_items",
     "q12_late_shipments",
     "q14_promo_revenue",
-    "q15_top_supplier",
     "q17_small_qty_avg",
     "q18_large_orders",
     "q19_disjunctive",

@@ -36,7 +36,10 @@ versioned manifest covering every table*:
 Scale posture (100 TB): fragments are written per ingest batch, so they
 are naturally block-range clustered; the manifest's min/max stats prune
 fragments *before* Spark even lists files, and parquet row-group stats
-prune within fragments.  Reads hand Spark a list of paths — Catalyst
+prune within fragments.  For hash-like point lookups (address, tx hash)
+where min/max prunes nothing, per-fragment **bloom sidecars** restore
+the reference's index tier (``store/bloom.py``; probed via
+``read(..., equals=...)``).  Reads hand Spark a list of paths — Catalyst
 treats it as one scan with full pushdown.  On an object store the
 CURRENT-pointer rename becomes a conditional put; nothing else changes.
 Rollback cost is proportional to the fork depth (tail fragments only),
@@ -69,9 +72,16 @@ class Fragment:
     rows: int
     min_block: int | None = None
     max_block: int | None = None
+    # per-column bloom params: {col: {"m": bits, "k": hashes, "n": keys}}
+    # (the bitset itself is a sidecar file inside the fragment dir —
+    # manifests stay O(#fragments); see store/bloom.py)
+    blooms: dict | None = None
 
     def to_json(self) -> dict:
-        return self.__dict__.copy()
+        d = self.__dict__.copy()
+        if d.get("blooms") is None:
+            d.pop("blooms", None)
+        return d
 
 
 @dataclass
@@ -138,12 +148,32 @@ def _evolve_schema(old: "T.StructType | None", new: "T.StructType") -> "T.Struct
     return T.StructType(list(old.fields) + added) if added else old
 
 
+# Point-lookup columns that get a per-fragment bloom sidecar: hash-like
+# keys uniformly spread across block ranges, where min/max fragment stats
+# prune nothing but the reference serves an indexed sub-ms lookup
+# (init.sql:71-74 — logs(address), transactions(hash), blocks(hash)).
+DEFAULT_BLOOM_COLUMNS: dict[str, tuple[str, ...]] = {
+    "logs": ("contract_address", "transaction_hash"),
+    "transactions": ("tx_hash",),
+    "blocks": ("block_hash",),
+}
+
+
 class TableStore:
     """See module docstring.  One instance per store root directory."""
 
-    def __init__(self, spark: SparkSession, root: str | Path):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | Path,
+        *,
+        bloom_columns: dict[str, tuple[str, ...]] | None = None,
+    ):
         self.spark = spark
         self.root = Path(root)
+        self.bloom_columns = (
+            DEFAULT_BLOOM_COLUMNS if bloom_columns is None else bloom_columns
+        )
         (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(parents=True, exist_ok=True)
 
@@ -195,6 +225,37 @@ class TableStore:
 
     # -- writes ------------------------------------------------------------
 
+    def _build_fragment_blooms(self, table: str, frag: Fragment) -> None:
+        """Bloom sidecars for the configured point-lookup columns: one
+        column-pruned pyarrow pass over the fragment just written (reads
+        only the indexed columns, dictionary pages mostly), bitset to a
+        sidecar file, params into the fragment record.  Columns past the
+        key cap or absent from the schema are skipped — degradation is
+        "no bloom, scan as before", never wrong results."""
+        from . import bloom as _bloom
+
+        cols = self.bloom_columns.get(table, ())
+        if not cols:
+            return
+        fdir = self.root / frag.path
+        ds = pa_ds.dataset(str(fdir), format="parquet")
+        present = [c for c in cols if c in ds.schema.names]
+        if not present:
+            return
+        import pyarrow.compute as pc
+
+        tbl = ds.to_table(columns=present)
+        for col in present:
+            values = pc.unique(tbl[col]).to_pylist()
+            n_distinct = sum(1 for v in values if v is not None)
+            if n_distinct == 0 or n_distinct > _bloom.MAX_KEYS_DEFAULT:
+                continue
+            bits, m, k, n = _bloom.build_bloom(values)
+            _bloom.write_sidecar(fdir, col, bits)
+            if frag.blooms is None:
+                frag.blooms = {}
+            frag.blooms[col] = {"m": m, "k": k, "n": n}
+
     def _write_fragment(self, table: str, df: DataFrame) -> Fragment | None:
         """Materialize one immutable fragment dir; stats from the parquet
         footers (no second data pass)."""
@@ -218,6 +279,7 @@ class TableStore:
                         lo = st.min if lo is None else min(lo, st.min)
                         hi = st.max if hi is None else max(hi, st.max)
             frag.min_block, frag.max_block = lo, hi
+        self._build_fragment_blooms(table, frag)
         return frag
 
     def commit(
@@ -337,6 +399,7 @@ class TableStore:
         min_block: int | None = None,
         max_block: int | None = None,
         version: int | None = None,
+        equals: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Snapshot of a table as a DataFrame — CURRENT by default, or
         any retained manifest ``version`` (time travel: pre-reorg /
@@ -344,13 +407,24 @@ class TableStore:
         fragments are immutable and only unreferenced ones are
         reclaimed).  Optional block bounds prune fragments manifest-side
         before Spark lists a single file (the coarse tier above parquet
-        row-group pruning)."""
+        row-group pruning).
+
+        ``equals={"contract_address": addr}`` additionally prunes via
+        per-fragment bloom sidecars (store/bloom.py): fragments whose
+        bloom definitely excludes the key are dropped — the index tier
+        for hash-like point lookups where min/max stats prune nothing.
+        Like the block bounds, this is PRUNING ONLY: the caller still
+        applies the actual predicate (a bloom false positive just means
+        one extra fragment reaches Spark's scan, where parquet pushdown
+        filters it).  Fragments with no bloom for the column are kept."""
         m = self.current_manifest() if version is None else self.manifest_at(version)
         frags = m.tables.get(table, [])
         if min_block is not None:
             frags = [f for f in frags if f.max_block is None or f.max_block >= min_block]
         if max_block is not None:
             frags = [f for f in frags if f.min_block is None or f.min_block <= max_block]
+        if equals:
+            frags = [f for f in frags if self._bloom_keeps(f, equals)]
         # evolved schema comes from the MANIFEST, not from merging file
         # footers: at 100 TB, mergeSchema would read N footers before the
         # first byte of data; here schema resolution is O(1) and
@@ -366,6 +440,27 @@ class TableStore:
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[str(self.root / f.path) for f in frags])
+
+    def _bloom_keeps(self, frag: Fragment, equals: dict[str, Any]) -> bool:
+        """True unless some bloom definitely excludes a probed key.  A
+        NULL probe keeps the fragment (blooms only index non-NULL keys);
+        a missing sidecar keeps it (conservative)."""
+        from . import bloom as _bloom
+
+        if not frag.blooms:
+            return True
+        fdir = self.root / frag.path
+        for col, value in equals.items():
+            params = frag.blooms.get(col)
+            if params is None or value is None:
+                continue
+            try:
+                bits = _bloom.read_sidecar(fdir, col)
+            except OSError:
+                continue
+            if not _bloom.might_contain(bits, params["m"], params["k"], value):
+                return False
+        return True
 
     def _read_schema(self, m: Manifest, table: str):
         """Snapshot read schema: the manifest's evolved schema if any,
@@ -472,6 +567,7 @@ class TableStore:
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
             frag.min_block, frag.max_block = lo, hi
+        self._build_fragment_blooms(table, frag)
         return frag
 
     def vacuum(self, *, grace_seconds: float = 0.0, keep_manifests: int = 10) -> int:
