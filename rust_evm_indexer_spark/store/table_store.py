@@ -377,6 +377,65 @@ class TableStore:
         self._swap(new)
         return touched
 
+    def delete_equals(self, table: str, column: str, value) -> dict:
+        """Targeted row deletion by key — the "remove this document /
+        address everywhere" operation a training-data pipeline needs
+        (takedowns, right-to-be-forgotten, poisoned-source removal).
+
+        Cost is bounded by the BLOOM tier, not table size: fragments
+        whose bloom definitely excludes the key are kept by manifest
+        reference alone (zero I/O); only bloom-candidate fragments are
+        scanned, and of those only the ones that actually contain the
+        key are rewritten (a bloom false positive costs one scan, not a
+        rewrite).  At 100 TB a single-key delete touches a handful of
+        fragments instead of rewriting the table.  One atomic manifest
+        swap; old fragments remain for time travel until vacuum.
+
+        Comparison is case-insensitive for strings, matching the bloom
+        normalization and the engine's hex semantics.  Returns
+        ``{"candidates": n, "rewritten": n, "deleted_rows": n}``."""
+        from pyspark.sql import functions as F
+
+        m = self.current_manifest()
+        frags = m.tables.get(table, [])
+        if isinstance(value, str):
+            pred = F.lower(F.col(column)) == value.lower()
+        else:
+            pred = F.col(column) == value
+        new_frags: list[Fragment] = []
+        stats = {"candidates": 0, "rewritten": 0, "deleted_rows": 0}
+        for frag in frags:
+            if not self._bloom_keeps(frag, {column: value}):
+                new_frags.append(frag)  # definitely clean: keep by reference
+                continue
+            stats["candidates"] += 1
+            df = self.spark.read.parquet(str(self.root / frag.path))
+            n_hit = df.filter(pred).count()
+            if n_hit == 0:
+                new_frags.append(frag)  # bloom false positive: scan only
+                continue
+            stats["rewritten"] += 1
+            stats["deleted_rows"] += n_hit
+            # keep = NOT(pred) with NULL-safe semantics: a NULL key makes
+            # pred NULL, and filter(~NULL) would silently drop the row
+            rewritten = self._write_fragment(
+                table, df.filter(~F.coalesce(pred, F.lit(False)))
+            )
+            if rewritten is not None:
+                new_frags.append(rewritten)
+        if stats["rewritten"] == 0:
+            return stats  # nothing changed — don't burn a version
+        new = Manifest(
+            version=m.version + 1,
+            txns=dict(m.txns),
+            status=m.status,
+            tables={t: list(fs) for t, fs in m.tables.items()},
+            schemas=dict(m.schemas),
+        )
+        new.tables[table] = new_frags
+        self._swap(new)
+        return stats
+
     def set_status(self, status: dict) -> None:
         """Checkpoint-only upsert (O-9) when no data moved."""
         m = self.current_manifest()

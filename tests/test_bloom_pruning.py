@@ -188,6 +188,43 @@ def test_catalog_bloom_entry_prunes_tx_fragments(spark):
     assert pruned.filter(F.col("tx_hash") == probe).count() == 1
 
 
+def test_delete_equals_rewrites_only_containing_fragments(spark, tmp_path):
+    """Targeted delete: fragments whose bloom excludes the key keep
+    their PATHS (zero I/O), only the containing fragment is rewritten,
+    and the deleted key is gone while everything else survives."""
+    store = _mk_store(spark, tmp_path)
+    _commit_batches(spark, store)
+    before = {f.path for f in store.current_manifest().tables["pts"]}
+    n_before = store.read("pts").count()
+    stats = store.delete_equals("pts", "addr", "0xb02a0005")
+    assert stats["deleted_rows"] == 1 and stats["rewritten"] == 1
+    # bloom bounded the scan: ≤ a couple FP fragments beyond the true one
+    assert stats["candidates"] <= 3
+    after_frags = store.current_manifest().tables["pts"]
+    kept_paths = {f.path for f in after_frags} & before
+    assert len(kept_paths) == len(before) - 1  # 5 of 6 untouched
+    assert store.read("pts").count() == n_before - 1
+    assert store.read("pts").filter(F.col("addr") == "0xb02a0005").count() == 0
+    # rewritten fragment got fresh blooms; a second delete of the same
+    # key is a no-op that doesn't burn a manifest version
+    v = store.current_manifest().version
+    stats2 = store.delete_equals("pts", "addr", "0xb02a0005")
+    assert stats2["rewritten"] == 0 and store.current_manifest().version == v
+
+
+def test_delete_equals_is_case_insensitive_and_null_safe(spark, tmp_path):
+    store = TableStore(spark, tmp_path / "nullstore", bloom_columns={"pts": ("addr",)})
+    df = spark.createDataFrame(
+        [(1, "0xAAA", 1), (2, None, 1), (3, "0xbbb", 1)],
+        "id: long, addr: string, block_number: long",
+    )
+    store.commit({"pts": df})
+    stats = store.delete_equals("pts", "addr", "0xaaa")
+    assert stats["deleted_rows"] == 1
+    left = {r["id"] for r in store.read("pts").collect()}
+    assert left == {2, 3}  # the NULL-key row must survive the rewrite
+
+
 def test_rollback_rewrite_keeps_blooms(spark, tmp_path):
     store = _ingested_store(spark, tmp_path)
     m = store.current_manifest()
