@@ -493,7 +493,7 @@ _COMPACT_DIR = FIXTURE_CACHE / "compact"
 # serve an old layout to both engines (ADVICE r3: param-keyed markers)
 _COMPACT_FIXTURE_KEY = (
     "seed=123 n_blocks=40 max_fragments=2 layout=per-range-fragment "
-    "blooms=v1 txs_snapshot=v1"
+    "blooms=v1 txs_snapshot=v1 projection=v1"
 )
 
 
@@ -535,6 +535,12 @@ def _ensure_compact_fixture(spark: SparkSession) -> Path:
             "logs", max_fragments=2, sort_within=("contract_address", "topic0")
         )
         store.vacuum()
+        # secondary-index replica AFTER compaction (compaction removes
+        # the fragments a projection covers, so maintenance order is
+        # compact-then-project — same as production)
+        store.build_projection(
+            "logs", "by_address", ("contract_address",), max_fragments=2
+        )
         marker.write_text(f"{_COMPACT_FIXTURE_KEY} fragments_before={n_before}")
     return _COMPACT_DIR
 
@@ -574,6 +580,49 @@ def store_compacted_logs(spark, sf_dir):
             page_size=100,
         ),
     )
+
+
+_PROJ_ADDR_SQL = f"""
+    SELECT {_LOGS_PROJ_SQL}
+    FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')
+    WHERE contract_address = (
+        SELECT min(contract_address)
+        FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')
+    )
+    ORDER BY block_number, id LIMIT 100
+"""
+
+
+@register(
+    "store_projection_logs",
+    _PROJ_ADDR_SQL,
+    tags=("evm-native", "store", "projection"),
+)
+def store_projection_logs(spark, sf_dir):
+    """'All logs for address X ordered by block' served from the
+    address-clustered projection — the manifest analog of the
+    reference's composite index idx_logs_address (init.sql:71-74).  The
+    base layout is block-clustered, so this predicate would touch every
+    base fragment; the projection's min_key/max_key + bloom pruning cut
+    it to O(1) clustered fragments whose row groups are address-sorted.
+    The probe (min address) is derived from the snapshot so the oracle
+    replays it input-independently; pruning and base-equivalence are
+    CI-asserted in test_projections.py."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from .operators import GetLogsFilter, get_logs
+    from .store import TableStore
+
+    root = _ensure_compact_fixture(spark)
+    store = TableStore(spark, root / "store")
+    addr = _pc.min(
+        _pq.read_table(
+            str(root / "logs_snapshot"), columns=["contract_address"]
+        )["contract_address"]
+    ).as_py()
+    logs = store.read_projection("logs", "by_address", key_equals=addr)
+    return get_logs(logs, GetLogsFilter(address=addr, page_size=100))
 
 
 _TX_BLOOM_COLS = (
@@ -3789,6 +3838,7 @@ _DRIVER_PRIORITY = [
     # -- never driver-checked: new round-4 entries ----------------------
     "store_compacted_logs",
     "store_tx_bloom_lookup",
+    "store_projection_logs",
     "semantic_dedup",
     "bm25_search",
     "repetition_signals",
@@ -3808,7 +3858,6 @@ _DRIVER_PRIORITY = [
     "q9_product_profit",
     "q10_returned_items",
     "q12_late_shipments",
-    "q14_promo_revenue",
     "q17_small_qty_avg",
     "q18_large_orders",
     "q19_disjunctive",

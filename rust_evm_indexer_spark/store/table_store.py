@@ -76,11 +76,17 @@ class Fragment:
     # (the bitset itself is a sidecar file inside the fragment dir —
     # manifests stay O(#fragments); see store/bloom.py)
     blooms: dict | None = None
+    # cluster-key range for PROJECTION fragments (min/max of the first
+    # cluster_by column, from the parquet footer) — the string analog of
+    # min_block/max_block, prunable for key equality and ranges
+    min_key: str | None = None
+    max_key: str | None = None
 
     def to_json(self) -> dict:
         d = self.__dict__.copy()
-        if d.get("blooms") is None:
-            d.pop("blooms", None)
+        for opt in ("blooms", "min_key", "max_key"):
+            if d.get(opt) is None:
+                d.pop(opt, None)
         return d
 
 
@@ -93,6 +99,10 @@ class Manifest:
     # per-table evolved read schema (Spark StructType jsonValue).  Absent
     # for tables that never evolved past EVM_SCHEMAS / their first write.
     schemas: dict[str, dict] = field(default_factory=dict)
+    # clustered projections: {table: {name: {"cluster_by": [cols],
+    # "covers": [base fragment paths], "fragments": [Fragment...]}}}.
+    # ``covers`` is the staleness contract — see build_projection.
+    projections: dict[str, dict] = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -103,6 +113,17 @@ class Manifest:
                 t: [f.to_json() for f in frags] for t, frags in self.tables.items()
             },
             "schemas": self.schemas,
+            "projections": {
+                t: {
+                    name: {
+                        "cluster_by": p["cluster_by"],
+                        "covers": p["covers"],
+                        "fragments": [f.to_json() for f in p["fragments"]],
+                    }
+                    for name, p in projs.items()
+                }
+                for t, projs in self.projections.items()
+            },
         }
 
     @classmethod
@@ -116,6 +137,17 @@ class Manifest:
                 for t, frags in d.get("tables", {}).items()
             },
             schemas=dict(d.get("schemas", {})),
+            projections={
+                t: {
+                    name: {
+                        "cluster_by": list(p["cluster_by"]),
+                        "covers": list(p["covers"]),
+                        "fragments": [Fragment(**f) for f in p["fragments"]],
+                    }
+                    for name, p in projs.items()
+                }
+                for t, projs in d.get("projections", {}).items()
+            },
         )
 
 
@@ -321,6 +353,7 @@ class TableStore:
                 pool.map(lambda tv: self._write_fragment(tv[0], tv[1]), items)
             )
         new.schemas = dict(m.schemas)
+        new.projections = {t: dict(ps) for t, ps in m.projections.items()}
         for (table, df), frag in zip(items, frags_out):
             if frag is not None:
                 new.tables.setdefault(table, []).append(frag)
@@ -356,6 +389,7 @@ class TableStore:
             status=status if status is not None else m.status,
             tables={},
             schemas=dict(m.schemas),
+            projections={t: dict(ps) for t, ps in m.projections.items()},
         )
         touched = 0
         for table, frags in m.tables.items():
@@ -431,6 +465,7 @@ class TableStore:
             status=m.status,
             tables={t: list(fs) for t, fs in m.tables.items()},
             schemas=dict(m.schemas),
+            projections={t: dict(ps) for t, ps in m.projections.items()},
         )
         new.tables[table] = new_frags
         self._swap(new)
@@ -446,6 +481,7 @@ class TableStore:
                 status=status,
                 tables=m.tables,
                 schemas=dict(m.schemas),
+            projections={t: dict(ps) for t, ps in m.projections.items()},
             )
         )
 
@@ -592,40 +628,218 @@ class TableStore:
             status=m.status,
             tables={t: list(fs) for t, fs in m.tables.items()},
             schemas=dict(m.schemas),
+            projections={t: dict(ps) for t, ps in m.projections.items()},
         )
         new.tables[table] = new_frags
         self._swap(new)
         return len(frags)
 
-    def _adopt_file_as_fragment(self, table: str, part: Path) -> Fragment | None:
+    # -- clustered projections --------------------------------------------
+
+    def build_projection(
+        self,
+        table: str,
+        name: str,
+        cluster_by: tuple[str, ...],
+        *,
+        max_fragments: int = 8,
+    ) -> int:
+        """Materialize a replica of ``table`` clustered by ``cluster_by``
+        — the manifest analog of the reference's secondary composite
+        indexes (init.sql:71-74: logs(address, block_number)).  The base
+        layout is block-range clustered (right for range scans and reorg
+        rollback); a per-address scan there touches EVERY fragment.  The
+        projection range-partitions by the cluster key and sorts
+        ``(cluster_by..., block_number)`` within partitions, so one
+        address's rows live in one fragment's few row groups, with
+        ``min_key``/``max_key`` manifest stats pruning fragments before
+        file listing (blooms apply on top, same as the base table).
+
+        Freshness contract: the manifest records which base fragments the
+        projection ``covers``.  Later commits APPEND fragments — reads
+        union the projection with the uncovered tail (LSM-style
+        clustered-base + recent-delta), so a projection stays usable
+        without rebuilding per commit.  Any operation that REMOVES a
+        covered fragment (rollback, delete, compaction) makes the
+        projection stale; :meth:`read_projection` detects that and
+        raises, and the background maintenance that runs compaction is
+        expected to rebuild projections after it (same job class).
+        Returns the number of projection fragments."""
+        from pyspark.sql import functions as F
+
+        m = self.current_manifest()
+        base = m.tables.get(table, [])
+        df = self.read(table)
+        df = df.repartitionByRange(max_fragments, *[F.col(c) for c in cluster_by])
+        sort_cols = list(cluster_by) + (
+            ["block_number"] if "block_number" in df.columns else []
+        )
+        df = df.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+        dir_name = f"{table}__proj__{name}"
+        staging = self.root / "data" / dir_name / f".build-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(staging))
+        frags: list[Fragment] = []
+        try:
+            for part in sorted(staging.glob("part-*.parquet")):
+                frag = self._adopt_file_as_fragment(
+                    table, part, key_column=cluster_by[0], dir_name=dir_name
+                )
+                if frag is not None:
+                    frags.append(frag)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        frags.sort(key=lambda f: (f.min_key is None, f.min_key, f.path))
+        new = Manifest(
+            version=m.version + 1,
+            txns=dict(m.txns),
+            status=m.status,
+            tables={t: list(fs) for t, fs in m.tables.items()},
+            schemas=dict(m.schemas),
+            projections={t: dict(ps) for t, ps in m.projections.items()},
+        )
+        new.projections.setdefault(table, {})[name] = {
+            "cluster_by": list(cluster_by),
+            "covers": [f.path for f in base],
+            "fragments": frags,
+        }
+        self._swap(new)
+        return len(frags)
+
+    def read_projection(
+        self,
+        table: str,
+        name: str,
+        *,
+        key_equals: str | None = None,
+        key_min: str | None = None,
+        key_max: str | None = None,
+    ) -> DataFrame:
+        """Read through a clustered projection, pruning its fragments by
+        the cluster-key bounds (``key_equals`` is shorthand for a
+        one-point range and ALSO probes the blooms).  Base fragments
+        committed after the projection was built are unioned in
+        unpruned-by-key (they are small, recent, and block-clustered —
+        the LSM tail).  Raises if a covered base fragment has been
+        removed (rollback/delete/compact) — the projection no longer
+        represents the table and must be rebuilt.
+
+        PRUNING ONLY, like every store read: callers still apply the
+        actual predicate."""
+        m = self.current_manifest()
+        proj = m.projections.get(table, {}).get(name)
+        if proj is None:
+            raise ValueError(f"no projection {table}/{name}")
+        current_paths = {f.path for f in m.tables.get(table, [])}
+        missing = [p for p in proj["covers"] if p not in current_paths]
+        if missing:
+            raise RuntimeError(
+                f"projection {table}/{name} is stale: {len(missing)} covered "
+                "base fragment(s) were removed (rollback/delete/compaction); "
+                "rebuild with build_projection()"
+            )
+        # footer min/max ordering is case-SENSITIVE bytes while the
+        # engine's equality is case-insensitive; widening each bound to
+        # cover both the raw and lowercased probe keeps the prune
+        # conservative whichever convention the data uses
+        lo = key_equals if key_min is None else key_min
+        hi = key_equals if key_max is None else key_max
+        if isinstance(lo, str):
+            lo = min(lo, lo.lower())
+        if isinstance(hi, str):
+            hi = max(hi, hi.lower())
+        frags = list(proj["fragments"])
+        if lo is not None:
+            frags = [f for f in frags if f.max_key is None or f.max_key >= lo]
+        if hi is not None:
+            frags = [f for f in frags if f.min_key is None or f.min_key <= hi]
+        if key_equals is not None:
+            key_col = proj["cluster_by"][0]
+            frags = [f for f in frags if self._bloom_keeps(f, {key_col: key_equals})]
+        delta = [f for f in m.tables.get(table, []) if f.path not in set(proj["covers"])]
+        if key_equals is not None:
+            key_col = proj["cluster_by"][0]
+            delta = [f for f in delta if self._bloom_keeps(f, {key_col: key_equals})]
+        paths = [str(self.root / f.path) for f in frags + delta]
+        schema = self._read_schema(m, table)
+        if not paths:
+            return self.spark.createDataFrame([], schema) if schema is not None else (
+                self.spark.range(0).drop("id")
+            )
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    def drop_projection(self, table: str, name: str) -> None:
+        """Remove a projection from the manifest (fragments reclaimed by
+        the next vacuum)."""
+        m = self.current_manifest()
+        if name not in m.projections.get(table, {}):
+            return
+        new = Manifest(
+            version=m.version + 1,
+            txns=dict(m.txns),
+            status=m.status,
+            tables={t: list(fs) for t, fs in m.tables.items()},
+            schemas=dict(m.schemas),
+            projections={t: dict(ps) for t, ps in m.projections.items()},
+        )
+        new.projections[table] = {
+            n: p for n, p in new.projections[table].items() if n != name
+        }
+        self._swap(new)
+
+    @staticmethod
+    def _footer_min_max(md, column: str):
+        """Column min/max across row groups, from footer stats only.
+        Parquet may TRUNCATE long string stats, but truncation widens
+        the range (stored min ≤ true min, stored max ≥ true max), so
+        pruning against these stays conservative."""
+        # leaf index, not top-level field index: nested columns (e.g. the
+        # all_topics array) flatten to multiple leaves in the footer
+        idx = next(
+            (i for i in range(md.num_columns) if md.schema.column(i).path == column),
+            None,
+        )
+        if idx is None:
+            return None, None
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return lo, hi
+
+    def _adopt_file_as_fragment(
+        self,
+        table: str,
+        part: Path,
+        *,
+        key_column: str | None = None,
+        dir_name: str | None = None,
+    ) -> Fragment | None:
         """Move one written parquet part-file into its own fragment dir;
-        stats from the footer (no data pass).  Zero-row parts dropped."""
+        stats from the footer (no data pass).  Zero-row parts dropped.
+        ``key_column`` additionally records the cluster-key range
+        (projection fragments); ``dir_name`` overrides the on-disk
+        namespace (projections live beside, not inside, the base
+        table's fragment dirs) while blooms still follow the logical
+        ``table``'s config."""
         md = pq.read_metadata(part)
         if md.num_rows == 0:
             return None
-        rel = f"data/{table}/frag-{uuid.uuid4().hex}"
+        rel = f"data/{dir_name or table}/frag-{uuid.uuid4().hex}"
         fdir = self.root / rel
         fdir.mkdir(parents=True)
         os.replace(part, fdir / part.name)
         frag = Fragment(path=rel, rows=md.num_rows)
-        # leaf index, not top-level field index: nested columns (e.g. the
-        # all_topics array) flatten to multiple leaves in the footer
-        idx = next(
-            (
-                i
-                for i in range(md.num_columns)
-                if md.schema.column(i).path == "block_number"
-            ),
-            None,
-        )
-        if idx is not None:
-            lo, hi = None, None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is not None and st.has_min_max:
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-            frag.min_block, frag.max_block = lo, hi
+        frag.min_block, frag.max_block = self._footer_min_max(md, "block_number")
+        if key_column is not None:
+            lo, hi = self._footer_min_max(md, key_column)
+            if isinstance(lo, bytes):
+                lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+            frag.min_key, frag.max_key = lo, hi
         self._build_fragment_blooms(table, frag)
         return frag
 
@@ -649,6 +863,12 @@ class TableStore:
 
         m = self.current_manifest()
         live = {f.path for frags in m.tables.values() for f in frags}
+        live |= {
+            f.path
+            for projs in m.projections.values()
+            for p in projs.values()
+            for f in p["fragments"]
+        }
         now = _time.time()
         removed = 0
         for tdir in (self.root / "data").iterdir():

@@ -55,9 +55,10 @@ _EXPECTED_OUT_OF_WINDOW = {
     # r2-green date-free TPC-H (no ts_micros exposure), deferred in r4
     # to make room for the new round-4 entries
     "q2_min_cost_supplier", "q11_important_parts", "q16_supplier_counts",
-    # r2-green, displaced late in r4 by the never-checked bloom-index
-    # entry (store_tx_bloom_lookup) — FIRST IN LINE for the r5 window
-    "q15_top_supplier",
+    # r2-green, displaced late in r4 by the never-checked store-index
+    # entries (store_tx_bloom_lookup, store_projection_logs) — FIRST IN
+    # LINE for the r5 window
+    "q15_top_supplier", "q14_promo_revenue",
     # r2-green low-churn deferrals displaced by the second round-4 batch
     # (repetition_signals / substring_dup / source_mix_weights): q13 is
     # date-free, orders_having is a 3-line HAVING, and hourly_rollup's

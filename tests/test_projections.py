@@ -1,0 +1,136 @@
+"""Clustered projections: the secondary-index replica (init.sql:71-74
+composite-index analog).  Base layout is block-clustered; the projection
+re-clusters by a key so per-key scans touch O(1) fragments, with an
+LSM-style delta union for post-build commits and loud staleness on
+covered-fragment removal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_evm_indexer_spark import datagen
+from rust_evm_indexer_spark.ingest import EvmIngester
+from rust_evm_indexer_spark.sources.rpc import MockRpcClient
+from rust_evm_indexer_spark.store import TableStore
+
+
+def _pts_store(spark, tmp_path, n_batches=6, rows_per=40):
+    store = TableStore(spark, tmp_path / "projstore", bloom_columns={"pts": ("addr",)})
+    for b in range(n_batches):
+        rows = [
+            (b * 1000 + i, f"0x{(i * n_batches + b):04x}", 100 + b)
+            for i in range(rows_per)
+        ]
+        # addresses INTERLEAVE across batches: every base fragment holds
+        # keys from the whole range, so base min/max can never prune a
+        # key scan — exactly the regime projections exist for
+        df = spark.createDataFrame(rows, "id: long, addr: string, block_number: long")
+        store.commit({"pts": df})
+    return store
+
+
+def test_projection_prunes_key_scan_and_matches_base(spark, tmp_path):
+    store = _pts_store(spark, tmp_path)
+    n = store.build_projection("pts", "by_addr", ("addr",), max_fragments=4)
+    assert n == 4
+    m = store.current_manifest()
+    frags = m.tables["pts"]
+    proj = m.projections["pts"]["by_addr"]
+    assert [f.path for f in frags] == proj["covers"]
+    for f in proj["fragments"]:
+        assert f.min_key is not None and f.max_key <= "0x1000"
+    probe = "0x00b3"
+    via_proj = store.read_projection("pts", "by_addr", key_equals=probe)
+    base = store.read("pts")
+    # base fragments all contain the key range; the projection scan
+    # touches ~1 of 4 clustered fragments
+    assert len(via_proj.inputFiles()) < len(base.inputFiles())
+    got = sorted(r["id"] for r in via_proj.filter(F.col("addr") == probe).collect())
+    want = sorted(r["id"] for r in base.filter(F.col("addr") == probe).collect())
+    assert got == want and len(got) == 1
+
+
+def test_projection_key_range_scan(spark, tmp_path):
+    store = _pts_store(spark, tmp_path)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=4)
+    lo, hi = "0x0010", "0x003f"
+    via = store.read_projection("pts", "by_addr", key_min=lo, key_max=hi)
+    assert len(via.inputFiles()) < len(store.read("pts").inputFiles())
+    got = via.filter(F.col("addr").between(lo, hi)).count()
+    want = store.read("pts").filter(F.col("addr").between(lo, hi)).count()
+    assert got == want and got > 0
+
+
+def test_projection_unions_post_build_delta(spark, tmp_path):
+    store = _pts_store(spark, tmp_path, n_batches=3)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=2)
+    late = spark.createDataFrame(
+        [(9001, "0x00b3", 999), (9002, "0xffff", 999)],
+        "id: long, addr: string, block_number: long",
+    )
+    store.commit({"pts": late})
+    via = store.read_projection("pts", "by_addr", key_equals="0x00b3")
+    got = sorted(r["id"] for r in via.filter(F.col("addr") == "0x00b3").collect())
+    want = sorted(
+        r["id"]
+        for r in store.read("pts").filter(F.col("addr") == "0x00b3").collect()
+    )
+    assert got == want and 9001 in got  # delta row visible without rebuild
+
+
+def test_projection_goes_stale_on_covered_removal(spark, tmp_path):
+    store = _pts_store(spark, tmp_path, n_batches=3)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=2)
+    store.delete_equals("pts", "addr", "0x0001")  # rewrites a covered fragment
+    with pytest.raises(RuntimeError, match="stale"):
+        store.read_projection("pts", "by_addr", key_equals="0x0002")
+    # rebuild restores service
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=2)
+    assert (
+        store.read_projection("pts", "by_addr", key_equals="0x0002")
+        .filter(F.col("addr") == "0x0002")
+        .count()
+        == 1
+    )
+
+
+def test_vacuum_spares_projection_fragments_until_dropped(spark, tmp_path):
+    store = _pts_store(spark, tmp_path, n_batches=3)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=2)
+    assert store.vacuum() == 0  # projection fragments are live
+    assert store.read_projection("pts", "by_addr", key_equals="0x0001").count() > 0
+    store.drop_projection("pts", "by_addr")
+    assert store.vacuum() == 2  # now reclaimable
+    with pytest.raises(ValueError, match="no projection"):
+        store.read_projection("pts", "by_addr", key_equals="0x0001")
+
+
+def test_projection_on_real_evm_logs(spark, tmp_path):
+    """logs clustered by contract_address ≙ idx_logs_address: the
+    flagship 'all logs for address ordered by block' query served from
+    O(1) clustered fragments, identical rows to the base scan."""
+    chain = datagen.generate_chain(n_blocks=20, seed=11)
+    store = TableStore(spark, tmp_path / "evmstore")
+    EvmIngester(
+        spark,
+        MockRpcClient(chain),
+        store,
+        start_block=datagen.START_BLOCK,
+        backoff_base=0.01,
+    ).run_until_caught_up()
+    store.build_projection("logs", "by_address", ("contract_address",), max_fragments=3)
+    addr = store.read("logs").select("contract_address").first()[0]
+    via = store.read_projection("logs", "by_address", key_equals=addr)
+    got = (
+        via.filter(F.col("contract_address") == addr)
+        .orderBy("block_number", "id")
+        .collect()
+    )
+    want = (
+        store.read("logs")
+        .filter(F.col("contract_address") == addr)
+        .orderBy("block_number", "id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
