@@ -2923,6 +2923,34 @@ def distinct_agg(spark, sf_dir):
 
 
 @register(
+    "skew_salted_topk",
+    """
+    SELECT event_type, event_id, value, rnk FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events) WHERE rnk <= 5
+    """,
+    tags=("relational", "window", "skew"),
+)
+def skew_salted_topk(spark, sf_dir):
+    """Top-5 events by value per event TYPE — only 5 types exist, so the
+    one-phase window (the oracle, and `window_topk_per_group`'s shape)
+    sorts the entire table in 5 tasks: window partitions are the one
+    hot-key regime neither partial aggregation nor AQE can split.  The
+    salted two-phase top-k (operators/skew.py) takes per-(type, salt)
+    top-5 in parallel, then re-ranks the <= 32*5 survivors per type;
+    (value DESC, event_id) is a total order, so the decomposition is
+    exact and the plain-window oracle hash-verifies it."""
+    from .operators.skew import salted_topk_per_group
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return salted_topk_per_group(
+        ev, ["event_type"], [F.desc("value"), F.asc("event_id")], 5
+    )
+
+
+@register(
     "set_ops_customers",
     """
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -3844,6 +3872,7 @@ _DRIVER_PRIORITY = [
     "repetition_signals",
     "substring_dup",
     "source_mix_weights",
+    "skew_salted_topk",
     # -- r2-green cohort, not re-checked in r3 (ts_micros churn) --------
     # (q2/q11/q16 are date-free — no ts_micros exposure — and deferred
     # to r5 to make room for the round-4 entries; see the pinned
@@ -3859,8 +3888,9 @@ _DRIVER_PRIORITY = [
     "q10_returned_items",
     "q12_late_shipments",
     "q17_small_qty_avg",
+    # q19 (date-free, low-churn) deferred to r5 for the skew entry
+    # -- continued TPC-H re-checks --------------------------------------
     "q18_large_orders",
-    "q19_disjunctive",
     "q20_excess_sellers",
     "q21_sole_supplier",
     "q22_idle_customers",

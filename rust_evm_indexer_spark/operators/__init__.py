@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     lookups,
     multimodal,
     similarity,
+    skew,
     temporal,
     textops,
 )
