@@ -607,11 +607,14 @@ def store_projection_logs(spark, sf_dir):
     it to O(1) clustered fragments whose row groups are address-sorted.
     The probe (min address) is derived from the snapshot so the oracle
     replays it input-independently; pruning and base-equivalence are
-    CI-asserted in test_projections.py."""
+    CI-asserted in test_projections.py.  Goes through the
+    ``get_logs_from_store`` source router — the driver thereby verifies
+    the full planner path (projection chosen, predicates still applied),
+    not just the raw projection read."""
     import pyarrow.compute as _pc
     import pyarrow.parquet as _pq
 
-    from .operators import GetLogsFilter, get_logs
+    from .operators import GetLogsFilter, get_logs_from_store
     from .store import TableStore
 
     root = _ensure_compact_fixture(spark)
@@ -621,8 +624,7 @@ def store_projection_logs(spark, sf_dir):
             str(root / "logs_snapshot"), columns=["contract_address"]
         )["contract_address"]
     ).as_py()
-    logs = store.read_projection("logs", "by_address", key_equals=addr)
-    return get_logs(logs, GetLogsFilter(address=addr, page_size=100))
+    return get_logs_from_store(store, GetLogsFilter(address=addr, page_size=100))
 
 
 _TX_BLOOM_COLS = (

@@ -9,4 +9,10 @@ from . import (  # noqa: F401
     temporal,
     textops,
 )
-from .logs import GetLogsFilter, LogsPage, get_logs, run_get_logs  # noqa: F401
+from .logs import (  # noqa: F401
+    GetLogsFilter,
+    LogsPage,
+    get_logs,
+    get_logs_from_store,
+    run_get_logs,
+)

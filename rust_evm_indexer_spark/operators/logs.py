@@ -141,6 +141,50 @@ def get_logs(logs: DataFrame, flt: GetLogsFilter) -> DataFrame:
     return df.limit(size)  # O-17
 
 
+def get_logs_from_store(store, flt: GetLogsFilter) -> DataFrame:
+    """Planner-style source routing for the store-backed logs surface —
+    the analog of Postgres choosing ``idx_logs_address`` over the
+    primary B-tree (init.sql:71-74): pick the cheapest physical source
+    for the filter, then build the SAME logical page plan over it.
+
+    Routing, in order:
+    1. address filter + a fresh ``contract_address``-clustered
+       projection → :meth:`TableStore.read_projection` (O(1) clustered
+       fragments + LSM delta tail).  A STALE projection degrades to the
+       base path instead of failing the query — staleness is a
+       maintenance signal, not a read error, at the routing layer.
+    2. otherwise the base table with every prunable hint the filter
+       implies: block bounds → min/max manifest stats; block_hash /
+       address equality → per-fragment blooms.
+
+    Pruning never substitutes for predicates: ``get_logs`` applies the
+    full filter over whichever source wins, so routing is a pure
+    performance decision and result-identical by construction
+    (CI-asserted in test_projections.py)."""
+    df = None
+    if flt.address is not None and flt.block_hash is None:
+        for name, p in store.projections("logs").items():
+            if p["cluster_by"][0] == "contract_address":
+                try:
+                    df = store.read_projection("logs", name, key_equals=flt.address)
+                except RuntimeError:
+                    df = None  # stale projection: fall through to base
+                break
+    if df is None:
+        equals = {}
+        if flt.address is not None:
+            equals["contract_address"] = flt.address
+        if flt.block_hash is not None:
+            equals["block_hash"] = flt.block_hash
+        df = store.read(
+            "logs",
+            min_block=flt.from_block if flt.block_hash is None else None,
+            max_block=flt.to_block if flt.block_hash is None else None,
+            equals=equals or None,
+        )
+    return get_logs(df, flt)
+
+
 def run_get_logs(logs: DataFrame, flt: GetLogsFilter) -> LogsPage:
     """Execute and derive the next cursor from the LAST returned row
     (O-20, src/api.rs:186-195).  Collect is bounded by MAX_PAGE_SIZE."""

@@ -770,6 +770,12 @@ class TableStore:
             reader = reader.schema(schema)
         return reader.parquet(*paths)
 
+    def projections(self, table: str) -> dict[str, dict]:
+        """Projection metadata for ``table`` from the current manifest —
+        what a source-routing layer (operators/logs.py::
+        get_logs_from_store) inspects to pick an access path."""
+        return dict(self.current_manifest().projections.get(table, {}))
+
     def drop_projection(self, table: str, name: str) -> None:
         """Remove a projection from the manifest (fragments reclaimed by
         the next vacuum)."""

@@ -134,3 +134,72 @@ def test_projection_on_real_evm_logs(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def _evm_store(spark, tmp_path, n_blocks=20, seed=11):
+    chain = datagen.generate_chain(n_blocks=n_blocks, seed=seed)
+    store = TableStore(spark, tmp_path / "routestore")
+    EvmIngester(
+        spark,
+        MockRpcClient(chain),
+        store,
+        start_block=datagen.START_BLOCK,
+        backoff_base=0.01,
+    ).run_until_caught_up()
+    return store
+
+
+def test_routing_picks_projection_for_address_filter(spark, tmp_path):
+    from rust_evm_indexer_spark.operators import GetLogsFilter, get_logs, get_logs_from_store
+
+    store = _evm_store(spark, tmp_path)
+    store.build_projection("logs", "by_address", ("contract_address",), max_fragments=3)
+    addr = store.read("logs").select("contract_address").first()[0]
+    flt = GetLogsFilter(address=addr, page_size=100)
+    routed = get_logs_from_store(store, flt)
+    # the plan reads projection fragments, not the block-clustered base
+    assert any("__proj__" in f for f in routed.inputFiles())
+    want = get_logs(store.read("logs"), flt).collect()
+    assert routed.collect() == want and len(want) > 0
+
+
+def test_routing_degrades_to_base_when_projection_stale(spark, tmp_path):
+    from rust_evm_indexer_spark.operators import GetLogsFilter, get_logs, get_logs_from_store
+
+    store = _evm_store(spark, tmp_path)
+    store.build_projection("logs", "by_address", ("contract_address",), max_fragments=3)
+    addr = store.read("logs").select("contract_address").first()[0]
+    store.compact("logs", max_fragments=1)  # removes covered fragments
+    flt = GetLogsFilter(address=addr, page_size=100)
+    routed = get_logs_from_store(store, flt)
+    assert not any("__proj__" in f for f in routed.inputFiles())
+    assert routed.collect() == get_logs(store.read("logs"), flt).collect()
+
+
+def test_routing_uses_base_pruning_without_address(spark, tmp_path):
+    from rust_evm_indexer_spark.operators import GetLogsFilter, get_logs, get_logs_from_store
+
+    store = _evm_store(spark, tmp_path)
+    store.build_projection("logs", "by_address", ("contract_address",), max_fragments=3)
+    lo = datagen.START_BLOCK + 2
+    flt = GetLogsFilter(from_block=lo, to_block=lo + 1, page_size=100)
+    routed = get_logs_from_store(store, flt)
+    files = routed.inputFiles()
+    # block-bounded: base min/max stats prune, and no projection is used
+    assert not any("__proj__" in f for f in files)
+    assert len(files) < len(store.read("logs").inputFiles())
+    assert routed.collect() == get_logs(store.read("logs"), flt).collect()
+
+
+def test_routing_block_hash_override_skips_projection(spark, tmp_path):
+    """block_hash overrides the range AND disables the address-projection
+    route (the filter still applies both predicates)."""
+    from rust_evm_indexer_spark.operators import GetLogsFilter, get_logs, get_logs_from_store
+
+    store = _evm_store(spark, tmp_path)
+    store.build_projection("logs", "by_address", ("contract_address",), max_fragments=3)
+    row = store.read("logs").select("contract_address", "block_hash").first()
+    flt = GetLogsFilter(address=row[0], block_hash=row[1], page_size=100)
+    routed = get_logs_from_store(store, flt)
+    assert not any("__proj__" in f for f in routed.inputFiles())
+    assert routed.collect() == get_logs(store.read("logs"), flt).collect()
