@@ -1905,6 +1905,44 @@ def events_sliding_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "events_gapfill_locf",
+    """
+    WITH h AS (
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM h),
+    spine AS (SELECT unnest(range(lo, hi + 1, 3600000000)) AS hour_us FROM b),
+    grid AS (SELECT s.hour_us, t.event_type
+             FROM spine s CROSS JOIN (SELECT DISTINCT event_type
+                                      FROM events) t)
+    SELECT g.hour_us, g.event_type,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(
+             last_value(h.sv IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+             AS DOUBLE) AS filled_value
+    FROM grid g LEFT JOIN h
+      ON h.hour_us = g.hour_us AND h.event_type = g.event_type
+    """,
+    tags=("evm-shape", "agg", "time", "gapfill"),
+)
+def events_gapfill_locf(spark, sf_dir):
+    """Gap-filled hourly rollup with last-observation-carried-forward —
+    the ``time_bucket_gapfill``/``locf`` continuous-dashboard shape a
+    plain groupBy cannot produce (empty buckets don't exist in its
+    output).  One partial-aggregated shuffle over the raw events; the
+    spine/LOCF machinery runs on the |hours| x |types| grid
+    (operators/temporal.py::gapfill_locf).  The oracle replays the
+    densify + LOCF in SQL over the same decimal-exact hourly partials."""
+    from .operators.temporal import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    return gapfill_locf(ev, "ts", ["event_type"], "value")
+
+
 # =====================================================================
 # LLM-data-pipeline operators (X-1..X-5, SURVEY.md §2d) on documents /
 # embeddings.  Implementations live in operators/{dedup,similarity,
@@ -3875,6 +3913,7 @@ _DRIVER_PRIORITY = [
     "substring_dup",
     "source_mix_weights",
     "skew_salted_topk",
+    "events_gapfill_locf",
     # -- r2-green cohort, not re-checked in r3 (ts_micros churn) --------
     # (q2/q11/q16 are date-free — no ts_micros exposure — and deferred
     # to r5 to make room for the round-4 entries; see the pinned
@@ -3895,7 +3934,7 @@ _DRIVER_PRIORITY = [
     "q18_large_orders",
     "q20_excess_sellers",
     "q21_sole_supplier",
-    "q22_idle_customers",
+    # q22 (date-free, low-churn) deferred to r5 for the gapfill entry
     # -- r2-green dedup family + the IVF entry whose oracle changed -----
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

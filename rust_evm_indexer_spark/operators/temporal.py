@@ -132,3 +132,66 @@ def range_join(
         .withColumn("delta_us", delta)
         .drop("cell", "l_us", "r_us")
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts: str,
+    keys: list[str],
+    value_col: str,
+    *,
+    bucket: str = "hour",
+    bucket_us: int = 3_600_000_000,
+    value_alias: str = "filled_value",
+) -> DataFrame:
+    """Hypertable-style gap-filled rollup: bucket ``ts``, aggregate, then
+    densify onto a complete per-key time spine and carry the last
+    observation forward (LOCF) into empty buckets — the
+    ``time_bucket_gapfill`` / ``locf`` shape continuous dashboards need,
+    which a plain groupBy cannot produce (absent buckets simply don't
+    exist in its output).
+
+    Scale shape: the heavy aggregation is ONE partial-aggregated shuffle
+    over the raw data; everything after operates on |buckets| x |keys|
+    rows.  The spine is generated distributed (``sequence`` over the
+    global bound row broadcast onto the key list — no driver
+    round-trip), and the LOCF window sorts only the tiny densified grid.
+    Sums stay DECIMAL through the window and cast to double at the end,
+    so partial-aggregation order cannot perturb the value hash.
+
+    Output: ``(bucket_us_col, *keys, n, value_alias)`` where ``n`` is 0
+    and ``value_alias`` the carried-forward (or 0 before any
+    observation) aggregate for gap buckets.
+    """
+    bucket_col = f"{bucket}_us"
+    agg = df.groupBy(
+        ts_micros(F.date_trunc(bucket, F.col(ts))).alias(bucket_col), *keys
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_sv"),
+    )
+    bounds = agg.groupBy().agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_us))
+        ).alias(bucket_col)
+    )
+    grid = spine.crossJoin(df.select(*keys).distinct())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, [bucket_col, *keys], "left")
+        .withColumn("n", F.coalesce(F.col("_n"), F.lit(0)).cast("bigint"))
+        .withColumn(
+            value_alias,
+            F.coalesce(
+                F.last("_sv", ignorenulls=True).over(w), F.lit(0).cast("decimal(18,2)")
+            ).cast("double"),
+        )
+        .drop("_n", "_sv")
+    )

@@ -34,6 +34,7 @@ _HOSTILE_TZ_ENTRIES = sorted(
     {
         # ts_micros users (auto-guarded below)
         "asof_join_events",
+        "events_gapfill_locf",
         "events_hourly_rollup",
         "logs_keyset_page",
         "logs_offset_page",
