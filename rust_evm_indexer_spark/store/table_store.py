@@ -665,11 +665,41 @@ class TableStore:
         raises, and the background maintenance that runs compaction is
         expected to rebuild projections after it (same job class).
         Returns the number of projection fragments."""
-        from pyspark.sql import functions as F
-
         m = self.current_manifest()
         base = m.tables.get(table, [])
-        df = self.read(table)
+        frags = self._write_clustered_fragments(
+            table, name, self.read(table), cluster_by, max_fragments
+        )
+        new = Manifest(
+            version=m.version + 1,
+            txns=dict(m.txns),
+            status=m.status,
+            tables={t: list(fs) for t, fs in m.tables.items()},
+            schemas=dict(m.schemas),
+            projections={t: dict(ps) for t, ps in m.projections.items()},
+        )
+        new.projections.setdefault(table, {})[name] = {
+            "cluster_by": list(cluster_by),
+            "covers": [f.path for f in base],
+            "fragments": frags,
+        }
+        self._swap(new)
+        return len(frags)
+
+    def _write_clustered_fragments(
+        self,
+        table: str,
+        name: str,
+        df: DataFrame,
+        cluster_by: tuple[str, ...] | list[str],
+        max_fragments: int,
+    ) -> list[Fragment]:
+        """Range-partition ``df`` by the cluster key, sort
+        ``(cluster_by..., block_number)`` within partitions, and adopt
+        the parts as projection fragments with ``min_key``/``max_key``
+        footer stats (shared by full build and incremental refresh)."""
+        from pyspark.sql import functions as F
+
         df = df.repartitionByRange(max_fragments, *[F.col(c) for c in cluster_by])
         sort_cols = list(cluster_by) + (
             ["block_number"] if "block_number" in df.columns else []
@@ -689,6 +719,47 @@ class TableStore:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         frags.sort(key=lambda f: (f.min_key is None, f.min_key, f.path))
+        return frags
+
+    def refresh_projection(
+        self, table: str, name: str, *, max_fragments: int = 2
+    ) -> int:
+        """Incrementally fold the UNCOVERED delta tail into the
+        projection: cluster only the base fragments committed since the
+        last build/refresh and append them as a new clustered generation
+        (covers extended; existing projection fragments untouched).
+        This is the LSM maintenance step — O(delta) work per refresh
+        instead of O(table) per rebuild, so a continuously-ingesting
+        table can keep its secondary index fresh at commit cadence.
+        Generations overlap in key range, so a key probe touches
+        O(generations) fragments (min/max + blooms prune within each);
+        a periodic full :meth:`build_projection` re-compacts to one
+        sorted level, exactly like LSM level compaction.  Raises when a
+        covered fragment was removed (rebuild instead); returns the
+        number of new fragments (0 = already fresh, no manifest bump)."""
+        m = self.current_manifest()
+        proj = m.projections.get(table, {}).get(name)
+        if proj is None:
+            raise ValueError(f"no projection {table}/{name}")
+        current = m.tables.get(table, [])
+        covered = set(proj["covers"])
+        missing = covered - {f.path for f in current}
+        if missing:
+            raise RuntimeError(
+                f"projection {table}/{name} is stale: {len(missing)} covered "
+                "base fragment(s) were removed; rebuild with build_projection()"
+            )
+        delta = [f for f in current if f.path not in covered]
+        if not delta:
+            return 0
+        schema = self._read_schema(m, table)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*[str(self.root / f.path) for f in delta])
+        frags = self._write_clustered_fragments(
+            table, name, df, proj["cluster_by"], max_fragments
+        )
         new = Manifest(
             version=m.version + 1,
             txns=dict(m.txns),
@@ -697,10 +768,11 @@ class TableStore:
             schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},
         )
-        new.projections.setdefault(table, {})[name] = {
-            "cluster_by": list(cluster_by),
-            "covers": [f.path for f in base],
-            "fragments": frags,
+        new.projections[table] = dict(new.projections[table])
+        new.projections[table][name] = {
+            "cluster_by": list(proj["cluster_by"]),
+            "covers": list(proj["covers"]) + [f.path for f in delta],
+            "fragments": list(proj["fragments"]) + frags,
         }
         self._swap(new)
         return len(frags)

@@ -203,3 +203,55 @@ def test_routing_block_hash_override_skips_projection(spark, tmp_path):
     routed = get_logs_from_store(store, flt)
     assert not any("__proj__" in f for f in routed.inputFiles())
     assert routed.collect() == get_logs(store.read("logs"), flt).collect()
+
+
+def test_refresh_folds_delta_into_new_generation(spark, tmp_path):
+    store = _pts_store(spark, tmp_path, n_batches=4)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=3)
+    assert store.refresh_projection("pts", "by_addr") == 0  # already fresh
+    # two post-build commits form the delta tail
+    for b in (90, 91):
+        df = spark.createDataFrame(
+            [(b * 1000 + i, f"0x{i:04x}", 200 + b) for i in range(20)],
+            "id: long, addr: string, block_number: long",
+        )
+        store.commit({"pts": df})
+    n_new = store.refresh_projection("pts", "by_addr", max_fragments=2)
+    assert n_new == 2
+    proj = store.projections("pts")["by_addr"]
+    assert len(proj["covers"]) == 6 and len(proj["fragments"]) == 3 + 2
+    probe = "0x0005"
+    via = store.read_projection("pts", "by_addr", key_equals=probe)
+    # every file read is clustered (no raw block-clustered delta), and
+    # the probe touches at most one fragment per generation
+    assert all("__proj__" in f for f in via.inputFiles())
+    assert len(via.inputFiles()) <= 2
+    got = sorted(r["id"] for r in via.filter(F.col("addr") == probe).collect())
+    want = sorted(
+        r["id"] for r in store.read("pts").filter(F.col("addr") == probe).collect()
+    )
+    assert got == want and len(want) == 3  # base + both delta commits
+
+
+def test_refresh_raises_on_stale_projection(spark, tmp_path):
+    store = _pts_store(spark, tmp_path)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=3)
+    store.compact("pts", max_fragments=1)
+    with pytest.raises(RuntimeError, match="stale"):
+        store.refresh_projection("pts", "by_addr")
+
+
+def test_full_rebuild_recompacts_generations(spark, tmp_path):
+    store = _pts_store(spark, tmp_path, n_batches=3)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=3)
+    df = spark.createDataFrame(
+        [(99000 + i, f"0x{i:04x}", 300) for i in range(20)],
+        "id: long, addr: string, block_number: long",
+    )
+    store.commit({"pts": df})
+    store.refresh_projection("pts", "by_addr")
+    assert len(store.projections("pts")["by_addr"]["fragments"]) > 3
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=3)
+    proj = store.projections("pts")["by_addr"]
+    assert len(proj["fragments"]) == 3  # one sorted level again
+    assert store.read_projection("pts", "by_addr").count() == store.read("pts").count()
