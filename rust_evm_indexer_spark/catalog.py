@@ -674,6 +674,41 @@ def store_tx_bloom_lookup(spark, sf_dir):
     )
 
 
+_TRIANGLE_SQL = f"""
+    WITH e AS (SELECT DISTINCT least(from_address, to_address) AS a,
+                      greatest(from_address, to_address) AS b
+               FROM read_parquet('{_COMPACT_DIR}/txs_snapshot/*.parquet')
+               WHERE from_address IS NOT NULL AND to_address IS NOT NULL
+                 AND from_address <> to_address),
+    v AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+"""
+
+
+@register(
+    "graph_triangle_count",
+    _TRIANGLE_SQL,
+    tags=("evm-native", "graph"),
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle census of the address-interaction graph (transactions as
+    from→to edges — the entity model of init.sql:27-44 read as a graph).
+    The Spark side uses DEGREE ORIENTATION (operators/graph.py: wedge
+    fan-out bounded O(√E) per vertex — no hot-reducer hub at mainnet
+    scale); the oracle counts with plain lexicographic orientation.
+    Triangle count is orientation-invariant and integer-exact, so the
+    two independently-shaped computations must hash-match."""
+    from .operators.graph import triangle_count
+
+    root = _ensure_compact_fixture(spark)
+    txs = spark.read.parquet(str(root / "txs_snapshot"))
+    return triangle_count(txs, "from_address", "to_address")
+
+
 # ---------------------------------------------------------------------
 # Entity joins + U256 analytics under the driver contract (VERDICT.md r2
 # item 5): the blocks→transactions→logs FK hierarchy the reference's
@@ -3914,6 +3949,7 @@ _DRIVER_PRIORITY = [
     "source_mix_weights",
     "skew_salted_topk",
     "events_gapfill_locf",
+    "graph_triangle_count",
     # -- r2-green cohort, not re-checked in r3 (ts_micros churn) --------
     # (q2/q11/q16 are date-free — no ts_micros exposure — and deferred
     # to r5 to make room for the round-4 entries; see the pinned
@@ -3933,8 +3969,7 @@ _DRIVER_PRIORITY = [
     # -- continued TPC-H re-checks --------------------------------------
     "q18_large_orders",
     "q20_excess_sellers",
-    "q21_sole_supplier",
-    # q22 (date-free, low-churn) deferred to r5 for the gapfill entry
+    # q21/q22 (low-churn) deferred to r5 for the gapfill/graph entries
     # -- r2-green dedup family + the IVF entry whose oracle changed -----
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

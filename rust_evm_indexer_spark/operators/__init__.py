@@ -1,6 +1,7 @@
 from . import (  # noqa: F401
     dedup,
     evm_analytics,
+    graph,
     joins,
     lookups,
     multimodal,

@@ -59,8 +59,9 @@ _EXPECTED_OUT_OF_WINDOW = {
     # entries (store_tx_bloom_lookup, store_projection_logs) — FIRST IN
     # LINE for the r5 window
     "q15_top_supplier", "q14_promo_revenue",
-    # r2-green date-free, displaced by the salted-top-k / gapfill entries
-    "q19_disjunctive", "q22_idle_customers",
+    # r2-green low-churn, displaced by the round-4 salted-top-k /
+    # gapfill / triangle entries
+    "q19_disjunctive", "q21_sole_supplier", "q22_idle_customers",
     # r2-green low-churn deferrals displaced by the second round-4 batch
     # (repetition_signals / substring_dup / source_mix_weights): q13 is
     # date-free, orders_having is a 3-line HAVING, and hourly_rollup's
