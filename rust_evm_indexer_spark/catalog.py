@@ -3367,6 +3367,46 @@ def approx_distinct_users(spark, sf_dir):
 
 
 @register(
+    "cms_user_frequency",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY user_id
+    """,
+    tags=("approx", "sketch", "approx-twin-of:distinct_agg"),
+)
+def cms_user_frequency(spark, sf_dir):
+    """Count-min-sketch per-user frequencies (operators/sketch.py),
+    driver-verified via the deterministic bound-check shape shared with
+    ``approx_distinct_users``: the entry emits ``(user_id, n_exact,
+    within_bound)`` where the boolean asserts the CMS contract
+    Spark-side — ``n_exact <= n_est`` (structural: min over counters
+    each ≥ truth) and ``n_est <= n_exact + 3·ceil(eN/w)``.  The 3×
+    margin is measured, not hoped: observed max excess is 0 at sf0.01
+    and 73 at sf0.1 vs the classical eN/w ≈ 66 (one tail key DOES
+    exceed the textbook bound, which only holds per-key w.p. 1-e^-d),
+    so the asserted bound carries ≥2.7× headroom at both SFs
+    (tests/test_sketch.py re-checks both).  Deterministic seeded
+    hashing + integer counters mean the booleans cannot flake."""
+    import math
+
+    from .operators.sketch import cms_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    est = cms_estimates(ev, "user_id", width=4096, depth=4)
+    total = ev.agg(F.count("*").alias("_N"))
+    bound = F.lit(3) * F.ceil(F.lit(math.e / 4096) * F.col("_N"))
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "n_exact",
+        (
+            (F.col("n_est") >= F.col("n_exact"))
+            & (F.col("n_est") <= F.col("n_exact") + bound)
+        ).alias("within_bound"),
+    )
+
+
+@register(
     "approx_quantile_p90",
     """
     SELECT event_type,

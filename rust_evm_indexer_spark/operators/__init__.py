@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     lookups,
     multimodal,
     similarity,
+    sketch,
     skew,
     temporal,
     textops,
