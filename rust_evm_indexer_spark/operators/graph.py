@@ -76,9 +76,12 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     closed = wedges.join(
         oriented.select(F.col("u").alias("v"), F.col("w")), ["v", "w"]
     )
+    # the three single-row aggregates combine via explicit broadcast —
+    # without the hint a statsless session plans an (absurd) 1x1
+    # CartesianProduct stage
     return (
         closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
-        .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
-        .crossJoin(deg.agg(F.count("*").cast("bigint").alias("n_nodes")))
+        .crossJoin(F.broadcast(e.agg(F.count("*").cast("bigint").alias("n_edges"))))
+        .crossJoin(F.broadcast(deg.agg(F.count("*").cast("bigint").alias("n_nodes"))))
         .select("n_nodes", "n_edges", "n_triangles")
     )

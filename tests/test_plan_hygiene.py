@@ -404,3 +404,30 @@ def test_repetition_and_substring_dup_plans(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert broadcast_hint_count(mix) == 1
+
+
+def test_triangle_count_joins_are_keyed_not_cartesian(spark):
+    """Every triangle-census join (degree attach, wedge, closure) must be
+    a keyed equi-join — the degree-orientation design removes any need
+    for a cross product, and one would be quadratic at mainnet scale."""
+    tri = CATALOG["graph_triangle_count"].fn(spark, SF)
+    plan = physical_plan(tri)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the two 1-row count
+    # combiners at the very top (explicitly broadcast single-row
+    # aggregates; the formatted plan names each node twice)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    # and the wedge/closure joins themselves are keyed
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cms_counter_table_is_broadcast(spark):
+    """The d x w counter table is constant-size by construction — its
+    join back to the probe keys must be a broadcast hash join, never a
+    shuffle of the (data-sized) probe side."""
+    est = CATALOG["cms_user_frequency"].fn(spark, SF)
+    plan = physical_plan(est)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # build is one partial-aggregated shuffle over the exploded rows
+    assert "partial_count" in plan
