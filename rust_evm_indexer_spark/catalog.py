@@ -3112,6 +3112,36 @@ def pivot_order_status(spark, sf_dir):
     )
 
 
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_partkey <= 200
+    """,
+    tags=("relational", "unpivot"),
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """Unpivot/melt — the inverse of ``pivot_order_status``: wide part
+    metrics to long (partkey, metric, value) rows.  Spark's native
+    ``unpivot`` plans as a single Expand node (each input row emitted
+    once per metric in one pass — no self-union, no second scan),
+    which is the shape that matters when the wide table is 100 TB; the
+    oracle is the equivalent UNION ALL."""
+    return (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+    )
+
+
 # =====================================================================
 # Temporal joins (as-of / range) + quantiles + calendar rollups
 # =====================================================================

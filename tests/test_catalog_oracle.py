@@ -71,7 +71,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     # never driver-checked yet (added late in r4, window already full of
     # staler rows) — FIRST IN LINE for the r5 window; until then covered
     # by the local oracle replay + the two-SF bound test in test_llm_ops
-    "approx_quantile_p90", "cms_user_frequency",
+    "approx_quantile_p90", "cms_user_frequency", "unpivot_part_metrics",
 }
 
 
