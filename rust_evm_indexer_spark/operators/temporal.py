@@ -178,7 +178,9 @@ def gapfill_locf(
             F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_us))
         ).alias(bucket_col)
     )
-    grid = spine.crossJoin(df.select(*keys).distinct())
+    # key set from the tiny agg frame, not a second scan+shuffle of the
+    # raw table — any key present in df is present in agg by construction
+    grid = spine.crossJoin(agg.select(*keys).distinct())
     w = (
         Window.partitionBy(*keys)
         .orderBy(bucket_col)

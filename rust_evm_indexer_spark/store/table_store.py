@@ -182,8 +182,10 @@ def _evolve_schema(old: "T.StructType | None", new: "T.StructType") -> "T.Struct
 
 # Point-lookup columns that get a per-fragment bloom sidecar: hash-like
 # keys uniformly spread across block ranges, where min/max fragment stats
-# prune nothing but the reference serves an indexed sub-ms lookup
-# (init.sql:71-74 — logs(address), transactions(hash), blocks(hash)).
+# prune nothing but the reference serves an indexed sub-ms lookup — the
+# logs secondary indexes at init.sql:66-74 (contract_address,
+# transaction_hash); tx_hash/block_hash lookups are served by their
+# PRIMARY KEY indexes (init.sql:28, init.sql:14).
 DEFAULT_BLOOM_COLUMNS: dict[str, tuple[str, ...]] = {
     "logs": ("contract_address", "transaction_hash"),
     "transactions": ("tx_hash",),
@@ -426,8 +428,21 @@ class TableStore:
         swap; old fragments remain for time travel until vacuum.
 
         Comparison is case-insensitive for strings, matching the bloom
-        normalization and the engine's hex semantics.  Returns
-        ``{"candidates": n, "rewritten": n, "deleted_rows": n}``."""
+        normalization and the engine's hex semantics.
+
+        **Projection maintenance (compliance contract):** clustered
+        projections are physical COPIES of the base rows, so a delete
+        that only rewrote the base would leave the deleted key's data on
+        disk indefinitely — the projection would merely go stale and
+        vacuum spares its still-referenced fragments.  This method
+        therefore purges the key from every projection of the table in
+        the SAME atomic swap: covers are remapped to the rewritten base
+        paths (the projection stays fresh and readable), and only the
+        projection fragments that might contain the key (bloom-pruned)
+        are scanned/rewritten — O(1) fragments, since the projection is
+        clustered.  The next :meth:`vacuum` then reclaims every
+        pre-delete copy.  Returns ``{"candidates": n, "rewritten": n,
+        "deleted_rows": n, "projection_fragments_rewritten": n}``."""
         from pyspark.sql import functions as F
 
         m = self.current_manifest()
@@ -437,7 +452,13 @@ class TableStore:
         else:
             pred = F.col(column) == value
         new_frags: list[Fragment] = []
-        stats = {"candidates": 0, "rewritten": 0, "deleted_rows": 0}
+        replaced: dict[str, str | None] = {}  # old base path -> new (None = emptied)
+        stats = {
+            "candidates": 0,
+            "rewritten": 0,
+            "deleted_rows": 0,
+            "projection_fragments_rewritten": 0,
+        }
         for frag in frags:
             if not self._bloom_keeps(frag, {column: value}):
                 new_frags.append(frag)  # definitely clean: keep by reference
@@ -455,6 +476,7 @@ class TableStore:
             rewritten = self._write_fragment(
                 table, df.filter(~F.coalesce(pred, F.lit(False)))
             )
+            replaced[frag.path] = rewritten.path if rewritten is not None else None
             if rewritten is not None:
                 new_frags.append(rewritten)
         if stats["rewritten"] == 0:
@@ -468,8 +490,58 @@ class TableStore:
             projections={t: dict(ps) for t, ps in m.projections.items()},
         )
         new.tables[table] = new_frags
+        for name, proj in dict(new.projections.get(table, {})).items():
+            if not any(p in replaced for p in proj["covers"]):
+                continue  # projection covers only untouched fragments
+            new_covers = [
+                replaced.get(p, p) for p in proj["covers"]
+                if replaced.get(p, p) is not None
+            ]
+            new_pfrags: list[Fragment] = []
+            for pf in proj["fragments"]:
+                if not self._bloom_keeps(pf, {column: value}):
+                    new_pfrags.append(pf)
+                    continue
+                pdf = self.spark.read.parquet(str(self.root / pf.path))
+                if pdf.filter(pred).count() == 0:
+                    new_pfrags.append(pf)
+                    continue
+                stats["projection_fragments_rewritten"] += 1
+                pkept = self._rewrite_projection_fragment(
+                    table, name, proj["cluster_by"][0],
+                    pdf.filter(~F.coalesce(pred, F.lit(False))),
+                )
+                if pkept is not None:
+                    new_pfrags.append(pkept)
+            new.projections[table] = dict(new.projections[table])
+            new.projections[table][name] = {
+                "cluster_by": list(proj["cluster_by"]),
+                "covers": new_covers,
+                "fragments": new_pfrags,
+            }
         self._swap(new)
         return stats
+
+    def _rewrite_projection_fragment(
+        self, table: str, name: str, key_column: str, df: DataFrame
+    ) -> Fragment | None:
+        """Re-materialize one projection fragment after a row delete —
+        a single-fragment write (the filter preserves the clustered
+        order), adopted with fresh key-range stats and blooms."""
+        dir_name = f"{table}__proj__{name}"
+        staging = self.root / "data" / dir_name / f".rewrite-{uuid.uuid4().hex}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        frag: Fragment | None = None
+        try:
+            for part in sorted(staging.glob("part-*.parquet")):
+                frag = self._adopt_file_as_fragment(
+                    table, part, key_column=key_column, dir_name=dir_name
+                )
+                if frag is not None:
+                    break
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return frag
 
     def set_status(self, status: dict) -> None:
         """Checkpoint-only upsert (O-9) when no data moved."""
@@ -659,11 +731,13 @@ class TableStore:
         projection ``covers``.  Later commits APPEND fragments — reads
         union the projection with the uncovered tail (LSM-style
         clustered-base + recent-delta), so a projection stays usable
-        without rebuilding per commit.  Any operation that REMOVES a
-        covered fragment (rollback, delete, compaction) makes the
-        projection stale; :meth:`read_projection` detects that and
-        raises, and the background maintenance that runs compaction is
-        expected to rebuild projections after it (same job class).
+        without rebuilding per commit.  :meth:`delete_equals` MAINTAINS
+        projections in its own swap (purging the key from the clustered
+        copies — the compliance path); any OTHER operation that removes
+        a covered fragment (rollback, compaction) makes the projection
+        stale; :meth:`read_projection` detects that and raises, and the
+        background maintenance that runs compaction is expected to
+        rebuild projections after it (same job class).
         Returns the number of projection fragments."""
         m = self.current_manifest()
         base = m.tables.get(table, [])
@@ -810,13 +884,16 @@ class TableStore:
                 "rebuild with build_projection()"
             )
         # footer min/max ordering is case-SENSITIVE bytes while the
-        # engine's equality is case-insensitive; widening each bound to
-        # cover both the raw and lowercased probe keeps the prune
-        # conservative whichever convention the data uses
+        # engine's equality is case-insensitive.  The pruning invariant
+        # is that STORED keys are lowercase (normalized at ingest —
+        # functions/evm.py::hex_eq contract, mirroring the reference's
+        # format!("{:#x}")), so only the PROBE may carry uppercase.  For
+        # ASCII, lowercasing a string never makes it sort earlier, so
+        # widening the upper bound to the lowercased probe covers every
+        # stored (lowercase) key a mixed-case probe can equal; the lower
+        # bound needs no widening (probe <= probe.lower() always).
         lo = key_equals if key_min is None else key_min
         hi = key_equals if key_max is None else key_max
-        if isinstance(lo, str):
-            lo = min(lo, lo.lower())
         if isinstance(hi, str):
             hi = max(hi, hi.lower())
         frags = list(proj["fragments"])
@@ -827,7 +904,8 @@ class TableStore:
         if key_equals is not None:
             key_col = proj["cluster_by"][0]
             frags = [f for f in frags if self._bloom_keeps(f, {key_col: key_equals})]
-        delta = [f for f in m.tables.get(table, []) if f.path not in set(proj["covers"])]
+        covered = set(proj["covers"])
+        delta = [f for f in m.tables.get(table, []) if f.path not in covered]
         if key_equals is not None:
             key_col = proj["cluster_by"][0]
             delta = [f for f in delta if self._bloom_keeps(f, {key_col: key_equals})]

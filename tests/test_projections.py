@@ -82,7 +82,7 @@ def test_projection_unions_post_build_delta(spark, tmp_path):
 def test_projection_goes_stale_on_covered_removal(spark, tmp_path):
     store = _pts_store(spark, tmp_path, n_batches=3)
     store.build_projection("pts", "by_addr", ("addr",), max_fragments=2)
-    store.delete_equals("pts", "addr", "0x0001")  # rewrites a covered fragment
+    store.compact("pts", max_fragments=1)  # removes every covered fragment
     with pytest.raises(RuntimeError, match="stale"):
         store.read_projection("pts", "by_addr", key_equals="0x0002")
     # rebuild restores service
@@ -93,6 +93,45 @@ def test_projection_goes_stale_on_covered_removal(spark, tmp_path):
         .count()
         == 1
     )
+
+
+def test_delete_equals_purges_projection_copies(spark, tmp_path):
+    """Compliance contract: a key delete must remove the rows from the
+    clustered projection COPIES too (same atomic swap), keep the
+    projection fresh and readable, and leave the old copies reclaimable
+    by vacuum — deleted data must not persist on disk indefinitely
+    (ADVICE r4)."""
+    store = _pts_store(spark, tmp_path, n_batches=3)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=2)
+    victim = "0x0001"
+    assert store.read("pts").filter(F.col("addr") == victim).count() == 1
+    stats = store.delete_equals("pts", "addr", victim)
+    assert stats["deleted_rows"] == 1
+    assert stats["projection_fragments_rewritten"] >= 1
+    # projection stays serviceable (no staleness) and agrees with base
+    via = store.read_projection("pts", "by_addr", key_equals="0x0002")
+    assert via.filter(F.col("addr") == "0x0002").count() == 1
+    assert store.read_projection("pts", "by_addr").count() == store.read("pts").count()
+    assert (
+        store.read_projection("pts", "by_addr")
+        .filter(F.col("addr") == victim)
+        .count()
+        == 0
+    )
+    # vacuum reclaims every pre-delete fragment; the key is then gone
+    # from disk entirely (scan every remaining parquet file)
+    assert store.vacuum() >= 2  # old base frag + old projection frag
+    import pyarrow.dataset as pa_ds
+
+    root = store.root / "data"
+    files = [str(p) for p in root.rglob("*.parquet")]
+    ds = pa_ds.dataset(files, format="parquet")
+    import pyarrow.compute as pc
+
+    tbl = ds.to_table(columns=["addr"])
+    assert pc.sum(pc.equal(tbl["addr"], victim)).as_py() in (0, None)
+    # projection refresh still works post-delete (covers were remapped)
+    assert store.refresh_projection("pts", "by_addr") == 0
 
 
 def test_vacuum_spares_projection_fragments_until_dropped(spark, tmp_path):
