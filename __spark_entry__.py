@@ -37,9 +37,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the EVM-native entries' oracles read fixture parquet by absolute
     # path — make sure it exists before EITHER side of the compare runs
     # (pure pyarrow write, deterministic, idempotent)
-    from rust_evm_indexer_spark.catalog import ensure_evm_fixture_parquet
+    from rust_evm_indexer_spark.catalog import (
+        ensure_evm_fixture_parquet,
+        ensure_u256_fixture_parquet,
+    )
 
     ensure_evm_fixture_parquet()
+    ensure_u256_fixture_parquet()
     return {name: e.fn for name, e in CATALOG.items()}
 
 

@@ -58,6 +58,19 @@ def ensure_evm_fixture_parquet() -> Path:
         (out / "_FIXTURE_DONE").write_text("ok")
     return out
 
+
+def ensure_u256_fixture_parquet() -> Path:
+    """Deterministic U256 straddle fixture (datagen.write_u256_fixture,
+    seed 97) — values through the full 78-digit range, so the exact-sum
+    entry proves losslessness where DECIMAL(38,0) nulls out."""
+    from . import datagen
+
+    out = FIXTURE_CACHE / "u256"
+    if not (out / "_FIXTURE_DONE").exists():
+        datagen.write_u256_fixture(out)
+        (out / "_FIXTURE_DONE").write_text("ok")
+    return out
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -808,6 +821,64 @@ def evm_transfer_volume_q(spark, sf_dir):
         "n_transfers",
         F.col("volume").cast("string").alias("volume_wei"),
     )
+
+
+_U256_PQ = f"{FIXTURE_CACHE}/u256/values.parquet"
+#: base-10^19 limb slices of an lpad(value, 78)-digit string — MUST match
+#: functions/evm.py::u256_limbs ((start, width) for l0..l3, low first)
+_U256_SLICES = ((60, 19), (41, 19), (22, 19), (1, 21))
+
+
+@register(
+    "evm_wei_sum_exact",
+    f"""
+    WITH p AS (SELECT from_address, lpad(value, 78, '0') AS v, value
+               FROM read_parquet('{_U256_PQ}')),
+    s AS (SELECT from_address, count(value) AS n_values,
+            COALESCE(SUM(CAST(substr(v, {_U256_SLICES[0][0]}, {_U256_SLICES[0][1]}) AS HUGEINT)), 0) AS s0,
+            COALESCE(SUM(CAST(substr(v, {_U256_SLICES[1][0]}, {_U256_SLICES[1][1]}) AS HUGEINT)), 0) AS s1,
+            COALESCE(SUM(CAST(substr(v, {_U256_SLICES[2][0]}, {_U256_SLICES[2][1]}) AS HUGEINT)), 0) AS s2,
+            COALESCE(SUM(CAST(substr(v, {_U256_SLICES[3][0]}, {_U256_SLICES[3][1]}) AS HUGEINT)), 0) AS s3
+          FROM p GROUP BY 1),
+    c AS (SELECT from_address, n_values,
+            s0 % 10000000000000000000 AS r0,
+            s1 + s0 // 10000000000000000000 AS t1
+          , s2, s3 FROM s),
+    c2 AS (SELECT from_address, n_values, r0,
+             t1 % 10000000000000000000 AS r1,
+             s2 + t1 // 10000000000000000000 AS t2, s3 FROM c),
+    c3 AS (SELECT from_address, n_values, r0, r1,
+             t2 % 10000000000000000000 AS r2,
+             s3 + t2 // 10000000000000000000 AS t3 FROM c2),
+    j AS (SELECT from_address, n_values,
+            concat(CAST(t3 AS VARCHAR),
+                   lpad(CAST(r2 AS VARCHAR), 19, '0'),
+                   lpad(CAST(r1 AS VARCHAR), 19, '0'),
+                   lpad(CAST(r0 AS VARCHAR), 19, '0')) AS digits
+          FROM c3)
+    SELECT from_address, n_values,
+           CASE WHEN regexp_replace(digits, '^0+', '') = '' THEN '0'
+                ELSE regexp_replace(digits, '^0+', '') END AS total_wei
+    FROM j
+    """,
+    tags=("evm-native", "u256", "exact-sum"),
+)
+def evm_wei_sum_exact_q(spark, sf_dir):
+    """LOSSLESS per-address U256 wei sum over values straddling 10^38 —
+    the full-range variant of the DECIMAL(38,0) contract (which the
+    single-limb entries document as NULL-above-10^38; SURVEY.md §1.3
+    called full U256 arithmetic out of the reference's scope, this makes
+    it a capability).  4 base-10^19 limbs split JVM-side (string
+    slices), per-limb decimal sums in ONE partial-aggregated shuffle,
+    carry recombination on the aggregated frame; the oracle mirrors the
+    identical limb algebra in HUGEINT.  Fixture: deterministic straddle
+    values (datagen.write_u256_fixture seed 97) including full 78-digit
+    U256 and NULLs."""
+    from .operators.evm_analytics import wei_sum_exact
+
+    ensure_u256_fixture_parquet()
+    df = spark.read.parquet(_U256_PQ)
+    return wei_sum_exact(df, "from_address", "value")
 
 
 # =====================================================================
@@ -3221,6 +3292,54 @@ def range_join_events(spark, sf_dir):
 
 
 @register(
+    "interval_join_events",
+    """
+    SELECT c.user_id AS user_id,
+           c.event_id AS l_event_id,
+           e.event_id AS r_event_id,
+           epoch_us(c.ts) AS l_ts_us,
+           epoch_us(e.ts) AS r_ts_us,
+           epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND epoch_us(e.ts) - epoch_us(c.ts) BETWEEN 0 AND 600000000
+    """,
+    tags=("streaming", "interval-join", "X-6"),
+)
+def interval_join_events(spark, sf_dir):
+    """The STREAM-STREAM interval join's shared builder, driver-verified
+    in batch mode (streaming/joins.py::stream_interval_join): errors
+    within 10 minutes AFTER each click by the same user — the exact
+    two-sided predicate (equality key + time-range bound) the streaming
+    query runs with watermark-bounded two-sided state.  ``withWatermark``
+    is a no-op on batch frames, so this drives the identical join
+    condition through the identical code path; the scale-bucketized
+    batch twin is ``range_join_events`` (pinned row-for-row equal in
+    tests/test_stream_joins.py)."""
+    from .streaming.joins import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    j = stream_interval_join(
+        clicks, errors, key="user_id", bound_seconds=600, watermark="10 minutes"
+    )
+    return j.select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        ts_micros("l_ts").alias("l_ts_us"),
+        ts_micros("r_ts").alias("r_ts_us"),
+        "delta_us",
+    )
+
+
+@register(
     "median_per_type",
     "SELECT event_type, median(value) AS med, "
     "quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type",
@@ -4001,52 +4120,47 @@ _DRIVER_PRIORITY = [
     "evm_logs_cursor_page",
     "evm_logs_blockhash_override",
     "reorg_rollup_exact",
-    # -- green only on round-1 code (stalest rows) ----------------------
-    "multimodal_meta",
-    "window_running_sum",
-    "window_lag_delta",
-    "pivot_order_status",
-    # -- never hash-green: first driver row for the HLL bound check -----
-    "approx_distinct_users",
-    # -- never driver-checked: new round-4 entries ----------------------
-    "store_compacted_logs",
-    "store_tx_bloom_lookup",
-    "store_projection_logs",
-    "semantic_dedup",
-    "bm25_search",
-    "repetition_signals",
-    "substring_dup",
-    "source_mix_weights",
-    "skew_salted_topk",
-    "events_gapfill_locf",
-    "graph_triangle_count",
-    # -- r2-green cohort, not re-checked in r3 (ts_micros churn) --------
-    # (q2/q11/q16 are date-free — no ts_micros exposure — and deferred
-    # to r5 to make room for the round-4 entries; see the pinned
-    # out-of-window set in tests/test_catalog_oracle.py)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_check",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q17_small_qty_avg",
-    # q19 (date-free, low-churn) deferred to r5 for the skew entry
-    # -- continued TPC-H re-checks --------------------------------------
-    "q18_large_orders",
-    "q20_excess_sellers",
-    # q21/q22 (low-churn) deferred to r5 for the gapfill/graph entries
-    # -- r2-green dedup family + the IVF entry whose oracle changed -----
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "similarity_ivf_topk",
+    # -- never driver-checked: added late in r4, window was full --------
+    "approx_quantile_p90",
+    "cms_user_frequency",
+    "unpivot_part_metrics",
+    # -- never driver-checked: NEW round-5 entries ----------------------
+    "interval_join_events",
+    "evm_wei_sum_exact",
+    # -- r2-green cohort (3 rounds stale — oldest rows in the catalog;
+    # r4's VERDICT pinned these FIRST IN LINE) --------------------------
+    "dedup_exact",
+    "similarity_topk",
+    "similarity_knn_join",
+    "text_stats",
+    "token_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q19_disjunctive",
+    "q21_sole_supplier",
+    "q22_idle_customers",
+    "q13_order_distribution",
+    "orders_having",
+    "events_hourly_rollup",
+    # -- oldest r3-green backfill (2 rounds stale at r5; keeps the
+    # no-entry-older-than-2-rounds invariant rolling) -------------------
+    "multimodal_features",
+    "similarity_ivf_kmeans",
+    "multimodal_resize",
+    "multimodal_frames",
+    "dedup_clusters",
+    "gopher_quality",
+    "pii_redact",
+    "sample_stratified",
+    "pack_sequences",
+    "evm_join_enriched",
+    "evm_transfer_volume",
+    "evm_address_activity",
+    "evm_block_activity",
+    "decontaminate_ngram",
 ]
 
 

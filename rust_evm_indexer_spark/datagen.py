@@ -300,6 +300,34 @@ def write_fixtures(outdir: str | Path, chain: Chain | None = None) -> Path:
     return outdir
 
 
+def write_u256_fixture(outdir: str | Path, *, seed: int = 97) -> Path:
+    """Deterministic U256 value-transfer fixture whose per-address sums
+    STRADDLE 10^38 — the regime where the single-limb DECIMAL(38,0)
+    contract (functions/evm.py::u256_to_decimal) drops values as NULL
+    and only the 4-limb exact path (u256_limbs +
+    u256_string_from_limb_sums) keeps every wei.  Magnitudes are drawn
+    log-uniformly from dust (10^5) through full 78-digit U256, plus a
+    NULL and a zero per address, so the catalog oracle exercises carry
+    propagation across every limb boundary."""
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    addresses = [f"0x{a:040x}" for a in range(0xA0, 0xA6)]
+    mags = [5, 18, 19, 37, 38, 39, 56, 57, 75, 77, 78]
+    for addr in addresses:
+        for i, mag in enumerate(mags * 3):
+            hi = min(10**mag, 2**256)
+            rows.append(
+                {"from_address": addr, "value": str(rng.randrange(hi // 10, hi))}
+            )
+        rows.append({"from_address": addr, "value": "0"})
+        rows.append({"from_address": addr, "value": None})
+    schema = pa.schema([("from_address", pa.string()), ("value", pa.string())])
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), outdir / "values.parquet")
+    return outdir
+
+
 if __name__ == "__main__":
     import sys
 

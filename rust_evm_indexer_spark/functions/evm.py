@@ -93,6 +93,74 @@ def hex_to_u256_decimal(col: Column | str) -> Column:
     )
 
 
+#: base for the 4-limb exact U256 representation: each limb holds 19
+#: decimal digits, so any 78-digit U256 splits as
+#: ``l3·B³ + l2·B² + l1·B + l0`` with l0..l2 < 10^19 and l3 < 10^21.
+_U256_LIMB_BASE = "10000000000000000000"  # 10^19
+
+
+def u256_limbs(col: Column | str) -> list[Column]:
+    """U256-as-decimal-string → 4 exact base-10^19 limbs (least
+    significant first), each DECIMAL(38,0).
+
+    This is the LOSSLESS path: :func:`u256_to_decimal` documents that
+    values ≥ 10^38 become NULL (fine for real wei, wrong for arbitrary
+    U256).  Limb splitting is pure string surgery — lpad to the full 78
+    digits, slice 19-digit windows — so every representable U256 maps
+    exactly, and sums over limbs can be recombined without loss by
+    :func:`u256_string_from_limb_sums`.  Malformed (non-digit) strings
+    yield NULL in every limb, mirroring try_cast's contract."""
+    c = F.col(col) if isinstance(col, str) else col
+    valid = c.rlike("^[0-9]{1,78}$")
+    p = F.lpad(c, 78, "0")
+    slices = [(60, 19), (41, 19), (22, 19), (1, 21)]  # l0..l3
+    return [
+        F.when(valid, p.substr(F.lit(start), F.lit(width)).cast(U256_DECIMAL))
+        .otherwise(F.lit(None).cast(U256_DECIMAL))
+        .alias(f"_u256_l{i}")
+        for i, (start, width) in enumerate(slices)
+    ]
+
+
+def u256_string_from_limb_sums(
+    s0: Column, s1: Column, s2: Column, s3: Column
+) -> Column:
+    """Recombine per-limb SUMs into the exact total as a decimal digit
+    string, propagating carries between limbs.
+
+    Each input is ``SUM(limb_i)`` over up to ~10^19 rows — still inside
+    DECIMAL(38,0), so the aggregation itself can never overflow; the
+    final value (up to 95 digits for huge row counts) exists only as a
+    string, which is also how the reference stores U256 (SURVEY.md
+    §1.3).  Carry quotients are at most the row count, so integral
+    ``div`` (BIGINT result) is exact."""
+    B = F.lit(_U256_LIMB_BASE).cast(U256_DECIMAL)
+    zero = F.lit(0).cast(U256_DECIMAL)
+    s0, s1, s2, s3 = [F.coalesce(s, zero) for s in (s0, s1, s2, s3)]
+    # carry chain: limb_i' = (s_i + carry_{i-1}) mod B; carry_i via the
+    # subtraction form ((t - t%B) / B) — the numerator is exactly
+    # divisible, so the (rounding) decimal division is exact, and the
+    # quotient (≤ row count) fits any decimal comfortably
+    t0 = s0
+    r0 = t0 % B
+    c0 = ((t0 - r0) / B).cast(U256_DECIMAL)
+    t1 = s1 + c0
+    r1 = t1 % B
+    c1 = ((t1 - r1) / B).cast(U256_DECIMAL)
+    t2 = s2 + c1
+    r2 = t2 % B
+    c2 = ((t2 - r2) / B).cast(U256_DECIMAL)
+    t3 = s3 + c2  # top limb keeps any residual magnitude
+    digits = F.concat(
+        t3.cast("string"),
+        F.lpad(r2.cast("string"), 19, "0"),
+        F.lpad(r1.cast("string"), 19, "0"),
+        F.lpad(r0.cast("string"), 19, "0"),
+    )
+    trimmed = F.regexp_replace(digits, "^0+", "")
+    return F.when(trimmed == "", F.lit("0")).otherwise(trimmed)
+
+
 #: bit widths for the packed deterministic log id (see :func:`pack_log_id`)
 _TXI_BITS = 18  # up to 262k txs per block (mainnet max ≈ 1.4k)
 _LI_BITS = 12  # up to 4096 logs per tx (mainnet max ≈ hundreds)

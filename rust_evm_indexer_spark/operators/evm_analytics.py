@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.evm import hex_to_u256_decimal, u256_to_decimal
+from ..functions.evm import (
+    hex_to_u256_decimal,
+    u256_limbs,
+    u256_string_from_limb_sums,
+    u256_to_decimal,
+)
 
 #: keccak256("Transfer(address,address,uint256)") — the ERC-20 signature
 TRANSFER_TOPIC0 = "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
@@ -28,6 +33,38 @@ def transfer_volume_by_contract(
             .cast("decimal(38,0)")
             .alias("volume"),
         )
+    )
+
+
+def wei_sum_exact(
+    df: DataFrame, key: str, value_col: str = "value"
+) -> DataFrame:
+    """LOSSLESS per-key U256 sum — the full-range variant of
+    :func:`value_flow_by_block`'s single-limb DECIMAL(38,0) contract
+    (which drops values ≥ 10^38 as NULL, documented in SURVEY.md §1.3).
+
+    Shape: one partial-aggregated shuffle on ``key``, identical to a
+    plain groupBy-sum — the limb split is 4 codegen'd string slices per
+    row, the carry recombination runs on the tiny aggregated frame.
+    Output ``total_wei`` is the exact decimal digit string at any
+    magnitude (a U256 total doesn't fit ANY Spark numeric type);
+    ``n_values`` counts the non-NULL, well-formed inputs that
+    contributed."""
+    l0, l1, l2, l3 = u256_limbs(value_col)
+    limbed = df.select(F.col(key), l0, l1, l2, l3)
+    agg = limbed.groupBy(key).agg(
+        F.count("_u256_l0").alias("n_values"),
+        F.sum("_u256_l0").alias("_s0"),
+        F.sum("_u256_l1").alias("_s1"),
+        F.sum("_u256_l2").alias("_s2"),
+        F.sum("_u256_l3").alias("_s3"),
+    )
+    return agg.select(
+        key,
+        "n_values",
+        u256_string_from_limb_sums(
+            F.col("_s0"), F.col("_s1"), F.col("_s2"), F.col("_s3")
+        ).alias("total_wei"),
     )
 
 

@@ -37,41 +37,31 @@ def test_entry_smoke(spark):
 # reshuffling _DRIVER_PRIORITY must consciously update this list, so
 # external driver coverage can never be dropped silently (ADVICE r3).
 _EXPECTED_OUT_OF_WINDOW = {
-    # r3-green, 1 round old
-    "multimodal_features", "similarity_ivf_kmeans", "multimodal_resize",
-    "multimodal_frames", "dedup_clusters", "gopher_quality", "pii_redact",
-    "sample_stratified", "pack_sequences", "evm_join_enriched",
-    "evm_transfer_volume", "evm_address_activity", "evm_block_activity",
-    "decontaminate_ngram", "unigram_nll", "similarity_ivf_knn_join",
+    # r4-green, 1 round old — rotated out to promote the 3-round-stale
+    # r2 cohort and the never-driver-checked entries; FIRST IN LINE for
+    # the r6 window together with the r3-green tail below
+    "multimodal_meta", "window_running_sum", "window_lag_delta",
+    "pivot_order_status", "approx_distinct_users", "store_compacted_logs",
+    "store_tx_bloom_lookup", "store_projection_logs", "semantic_dedup",
+    "bm25_search", "repetition_signals", "substring_dup",
+    "source_mix_weights", "skew_salted_topk", "events_gapfill_locf",
+    "graph_triangle_count",
+    "q1_pricing_summary", "q3_shipping_priority", "q4_priority_check",
+    "q5_local_supplier", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q12_late_shipments", "q17_small_qty_avg", "q18_large_orders",
+    "q20_excess_sellers",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "similarity_ivf_topk",
+    # r3-green tail, 2 rounds old at r5 — the staleness ceiling; the r6
+    # window must drain these before any r4-green re-check
+    "unigram_nll", "similarity_ivf_knn_join",
     "lang_id", "quality_score", "doc_fingerprint", "window_topk_per_group",
     "events_sessionize", "events_sliding_rollup", "rollup_orders",
     "cube_lineitem", "distinct_agg", "set_ops_customers",
     "semi_join_exists", "anti_join_not_exists", "asof_join_events",
     "range_join_events", "median_per_type", "orders_monthly",
     "dedup_survivors", "json_extract_props", "json_agg_by_key",
-    # r2-green, lowest-churn deferrals — FIRST IN LINE for the r5 window
-    "dedup_exact", "similarity_topk", "similarity_knn_join",
-    "text_stats", "token_counts",
-    # r2-green date-free TPC-H (no ts_micros exposure), deferred in r4
-    # to make room for the new round-4 entries
-    "q2_min_cost_supplier", "q11_important_parts", "q16_supplier_counts",
-    # r2-green, displaced late in r4 by the never-checked store-index
-    # entries (store_tx_bloom_lookup, store_projection_logs) — FIRST IN
-    # LINE for the r5 window
-    "q15_top_supplier", "q14_promo_revenue",
-    # r2-green low-churn, displaced by the round-4 salted-top-k /
-    # gapfill / triangle entries
-    "q19_disjunctive", "q21_sole_supplier", "q22_idle_customers",
-    # r2-green low-churn deferrals displaced by the second round-4 batch
-    # (repetition_signals / substring_dup / source_mix_weights): q13 is
-    # date-free, orders_having is a 3-line HAVING, and hourly_rollup's
-    # epoch-window machinery is freshly covered by events_sliding_rollup
-    # (r3-green) over the same code path
-    "q13_order_distribution", "orders_having", "events_hourly_rollup",
-    # never driver-checked yet (added late in r4, window already full of
-    # staler rows) — FIRST IN LINE for the r5 window; until then covered
-    # by the local oracle replay + the two-SF bound test in test_llm_ops
-    "approx_quantile_p90", "cms_user_frequency", "unpivot_part_metrics",
 }
 
 

@@ -128,3 +128,52 @@ def test_value_flow_by_block(evm, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_wei_sum_exact_straddles_decimal38(spark):
+    """The 4-limb exact sum keeps every wei where the single-limb
+    DECIMAL(38,0) contract nulls out: per-key totals above 10^38 must
+    equal Python bigint arithmetic digit-for-digit (hypothesis-style
+    fixed vectors across every limb boundary + full 78-digit U256)."""
+    from rust_evm_indexer_spark.functions.evm import u256_to_decimal
+    from rust_evm_indexer_spark.operators.evm_analytics import wei_sum_exact
+
+    values = [
+        0,
+        1,
+        10**19 - 1,          # l0 max
+        10**19,              # first carry into l1
+        10**38 - 1,          # single-limb edge (still representable)
+        10**38,              # single-limb NULL regime starts
+        10**57 - 1,
+        10**57,
+        2**255,
+        2**256 - 1,          # U256 max
+    ]
+    rows = [("k", str(v)) for v in values] + [("k", None), ("k", "not-digits")]
+    df = spark.createDataFrame(rows, "from_address: string, value: string")
+    out = wei_sum_exact(df, "from_address").collect()
+    assert len(out) == 1
+    assert out[0]["n_values"] == len(values)  # NULL + malformed excluded
+    assert out[0]["total_wei"] == str(sum(values))
+    # the single-limb path provably loses these rows (NULL above 10^38)
+    lossy = df.agg(F.count(u256_to_decimal("value"))).collect()[0][0]
+    assert lossy < len(values)
+
+
+def test_wei_sum_exact_is_single_shuffle(spark):
+    """Plan hygiene: the limb split must not add a shuffle — one
+    partial-aggregated Exchange on the key, like a plain groupBy-sum."""
+    from rust_evm_indexer_spark.operators.evm_analytics import wei_sum_exact
+
+    df = spark.createDataFrame(
+        [(f"0x{i % 5:02x}", str(10**40 + i)) for i in range(100)],
+        "from_address: string, value: string",
+    )
+    plan = (
+        wei_sum_exact(df, "from_address")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
