@@ -151,6 +151,105 @@ class Manifest:
         )
 
 
+#: columnar fragment-list schema for the parquet manifest format (the
+#: "manifest of manifests" tier — SCALE.md "Storage layout").  At millions
+#: of fragments the inline-JSON fragment list is the metadata bottleneck:
+#: every manifest read parses O(fragments) JSON before pruning a single
+#: path.  The parquet form stores the fragment list as a columnar sidecar
+#: (sorted by (table, min_block), small row groups), so a bounded read
+#: prunes via row-group min/max statistics and materializes only the
+#: surviving rows — manifest-read + prune cost is O(survivors), near-flat
+#: in total fragment count.  Swap semantics are untouched: fraglist
+#: parquet first, then the JSON manifest referencing it, then the CURRENT
+#: pointer rename.
+_FRAGLIST_SCHEMA = None  # built lazily (pyarrow import at module top)
+_FRAGLIST_ROW_GROUP = 2048
+
+
+def _fraglist_schema():
+    import pyarrow as pa
+
+    global _FRAGLIST_SCHEMA
+    if _FRAGLIST_SCHEMA is None:
+        _FRAGLIST_SCHEMA = pa.schema(
+            [
+                ("table", pa.string()),
+                ("path", pa.string()),
+                ("rows", pa.int64()),
+                ("min_block", pa.int64()),
+                ("max_block", pa.int64()),
+                ("min_key", pa.string()),
+                ("max_key", pa.string()),
+                ("blooms_json", pa.string()),
+            ]
+        )
+    return _FRAGLIST_SCHEMA
+
+
+def _write_fraglist(path: Path, tables: dict[str, list[Fragment]]) -> None:
+    import pyarrow as pa
+
+    rows = []
+    for table in sorted(tables):
+        frags = sorted(
+            tables[table], key=lambda f: (f.min_block is None, f.min_block, f.path)
+        )
+        for f in frags:
+            rows.append(
+                {
+                    "table": table,
+                    "path": f.path,
+                    "rows": f.rows,
+                    "min_block": f.min_block,
+                    "max_block": f.max_block,
+                    "min_key": f.min_key,
+                    "max_key": f.max_key,
+                    "blooms_json": json.dumps(f.blooms) if f.blooms else None,
+                }
+            )
+    tbl = pa.Table.from_pylist(rows, schema=_fraglist_schema())
+    pq.write_table(tbl, path, row_group_size=_FRAGLIST_ROW_GROUP)
+
+
+def _fragment_from_fraglist_row(r: dict) -> Fragment:
+    return Fragment(
+        path=r["path"],
+        rows=r["rows"],
+        min_block=r["min_block"],
+        max_block=r["max_block"],
+        blooms=json.loads(r["blooms_json"]) if r["blooms_json"] else None,
+        min_key=r["min_key"],
+        max_key=r["max_key"],
+    )
+
+
+class LazyManifest(Manifest):
+    """A manifest whose fragment list lives in a parquet sidecar.
+
+    ``tables`` hydrates lazily (full columnar read, cached) so every
+    mutation path works unchanged; the pruned fast path
+    (:meth:`TableStore.fragments_for`) filters the sidecar with pyarrow
+    predicate pushdown WITHOUT hydrating — the O(survivors) read that
+    makes the format worthwhile."""
+
+    @property
+    def tables(self) -> dict[str, list[Fragment]]:
+        hydrated = self.__dict__.get("_hydrated")
+        if hydrated is None:
+            out: dict[str, list[Fragment]] = {}
+            ds = pa_ds.dataset(str(self.__dict__["_pq_path"]), format="parquet")
+            for r in ds.to_table().to_pylist():
+                out.setdefault(r["table"], []).append(_fragment_from_fraglist_row(r))
+            self.__dict__["_hydrated"] = hydrated = out
+        return hydrated
+
+    @tables.setter
+    def tables(self, v) -> None:
+        # the dataclass __init__ assigns the (empty) default — keep the
+        # lazy state; any real assignment counts as hydration
+        self.__dict__["_hydrated"] = v if v else None
+
+
 def _evolve_schema(old: "T.StructType | None", new: "T.StructType") -> "T.StructType":
     """Additive schema evolution (the Delta ``mergeSchema`` contract):
     new columns append as NULLABLE; a type change on an existing column
@@ -202,12 +301,19 @@ class TableStore:
         root: str | Path,
         *,
         bloom_columns: dict[str, tuple[str, ...]] | None = None,
+        manifest_format: str = "json",
     ):
+        if manifest_format not in ("json", "parquet"):
+            raise ValueError(f"manifest_format must be json|parquet, got {manifest_format!r}")
         self.spark = spark
         self.root = Path(root)
         self.bloom_columns = (
             DEFAULT_BLOOM_COLUMNS if bloom_columns is None else bloom_columns
         )
+        #: how NEW manifest versions are written; reads auto-detect per
+        #: version, so a store can be migrated by simply reopening with
+        #: the other format (the next swap converts)
+        self.manifest_format = manifest_format
         (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(parents=True, exist_ok=True)
 
@@ -230,7 +336,12 @@ class TableStore:
             raise ValueError(
                 f"manifest v{version} not found (vacuumed or never written)"
             )
-        return Manifest.from_json(json.loads(path.read_text()))
+        d = json.loads(path.read_text())
+        if "tables_pq" in d:  # parquet fragment list: load lazily
+            m = LazyManifest.from_json(d)
+            m.__dict__["_pq_path"] = self.root / "_manifests" / d["tables_pq"]
+            return m
+        return Manifest.from_json(d)
 
     def _swap(self, manifest: Manifest) -> None:
         """Write the manifest then atomically advance the CURRENT pointer
@@ -245,9 +356,19 @@ class TableStore:
         into a loud error, mirroring a conditional-put conflict."""
         mdir = self.root / "_manifests"
         mpath = mdir / f"v{manifest.version:06d}.json"
+        d = manifest.to_json()
+        if self.manifest_format == "parquet":
+            # fragment list to a columnar sidecar FIRST (an orphaned
+            # sidecar from a lost race is reclaimed with its version by
+            # vacuum's manifest pruning); the JSON keeps everything else
+            # (txns/status/schemas/projections — all O(1)-ish) inline
+            pq_rel = f"frags-v{manifest.version:06d}.parquet"
+            _write_fraglist(mdir / pq_rel, manifest.tables)
+            d["tables"] = {}
+            d["tables_pq"] = pq_rel
         try:
             with open(mpath, "x") as f:
-                f.write(json.dumps(manifest.to_json(), indent=1))
+                f.write(json.dumps(d, indent=1))
         except FileExistsError as exc:
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{manifest.version} "
@@ -585,11 +706,9 @@ class TableStore:
         one extra fragment reaches Spark's scan, where parquet pushdown
         filters it).  Fragments with no bloom for the column are kept."""
         m = self.current_manifest() if version is None else self.manifest_at(version)
-        frags = m.tables.get(table, [])
-        if min_block is not None:
-            frags = [f for f in frags if f.max_block is None or f.max_block >= min_block]
-        if max_block is not None:
-            frags = [f for f in frags if f.min_block is None or f.min_block <= max_block]
+        frags = self.fragments_for(
+            table, min_block=min_block, max_block=max_block, manifest=m
+        )
         if equals:
             frags = [f for f in frags if self._bloom_keeps(f, equals)]
         # evolved schema comes from the MANIFEST, not from merging file
@@ -607,6 +726,52 @@ class TableStore:
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[str(self.root / f.path) for f in frags])
+
+    def fragments_for(
+        self,
+        table: str,
+        *,
+        min_block: int | None = None,
+        max_block: int | None = None,
+        manifest: Manifest | None = None,
+        version: int | None = None,
+    ) -> list[Fragment]:
+        """Block-bounded fragment pruning, manifest-side.  For a parquet
+        (LazyManifest) fragment list that hasn't been hydrated, the
+        bounds push down to the columnar sidecar — row groups are sorted
+        by (table, min_block), so pyarrow's statistics skip non-matching
+        groups and only surviving fragment ROWS are materialized:
+        manifest-read + prune is O(survivors), not O(total fragments)
+        (tools/manifest_bench.py measures this flat).  Hydrated / JSON
+        manifests prune the in-memory list as before."""
+        m = manifest
+        if m is None:
+            m = self.current_manifest() if version is None else self.manifest_at(version)
+        if isinstance(m, LazyManifest) and m.__dict__.get("_hydrated") is None:
+            import pyarrow.compute as pc
+
+            flt = pc.field("table") == table
+            if min_block is not None:
+                flt = flt & (
+                    pc.field("max_block").is_null()
+                    | (pc.field("max_block") >= min_block)
+                )
+            if max_block is not None:
+                flt = flt & (
+                    pc.field("min_block").is_null()
+                    | (pc.field("min_block") <= max_block)
+                )
+            ds = pa_ds.dataset(str(m.__dict__["_pq_path"]), format="parquet")
+            return [
+                _fragment_from_fraglist_row(r)
+                for r in ds.to_table(filter=flt).to_pylist()
+            ]
+        frags = m.tables.get(table, [])
+        if min_block is not None:
+            frags = [f for f in frags if f.max_block is None or f.max_block >= min_block]
+        if max_block is not None:
+            frags = [f for f in frags if f.min_block is None or f.min_block <= max_block]
+        return frags
 
     def _bloom_keeps(self, frag: Fragment, equals: dict[str, Any]) -> bool:
         """True unless some bloom definitely excludes a probed key.  A
@@ -643,7 +808,14 @@ class TableStore:
 
     def table_rows(self, table: str) -> int:
         """Metadata-only row count (the /stats fast path)."""
-        return sum(f.rows for f in self.current_manifest().tables.get(table, []))
+        m = self.current_manifest()
+        if isinstance(m, LazyManifest) and m.__dict__.get("_hydrated") is None:
+            import pyarrow.compute as pc
+
+            ds = pa_ds.dataset(str(m.__dict__["_pq_path"]), format="parquet")
+            tbl = ds.to_table(columns=["rows"], filter=pc.field("table") == table)
+            return pc.sum(tbl["rows"]).as_py() or 0
+        return sum(f.rows for f in m.tables.get(table, []))
 
     def compact(
         self,
@@ -1050,4 +1222,10 @@ class TableStore:
         )
         for p in versions[:-keep_manifests]:
             p.unlink(missing_ok=True)
+        # parquet fraglist sidecars live and die with their JSON version
+        # (also reclaims orphans from a lost concurrent-commit race)
+        kept = {p.stem for p in mdir.glob("v*.json")}
+        for fp in mdir.glob("frags-v*.parquet"):
+            if fp.name[len("frags-"):-len(".parquet")] not in kept:
+                fp.unlink(missing_ok=True)
         return removed

@@ -1,0 +1,111 @@
+"""Both manifest formats (inline-JSON and parquet fragment list) must
+serve the identical store lifecycle: commit / idempotent replay / read
+with pruning + blooms / rollback / compaction / projections / time
+travel / vacuum.  The parquet format is the metadata tier for
+million-fragment tables (manifest-read + prune is O(survivors) —
+tools/manifest_bench.py); reads auto-detect the format per version, so
+a store migrates by reopening with the other format."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_evm_indexer_spark.store import TableStore
+from rust_evm_indexer_spark.store.table_store import LazyManifest
+
+
+@pytest.fixture(params=["json", "parquet"])
+def fmt(request):
+    return request.param
+
+
+def _mk(spark, tmp_path, fmt, n_batches=4, rows_per=30):
+    store = TableStore(
+        spark,
+        tmp_path / f"store_{fmt}",
+        bloom_columns={"pts": ("addr",)},
+        manifest_format=fmt,
+    )
+    for b in range(n_batches):
+        rows = [
+            (b * 1000 + i, f"0x{(i * n_batches + b):04x}", 100 + b)
+            for i in range(rows_per)
+        ]
+        df = spark.createDataFrame(rows, "id: long, addr: string, block_number: long")
+        store.commit({"pts": df}, txn_app_id="t", txn_version=b)
+    return store
+
+
+def test_lifecycle_equivalent_across_formats(spark, tmp_path, fmt):
+    store = _mk(spark, tmp_path, fmt)
+    if fmt == "parquet":
+        assert isinstance(store.current_manifest(), LazyManifest)
+    # idempotent replay is a no-op in both formats
+    df = spark.createDataFrame([(1, "0xdead", 100)], "id: long, addr: string, block_number: long")
+    assert store.commit({"pts": df}, txn_app_id="t", txn_version=0) is False
+    assert store.read("pts").count() == 120
+    assert store.table_rows("pts") == 120
+
+    # manifest-side block pruning reaches the file listing
+    bounded = store.read("pts", min_block=101, max_block=101)
+    # one fragment of four survives (fragments may span several part-files)
+    assert len(bounded.inputFiles()) < len(store.read("pts").inputFiles())
+    assert len(store.fragments_for("pts", min_block=101, max_block=101)) == 1
+    assert bounded.filter("block_number = 101").count() == 30
+
+    # bloom pruning composes with the parquet fragment list
+    probe = store.read("pts").select("addr").first()[0]
+    via = store.read("pts", equals={"addr": probe})
+    assert len(via.inputFiles()) < len(store.read("pts").inputFiles())
+    assert via.filter(F.col("addr") == probe).count() >= 1
+
+    # time travel across formats; rollback drops the tail atomically
+    v_before = store.current_manifest().version
+    assert store.rollback_from(103) > 0
+    assert store.read("pts").count() == 90
+    assert store.read("pts", version=v_before).count() == 120
+
+    # compaction + projection lifecycle
+    store.compact("pts", max_fragments=1)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=2)
+    got = (
+        store.read_projection("pts", "by_addr", key_equals=probe)
+        .filter(F.col("addr") == probe)
+        .count()
+    )
+    want = store.read("pts").filter(F.col("addr") == probe).count()
+    assert got == want
+
+    # vacuum reclaims old fragments AND old fraglist sidecars
+    removed = store.vacuum(keep_manifests=2)
+    assert removed > 0
+    mdir = store.root / "_manifests"
+    if fmt == "parquet":
+        jsons = {p.stem for p in mdir.glob("v*.json")}
+        for fp in mdir.glob("frags-v*.parquet"):
+            assert fp.name[len("frags-"):-len(".parquet")] in jsons
+    assert store.read("pts").count() == 90  # current snapshot intact
+
+
+def test_format_migration_on_reopen(spark, tmp_path):
+    """Reopening with the other format converts at the next swap; reads
+    keep working across mixed-version histories."""
+    store = _mk(spark, tmp_path, "json", n_batches=2)
+    pq_store = TableStore(
+        spark,
+        store.root,
+        bloom_columns={"pts": ("addr",)},
+        manifest_format="parquet",
+    )
+    assert not isinstance(pq_store.current_manifest(), LazyManifest)
+    df = spark.createDataFrame([(7, "0xbeef", 200)], "id: long, addr: string, block_number: long")
+    pq_store.commit({"pts": df})
+    m = pq_store.current_manifest()
+    assert isinstance(m, LazyManifest)
+    assert pq_store.read("pts").count() == 61
+    # and back: a json-format writer over the parquet history
+    back = TableStore(spark, store.root, bloom_columns={"pts": ("addr",)})
+    back.commit({"pts": df.withColumn("id", F.lit(8).cast("long"))})
+    assert not isinstance(back.current_manifest(), LazyManifest)
+    assert back.read("pts").count() == 62
