@@ -3011,6 +3011,162 @@ def events_sessionize(spark, sf_dir):
 
 
 @register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+      GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS event_type,
+           (SELECT count(*) FROM v) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    """,
+    tags=("relational", "analytics", "X-6"),
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered event funnel (view → click → purchase): a user counts at
+    stage k only if the stage-k event happens AT OR AFTER their earliest
+    stage-(k-1) completion — the strict-sequence semantics product
+    funnels need, not three independent existence checks.
+
+    Scale shape: each stage is one event_type-filtered scan (predicate
+    pushed to parquet) aggregated to one row per user, then an equi-join
+    on user_id against the previous stage's per-user frame.  Per-user
+    frames are |users| rows — orders of magnitude below |events| — so the
+    joins shuffle the small side only; no window over the raw stream, no
+    per-user collect."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_micros("ts").alias("t")
+    )
+
+    def stage(etype: str, prev, prev_t: str, out_t: str):
+        s = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").where(F.col("t") >= F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("t").alias(out_t))
+
+    v = stage("view", None, "", "t1")
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
+
+    def count_row(df, stage_no: int, etype: str):
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(stage_no).alias("stage"),
+            F.lit(etype).alias("event_type"),
+            "users",
+        )
+
+    return (
+        count_row(v, 1, "view")
+        .unionByName(count_row(c, 2, "click"))
+        .unionByName(count_row(p, 3, "purchase"))
+    )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "retention_cohorts",
+    f"""
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) // {_WEEK_US} AS cohort_week
+      FROM events GROUP BY user_id)
+    SELECT f.cohort_week AS cohort_week,
+           epoch_us(e.ts) // {_WEEK_US} - f.cohort_week AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "analytics", "X-6"),
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by the epoch-week of
+    their first event, counted distinct in each later epoch week.
+
+    Week indexes are integer division of epoch microseconds — pure int64
+    arithmetic, no calendar truncation, so the result is identical under
+    any session timezone.  Scale shape: one groupBy(user) for first-seen
+    (map-side partial min), one shuffle join back on user_id (both sides
+    hash-partitioned on the same key), one distinct-count agg on the tiny
+    (cohort, offset) grid."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", ts_micros("ts").alias("t")
+    )
+    first = ev.groupBy("user_id").agg(
+        F.expr(f"min(t) div {_WEEK_US}").alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_week",
+            F.expr(f"t div {_WEEK_US}").alias("wk"),
+            "user_id",
+        )
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "sample_weighted",
+    """
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             (((doc_id * 2654435761) % 4294967296) + 0.5)
+                 / 4294967296.0 AS u
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars, ln(u) / n_chars AS k
+      FROM w ORDER BY k DESC, doc_id LIMIT 100)
+    """,
+    tags=("llm", "sampling", "X-4"),
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    IPL 2006): draw u ~ U(0,1) per row, keep the top-k by u^(1/w) —
+    equivalently by ln(u)/w, which avoids pow underflow for large
+    weights.  One pass, no replacement bookkeeping: the top-k IS the
+    sample, with inclusion probability proportional to weight (here
+    n_chars — longer documents sampled proportionally more often).
+
+    The uniform is derived from a Knuth multiplicative hash of doc_id
+    (odd multiplier 2654435761 = floor(2^32/phi), injective mod 2^32) so
+    the draw is deterministic and the DuckDB oracle replays it exactly —
+    same arithmetic, same ordering, same 100 rows.  Scale shape: the
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k heaps merged at the driver, k rows shuffled, never a global
+    sort.  This is the sampler a 100 TB corpus mixer needs: one scan,
+    O(k) driver memory, weights read straight off the table."""
+    doc = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    # +0.5 keeps u strictly inside (0,1): Spark's log(0) is NULL while
+    # DuckDB's ln(0) is -inf, so u = 0 would diverge engines.
+    m = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    k = F.log((m + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("n_chars")
+    return (
+        doc.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
     "rollup_orders",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
@@ -4127,6 +4283,9 @@ _DRIVER_PRIORITY = [
     # -- never driver-checked: NEW round-5 entries ----------------------
     "interval_join_events",
     "evm_wei_sum_exact",
+    "funnel_conversion",
+    "retention_cohorts",
+    "sample_weighted",
     # -- r2-green cohort (3 rounds stale — oldest rows in the catalog;
     # r4's VERDICT pinned these FIRST IN LINE) --------------------------
     "dedup_exact",
@@ -4149,8 +4308,6 @@ _DRIVER_PRIORITY = [
     # no-entry-older-than-2-rounds invariant rolling) -------------------
     "multimodal_features",
     "similarity_ivf_kmeans",
-    "multimodal_resize",
-    "multimodal_frames",
     "dedup_clusters",
     "gopher_quality",
     "pii_redact",
@@ -4159,7 +4316,6 @@ _DRIVER_PRIORITY = [
     "evm_join_enriched",
     "evm_transfer_volume",
     "evm_address_activity",
-    "evm_block_activity",
     "decontaminate_ngram",
 ]
 

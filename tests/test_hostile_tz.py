@@ -36,6 +36,9 @@ _HOSTILE_TZ_ENTRIES = sorted(
         "asof_join_events",
         "events_gapfill_locf",
         "events_hourly_rollup",
+        "funnel_conversion",
+        "interval_join_events",
+        "retention_cohorts",
         "logs_keyset_page",
         "logs_offset_page",
         "logs_page_first",
