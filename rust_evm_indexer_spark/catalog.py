@@ -506,7 +506,7 @@ _COMPACT_DIR = FIXTURE_CACHE / "compact"
 # serve an old layout to both engines (ADVICE r3: param-keyed markers)
 _COMPACT_FIXTURE_KEY = (
     "seed=123 n_blocks=40 max_fragments=2 layout=per-range-fragment "
-    "blooms=v1 txs_snapshot=v1 projection=v1"
+    "blooms=v1 txs_snapshot=v1 projection=v1 dicts=v1"
 )
 
 
@@ -685,6 +685,49 @@ def store_tx_bloom_lookup(spark, sf_dir):
     return txs.filter(F.col("tx_hash") == probe).selectExpr(
         *[c.strip() for c in _TX_BLOOM_COLS.split(",")]
     )
+
+
+_TOPIC0_DICT_SQL = f"""
+    SELECT {_LOGS_PROJ_SQL}
+    FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')
+    WHERE topic0 = (
+        SELECT max(topic0)
+        FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')
+    )
+    ORDER BY block_number, id LIMIT 100
+"""
+
+
+@register(
+    "store_topic0_dict_logs",
+    _TOPIC0_DICT_SQL,
+    tags=("evm-native", "store", "dict-index"),
+)
+def store_topic0_dict_logs(spark, sf_dir):
+    """Event-signature search served through the store's DICTIONARY
+    index tier: topic0 is low-cardinality (an event ABI keccak — tens of
+    distinct values per fragment) but hash-like, so min/max stats never
+    prune it; each fragment's exact distinct-value set lives inline in
+    the manifest and drops non-containing fragments with zero sidecar
+    I/O and zero false positives (the idx_logs_topic0_block shape,
+    init.sql:66-70).  Routed through ``get_logs_from_store`` so the
+    driver verifies the planner path — the dict probe is a pruning hint,
+    with the real predicate still applied by ``get_logs``.  The probe
+    key (max topic0) is derived from the snapshot so the oracle replays
+    it input-independently; exact pruning is CI-asserted in
+    test_dict_pruning.py."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from .operators import GetLogsFilter, get_logs_from_store
+    from .store import TableStore
+
+    root = _ensure_compact_fixture(spark)
+    store = TableStore(spark, root / "store")
+    probe = _pc.max(
+        _pq.read_table(str(root / "logs_snapshot"), columns=["topic0"])["topic0"]
+    ).as_py()
+    return get_logs_from_store(store, GetLogsFilter(topic0=probe, page_size=100))
 
 
 _TRIANGLE_SQL = f"""
@@ -4286,6 +4329,7 @@ _DRIVER_PRIORITY = [
     "funnel_conversion",
     "retention_cohorts",
     "sample_weighted",
+    "store_topic0_dict_logs",
     # -- r2-green cohort (3 rounds stale — oldest rows in the catalog;
     # r4's VERDICT pinned these FIRST IN LINE) --------------------------
     "dedup_exact",
@@ -4312,7 +4356,6 @@ _DRIVER_PRIORITY = [
     "gopher_quality",
     "pii_redact",
     "sample_stratified",
-    "pack_sequences",
     "evm_join_enriched",
     "evm_transfer_volume",
     "evm_address_activity",

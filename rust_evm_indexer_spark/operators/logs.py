@@ -176,6 +176,11 @@ def get_logs_from_store(store, flt: GetLogsFilter) -> DataFrame:
             equals["contract_address"] = flt.address
         if flt.block_hash is not None:
             equals["block_hash"] = flt.block_hash
+        if flt.topic0 is not None:
+            # topic0 is dictionary-tier (DEFAULT_DICT_COLUMNS): an event
+            # signature's per-fragment distinct set prunes exactly, with
+            # zero sidecar I/O — the idx_logs_topic0_block shape
+            equals["topic0"] = flt.topic0
         df = store.read(
             "logs",
             min_block=flt.from_block if flt.block_hash is None else None,

@@ -76,6 +76,13 @@ class Fragment:
     # (the bitset itself is a sidecar file inside the fragment dir —
     # manifests stay O(#fragments); see store/bloom.py)
     blooms: dict | None = None
+    # per-column distinct-value dictionaries for LOW-cardinality columns
+    # ({col: sorted normalized values}, only when the fragment's distinct
+    # count fits DICT_MAX_DISTINCT).  Stored INLINE in the manifest —
+    # unlike blooms, pruning an equality probe needs zero sidecar I/O and
+    # is EXACT (no false positives), the right trade for a column like
+    # topic0 whose per-fragment distinct count is tens, not millions.
+    dicts: dict | None = None
     # cluster-key range for PROJECTION fragments (min/max of the first
     # cluster_by column, from the parquet footer) — the string analog of
     # min_block/max_block, prunable for key equality and ranges
@@ -84,7 +91,7 @@ class Fragment:
 
     def to_json(self) -> dict:
         d = self.__dict__.copy()
-        for opt in ("blooms", "min_key", "max_key"):
+        for opt in ("blooms", "dicts", "min_key", "max_key"):
             if d.get(opt) is None:
                 d.pop(opt, None)
         return d
@@ -181,6 +188,7 @@ def _fraglist_schema():
                 ("min_key", pa.string()),
                 ("max_key", pa.string()),
                 ("blooms_json", pa.string()),
+                ("dicts_json", pa.string()),
             ]
         )
     return _FRAGLIST_SCHEMA
@@ -205,6 +213,7 @@ def _write_fraglist(path: Path, tables: dict[str, list[Fragment]]) -> None:
                     "min_key": f.min_key,
                     "max_key": f.max_key,
                     "blooms_json": json.dumps(f.blooms) if f.blooms else None,
+                    "dicts_json": json.dumps(f.dicts) if f.dicts else None,
                 }
             )
     tbl = pa.Table.from_pylist(rows, schema=_fraglist_schema())
@@ -218,6 +227,9 @@ def _fragment_from_fraglist_row(r: dict) -> Fragment:
         min_block=r["min_block"],
         max_block=r["max_block"],
         blooms=json.loads(r["blooms_json"]) if r["blooms_json"] else None,
+        # .get: fraglist parquet written before the dict tier has no
+        # dicts_json column — degrade to "no dictionary, keep fragment"
+        dicts=json.loads(r["dicts_json"]) if r.get("dicts_json") else None,
         min_key=r["min_key"],
         max_key=r["max_key"],
     )
@@ -291,6 +303,25 @@ DEFAULT_BLOOM_COLUMNS: dict[str, tuple[str, ...]] = {
     "blocks": ("block_hash",),
 }
 
+# Low-cardinality columns that get an inline distinct-value dictionary
+# per fragment: topic0 is an event SIGNATURE (keccak of the event ABI),
+# so a 100 TB logs table holds only thousands of distinct values and a
+# single fragment typically tens — but they are hash-like, so min/max
+# stats never prune and a bloom is oversized for the job.  The exact
+# per-fragment value set is a few KB of manifest, prunes with zero
+# sidecar I/O, and serves the reference's hottest filter shape
+# (``WHERE topic0 = $1`` — the idx_logs_topic0_block index,
+# init.sql:66-70).
+DEFAULT_DICT_COLUMNS: dict[str, tuple[str, ...]] = {
+    "logs": ("topic0",),
+}
+
+#: past this per-fragment distinct count the dictionary is skipped —
+#: the column isn't low-cardinality there and the bloom tier (if
+#: configured) takes over.  Degradation is "no dict, keep fragment",
+#: never wrong results.
+DICT_MAX_DISTINCT = 64
+
 
 class TableStore:
     """See module docstring.  One instance per store root directory."""
@@ -301,6 +332,7 @@ class TableStore:
         root: str | Path,
         *,
         bloom_columns: dict[str, tuple[str, ...]] | None = None,
+        dict_columns: dict[str, tuple[str, ...]] | None = None,
         manifest_format: str = "json",
     ):
         if manifest_format not in ("json", "parquet"):
@@ -309,6 +341,9 @@ class TableStore:
         self.root = Path(root)
         self.bloom_columns = (
             DEFAULT_BLOOM_COLUMNS if bloom_columns is None else bloom_columns
+        )
+        self.dict_columns = (
+            DEFAULT_DICT_COLUMNS if dict_columns is None else dict_columns
         )
         #: how NEW manifest versions are written; reads auto-detect per
         #: version, so a store can be migrated by simply reopening with
@@ -411,6 +446,38 @@ class TableStore:
                 frag.blooms = {}
             frag.blooms[col] = {"m": m, "k": k, "n": n}
 
+    def _build_fragment_dicts(self, table: str, frag: Fragment) -> None:
+        """Inline distinct-value dictionaries for the configured
+        low-cardinality columns: one column-pruned pyarrow pass (the
+        values come straight off parquet dictionary pages).  Strings are
+        lowercased — the engine-wide case-insensitive hex contract, same
+        normalization as the bloom tier.  A fragment whose distinct count
+        exceeds DICT_MAX_DISTINCT gets no dictionary (kept on every
+        probe), so degradation can only cost a scan, never correctness."""
+        cols = self.dict_columns.get(table, ())
+        if not cols:
+            return
+        fdir = self.root / frag.path
+        ds = pa_ds.dataset(str(fdir), format="parquet")
+        present = [c for c in cols if c in ds.schema.names]
+        if not present:
+            return
+        import pyarrow.compute as pc
+
+        tbl = ds.to_table(columns=present)
+        for col in present:
+            values = [
+                v for v in pc.unique(tbl[col]).to_pylist() if v is not None
+            ]
+            if not values or len(values) > DICT_MAX_DISTINCT:
+                continue
+            norm = sorted(
+                v.lower() if isinstance(v, str) else v for v in values
+            )
+            if frag.dicts is None:
+                frag.dicts = {}
+            frag.dicts[col] = norm
+
     def _write_fragment(self, table: str, df: DataFrame) -> Fragment | None:
         """Materialize one immutable fragment dir; stats from the parquet
         footers (no second data pass)."""
@@ -435,6 +502,7 @@ class TableStore:
                         hi = st.max if hi is None else max(hi, st.max)
             frag.min_block, frag.max_block = lo, hi
         self._build_fragment_blooms(table, frag)
+        self._build_fragment_dicts(table, frag)
         return frag
 
     def commit(
@@ -581,7 +649,7 @@ class TableStore:
             "projection_fragments_rewritten": 0,
         }
         for frag in frags:
-            if not self._bloom_keeps(frag, {column: value}):
+            if not self._frag_keeps(frag, {column: value}):
                 new_frags.append(frag)  # definitely clean: keep by reference
                 continue
             stats["candidates"] += 1
@@ -620,7 +688,7 @@ class TableStore:
             ]
             new_pfrags: list[Fragment] = []
             for pf in proj["fragments"]:
-                if not self._bloom_keeps(pf, {column: value}):
+                if not self._frag_keeps(pf, {column: value}):
                     new_pfrags.append(pf)
                     continue
                 pdf = self.spark.read.parquet(str(self.root / pf.path))
@@ -710,7 +778,7 @@ class TableStore:
             table, min_block=min_block, max_block=max_block, manifest=m
         )
         if equals:
-            frags = [f for f in frags if self._bloom_keeps(f, equals)]
+            frags = [f for f in frags if self._frag_keeps(f, equals)]
         # evolved schema comes from the MANIFEST, not from merging file
         # footers: at 100 TB, mergeSchema would read N footers before the
         # first byte of data; here schema resolution is O(1) and
@@ -773,6 +841,34 @@ class TableStore:
             frags = [f for f in frags if f.min_block is None or f.min_block <= max_block]
         return frags
 
+    def _frag_keeps(self, frag: Fragment, equals: dict[str, Any]) -> bool:
+        """Combined index-tier probe for equality predicates: exact
+        inline dictionaries first (zero I/O, no false positives), bloom
+        sidecars second (few-KB read, ~0.8 % false positives).  Either
+        tier saying "definitely absent" drops the fragment; both are
+        pruning-only, so the caller still applies the real predicate."""
+        return self._dict_keeps(frag, equals) and self._bloom_keeps(frag, equals)
+
+    def _dict_keeps(self, frag: Fragment, equals: dict[str, Any]) -> bool:
+        """True unless an inline dictionary definitely excludes a probed
+        key.  NULL probes and undictionaried columns keep the fragment;
+        a list/tuple probe (IN-list) keeps it if ANY member is present."""
+        if not frag.dicts:
+            return True
+        for col, value in equals.items():
+            vals = frag.dicts.get(col)
+            if vals is None or value is None:
+                continue
+            probe = value if isinstance(value, (list, tuple)) else (value,)
+            norm = {
+                v.lower() if isinstance(v, str) else v
+                for v in probe
+                if v is not None
+            }
+            if norm and not (norm & set(vals)):
+                return False
+        return True
+
     def _bloom_keeps(self, frag: Fragment, equals: dict[str, Any]) -> bool:
         """True unless some bloom definitely excludes a probed key.  A
         NULL probe keeps the fragment (blooms only index non-NULL keys);
@@ -790,7 +886,12 @@ class TableStore:
                 bits = _bloom.read_sidecar(fdir, col)
             except OSError:
                 continue
-            if not _bloom.might_contain(bits, params["m"], params["k"], value):
+            probe = value if isinstance(value, (list, tuple)) else (value,)
+            if all(
+                v is not None
+                and not _bloom.might_contain(bits, params["m"], params["k"], v)
+                for v in probe
+            ):
                 return False
         return True
 
@@ -1075,12 +1176,12 @@ class TableStore:
             frags = [f for f in frags if f.min_key is None or f.min_key <= hi]
         if key_equals is not None:
             key_col = proj["cluster_by"][0]
-            frags = [f for f in frags if self._bloom_keeps(f, {key_col: key_equals})]
+            frags = [f for f in frags if self._frag_keeps(f, {key_col: key_equals})]
         covered = set(proj["covers"])
         delta = [f for f in m.tables.get(table, []) if f.path not in covered]
         if key_equals is not None:
             key_col = proj["cluster_by"][0]
-            delta = [f for f in delta if self._bloom_keeps(f, {key_col: key_equals})]
+            delta = [f for f in delta if self._frag_keeps(f, {key_col: key_equals})]
         paths = [str(self.root / f.path) for f in frags + delta]
         schema = self._read_schema(m, table)
         if not paths:
@@ -1169,6 +1270,7 @@ class TableStore:
                 lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
             frag.min_key, frag.max_key = lo, hi
         self._build_fragment_blooms(table, frag)
+        self._build_fragment_dicts(table, frag)
         return frag
 
     def vacuum(self, *, grace_seconds: float = 0.0, keep_manifests: int = 10) -> int:
