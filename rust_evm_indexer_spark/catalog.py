@@ -2280,8 +2280,18 @@ def dedup_embedding_lsh(spark, sf_dir):
     copies = emb.where(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
+    # probe the vector dimension driver-side from the parquet (one-row
+    # pyarrow head, no Spark job — the schema's array<float> carries no
+    # length, and passing dim skips hyperplane_lsh_pairs' first() probe)
+    import pyarrow.dataset as _pads
+
+    dim = len(
+        _pads.dataset(f"{sf_dir}/embeddings.parquet").head(
+            1, columns=["embedding"]
+        )["embedding"][0]
+    )
     return sim.hyperplane_lsh_pairs(
-        emb.unionByName(copies), threshold=0.99
+        emb.unionByName(copies), threshold=0.99, dim=dim
     )
 
 

@@ -574,6 +574,7 @@ def hyperplane_lsh_pairs(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over DENSE ``array<float>`` embeddings —
     the scale path for dense vectors, where a dimension equi-join (the
@@ -602,12 +603,15 @@ def hyperplane_lsh_pairs(
     """
     import random as _random
 
-    first = embeddings.select(vec_col).first()
-    if first is None:
-        return embeddings.sparkSession.createDataFrame(
-            [], "a_id long, b_id long, cos_sim double"
-        )
-    dim = len(first[0])
+    # array<float> carries no dimension in the schema; callers that know
+    # it pass ``dim`` and skip the one-row probe job entirely
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        if first is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "a_id long, b_id long, cos_sim double"
+            )
+        dim = len(first[0])
     rng = _random.Random(seed)
     planes = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)

@@ -924,6 +924,7 @@ class TableStore:
         max_fragments: int = 8,
         *,
         sort_within: tuple[str, ...] = (),
+        zorder_by: tuple[str, ...] = (),
     ) -> int:
         """Merge a table's fragments into ≤ ``max_fragments`` larger ones,
         range-partitioned by block_number, in one atomic swap.  Readers
@@ -936,7 +937,16 @@ class TableStore:
         pass — Spark writes the range-partitioned output once, then the
         part-files are renamed into fragment dirs), so the manifest's
         coarse min/max pruning tier survives compaction: a narrow block
-        range still touches one fragment, not the whole table."""
+        range still touches one fragment, not the whole table.
+
+        ``zorder_by=(colA, colB, ...)`` switches the layout to Z-order
+        (Morton) clustering over ≥2 columns (store/zorder.py): fragments
+        become TILES covering a bounded range of EVERY listed column, so
+        block-range pruning (manifest min/max) and point-lookup pruning
+        (bloom/dict tiers) both work from one layout — block sort alone
+        puts every hot address in every fragment.  Ranges per dimension
+        widen ~√fragments vs a single-column sort; that is the z-order
+        trade, measured in tools/zorder_bench.py."""
         from pyspark.sql import functions as F
 
         m = self.current_manifest()
@@ -944,7 +954,16 @@ class TableStore:
         if len(frags) <= max_fragments:
             return len(frags)
         df = self.read(table)
-        if "block_number" in df.columns:
+        if zorder_by:
+            from .zorder import with_zorder_key
+
+            df = with_zorder_key(df, tuple(zorder_by))
+            df = (
+                df.repartitionByRange(max_fragments, F.col("_zkey"))
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        elif "block_number" in df.columns:
             df = df.repartitionByRange(max_fragments, F.col("block_number"))
             # secondary sort inside each range partition clusters hot
             # filter columns (e.g. topic0) so parquet row-group min/max
