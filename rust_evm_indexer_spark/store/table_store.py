@@ -76,6 +76,12 @@ class Fragment:
     # (the bitset itself is a sidecar file inside the fragment dir —
     # manifests stay O(#fragments); see store/bloom.py)
     blooms: dict | None = None
+    # True for fragments produced by REWRITING existing data (rollback
+    # straddle rewrites, delete_equals rewrites, compaction output).  A
+    # derived fragment contains no first-seen rows, so the changefeed
+    # (:meth:`TableStore.changes`) skips it — appends stay exactly-once
+    # across background maintenance.
+    derived: bool = False
     # per-column distinct-value dictionaries for LOW-cardinality columns
     # ({col: sorted normalized values}, only when the fragment's distinct
     # count fits DICT_MAX_DISTINCT).  Stored INLINE in the manifest —
@@ -94,6 +100,8 @@ class Fragment:
         for opt in ("blooms", "dicts", "min_key", "max_key"):
             if d.get(opt) is None:
                 d.pop(opt, None)
+        if not d.get("derived"):
+            d.pop("derived", None)  # default-False: keep old manifests byte-stable
         return d
 
 
@@ -102,6 +110,10 @@ class Manifest:
     version: int = 0
     txns: dict[str, int] = field(default_factory=dict)  # app_id -> version
     status: dict[str, Any] | None = None  # ingest checkpoint row
+    # audit: which operation produced this version ("commit", "compact",
+    # "rollback", "delete", "projection", …).  The changefeed uses it to
+    # detect reorg retractions inside a consumption window.
+    op: str | None = None
     tables: dict[str, list[Fragment]] = field(default_factory=dict)
     # per-table evolved read schema (Spark StructType jsonValue).  Absent
     # for tables that never evolved past EVM_SCHEMAS / their first write.
@@ -116,6 +128,7 @@ class Manifest:
             "version": self.version,
             "txns": self.txns,
             "status": self.status,
+            "op": self.op,
             "tables": {
                 t: [f.to_json() for f in frags] for t, frags in self.tables.items()
             },
@@ -139,6 +152,7 @@ class Manifest:
             version=d["version"],
             txns=dict(d.get("txns", {})),
             status=d.get("status"),
+            op=d.get("op"),
             tables={
                 t: [Fragment(**f) for f in frags]
                 for t, frags in d.get("tables", {}).items()
@@ -189,6 +203,7 @@ def _fraglist_schema():
                 ("max_key", pa.string()),
                 ("blooms_json", pa.string()),
                 ("dicts_json", pa.string()),
+                ("derived", pa.bool_()),
             ]
         )
     return _FRAGLIST_SCHEMA
@@ -214,6 +229,7 @@ def _write_fraglist(path: Path, tables: dict[str, list[Fragment]]) -> None:
                     "max_key": f.max_key,
                     "blooms_json": json.dumps(f.blooms) if f.blooms else None,
                     "dicts_json": json.dumps(f.dicts) if f.dicts else None,
+                    "derived": f.derived,
                 }
             )
     tbl = pa.Table.from_pylist(rows, schema=_fraglist_schema())
@@ -230,6 +246,7 @@ def _fragment_from_fraglist_row(r: dict) -> Fragment:
         # .get: fraglist parquet written before the dict tier has no
         # dicts_json column — degrade to "no dictionary, keep fragment"
         dicts=json.loads(r["dicts_json"]) if r.get("dicts_json") else None,
+        derived=bool(r.get("derived")),
         min_key=r["min_key"],
         max_key=r["max_key"],
     )
@@ -527,6 +544,7 @@ class TableStore:
             version=m.version + 1,
             txns=dict(m.txns),
             status=status if status is not None else m.status,
+            op="commit",
             tables={t: list(frags) for t, frags in m.tables.items()},
         )
         # The per-table fragment writes are independent Spark jobs; run
@@ -578,6 +596,7 @@ class TableStore:
             version=m.version + 1,
             txns={app: min(v, height - 1) for app, v in m.txns.items()},
             status=status if status is not None else m.status,
+            op="rollback",
             tables={},
             schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},
@@ -595,6 +614,7 @@ class TableStore:
                     surv = df.filter(F.col("block_number") < height)
                     rewritten = self._write_fragment(table, surv)
                     if rewritten is not None:
+                        rewritten.derived = True  # rewrite: no first-seen rows
                         kept.append(rewritten)
                     continue
                 kept.append(frag)
@@ -667,6 +687,7 @@ class TableStore:
             )
             replaced[frag.path] = rewritten.path if rewritten is not None else None
             if rewritten is not None:
+                rewritten.derived = True  # rewrite: no first-seen rows
                 new_frags.append(rewritten)
         if stats["rewritten"] == 0:
             return stats  # nothing changed — don't burn a version
@@ -674,6 +695,7 @@ class TableStore:
             version=m.version + 1,
             txns=dict(m.txns),
             status=m.status,
+            op="delete",
             tables={t: list(fs) for t, fs in m.tables.items()},
             schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},
@@ -740,6 +762,7 @@ class TableStore:
                 version=m.version + 1,
                 txns=dict(m.txns),
                 status=status,
+                op="status",
                 tables=m.tables,
                 schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},
@@ -794,6 +817,80 @@ class TableStore:
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[str(self.root / f.path) for f in frags])
+
+    def changes(
+        self,
+        table: str,
+        *,
+        since_version: int,
+        to_version: int | None = None,
+        allow_reorged: bool = False,
+    ) -> DataFrame:
+        """Append-only changefeed: rows first added to ``table`` AFTER
+        manifest ``since_version``, up to ``to_version`` (default
+        current) — the incremental-consumption primitive a downstream
+        training pipeline needs (process only this round's new documents,
+        not the table).
+
+        Exactly-once for append-shaped windows: each version's NEW
+        non-``derived`` fragments are collected (once, by path), so
+        background maintenance never re-delivers — compaction and
+        rollback/delete rewrites produce fragments holding only
+        already-seen rows and are skipped, and a fragment appended then
+        compacted away INSIDE the window is still delivered from the
+        intermediate manifest (immutable fragments + retained manifests
+        make every intermediate state readable; the feed horizon is
+        therefore vacuum's manifest retention, as in Delta/Iceberg CDC).
+
+        Two honest caveats, by design:
+
+        - **deletions are not emitted** (insert-only feed, like
+          consuming only inserts of a CDC stream): `delete_equals` rows
+          a consumer already processed are the consumer's to reconcile —
+          compliance deletion downstream needs its own pass;
+        - a **reorg rollback inside the window retracts rows** this feed
+          may already have delivered from an intermediate version, and
+          re-ingested post-fork rows ARE re-delivered (new fragments).
+          That is at-least-once across forks — the same contract the
+          reference's API consumers live with (reorged data vanishes
+          from queries).  Because silent over-delivery is a footgun, a
+          window containing a ``rollback`` version raises unless
+          ``allow_reorged=True`` (consumers acknowledge they dedupe by
+          block hash / re-verify the fork tail)."""
+        to = (
+            self.current_manifest().version if to_version is None else to_version
+        )
+        if since_version > to:
+            raise ValueError(f"since_version {since_version} > to_version {to}")
+        base = self.manifest_at(since_version)
+        seen = {f.path for f in base.tables.get(table, [])}
+        new_paths: list[str] = []
+        for v in range(since_version + 1, to + 1):
+            m = self.manifest_at(v)
+            if m.op == "rollback" and not allow_reorged:
+                raise RuntimeError(
+                    f"changes window ({since_version}, {to}] contains a reorg "
+                    f"rollback at version {v}: rows may be retracted and "
+                    "re-delivered across the fork; pass allow_reorged=True "
+                    "to consume at-least-once"
+                )
+            for frag in m.tables.get(table, []):
+                if frag.path in seen:
+                    continue
+                seen.add(frag.path)
+                if not frag.derived:
+                    new_paths.append(frag.path)
+        schema = self._read_schema(self.manifest_at(to), table)
+        if not new_paths:
+            return (
+                self.spark.createDataFrame([], schema)
+                if schema is not None
+                else self.spark.range(0).drop("id")
+            )
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[str(self.root / p) for p in new_paths])
 
     def fragments_for(
         self,
@@ -980,6 +1077,7 @@ class TableStore:
             for part in sorted(staging.glob("part-*.parquet")):
                 frag = self._adopt_file_as_fragment(table, part)
                 if frag is not None:
+                    frag.derived = True  # merge of existing rows only
                     new_frags.append(frag)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -990,6 +1088,7 @@ class TableStore:
             version=m.version + 1,
             txns=dict(m.txns),
             status=m.status,
+            op="compact",
             tables={t: list(fs) for t, fs in m.tables.items()},
             schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},
@@ -1040,6 +1139,7 @@ class TableStore:
             version=m.version + 1,
             txns=dict(m.txns),
             status=m.status,
+            op="projection",
             tables={t: list(fs) for t, fs in m.tables.items()},
             schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},
@@ -1130,6 +1230,7 @@ class TableStore:
             version=m.version + 1,
             txns=dict(m.txns),
             status=m.status,
+            op="projection_refresh",
             tables={t: list(fs) for t, fs in m.tables.items()},
             schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},
@@ -1228,6 +1329,7 @@ class TableStore:
             version=m.version + 1,
             txns=dict(m.txns),
             status=m.status,
+            op="projection_drop",
             tables={t: list(fs) for t, fs in m.tables.items()},
             schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},

@@ -1,0 +1,118 @@
+"""Append-only changefeed (TableStore.changes): incremental consumption
+between manifest versions — exactly-once across appends, compaction and
+targeted deletes; explicit opt-in (at-least-once) across reorg rollback."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_evm_indexer_spark.store import TableStore
+
+
+def _mk_store(spark, tmp_path, **kw):
+    kw.setdefault("bloom_columns", {})
+    kw.setdefault("dict_columns", {})
+    return TableStore(spark, tmp_path / "cfstore", **kw)
+
+
+def _batch(spark, b, rows_per=50):
+    rows = [(b * 1000 + i, f"0xa{i % 7}", 100 + b) for i in range(rows_per)]
+    return spark.createDataFrame(rows, "id: long, addr: string, block_number: long")
+
+
+def test_changes_delivers_exactly_the_appends(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})  # v1
+    v1 = store.current_manifest().version
+    store.commit({"pts": _batch(spark, 1)})  # v2
+    store.commit({"pts": _batch(spark, 2)})  # v3
+    got = sorted(r["id"] for r in store.changes("pts", since_version=v1).collect())
+    assert got == sorted(
+        list(range(1000, 1050)) + list(range(2000, 2050))
+    )
+    # a narrower window sees only its own version's rows
+    got2 = sorted(
+        r["id"]
+        for r in store.changes("pts", since_version=v1 + 1, to_version=v1 + 2).collect()
+    )
+    assert got2 == list(range(2000, 2050))
+
+
+def test_changes_empty_window_keeps_schema(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})
+    v = store.current_manifest().version
+    df = store.changes("pts", since_version=v)
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "addr", "block_number"}
+
+
+def test_compaction_inside_window_does_not_redeliver(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    for b in range(4):
+        store.commit({"pts": _batch(spark, b)})
+    v_consumer = store.current_manifest().version  # consumer caught up
+    store.commit({"pts": _batch(spark, 4)})  # the only true append
+    store.compact("pts", max_fragments=2)  # merges ALL rows into new paths
+    got = sorted(
+        r["id"] for r in store.changes("pts", since_version=v_consumer).collect()
+    )
+    # compacted fragments hold every row, but they are derived — only
+    # batch 4's append is delivered
+    assert got == list(range(4000, 4050))
+
+
+def test_append_then_compacted_away_is_still_delivered_once(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    for b in range(3):
+        store.commit({"pts": _batch(spark, b)})
+    v_consumer = store.current_manifest().version
+    store.commit({"pts": _batch(spark, 3)})  # append...
+    store.compact("pts", max_fragments=1)  # ...then its fragment is merged away
+    got = sorted(
+        r["id"] for r in store.changes("pts", since_version=v_consumer).collect()
+    )
+    # delivered from the intermediate manifest exactly once
+    assert got == list(range(3000, 3050))
+
+
+def test_delete_inside_window_is_not_emitted(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})
+    v = store.current_manifest().version
+    store.commit({"pts": _batch(spark, 1)})
+    stats = store.delete_equals("pts", "addr", "0xa3")
+    assert stats["deleted_rows"] > 0
+    got = store.changes("pts", since_version=v)
+    # batch 1's append arrives; the delete's rewritten fragments (old
+    # surviving rows) are derived and skipped — no re-delivery of batch 0
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == list(range(1000, 1050))
+
+
+def test_rollback_inside_window_requires_opt_in(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})
+    v = store.current_manifest().version
+    store.commit({"pts": _batch(spark, 1)})  # blocks 101
+    store.rollback_from(101)
+    with pytest.raises(RuntimeError, match="rollback"):
+        store.changes("pts", since_version=v)
+    # opt-in: at-least-once — batch 1 was delivered-then-retracted; the
+    # feed may emit it (fragment collected from the intermediate version)
+    df = store.changes("pts", since_version=v, allow_reorged=True)
+    assert set(df.columns) == {"id", "addr", "block_number"}
+
+
+def test_manifest_op_audit_trail(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})
+    store.commit({"pts": _batch(spark, 1)})
+    store.compact("pts", max_fragments=1)
+    store.rollback_from(101)
+    ops = [
+        store.manifest_at(v).op
+        for v in range(1, store.current_manifest().version + 1)
+    ]
+    assert ops == ["commit", "commit", "compact", "rollback"]
