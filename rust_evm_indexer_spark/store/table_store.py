@@ -1313,6 +1313,66 @@ class TableStore:
             reader = reader.schema(schema)
         return reader.parquet(*paths)
 
+    def maintain(
+        self,
+        table: str,
+        *,
+        max_fragments: int = 8,
+        zorder_by: tuple[str, ...] = (),
+        sort_within: tuple[str, ...] = (),
+        vacuum_grace_seconds: float = 0.0,
+    ) -> dict:
+        """One background-maintenance pass — the job class every
+        docstring defers to, as a single call:
+
+        1. **compact** when the fragment count exceeds ``max_fragments``
+           (streaming ingest leaves one fragment per batch; scan cost of
+           small queries is ∝ fragment count);
+        2. **repair projections**: compaction removes every covered base
+           fragment, so each projection of the table goes stale — rebuild
+           them (full build: compaction invalidated all generations
+           anyway, so the O(delta) refresh path does not apply); fresh
+           projections with a delta tail get the cheap
+           :meth:`refresh_projection` instead;
+        3. **vacuum** unreferenced fragments (old generations, pre-compact
+           layout) past the grace period.
+
+        Order matters: compact-then-project keeps the rebuild reading the
+        freshly clustered layout, and vacuum LAST so in-flight readers of
+        the pre-maintenance snapshot keep their grace window.  Returns
+        ``{"compacted_from": n | 0, "projections_rebuilt": [...],
+        "projections_refreshed": [...], "vacuumed": n}``."""
+        report: dict = {
+            "compacted_from": 0,
+            "projections_rebuilt": [],
+            "projections_refreshed": [],
+            "vacuumed": 0,
+        }
+        n_frags = len(self.current_manifest().tables.get(table, []))
+        if n_frags > max_fragments:
+            report["compacted_from"] = self.compact(
+                table,
+                max_fragments,
+                zorder_by=zorder_by,
+                sort_within=sort_within,
+            )
+        m = self.current_manifest()
+        current_paths = {f.path for f in m.tables.get(table, [])}
+        for name, proj in dict(m.projections.get(table, {})).items():
+            stale = any(p not in current_paths for p in proj["covers"])
+            if stale:
+                self.build_projection(
+                    table,
+                    name,
+                    tuple(proj["cluster_by"]),
+                    max_fragments=max(len(proj["fragments"]), 1),
+                )
+                report["projections_rebuilt"].append(name)
+            elif self.refresh_projection(table, name) > 0:
+                report["projections_refreshed"].append(name)
+        report["vacuumed"] = self.vacuum(grace_seconds=vacuum_grace_seconds)
+        return report
+
     def projections(self, table: str) -> dict[str, dict]:
         """Projection metadata for ``table`` from the current manifest —
         what a source-routing layer (operators/logs.py::
