@@ -431,3 +431,58 @@ def test_cms_counter_table_is_broadcast(spark):
     assert "CartesianProduct" not in plan
     # build is one partial-aggregated shuffle over the exploded rows
     assert "partial_count" in plan
+
+
+def test_funnel_stages_push_event_type_to_scan(spark):
+    """Round-5 funnel: each stage is an event_type-filtered scan — the
+    predicate must reach parquet (a 100 TB events table is read three
+    times, each time only the stage's slice), and every stage join is a
+    keyed equi-join on user_id, never a cross product."""
+    df = CATALOG["funnel_conversion"].fn(spark, SF)
+    assert_pushed_filter(df, "event_type")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_retention_is_one_user_keyed_join_no_cartesian(spark):
+    """Cohort retention: first-seen agg + one user_id-keyed shuffle join
+    + tiny-grid distinct agg — nothing quadratic, nothing collected."""
+    df = CATALOG["retention_cohorts"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation (map-side combine) on the first-seen min
+    assert "partial_min" in plan or "partial_finalmerge" in plan
+
+
+def test_weighted_sample_plans_topk_not_global_sort(spark):
+    """A-ES weighted sampling IS a top-k by the ln(u)/w key: the plan
+    must be TakeOrderedAndProject (per-partition heaps, k rows to the
+    driver), never a global Sort — the difference between O(k) driver
+    memory and sorting 100 TB."""
+    df = CATALOG["sample_weighted"].fn(spark, SF)
+    assert_takes_ordered_topk(df)
+    assert_pushed_filter(df, "n_chars")
+
+
+def test_interval_join_is_keyed_with_range_residual(spark):
+    """The interval join must plan as a user_id equi-join with the time
+    bound as a residual condition — a pure range theta-join would be a
+    per-key cross product at scale."""
+    df = CATALOG["interval_join_events"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_wei_sum_exact_single_shuffle_partial_agg(spark):
+    """The 4-limb exact U256 sum must stay ONE partial-aggregated
+    shuffle: limbs split map-side (string surgery in the projection),
+    four decimal sums with map-side combine, carry math on the
+    aggregated frame only."""
+    df = CATALOG["evm_wei_sum_exact"].fn(spark, SF)
+    plan = physical_plan(df, "simple")  # one line per node, countable
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
