@@ -46,6 +46,7 @@ class CycleResult:
     from_block: int | None = None
     to_block: int | None = None
     rollback_from: int | None = None
+    maintained: dict | None = None  # per-table maintain() reports, if run
 
 
 class EvmIngester:
@@ -61,6 +62,8 @@ class EvmIngester:
         max_receipt_concurrent: int = MAX_RECEIPT_CONCURRENT,
         retries: int = FETCH_RETRIES,
         backoff_base: float = BACKOFF_BASE_SECONDS,
+        maintain_every_cycles: int | None = None,
+        maintain_max_fragments: int = 8,
     ):
         self.spark = spark
         self.client = client
@@ -71,6 +74,16 @@ class EvmIngester:
         self.max_receipt_concurrent = max_receipt_concurrent
         self.retries = retries
         self.backoff_base = backoff_base
+        #: scheduled store maintenance: every N ingesting cycles, run
+        #: TableStore.maintain() on each EVM table — streaming ingest
+        #: writes one fragment per batch, and without compaction small
+        #: queries pay scan cost ∝ fragment count.  None = caller owns
+        #: maintenance (the production default at scale is a separate
+        #: background job; in-loop scheduling suits single-process
+        #: deployments, the reference's own shape).
+        self.maintain_every_cycles = maintain_every_cycles
+        self.maintain_max_fragments = maintain_max_fragments
+        self._cycles_since_maintain = 0
 
     # -- O-4: retry with exponential backoff (src/main.rs:32-62) ----------
 
@@ -174,7 +187,25 @@ class EvmIngester:
             txn_app_id=self.indexer_name,
             txn_version=to_block,
         )
-        return CycleResult("ingested", from_block=first["number"], to_block=to_block)
+        maintained = None
+        if self.maintain_every_cycles is not None:
+            self._cycles_since_maintain += 1
+            if self._cycles_since_maintain >= self.maintain_every_cycles:
+                self._cycles_since_maintain = 0
+                from .rollup import ROLLUP_TABLE
+
+                maintained = {
+                    t: self.store.maintain(
+                        t, max_fragments=self.maintain_max_fragments
+                    )
+                    for t in ("blocks", "transactions", "logs", ROLLUP_TABLE)
+                }
+        return CycleResult(
+            "ingested",
+            from_block=first["number"],
+            to_block=to_block,
+            maintained=maintained,
+        )
 
     def _stored_hash_at(self, height: int) -> str | None:
         rows = (

@@ -381,3 +381,39 @@ def test_schema_evolution_survives_compaction_and_rollback(spark, tmp_path):
     assert df.columns == ["block_number", "payload", "score"]
     assert df.count() == 6
     assert df.filter("score is not null").count() == 0
+
+
+def test_scheduled_maintenance_bounds_fragments(spark, tmp_path):
+    """In-loop maintenance (maintain_every_cycles): streaming ingest
+    writes one fragment per 5-block batch; with maintenance scheduled
+    every 3 ingesting cycles the fragment count stays bounded while the
+    data remains identical to an unmaintained ingest."""
+    ing, client, store = make_ingester(
+        spark,
+        tmp_path,
+        n_blocks=40,
+        maintain_every_cycles=3,
+        maintain_max_fragments=2,
+    )
+    results = ing.run_until_caught_up()
+    maintained = [r for r in results if r.maintained]
+    assert maintained, "maintenance never fired"
+    assert maintained[0].maintained["logs"]["compacted_from"] > 2
+    # 8 ingest cycles, maintenance after cycles 3 and 6 → at most the
+    # compaction cap + the post-maintenance tail of fragments
+    assert len(store.current_manifest().tables["logs"]) <= 4
+
+    ing2, _, store2 = make_ingester(spark, tmp_path / "plain", n_blocks=40)
+    ing2.run_until_caught_up()
+    got = sorted(r["id"] for r in store.read("logs").collect())
+    want = sorted(r["id"] for r in store2.read("logs").collect())
+    assert got == want
+
+
+def test_maintenance_off_by_default(spark, tmp_path):
+    ing, _, store = make_ingester(spark, tmp_path, n_blocks=20)
+    results = ing.run_until_caught_up()
+    assert all(r.maintained is None for r in results)
+    # one fragment per ingesting cycle, untouched
+    n_cycles = sum(1 for r in results if r.kind == "ingested")
+    assert len(store.current_manifest().tables["logs"]) == n_cycles
