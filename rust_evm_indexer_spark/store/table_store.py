@@ -862,7 +862,8 @@ class TableStore:
         )
         if since_version > to:
             raise ValueError(f"since_version {since_version} > to_version {to}")
-        base = self.manifest_at(since_version)
+        # version 0 is the implicit empty store — "consume from genesis"
+        base = Manifest() if since_version == 0 else self.manifest_at(since_version)
         seen = {f.path for f in base.tables.get(table, [])}
         new_paths: list[str] = []
         for v in range(since_version + 1, to + 1):

@@ -116,3 +116,57 @@ def test_manifest_op_audit_trail(spark, tmp_path):
         for v in range(1, store.current_manifest().version + 1)
     ]
     assert ops == ["commit", "commit", "compact", "rollback"]
+
+
+# -- property: exactly-once across random maintenance sequences -------------
+
+import tempfile
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# op encoding: ("commit", batch_no) | ("compact",) | ("delete", addr_mod)
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("commit")),
+        st.tuples(st.just("compact")),
+        st.tuples(st.just("delete"), st.integers(0, 6)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_changefeed_is_insert_exact_under_random_maintenance(spark, ops):
+    """For ANY interleaving of commits, compactions and targeted deletes
+    (no rollback), ids(changes(since=v)) == the ids committed after v —
+    the insert-only contract: maintenance never re-delivers, never
+    swallows an append, and deletes are not retro-applied to the feed."""
+    root = Path(tempfile.mkdtemp(prefix="cf-prop-"))
+    store = TableStore(spark, root / "s", bloom_columns={}, dict_columns={})
+    inserted_at: list[tuple[int, set[int]]] = []  # (version, ids committed)
+    batch_no = 0
+    for op in ops:
+        if op[0] == "commit":
+            ids = set(range(batch_no * 1000, batch_no * 1000 + 30))
+            store.commit({"pts": _batch(spark, batch_no, rows_per=30)})
+            inserted_at.append((store.current_manifest().version, ids))
+            batch_no += 1
+        elif op[0] == "compact":
+            store.compact("pts", max_fragments=1)
+        else:
+            store.delete_equals("pts", "addr", f"0xa{op[1] % 7}")
+    head = store.current_manifest().version
+    for v in range(0, head + 1):
+        got = {
+            r["id"] for r in store.changes("pts", since_version=v).collect()
+        }
+        want = {i for ver, ids in inserted_at if ver > v for i in ids}
+        assert got == want, f"since={v}: {sorted(got)[:5]}… != {sorted(want)[:5]}…"
