@@ -881,7 +881,9 @@ class TableStore:
                 seen.add(frag.path)
                 if not frag.derived:
                     new_paths.append(frag.path)
-        schema = self._read_schema(self.manifest_at(to), table)
+        schema = self._read_schema(
+            Manifest() if to == 0 else self.manifest_at(to), table
+        )
         if not new_paths:
             return (
                 self.spark.createDataFrame([], schema)

@@ -1,3 +1,4 @@
+from .changefeed_stream import ChangefeedStream  # noqa: F401
 from .dedup import stream_dedup_exact  # noqa: F401
 from .ingest_stream import IngestStream  # noqa: F401
 from .joins import (  # noqa: F401
