@@ -1,7 +1,9 @@
 """End-to-end LLM-training-data pipeline demo on the driver tables:
-quality filter → Gopher gate → benchmark decontamination → near-dup
-dedup (MinHash-LSH) → cluster keep-one → perplexity tails → stratified
-sample → sequence packing → embedding similarity search.
+JSONL shard ingestion (corrupt-line quarantine) → quality filter →
+Gopher gate → benchmark decontamination → near-dup dedup (MinHash-LSH)
+→ cluster keep-one → perplexity tails → stratified sample → sequence
+packing → embedding similarity search → incremental downstream
+consumption via the store changefeed.
 
 Run: python examples/demo_llm_pipeline.py [sf_dir]
 """
@@ -23,6 +25,26 @@ from rust_evm_indexer_spark.sources.batch import load_driver_table
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("demo_llm_pipeline", cpus=8, shuffle_partitions=8)
+
+    # 0. shard-ingest front door: raw corpora arrive as JSONL, not
+    # parquet — corrupt lines are quarantined and counted, never dropped
+    import json as _json
+    import tempfile
+
+    from rust_evm_indexer_spark.sources.text_corpus import read_jsonl_documents
+
+    shard_dir = Path(tempfile.mkdtemp(prefix="demo_shards_"))
+    (shard_dir / "shard0.jsonl").write_text(
+        "\n".join(
+            [_json.dumps({"doc_id": 10_000 + i, "text": f"extra doc {i}",
+                          "lang": "en"}) for i in range(3)]
+            + ["{broken line"]
+        )
+        + "\n"
+    )
+    jdocs, quarantine = read_jsonl_documents(spark, shard_dir, source="crawl")
+    print(f"jsonl ingest: {jdocs.count()} docs, "
+          f"{quarantine.count()} corrupt line(s) quarantined")
 
     docs = load_driver_table(spark, sf_dir, "documents")
     n0 = docs.count()
@@ -90,6 +112,31 @@ def main() -> None:
     approx = similarity.ivf_topk(emb, q, k=5, n_probe=2, exclude_ids=(0,)).collect()
     overlap = len({r["vec_id"] for r in top} & {r["vec_id"] for r in approx})
     print(f"IVF(probe=2) recall@5 vs exact: {overlap}/5")
+
+    # 9. incremental downstream consumption: the cleaned corpus lands in
+    # a versioned store; a changefeed consumer processes ONLY each
+    # round's new documents (maintenance never re-delivers)
+    from rust_evm_indexer_spark.store import TableStore
+    from rust_evm_indexer_spark.streaming import ChangefeedStream
+
+    store_root = Path(tempfile.mkdtemp(prefix="demo_store_"))
+    store = TableStore(spark, store_root / "s", bloom_columns={}, dict_columns={})
+    half = survivors.where(F.col("doc_id") % 2 == 0)
+    store.commit({"corpus": half})
+
+    delivered: list[int] = []
+    consumer = ChangefeedStream(
+        spark, store, "corpus",
+        lambda df, frm, to: delivered.append(df.count()),
+        checkpoint_path=store_root / "consumer.json",
+    )
+    consumer.poll_once()
+    store.commit({"corpus": survivors.where(F.col("doc_id") % 2 == 1)})
+    store.compact("corpus", max_fragments=1)  # maintenance: not re-delivered
+    consumer.poll_once()
+    print(f"changefeed consumption: windows delivered {delivered} rows "
+          f"(total {sum(delivered)} == cleaned corpus {n2})")
+    assert sum(delivered) == n2
 
     print("OK")
     spark.stop()
