@@ -236,3 +236,34 @@ def test_changefeed_stream_raises_loud_on_reorg_window(spark, tmp_path):
     )
     c_ok.poll_once()  # no raise; checkpoint advances past the fork
     assert c_ok.last_consumed() == store.current_manifest().version
+
+
+def test_changefeed_stream_live_trigger_delivers(spark, tmp_path):
+    """The real StreamingQuery path: start() polls on its trigger and
+    the callback receives appended rows without manual poll_once."""
+    import time as _time
+
+    from rust_evm_indexer_spark.streaming import ChangefeedStream
+
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0, rows_per=10)})
+    got: list[int] = []
+    c = ChangefeedStream(
+        spark, store, "pts",
+        lambda df, frm, to: got.append(df.count()),
+        checkpoint_path=tmp_path / "live.json",
+        poll_interval_seconds=1,
+    )
+    q = c.start()
+    try:
+        deadline = _time.time() + 120
+        while not got and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert got and got[0] == 10
+        store.commit({"pts": _batch(spark, 1, rows_per=10)})
+        while len(got) < 2 and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert len(got) >= 2 and got[1] == 10
+    finally:
+        c.stop()
+    assert q.isActive is False
