@@ -107,6 +107,90 @@ def _dec(col: str):
     return F.col(col).cast(_DEC)
 
 
+_JSONL_FIXTURE_KEY = "v1 n=800 seed=7 corrupt=4 null-source-every=7 unicode=yes"
+
+
+def ensure_jsonl_fixture() -> Path:
+    """Deterministic JSONL corpus shard: 800 synthetic documents (some
+    with NULL source, some with non-ASCII text) plus 4 malformed lines
+    (broken JSON, type drift) — the shard shape
+    ``sources/text_corpus.read_jsonl_documents`` must quarantine.
+    Content-keyed marker, pure Python (no Spark), same pattern as the
+    EVM/U256 fixtures."""
+    import json as _json
+
+    out = FIXTURE_CACHE / "jsonl"
+    marker = out / "_FIXTURE_DONE"
+    if marker.exists() and marker.read_text() != _JSONL_FIXTURE_KEY:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    if not marker.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        lines = []
+        for i in range(800):
+            text = f"document {i} corpus body {'é' if i % 11 == 0 else 'x'} " \
+                   f"{' '.join(f'w{(i * 7 + j) % 97}' for j in range(8))}"
+            lines.append(
+                _json.dumps(
+                    {
+                        "doc_id": i,
+                        "text": text,
+                        "lang": "en" if i % 5 else "de",
+                        "source": None if i % 7 == 0 else "web",
+                        "n_chars": 0,  # upstream lies; readers recompute
+                    }
+                )
+            )
+            if i in (100, 300, 500):
+                lines.append("{broken json line " + str(i))
+        lines.append('{"doc_id": "TYPE_DRIFT", "text": "bad id type"}')
+        (out / "shard0.jsonl").write_text("\n".join(lines) + "\n")
+        marker.write_text(_JSONL_FIXTURE_KEY)
+    return out
+
+
+_JSONL_DIR = FIXTURE_CACHE / "jsonl"
+
+_JSONL_SQL = f"""
+    SELECT doc_id, text, lang,
+           COALESCE(source, 'crawl') AS source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM read_json('{_JSONL_DIR}/shard0.jsonl',
+                   format = 'newline_delimited',
+                   ignore_errors = true,
+                   columns = {{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                               'lang': 'VARCHAR', 'source': 'VARCHAR',
+                               'n_chars': 'BIGINT'}})
+    WHERE doc_id IS NOT NULL
+"""
+
+
+@register(
+    "jsonl_ingest",
+    _JSONL_SQL,
+    tags=("llm", "source", "X-4"),
+)
+def jsonl_ingest(spark, sf_dir):
+    """The corpus shard front door under the driver contract: JSONL with
+    malformed lines (broken JSON + type drift) read with an EXPLICIT
+    schema (no inference pass), corrupt rows quarantined rather than
+    dropped, n_chars recomputed (upstream counts lie), NULL sources
+    defaulted.  The oracle replays the same shard with DuckDB's
+    newline-delimited reader skipping the same malformed lines — a
+    reader that silently swallowed or mis-parsed a line breaks the hash
+    match.  Scale shape: line-splittable shards parallelize by object
+    block; the explicit schema avoids reading 100 TB twice."""
+    from .sources.text_corpus import read_jsonl_documents
+
+    root = ensure_jsonl_fixture()
+    docs, _corrupt = read_jsonl_documents(
+        spark, root / "shard0.jsonl", source="crawl"
+    )
+    return docs
+
+
+
 # =====================================================================
 # EVM query shapes on `events` (O-12..O-26 analogs — SURVEY.md §2b)
 # =====================================================================
@@ -4340,6 +4424,7 @@ _DRIVER_PRIORITY = [
     "retention_cohorts",
     "sample_weighted",
     "store_topic0_dict_logs",
+    "jsonl_ingest",
     # -- r2-green cohort (3 rounds stale — oldest rows in the catalog;
     # r4's VERDICT pinned these FIRST IN LINE) --------------------------
     "dedup_exact",
@@ -4369,7 +4454,6 @@ _DRIVER_PRIORITY = [
     "evm_join_enriched",
     "evm_transfer_volume",
     "evm_address_activity",
-    "decontaminate_ngram",
 ]
 
 
