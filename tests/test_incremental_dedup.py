@@ -1,0 +1,88 @@
+"""Incremental corpus dedup: only the delta pays compute, the survivor
+corpus + its MinHash band index accumulate in one atomic commit per
+round, and cross-round duplicates are exact-Jaccard verified."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rust_evm_indexer_spark.operators.incremental_dedup import (
+    IncrementalDeduper,
+    banded_minhash,
+)
+from rust_evm_indexer_spark.store import TableStore
+
+_SENT = "the quick brown fox jumps over the lazy dog near the river bank"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+
+
+def _mk(spark, tmp_path):
+    store = TableStore(spark, tmp_path / "inc", bloom_columns={}, dict_columns={})
+    # 16×2 banding keeps CI fast (the 64-agg codegen dominates tiny
+    # batches); recall at the J≥0.5 dups planted here is still ≈1
+    return IncrementalDeduper(store, threshold=0.5, n_perm=16, bands=8), store
+
+
+def test_first_batch_dedups_within_and_seeds_state(spark, tmp_path):
+    dd, store = _mk(spark, tmp_path)
+    rep = dd.add_batch(
+        _docs(spark, [(1, _SENT), (2, _SENT), (3, "completely different text "
+                                                  "about spark engines and joins")])
+    )
+    assert rep == {"batch": 3, "within_kept": 2, "cross_dropped": 0, "added": 2}
+    assert sorted(r["doc_id"] for r in dd.corpus().collect()) == [1, 3]
+    # the band index covers exactly the survivors
+    idx_ids = {r["doc_id"] for r in store.read("minhash_bands").collect()}
+    assert idx_ids == {1, 3}
+
+
+def test_cross_round_duplicate_dropped_fresh_added(spark, tmp_path):
+    dd, _ = _mk(spark, tmp_path)
+    dd.add_batch(_docs(spark, [(1, _SENT)]))
+    rep = dd.add_batch(
+        _docs(spark, [
+            (10, _SENT),  # exact dup of round-1 doc 1
+            (11, _SENT + " with a tiny tail change"),  # near-dup of 10 AND 1
+            (12, "entirely novel content on columnar storage formats and "
+                 "fragment pruning strategies for large tables"),
+        ])
+    )
+    # 10 and 11 are near-dups of EACH OTHER, so within-batch dedup keeps
+    # only 10; the cross-round pass then drops 10 against stored doc 1
+    assert rep["within_kept"] == 2
+    assert rep["cross_dropped"] == 1
+    assert rep["added"] == 1
+    assert sorted(r["doc_id"] for r in dd.corpus().collect()) == [1, 12]
+
+
+def test_rounds_accumulate_and_state_matches_corpus(spark, tmp_path):
+    dd, store = _mk(spark, tmp_path)
+    texts = [
+        "alpha " * 8 + "document one of the corpus with stable words",
+        "beta " * 8 + "document two about completely other matters entirely",
+        "gamma " * 8 + "third text independent of the first two documents",
+    ]
+    dd.add_batch(_docs(spark, [(i, t) for i, t in enumerate(texts)]))
+    dd.add_batch(_docs(spark, [(100, texts[1]), (101, "fresh fourth corpus "
+                               "entry with novel content and wording")]))
+    ids = sorted(r["doc_id"] for r in dd.corpus().collect())
+    assert ids == [0, 1, 2, 101]
+    idx_ids = sorted({r["doc_id"] for r in store.read("minhash_bands").collect()})
+    assert idx_ids == ids  # index and corpus committed atomically, never diverge
+
+
+def test_banded_minhash_exact_dup_collides_everywhere(spark, tmp_path):
+    df = _docs(spark, [(1, _SENT), (2, _SENT)])
+    b = banded_minhash(df, bands=32)
+    collisions = (
+        b.alias("a").join(b.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    assert collisions == 32  # identical text → every band collides
