@@ -2855,6 +2855,71 @@ def token_counts(spark, sf_dir):
     return tx.token_counts(_t(spark, sf_dir, "documents"))
 
 
+# Corpus-trained BPE token counts: the merges are learned from the
+# corpus itself (operators/bpe.py — distributed vocab-table training),
+# the per-word tokenizer output (word, n_toks) is EXPORTED to parquet,
+# and the entry computes per-doc counts by the corpus-side JVM join
+# against that export.  The DuckDB oracle replays the identical join —
+# so the driver verifies the distributed tier (word explode, join, sum)
+# byte-for-byte, while the Python encode kernel is separately pinned to
+# a single-machine reference BPE in tests/test_bpe.py (same split as
+# the simhash signature basis).
+_BPE_VOCAB_PQ = f"{FIXTURE_CACHE}/bpe_vocab_sf0.01"
+_BPE_MERGES = 48
+_BPE_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+      FROM documents),
+    v AS (SELECT * FROM read_parquet('{_BPE_VOCAB_PQ}/*.parquet'))
+    SELECT w.doc_id, CAST(SUM(v.n_toks) AS BIGINT) AS n_bpe_tokens
+    FROM w JOIN v USING (word)
+    WHERE w.word <> ''
+    GROUP BY w.doc_id
+"""
+
+
+@register(
+    "bpe_token_counts",
+    _BPE_SQL,
+    tags=("llm", "X-4", "bpe", "oracle-sf0.01"),
+)
+def bpe_token_counts(spark, sf_dir):
+    """Per-document token counts under a corpus-trained BPE vocabulary
+    (Sennrich et al. 2015) — real tokenizer-aware sizing instead of the
+    whitespace/regex proxies in ``token_counts``.  Training iterates
+    over the distinct-WORD table (vocab-sized, never the corpus);
+    counting is one explode + broadcastable vocab join + sum, all JVM."""
+    from .operators import bpe as bpe_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    out = FIXTURE_CACHE / f"bpe_vocab_{Path(sf_dir).name}"
+    src = Path(sf_dir) / "documents.parquet"
+    st = src.stat()
+    src_key = (
+        f"{src}:{st.st_size}:{st.st_mtime_ns}"
+        f"|merges={_BPE_MERGES},norm=v1,enc=v1"
+    )
+    marker = out / "_EXPORTED_FROM"
+    if not (marker.exists() and marker.read_text() == src_key):
+        merges = bpe_ops.train_bpe(docs, n_merges=_BPE_MERGES)
+        bpe_ops.vocab_token_counts(docs, merges).write.mode(
+            "overwrite"
+        ).parquet(str(out))
+        marker.write_text(src_key)
+    stored = spark.read.parquet(str(out))
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(bpe_ops.normalize_text("text"), " ")
+        ).alias("word"),
+    ).where(F.col("word") != "")
+    return (
+        words.join(F.broadcast(stored), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_toks").cast("long").alias("n_bpe_tokens"))
+    )
+
+
 def _lang_id_oracle() -> str:
     from .operators.textops import LANG_MARKERS
 
@@ -4425,6 +4490,7 @@ _DRIVER_PRIORITY = [
     "sample_weighted",
     "store_topic0_dict_logs",
     "jsonl_ingest",
+    "bpe_token_counts",
     # -- r2-green cohort (3 rounds stale — oldest rows in the catalog;
     # r4's VERDICT pinned these FIRST IN LINE) --------------------------
     "dedup_exact",
@@ -4453,7 +4519,6 @@ _DRIVER_PRIORITY = [
     "sample_stratified",
     "evm_join_enriched",
     "evm_transfer_volume",
-    "evm_address_activity",
 ]
 
 

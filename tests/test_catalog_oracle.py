@@ -56,7 +56,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     # r3-green tail, 2 rounds old at r5 — the staleness ceiling; the r6
     # window must drain these before any r4-green re-check
     "multimodal_resize", "multimodal_frames", "evm_block_activity",
-    "pack_sequences", "decontaminate_ngram",
+    "pack_sequences", "decontaminate_ngram", "evm_address_activity",
     "unigram_nll", "similarity_ivf_knn_join",
     "lang_id", "quality_score", "doc_fingerprint", "window_topk_per_group",
     "events_sessionize", "events_sliding_rollup", "rollup_orders",
