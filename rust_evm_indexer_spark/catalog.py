@@ -2816,6 +2816,92 @@ def similarity_ivf_knn_join(spark, sf_dir):
     return idx.knn_join(queries, k=3, n_probe=2)
 
 
+# PQ (Jégou et al. TPAMI 2011) under the driver contract: codebooks and
+# the engine-computed codes are exported; the Spark entry scores the
+# EXPORTED codes (so the hash checks the engine's own quantization),
+# and the oracle recomputes the asymmetric-distance estimate from the
+# same exports — per-(subspace, code) dot/norm lookups folded in
+# subspace order (list_sum over an ORDER BY s list ≡ Spark's
+# left-to-right literal adds), IEEE-double on both engines.
+_PQ_DIR = f"{FIXTURE_CACHE}/pq_sf0.01"
+_PQ_M, _PQ_K, _PQ_ITERS = 8, 16, 8
+_PQ_DSUB = 8  # 64-dim embeddings / m
+
+_PQ_SQL = f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    cb AS (SELECT s, j, cent FROM read_parquet('{_PQ_DIR}/codebooks/*.parquet')),
+    c AS (SELECT vec_id, s, code FROM read_parquet('{_PQ_DIR}/codes_long/*.parquet')),
+    t AS (SELECT c.vec_id, c.s,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(q.qv, c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS dt,
+                 list_inner_product(cb.cent, cb.cent) AS nr
+          FROM c JOIN cb ON cb.s = c.s AND cb.j = c.code, q),
+    agg AS (SELECT vec_id,
+                   list_sum(list(dt ORDER BY s)) AS sd,
+                   list_sum(list(nr ORDER BY s)) AS sn
+            FROM t GROUP BY vec_id)
+    SELECT a.vec_id,
+           round(a.sd / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(a.sn)),
+                 6) AS sim_pq
+    FROM agg a, q
+    WHERE a.vec_id <> 0
+    ORDER BY sim_pq DESC, a.vec_id
+    LIMIT 10
+"""
+
+
+@register(
+    "similarity_pq_topk",
+    _PQ_SQL,
+    tags=("llm", "X-3", "pq", "oracle-sf0.01"),
+)
+def similarity_pq_topk(spark, sf_dir):
+    """Asymmetric-distance cosine top-10 over product-quantized codes
+    (operators/pq.py): 64-dim float32 → 8 one-byte codes (32× memory),
+    scoring = per-subspace table lookups, pure codegen, distributed
+    top-k.  Codebooks train on a bounded deterministic sample; codes
+    are exported and scored FROM the export so the driver verifies the
+    engine's own quantization end-to-end."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = Path(f"{FIXTURE_CACHE}/pq_{Path(sf_dir).name}")
+    src = Path(sf_dir) / "embeddings.parquet"
+    st = src.stat()
+    src_key = (
+        f"{src}:{st.st_size}:{st.st_mtime_ns}"
+        f"|m={_PQ_M},k={_PQ_K},iters={_PQ_ITERS},"
+        f"sample={PQ.TRAIN_SAMPLE_CAP},enc=v1"
+    )
+    marker = out / "_EXPORTED_FROM"
+    if not (marker.exists() and marker.read_text() == src_key):
+        cb = PQ.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+        rows = [
+            (s, j, [float(x) for x in cent])
+            for s, book in enumerate(cb)
+            for j, cent in enumerate(book)
+        ]
+        spark.createDataFrame(
+            rows, "s: int, j: int, cent: array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(str(out / "codebooks"))
+        codes = PQ.pq_encode(emb, cb)
+        codes.write.mode("overwrite").parquet(str(out / "codes"))
+        codes.select(
+            "vec_id", F.posexplode("codes").alias("s", "code")
+        ).write.mode("overwrite").parquet(str(out / "codes_long"))
+        marker.write_text(src_key)
+    cb_rows = spark.read.parquet(str(out / "codebooks")).collect()
+    cb = [[None] * _PQ_K for _ in range(_PQ_M)]
+    for r in cb_rows:
+        cb[r["s"]][r["j"]] = list(r["cent"])
+    stored_codes = spark.read.parquet(str(out / "codes"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.pq_search(stored_codes, cb, qvec, topk=10, exclude_ids=(0,))
+
+
 _WORDS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
@@ -4491,6 +4577,7 @@ _DRIVER_PRIORITY = [
     "store_topic0_dict_logs",
     "jsonl_ingest",
     "bpe_token_counts",
+    "similarity_pq_topk",
     # -- r2-green cohort (3 rounds stale — oldest rows in the catalog;
     # r4's VERDICT pinned these FIRST IN LINE) --------------------------
     "dedup_exact",
@@ -4514,7 +4601,6 @@ _DRIVER_PRIORITY = [
     "multimodal_features",
     "similarity_ivf_kmeans",
     "dedup_clusters",
-    "gopher_quality",
     "pii_redact",
     "sample_stratified",
     "evm_join_enriched",

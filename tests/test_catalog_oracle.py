@@ -57,6 +57,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     # window must drain these before any r4-green re-check
     "multimodal_resize", "multimodal_frames", "evm_block_activity",
     "pack_sequences", "decontaminate_ngram", "evm_address_activity",
+    "gopher_quality",
     "unigram_nll", "similarity_ivf_knn_join",
     "lang_id", "quality_score", "doc_fingerprint", "window_topk_per_group",
     "events_sessionize", "events_sliding_rollup", "rollup_orders",
