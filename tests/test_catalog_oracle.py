@@ -30,16 +30,25 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-# Round-4 out-of-window set: every name here holds a green driver row
+# Round-5 out-of-window set: every name here holds a green driver row
 # from a PREVIOUS round (r3 unless noted) and was deliberately rotated
 # out of the 50-entry window to make room for staler entries.  Pinning
 # the set makes window reorders EXPLICIT: adding a catalog entry or
 # reshuffling _DRIVER_PRIORITY must consciously update this list, so
 # external driver coverage can never be dropped silently (ADVICE r3).
+#
+# ROUND-6 ROTATION PLAN (the freshness math changed at 113 entries):
+# a strict "nothing older than 2 rounds" needs 113/2 ≈ 57 checks/round
+# — more than the 50-slot window, so the cycle is now ~2.5 rounds by
+# construction.  r6 priorities, in order: (1) the r3-green tail below —
+# 3 rounds stale at r6, drain it COMPLETELY (~28 entries); (2) shrink
+# the always-in flagship block to the 6 core log/point entries to make
+# room; (3) back-fill with the oldest r4-green names at the top of this
+# set.  The r5-green window entries can all sit out r6 safely.
 _EXPECTED_OUT_OF_WINDOW = {
-    # r4-green, 1 round old — rotated out to promote the 3-round-stale
-    # r2 cohort and the never-driver-checked entries; FIRST IN LINE for
-    # the r6 window together with the r3-green tail below
+    # r4-green, 1 round old at r5 — rotated out to promote the
+    # 3-round-stale r2 cohort and the never-driver-checked entries;
+    # back-fill material for r6 AFTER the r3-green tail is drained
     "multimodal_meta", "window_running_sum", "window_lag_delta",
     "pivot_order_status", "approx_distinct_users", "store_compacted_logs",
     "store_tx_bloom_lookup", "store_projection_logs", "semantic_dedup",
