@@ -113,6 +113,15 @@ def main() -> None:
     overlap = len({r["vec_id"] for r in top} & {r["vec_id"] for r in approx})
     print(f"IVF(probe=2) recall@5 vs exact: {overlap}/5")
 
+    # product quantization: 32x-compressed codes, JVM-only ADC scoring
+    from rust_evm_indexer_spark.operators import pq as PQ
+
+    cb = PQ.pq_train(emb, m=8, k=128, iters=10)
+    codes = PQ.pq_encode(emb, cb)
+    pq_top = PQ.pq_search(codes, cb, q, topk=5, exclude_ids=(0,)).collect()
+    pq_overlap = len({r["vec_id"] for r in top} & {r["vec_id"] for r in pq_top})
+    print(f"PQ(8x128, 32x compressed) recall@5 vs exact: {pq_overlap}/5")
+
     # 9. incremental downstream consumption: the cleaned corpus lands in
     # a versioned store; a changefeed consumer processes ONLY each
     # round's new documents (maintenance never re-delivers)
