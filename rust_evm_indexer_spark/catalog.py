@@ -4548,63 +4548,67 @@ def clear_session_caches() -> None:
 
 
 _DRIVER_PRIORITY = [
-    # -- flagship (green r1+r2+r3, keep first every round) --------------
+    # -- flagship CORE (shrunk from 15 to 6 per the r6 rotation plan:
+    # one representative per flagship family — page+order, equality
+    # filter, block range, point lookup, stats, topic page; the other
+    # nine share their operators and re-enter the window on rotation
+    # like everything else) ---------------------------------------------
     "logs_page_first",
     "logs_filter_eq",
-    "logs_filter_conj",
     "logs_range",
-    "logs_keyset_page",
-    "logs_offset_page",
     "point_lookup",
-    "top1_latest",
     "stats_counts",
-    "stats_lag",
     "evm_logs_topic_page",
-    "evm_logs_address_range",
-    "evm_logs_cursor_page",
-    "evm_logs_blockhash_override",
-    "reorg_rollup_exact",
-    # -- never driver-checked: added late in r4, window was full --------
-    "approx_quantile_p90",
-    "cms_user_frequency",
-    "unpivot_part_metrics",
-    # -- never driver-checked: NEW round-5 entries ----------------------
-    "interval_join_events",
-    "evm_wei_sum_exact",
-    "funnel_conversion",
-    "retention_cohorts",
-    "sample_weighted",
-    "store_topic0_dict_logs",
-    "jsonl_ingest",
-    "bpe_token_counts",
-    "similarity_pq_topk",
-    # -- r2-green cohort (3 rounds stale — oldest rows in the catalog;
-    # r4's VERDICT pinned these FIRST IN LINE) --------------------------
-    "dedup_exact",
-    "similarity_topk",
-    "similarity_knn_join",
-    "text_stats",
-    "token_counts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q16_supplier_counts",
-    "q19_disjunctive",
-    "q21_sole_supplier",
-    "q22_idle_customers",
-    "q13_order_distribution",
-    "orders_having",
-    "events_hourly_rollup",
-    # -- oldest r3-green backfill (2 rounds stale at r5; keeps the
-    # no-entry-older-than-2-rounds invariant rolling) -------------------
-    "multimodal_features",
-    "similarity_ivf_kmeans",
-    "dedup_clusters",
-    "pii_redact",
-    "sample_stratified",
-    "evm_join_enriched",
-    "evm_transfer_volume",
+    # -- r3-green tail: newest driver green is round 3 — 3 rounds stale
+    # at r6, the catalog's staleness ceiling.  The rotation plan says
+    # drain COMPLETELY this round (all 28) ------------------------------
+    "multimodal_resize",
+    "multimodal_frames",
+    "evm_block_activity",
+    "pack_sequences",
+    "decontaminate_ngram",
+    "evm_address_activity",
+    "gopher_quality",
+    "unigram_nll",
+    "similarity_ivf_knn_join",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "window_topk_per_group",
+    "events_sessionize",
+    "events_sliding_rollup",
+    "rollup_orders",
+    "cube_lineitem",
+    "distinct_agg",
+    "set_ops_customers",
+    "semi_join_exists",
+    "anti_join_not_exists",
+    "asof_join_events",
+    "range_join_events",
+    "median_per_type",
+    "orders_monthly",
+    "dedup_survivors",
+    "json_extract_props",
+    "json_agg_by_key",
+    # -- oldest r4-green back-fill (2 rounds stale at r6; the remaining
+    # r4 cohort — TPC-H q1..q20 block and the dedup/similarity batch
+    # entries — drains in r7 with the then-2-round-old r5 cohort) -------
+    "multimodal_meta",
+    "window_running_sum",
+    "window_lag_delta",
+    "pivot_order_status",
+    "approx_distinct_users",
+    "store_compacted_logs",
+    "store_tx_bloom_lookup",
+    "store_projection_logs",
+    "semantic_dedup",
+    "bm25_search",
+    "repetition_signals",
+    "substring_dup",
+    "source_mix_weights",
+    "skew_salted_topk",
+    "events_gapfill_locf",
+    "graph_triangle_count",
 ]
 
 

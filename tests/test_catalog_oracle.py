@@ -30,31 +30,26 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-# Round-5 out-of-window set: every name here holds a green driver row
-# from a PREVIOUS round (r3 unless noted) and was deliberately rotated
-# out of the 50-entry window to make room for staler entries.  Pinning
-# the set makes window reorders EXPLICIT: adding a catalog entry or
-# reshuffling _DRIVER_PRIORITY must consciously update this list, so
-# external driver coverage can never be dropped silently (ADVICE r3).
+# Round-6 out-of-window set: every name here holds a green driver row
+# from a PREVIOUS round (r4 or r5) and was deliberately rotated out of
+# the 50-entry window to make room for staler entries.  Pinning the set
+# makes window reorders EXPLICIT: adding a catalog entry or reshuffling
+# _DRIVER_PRIORITY must consciously update this list, so external
+# driver coverage can never be dropped silently (ADVICE r3).
 #
-# ROUND-6 ROTATION PLAN (the freshness math changed at 113 entries):
-# a strict "nothing older than 2 rounds" needs 113/2 ≈ 57 checks/round
-# — more than the 50-slot window, so the cycle is now ~2.5 rounds by
-# construction.  r6 priorities, in order: (1) the r3-green tail below —
-# 3 rounds stale at r6, drain it COMPLETELY (~28 entries); (2) shrink
-# the always-in flagship block to the 6 core log/point entries to make
-# room; (3) back-fill with the oldest r4-green names at the top of this
-# set.  The r5-green window entries can all sit out r6 safely.
+# r6 executed the rotation plan: the 28-entry r3-green tail is IN the
+# window (drained completely), the flagship block shrank to 6 core
+# entries, and the remaining slots back-fill the oldest r4-green names.
+#
+# ROUND-7 ROTATION PLAN: (1) the r4-green remainder below (TPC-H
+# q1..q20 block + the dedup/similarity batch) — 3 rounds stale at r7,
+# drain it first (~19 entries); (2) then the oldest r5-green names
+# (flagship siblings logs_filter_conj/keyset/offset, top1_latest,
+# stats_lag, the evm_logs_* siblings, reorg_rollup_exact, then the
+# r2-cohort re-checks dedup_exact/similarity_topk/...).  The r6-green
+# window entries can all sit out r7 safely.
 _EXPECTED_OUT_OF_WINDOW = {
-    # r4-green, 1 round old at r5 — rotated out to promote the
-    # 3-round-stale r2 cohort and the never-driver-checked entries;
-    # back-fill material for r6 AFTER the r3-green tail is drained
-    "multimodal_meta", "window_running_sum", "window_lag_delta",
-    "pivot_order_status", "approx_distinct_users", "store_compacted_logs",
-    "store_tx_bloom_lookup", "store_projection_logs", "semantic_dedup",
-    "bm25_search", "repetition_signals", "substring_dup",
-    "source_mix_weights", "skew_salted_topk", "events_gapfill_locf",
-    "graph_triangle_count",
+    # r4-green remainder, 2 rounds old at r6 — FIRST IN LINE for r7
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_check",
     "q5_local_supplier", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -62,18 +57,25 @@ _EXPECTED_OUT_OF_WINDOW = {
     "q20_excess_sellers",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding_cosine", "dedup_embedding_lsh", "similarity_ivf_topk",
-    # r3-green tail, 2 rounds old at r5 — the staleness ceiling; the r6
-    # window must drain these before any r4-green re-check
-    "multimodal_resize", "multimodal_frames", "evm_block_activity",
-    "pack_sequences", "decontaminate_ngram", "evm_address_activity",
-    "gopher_quality",
-    "unigram_nll", "similarity_ivf_knn_join",
-    "lang_id", "quality_score", "doc_fingerprint", "window_topk_per_group",
-    "events_sessionize", "events_sliding_rollup", "rollup_orders",
-    "cube_lineitem", "distinct_agg", "set_ops_customers",
-    "semi_join_exists", "anti_join_not_exists", "asof_join_events",
-    "range_join_events", "median_per_type", "orders_monthly",
-    "dedup_survivors", "json_extract_props", "json_agg_by_key",
+    # r5-green, 1 round old at r6 — rotated out to drain the r3 tail;
+    # back-fill material for r7 after the r4 remainder
+    "logs_filter_conj", "logs_keyset_page", "logs_offset_page",
+    "top1_latest", "stats_lag", "evm_logs_address_range",
+    "evm_logs_cursor_page", "evm_logs_blockhash_override",
+    "reorg_rollup_exact",
+    "approx_quantile_p90", "cms_user_frequency", "unpivot_part_metrics",
+    "interval_join_events", "evm_wei_sum_exact", "funnel_conversion",
+    "retention_cohorts", "sample_weighted", "store_topic0_dict_logs",
+    "jsonl_ingest", "bpe_token_counts", "similarity_pq_topk",
+    "dedup_exact", "similarity_topk", "similarity_knn_join",
+    "text_stats", "token_counts",
+    "q14_promo_revenue", "q15_top_supplier", "q2_min_cost_supplier",
+    "q11_important_parts", "q16_supplier_counts", "q19_disjunctive",
+    "q21_sole_supplier", "q22_idle_customers", "q13_order_distribution",
+    "orders_having", "events_hourly_rollup",
+    "multimodal_features", "similarity_ivf_kmeans", "dedup_clusters",
+    "pii_redact", "sample_stratified", "evm_join_enriched",
+    "evm_transfer_volume",
 }
 
 
