@@ -2853,18 +2853,12 @@ _PQ_SQL = f"""
 """
 
 
-@register(
-    "similarity_pq_topk",
-    _PQ_SQL,
-    tags=("llm", "X-3", "pq", "oracle-sf0.01"),
-)
-def similarity_pq_topk(spark, sf_dir):
-    """Asymmetric-distance cosine top-10 over product-quantized codes
-    (operators/pq.py): 64-dim float32 → 8 one-byte codes (32× memory),
-    scoring = per-subspace table lookups, pure codegen, distributed
-    top-k.  Codebooks train on a bounded deterministic sample; codes
-    are exported and scored FROM the export so the driver verifies the
-    engine's own quantization end-to-end."""
+def _ensure_pq_export(spark, sf_dir) -> tuple[list, Path]:
+    """Train-or-load the PQ codebooks for ``sf_dir`` and export
+    codebooks + codes + codes_long, keyed by corpus identity AND the
+    training params so a regeneration or parameter change can never
+    leave Spark and DuckDB reading diverged exports.  Returns
+    (codebooks, export_dir)."""
     from .operators import pq as PQ
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2893,13 +2887,109 @@ def similarity_pq_topk(spark, sf_dir):
             "vec_id", F.posexplode("codes").alias("s", "code")
         ).write.mode("overwrite").parquet(str(out / "codes_long"))
         marker.write_text(src_key)
+        return cb, out
     cb_rows = spark.read.parquet(str(out / "codebooks")).collect()
     cb = [[None] * _PQ_K for _ in range(_PQ_M)]
     for r in cb_rows:
         cb[r["s"]][r["j"]] = list(r["cent"])
+    return cb, out
+
+
+@register(
+    "similarity_pq_topk",
+    _PQ_SQL,
+    tags=("llm", "X-3", "pq", "oracle-sf0.01"),
+)
+def similarity_pq_topk(spark, sf_dir):
+    """Asymmetric-distance cosine top-10 over product-quantized codes
+    (operators/pq.py): 64-dim float32 → 8 one-byte codes (32× memory),
+    scoring = per-subspace table lookups, pure codegen, distributed
+    top-k.  Codebooks train on a bounded deterministic sample; codes
+    are exported and scored FROM the export so the driver verifies the
+    engine's own quantization end-to-end."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb, out = _ensure_pq_export(spark, sf_dir)
     stored_codes = spark.read.parquet(str(out / "codes"))
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return PQ.pq_search(stored_codes, cb, qvec, topk=10, exclude_ids=(0,))
+
+
+# IVFADC (Jégou et al. TPAMI 2011 §V): the IVF probe restores scan
+# economics on top of PQ's 32× memory compression — codes partitioned
+# by coarse cell, ADC only over the probe cells' residents.  The oracle
+# trusts ONLY the quantization-kernel exports (codebooks + codes — the
+# k-means/numpy pieces DuckDB genuinely cannot replay): the probe is
+# recomputed from the exported centroid matrix, the per-vector cell
+# assignment is recomputed from raw embeddings + centroids
+# (``_assign_sql``, the cross-engine-verified rule), and the ADC math
+# is replayed per (subspace, code) exactly as in ``_PQ_SQL``.
+_IVFPQ_BASE = f"{FIXTURE_CACHE}/ivf_kmeans8_sf0.01"
+_IVFPQ_SQL = f"""
+    WITH cent AS (SELECT cell, centroid
+                  FROM read_parquet('{_IVFPQ_BASE}/centroids/*.parquet')),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT cell FROM cent, q
+              ORDER BY list_inner_product(centroid, qv)
+                       / (sqrt(list_inner_product(centroid, centroid))
+                          * sqrt(list_inner_product(qv, qv))) DESC, cell
+              LIMIT 2),
+    assign AS ({{assign}}),
+    cb AS (SELECT s, j, cent FROM read_parquet('{_PQ_DIR}/codebooks/*.parquet')),
+    c AS (SELECT cl.vec_id, cl.s, cl.code
+          FROM read_parquet('{_PQ_DIR}/codes_long/*.parquet') cl
+          JOIN assign a ON a.vec_id = cl.vec_id
+          WHERE a.cell IN (SELECT cell FROM probe) AND cl.vec_id <> 0),
+    t AS (SELECT c.vec_id, c.s,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(q.qv, c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS dt,
+                 list_inner_product(cb.cent, cb.cent) AS nr
+          FROM c JOIN cb ON cb.s = c.s AND cb.j = c.code, q),
+    agg AS (SELECT vec_id,
+                   list_sum(list(dt ORDER BY s)) AS sd,
+                   list_sum(list(nr ORDER BY s)) AS sn
+            FROM t GROUP BY vec_id)
+    SELECT a.vec_id,
+           round(a.sd / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(a.sn)),
+                 6) AS sim_pq
+    FROM agg a, q
+    ORDER BY sim_pq DESC, a.vec_id
+    LIMIT 10
+"""
+
+
+@register(
+    "similarity_ivfpq_topk",
+    _IVFPQ_SQL.format(assign=_assign_sql("kmeans8", _IVFPQ_BASE)),
+    tags=("llm", "X-3", "pq", "ivf", "oracle-sf0.01"),
+)
+def similarity_ivfpq_topk(spark, sf_dir):
+    """IVFADC top-10: coarse probe (2 of 8 k-means cells, driver-side
+    from persisted centroids) + asymmetric-distance cosine over ONLY
+    the probe cells' PQ codes — the cell filter is a partition filter
+    on the cell-partitioned code table, scoring is the same pure-JVM
+    lookup chain as ``similarity_pq_topk``, top-k is
+    TakeOrderedAndProject (plan-asserted in tests/test_pq.py)."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivf_index(spark, sf_dir, "kmeans8")
+    _export_ivf_oracle(spark, idx, "kmeans8", sf_dir)
+    cb, out = _ensure_pq_export(spark, sf_dir)
+    codes_dir = out / "codes_by_cell"
+    cmarker = out / "_CODES_BY_CELL_FROM"
+    ckey = f"{(out / '_EXPORTED_FROM').read_text()}|ivf={idx.index_dir}"
+    if not (cmarker.exists() and cmarker.read_text() == ckey):
+        PQ.ivfpq_write_codes(idx, cb, codes_dir)
+        cmarker.write_text(ckey)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.ivfpq_search(
+        spark, idx, codes_dir, cb, qvec, topk=10, n_probe=2, exclude_ids=(0,)
+    )
 
 
 _WORDS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -4608,7 +4698,8 @@ _DRIVER_PRIORITY = [
     "source_mix_weights",
     "skew_salted_topk",
     "events_gapfill_locf",
-    "graph_triangle_count",
+    # -- never driver-checked: NEW round-6 entries ----------------------
+    "similarity_ivfpq_topk",
 ]
 
 

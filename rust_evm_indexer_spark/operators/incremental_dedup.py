@@ -18,10 +18,16 @@ production ingest-cadence NEAR-dup gate:
   corpus and index cannot diverge, the same property the ingest path
   gets from the manifest swap (store/table_store.py::commit).
 
-Per-round cost: O(delta shingles) + O(candidate pairs) + one shuffle of
-the stored band table on (band, bucket). That last term is the floor —
-at extreme scale write the band table bucketed by the join key
-(operators/joins.py::write_bucketed) and it disappears too. The stored
+Per-round cost: O(delta shingles) + O(candidate pairs) + one SCAN of
+the stored band table.  The scan is read-only: the delta's band rows
+(batch × bands — delta-sized by construction) BROADCAST against the
+stored side, so the accumulated table is probed in place with **zero
+Exchange** — no shuffle write/read ever touches the one structure that
+grows with the corpus (plan-asserted in
+tests/test_plan_hygiene.py::test_incremental_dedup_stored_bands_never_shuffle).
+Above ``delta_broadcast_cap`` band rows the join falls back to a
+shuffle — at that point the delta itself is shuffle-sized and both
+sides pay proportionally, which is the correct regime.  The stored
 TEXT is touched only for verification candidates.
 
 Recall contract: cross-round duplicates are caught by the banded join
@@ -82,6 +88,11 @@ def banded_minhash(
 class IncrementalDeduper:
     """Ingest-cadence near-dup gate over a TableStore-backed corpus."""
 
+    #: band rows above which the delta no longer broadcasts (3 longs/row
+    #: ≈ 24 B → ~200 MB serialized at the cap; past it the shuffle join
+    #: is the right plan because the delta itself is shuffle-sized)
+    DELTA_BROADCAST_CAP = 8_000_000
+
     def __init__(
         self,
         store: TableStore,
@@ -92,6 +103,7 @@ class IncrementalDeduper:
         bands: int = 32,
         corpus_table: str = "corpus",
         bands_table: str = "minhash_bands",
+        delta_broadcast_cap: int = DELTA_BROADCAST_CAP,
     ):
         self.store = store
         self.threshold = threshold
@@ -100,9 +112,39 @@ class IncrementalDeduper:
         self.bands = bands
         self.corpus_table = corpus_table
         self.bands_table = bands_table
+        self.delta_broadcast_cap = delta_broadcast_cap
 
     def corpus(self) -> DataFrame:
         return self.store.read(self.corpus_table)
+
+    def cross_candidates(self, new_bands: DataFrame, n_delta: int) -> DataFrame:
+        """(new_id, old_id) bucket collisions of the delta's band rows
+        against the STORED band table.
+
+        The stored side is the one structure that grows with the corpus,
+        so it must only ever be SCANNED, never shuffled: the delta
+        (``n_delta`` docs × bands rows — bounded by construction)
+        broadcasts, and the stream side of a BroadcastHashJoin keeps its
+        input partitioning — zero Exchange on the stored scan
+        (plan-asserted in tests/test_plan_hygiene.py).  Past
+        ``delta_broadcast_cap`` band rows the join falls back to a
+        shuffle: at that size the delta itself is shuffle-sized and both
+        sides pay proportionally."""
+        stored_bands = self.store.read(self.bands_table)
+        delta = (
+            new_bands.alias("n")
+            if n_delta * self.bands > self.delta_broadcast_cap
+            else F.broadcast(new_bands.alias("n"))
+        )
+        return (
+            stored_bands.alias("o")
+            .join(delta, ["band", "bucket"])
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("old_id"),
+            )
+            .distinct()
+        )
 
     def add_batch(self, docs: DataFrame) -> dict:
         """Dedup ``docs`` within itself and against the accumulated
@@ -134,17 +176,7 @@ class IncrementalDeduper:
             self.store.current_manifest().tables.get(self.bands_table)
         )
         if has_state:
-            stored_bands = self.store.read(self.bands_table)
-            cand = (
-                new_bands.alias("n")
-                .join(stored_bands.alias("o"), ["band", "bucket"])
-                .select(
-                    F.col("n.doc_id").alias("new_id"),
-                    F.col("o.doc_id").alias("old_id"),
-                )
-                .distinct()
-                .persist()
-            )
+            cand = self.cross_candidates(new_bands, n_within).persist()
         else:
             cand = None
 

@@ -91,9 +91,11 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, codes array<int>) — nearest centroid per subspace, one
-    Arrow-batched numpy pass per partition batch."""
+    """(vec_id, [keep...,] codes array<int>) — nearest centroid per
+    subspace, one Arrow-batched numpy pass per partition batch.
+    ``keep`` carries extra columns (e.g. the IVF ``cell``) through."""
     import numpy as np
 
     m = len(codebooks)
@@ -114,7 +116,9 @@ def pq_encode(
         return pd.Series(list(out))
 
     _ = k  # (k is implied by the codebook shape; kept for clarity)
-    return embeddings.select(id_col, enc(F.col(vec_col)).alias("codes"))
+    return embeddings.select(
+        id_col, *keep, enc(F.col(vec_col)).alias("codes")
+    )
 
 
 def pq_search(
@@ -167,4 +171,70 @@ def pq_search(
         )
         .orderBy(F.desc("sim_pq"), id_col)
         .limit(topk)
+    )
+
+
+# -- IVF + PQ composition (IVFADC, Jégou et al. TPAMI 2011 §V) ----------
+#
+# Flat ADC above scans the WHOLE code table per query — 32× cheaper per
+# row than raw vectors, but still O(corpus).  Composing with the
+# materialized IVF index (similarity.py::IvfIndex) restores the probe
+# economics: codes are stored PARTITIONED BY CELL, the coarse quantizer
+# picks n_probe cells driver-side (k×dim floats, no Spark job), and ADC
+# scores only the probe cells' residents — scan cost n_probe/n_cells of
+# the code table, which is itself 32× smaller than the corpus.  Codes
+# are global-codebook (FAISS IndexIVFPQ ``by_residual=False``): the
+# same code means the same reconstruction everywhere, so one codebook
+# export serves both the flat and the IVF path and the ADC lookup
+# tables stay query-only (residual encoding would make them
+# per-probe-cell — n_probe× more driver math for a recall gain that at
+# 8 coarse cells is marginal; documented trade).
+
+
+def ivfpq_write_codes(
+    index,
+    codebooks: list[list[list[float]]],
+    codes_dir: "str | Path",
+) -> None:
+    """Encode the IVF corpus with the global codebooks and write the
+    code table partitioned by ``cell`` — the one-time index-build step
+    (Arrow-batched encode, one pass; the write is cell-partitioned so
+    the probe filter prunes at file-listing level, same layout contract
+    as IvfIndex.VECTORS)."""
+    enc = pq_encode(
+        index.vectors(),
+        codebooks,
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+        keep=("cell",),
+    )
+    enc.write.mode("overwrite").partitionBy("cell").parquet(str(codes_dir))
+
+
+def ivfpq_search(
+    spark,
+    index,
+    codes_dir: "str | Path",
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    topk: int = 10,
+    n_probe: int = 2,
+    *,
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """IVFADC top-k: probe cells from the stored coarse centroids
+    (driver-side), then flat ADC over ONLY the probe cells' code
+    partitions — ``cell IN (...)`` is a partition filter (plan-asserted
+    in tests/test_pq.py), scoring is the same pure-JVM ``element_at``
+    lookup chain as :func:`pq_search`, top-k is
+    TakeOrderedAndProject."""
+    probe = index.probe_cells(query_vec, n_probe)
+    codes = spark.read.parquet(str(codes_dir)).filter(F.col("cell").isin(probe))
+    return pq_search(
+        codes,
+        codebooks,
+        query_vec,
+        topk,
+        id_col=index.id_col,
+        exclude_ids=exclude_ids,
     )

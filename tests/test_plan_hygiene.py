@@ -486,3 +486,46 @@ def test_wei_sum_exact_single_shuffle_partial_agg(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_stored_bands_never_shuffle(spark, tmp_path):
+    """The accumulated band table is the one incremental-dedup structure
+    that grows with the corpus: the cross-round candidate join must
+    broadcast the DELTA and probe the stored side in place — zero
+    Exchange on (band, bucket) anywhere in the plan.  With the broadcast
+    cap disabled the join degrades to the documented shuffle fallback
+    (delta shuffle-sized → both sides pay proportionally)."""
+    from rust_evm_indexer_spark.operators.incremental_dedup import (
+        IncrementalDeduper,
+        banded_minhash,
+    )
+    from rust_evm_indexer_spark.store import TableStore
+
+    store = TableStore(spark, tmp_path / "inc", bloom_columns={}, dict_columns={})
+    dd = IncrementalDeduper(store, n_perm=16, bands=8)
+    seed = spark.createDataFrame(
+        [(1, "seed document with enough distinct words to shingle", "en", "w", 50)],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    dd.add_batch(seed)
+    delta_bands = banded_minhash(
+        seed.withColumn("doc_id", seed.doc_id + 100), k=3, n_perm=16, bands=8
+    )
+    cand = dd.cross_candidates(delta_bands, n_delta=1)
+    plan = physical_plan(cand, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(band" not in plan, plan
+    # remaining shuffles are delta-sized (the delta's own minhash agg,
+    # keyed by doc_id) or candidate-sized (the output distinct) — never
+    # keyed on the stored join key
+    assert plan.count("Exchange hashpartitioning(new_id") == 1, plan
+
+    # the broadcast is FORCED below the cap (a size-estimate miss at
+    # 100 TB must not flip the stored side into a shuffle) and unforced
+    # above it (the planner may still auto-broadcast at test scale, but
+    # nothing pins a too-big delta into executor memory)
+    assert broadcast_hint_count(cand) == 1
+    dd_nocap = IncrementalDeduper(
+        store, n_perm=16, bands=8, delta_broadcast_cap=0
+    )
+    assert broadcast_hint_count(dd_nocap.cross_candidates(delta_bands, n_delta=1)) == 0

@@ -74,3 +74,65 @@ def test_scoring_plan_is_jvm_only_topk(spark):
     plan = physical_plan(PQ.pq_search(codes, cb, q, topk=10), "simple")
     assert "ArrowEvalPython" not in plan  # ADC lookups are pure codegen
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_prunes_partitions_and_stays_jvm(spark, tmp_path):
+    """IVFADC composition: the probe must reach the code table as a
+    PARTITION filter (only the probed cells' files are listed), scoring
+    must stay pure codegen (no Python eval anywhere in the search
+    plan), and top-k must be TakeOrderedAndProject."""
+    from rust_evm_indexer_spark.plans import (
+        partition_filters,
+        physical_plan,
+    )
+
+    emb = _emb(spark)
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf", k=4, iters=2)
+    cb = PQ.pq_train(emb, m=8, k=16, iters=3)
+    PQ.ivfpq_write_codes(idx, cb, tmp_path / "codes")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    res = PQ.ivfpq_search(spark, idx, tmp_path / "codes", cb, q, topk=10, n_probe=2)
+    pf = partition_filters(res)
+    assert any("cell" in f for f in pf), f"no partition filter on cell: {pf}"
+    plan = physical_plan(res, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_matches_flat_pq_on_probed_cells(spark, tmp_path):
+    """Global-codebook IVFPQ is EXACTLY flat ADC restricted to the probe
+    cells (by_residual=False — same code, same reconstruction), so the
+    result must equal pq_search over the probe cells' members."""
+    emb = _emb(spark)
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf", k=4, iters=2)
+    cb = PQ.pq_train(emb, m=8, k=16, iters=8)
+    PQ.ivfpq_write_codes(idx, cb, tmp_path / "codes")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = PQ.ivfpq_search(
+        spark, idx, tmp_path / "codes", cb, q, topk=10, n_probe=2,
+        exclude_ids=(0,),
+    ).collect()
+
+    probe = idx.probe_cells(q, 2)
+    members = idx.vectors().filter(F.col("cell").isin(probe)).select(
+        "vec_id", "embedding"
+    )
+    want = PQ.pq_search(
+        PQ.pq_encode(members, cb), cb, q, topk=10, exclude_ids=(0,)
+    ).collect()
+    assert [(r["vec_id"], r["sim_pq"]) for r in got] == [
+        (r["vec_id"], r["sim_pq"]) for r in want
+    ]
+    # recall splits across the two layers: the IVF probe must retain
+    # nearly all true neighbors (the quantizer is the coarse layer)...
+    exact = {r["vec_id"] for r in sim.brute_force_topk(
+        emb, q, k=10, exclude_ids=(0,)).collect()}
+    in_probe = {
+        r["vec_id"]
+        for r in idx.vectors().filter(F.col("cell").isin(probe))
+        .select("vec_id").collect()
+    }
+    assert len(exact & in_probe) >= 8
+    # ...and end-to-end through the lossy PQ codes must beat chance
+    # (random 10/500 ≈ 0.2 expected overlap) by an order of magnitude
+    assert len(exact & {r["vec_id"] for r in got}) >= 3
