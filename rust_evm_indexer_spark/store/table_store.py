@@ -114,6 +114,13 @@ class Manifest:
     # "rollback", "delete", "projection", …).  The changefeed uses it to
     # detect reorg retractions inside a consumption window.
     op: str | None = None
+    # operation detail for ops the changefeed must be able to REPLAY:
+    # delete_equals records {"table", "column", "value"} so
+    # :meth:`TableStore.changes` can emit the exact deleted rows from
+    # the (immutable, retained) pre-delete fragments without the store
+    # ever writing a tombstone file.  Absent for other ops; omitted from
+    # JSON when None so pre-existing manifests stay byte-identical.
+    op_info: dict | None = None
     tables: dict[str, list[Fragment]] = field(default_factory=dict)
     # per-table evolved read schema (Spark StructType jsonValue).  Absent
     # for tables that never evolved past EVM_SCHEMAS / their first write.
@@ -129,6 +136,7 @@ class Manifest:
             "txns": self.txns,
             "status": self.status,
             "op": self.op,
+            **({"op_info": self.op_info} if self.op_info is not None else {}),
             "tables": {
                 t: [f.to_json() for f in frags] for t, frags in self.tables.items()
             },
@@ -153,6 +161,7 @@ class Manifest:
             txns=dict(d.get("txns", {})),
             status=d.get("status"),
             op=d.get("op"),
+            op_info=d.get("op_info"),
             tables={
                 t: [Fragment(**f) for f in frags]
                 for t, frags in d.get("tables", {}).items()
@@ -656,10 +665,7 @@ class TableStore:
 
         m = self.current_manifest()
         frags = m.tables.get(table, [])
-        if isinstance(value, str):
-            pred = F.lower(F.col(column)) == value.lower()
-        else:
-            pred = F.col(column) == value
+        pred = self._equals_pred(column, value)
         new_frags: list[Fragment] = []
         replaced: dict[str, str | None] = {}  # old base path -> new (None = emptied)
         stats = {
@@ -696,6 +702,7 @@ class TableStore:
             txns=dict(m.txns),
             status=m.status,
             op="delete",
+            op_info={"table": table, "column": column, "value": value},
             tables={t: list(fs) for t, fs in m.tables.items()},
             schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},
@@ -753,6 +760,19 @@ class TableStore:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return frag
+
+    @staticmethod
+    def _equals_pred(column: str, value):
+        """The delete_equals match predicate — case-insensitive for
+        strings, matching the bloom normalization and the engine's hex
+        semantics.  Shared by the delete itself and the changefeed's
+        delete replay so both always agree on which rows a recorded
+        delete removed."""
+        from pyspark.sql import functions as F
+
+        if isinstance(value, str):
+            return F.lower(F.col(column)) == value.lower()
+        return F.col(column) == value
 
     def set_status(self, status: dict) -> None:
         """Checkpoint-only upsert (O-9) when no data moved."""
@@ -825,6 +845,7 @@ class TableStore:
         since_version: int,
         to_version: int | None = None,
         allow_reorged: bool = False,
+        include_deletes: bool = False,
     ) -> DataFrame:
         """Append-only changefeed: rows first added to ``table`` AFTER
         manifest ``since_version``, up to ``to_version`` (default
@@ -842,30 +863,51 @@ class TableStore:
         make every intermediate state readable; the feed horizon is
         therefore vacuum's manifest retention, as in Delta/Iceberg CDC).
 
+        **Deletions** (``include_deletes=True``): the feed additionally
+        carries every row removed by a :meth:`delete_equals` inside the
+        window — the compliance primitive a downstream training pipeline
+        needs (a takedown upstream must propagate to derived state).
+        Rows gain two metadata columns: ``_change_type``
+        (``insert``/``delete``) and ``_commit_version`` (the manifest
+        version that added/removed them), so a consumer replays in
+        version order and its state provably converges to a fresh read
+        (tests/test_changefeed.py).  No tombstone files exist: each
+        delete version records its predicate in the manifest
+        (``op_info``) and the deleted rows are recovered by applying it
+        to the REPLACED pre-delete fragments — immutable and retained
+        until vacuum, so the delete feed's horizon is the same manifest
+        retention as the insert feed's.  The default
+        (``include_deletes=False``) output is byte-identical to the
+        insert-only feed of old: no metadata columns, no delete rows.
+
         Two honest caveats, by design:
 
-        - **deletions are not emitted** (insert-only feed, like
-          consuming only inserts of a CDC stream): `delete_equals` rows
-          a consumer already processed are the consumer's to reconcile —
-          compliance deletion downstream needs its own pass;
-        - a **reorg rollback inside the window retracts rows** this feed
-          may already have delivered from an intermediate version, and
-          re-ingested post-fork rows ARE re-delivered (new fragments).
-          That is at-least-once across forks — the same contract the
-          reference's API consumers live with (reorged data vanishes
-          from queries).  Because silent over-delivery is a footgun, a
-          window containing a ``rollback`` version raises unless
-          ``allow_reorged=True`` (consumers acknowledge they dedupe by
-          block hash / re-verify the fork tail)."""
+        - **reorg retractions are not deletes**: a rollback erases rows
+          *as if never ingested* (fork semantics, no recorded predicate)
+          rather than deleting them from history, so a window containing
+          a ``rollback`` version raises unless ``allow_reorged=True``
+          (consumers acknowledge they dedupe by block hash / re-verify
+          the fork tail) — with or without ``include_deletes``;
+        - re-ingested post-fork rows ARE re-delivered (new fragments):
+          at-least-once across forks, the same contract the reference's
+          API consumers live with (reorged data vanishes from
+          queries)."""
         to = (
             self.current_manifest().version if to_version is None else to_version
         )
         if since_version > to:
             raise ValueError(f"since_version {since_version} > to_version {to}")
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
         # version 0 is the implicit empty store — "consume from genesis"
         base = Manifest() if since_version == 0 else self.manifest_at(since_version)
         seen = {f.path for f in base.tables.get(table, [])}
+        prev_paths = set(seen)
         new_paths: list[str] = []
+        inserts: list[tuple[int, list[str]]] = []  # (version, new paths)
+        deletes: list[tuple[int, list[str], dict]] = []  # (v, removed, pred)
         for v in range(since_version + 1, to + 1):
             m = self.manifest_at(v)
             if m.op == "rollback" and not allow_reorged:
@@ -875,25 +917,71 @@ class TableStore:
                     "re-delivered across the fork; pass allow_reorged=True "
                     "to consume at-least-once"
                 )
+            cur_paths = {f.path for f in m.tables.get(table, [])}
+            if (
+                include_deletes
+                and m.op == "delete"
+                and m.op_info is not None
+                and m.op_info.get("table") == table
+            ):
+                removed = sorted(prev_paths - cur_paths)
+                if removed:
+                    deletes.append((v, removed, m.op_info))
+            prev_paths = cur_paths
+            v_new = []
             for frag in m.tables.get(table, []):
                 if frag.path in seen:
                     continue
                 seen.add(frag.path)
                 if not frag.derived:
                     new_paths.append(frag.path)
+                    v_new.append(frag.path)
+            if v_new:
+                inserts.append((v, v_new))
         schema = self._read_schema(
             Manifest() if to == 0 else self.manifest_at(to), table
         )
-        if not new_paths:
-            return (
+
+        def _read(paths: list[str]) -> DataFrame:
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.parquet(*[str(self.root / p) for p in paths])
+
+        if not include_deletes:
+            # insert-only default: byte-identical to the original feed
+            if not new_paths:
+                return (
+                    self.spark.createDataFrame([], schema)
+                    if schema is not None
+                    else self.spark.range(0).drop("id")
+                )
+            return _read(new_paths)
+        parts = [
+            _read(paths)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(v))
+            for v, paths in inserts
+        ] + [
+            # deleted rows = the recorded predicate applied to the
+            # replaced pre-delete fragments (rows that did NOT match
+            # went into the derived rewrite and are not re-delivered)
+            _read(paths)
+            .filter(self._equals_pred(info["column"], info["value"]))
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn("_commit_version", F.lit(v))
+            for v, paths, info in deletes
+        ]
+        if not parts:
+            empty = (
                 self.spark.createDataFrame([], schema)
                 if schema is not None
                 else self.spark.range(0).drop("id")
             )
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*[str(self.root / p) for p in new_paths])
+            return empty.withColumn(
+                "_change_type", F.lit("insert")
+            ).withColumn("_commit_version", F.lit(0))
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def fragments_for(
         self,

@@ -267,3 +267,84 @@ def test_changefeed_stream_live_trigger_delivers(spark, tmp_path):
     finally:
         c.stop()
     assert q.isActive is False
+
+
+def _replay(events):
+    """Apply a (rows, _change_type, _commit_version) feed in version
+    order to an empty multiset — the downstream-consumer model."""
+    from collections import Counter
+
+    state: Counter = Counter()
+    for r in sorted(events, key=lambda r: r["_commit_version"]):
+        key = (r["id"], r["addr"], r["block_number"])
+        if r["_change_type"] == "insert":
+            state[key] += 1
+        else:
+            assert state[key] > 0, f"delete before insert for {key}"
+            state[key] -= 1
+    return {k for k, n in state.items() if n > 0}
+
+
+def test_delete_feed_replays_to_fresh_read(spark, tmp_path):
+    """Downstream state replayed from the insert+delete feed must equal
+    a fresh read of the table after the deletes — the compliance
+    contract: a takedown upstream propagates exactly."""
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})  # v1
+    store.commit({"pts": _batch(spark, 1)})  # v2
+    store.delete_equals("pts", "addr", "0xA3")  # v3 (case-insensitive)
+    store.commit({"pts": _batch(spark, 2)})  # v4
+    store.delete_equals("pts", "addr", "0xa5")  # v5
+    feed = store.changes("pts", since_version=0, include_deletes=True).collect()
+    fresh = {
+        (r["id"], r["addr"], r["block_number"])
+        for r in store.read("pts").collect()
+    }
+    assert _replay(feed) == fresh
+    # the delete rows carry exactly the removed keys
+    deleted = [r for r in feed if r["_change_type"] == "delete"]
+    assert deleted and all(r["addr"] in ("0xa3", "0xa5") for r in deleted)
+    # versions point at the delete manifests (strictly after the inserts)
+    assert {r["_commit_version"] for r in deleted} == {3, 5}
+
+
+def test_delete_feed_windows_and_default_unchanged(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})  # v1
+    v1 = store.current_manifest().version
+    store.delete_equals("pts", "addr", "0xa2")  # v2
+    # a window starting AFTER the insert still recovers the delete's
+    # rows from the retained pre-delete fragments
+    feed = store.changes("pts", since_version=v1, include_deletes=True).collect()
+    assert all(r["_change_type"] == "delete" for r in feed)
+    assert sorted(r["id"] for r in feed) == sorted(
+        i for i in range(0, 50) if i % 7 == 2
+    )
+    # insert-only default: byte-identical columns, no delete rows
+    df = store.changes("pts", since_version=v1)
+    assert set(df.columns) == {"id", "addr", "block_number"}
+    assert df.count() == 0
+
+
+def test_delete_feed_empty_window_keeps_metadata_columns(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})
+    v = store.current_manifest().version
+    df = store.changes("pts", since_version=v, include_deletes=True)
+    assert df.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(df.columns)
+
+
+def test_delete_feed_insert_and_delete_same_window_nets_out(spark, tmp_path):
+    """A row inserted AND deleted inside one window is delivered twice
+    (insert then delete) and nets to nothing on replay."""
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})  # v1: includes addr 0xa1
+    store.delete_equals("pts", "addr", "0xa1")  # v2
+    feed = store.changes("pts", since_version=0, include_deletes=True).collect()
+    fresh = {
+        (r["id"], r["addr"], r["block_number"])
+        for r in store.read("pts").collect()
+    }
+    assert _replay(feed) == fresh
+    assert not any(k[1] == "0xa1" for k in _replay(feed))
