@@ -590,7 +590,7 @@ _COMPACT_DIR = FIXTURE_CACHE / "compact"
 # serve an old layout to both engines (ADVICE r3: param-keyed markers)
 _COMPACT_FIXTURE_KEY = (
     "seed=123 n_blocks=40 max_fragments=2 layout=per-range-fragment "
-    "blooms=v1 txs_snapshot=v1 projection=v1 dicts=v1"
+    "blooms=v1 txs_snapshot=v1 projection=v1 dicts=v1 zproj=v1"
 )
 
 
@@ -637,6 +637,15 @@ def _ensure_compact_fixture(spark: SparkSession) -> Path:
         # compact-then-project — same as production)
         store.build_projection(
             "logs", "by_address", ("contract_address",), max_fragments=2
+        )
+        # z-order replica: Morton tiles over (address, block) — one
+        # layout that bounds BOTH hot dimensions per fragment, for the
+        # combined address+block-range probe (store_zorder_logs)
+        store.build_projection(
+            "logs",
+            "z_addr_block",
+            zorder_by=("contract_address", "block_number"),
+            max_fragments=4,
         )
         marker.write_text(f"{_COMPACT_FIXTURE_KEY} fragments_before={n_before}")
     return _COMPACT_DIR
@@ -812,6 +821,65 @@ def store_topic0_dict_logs(spark, sf_dir):
         _pq.read_table(str(root / "logs_snapshot"), columns=["topic0"])["topic0"]
     ).as_py()
     return get_logs_from_store(store, GetLogsFilter(topic0=probe, page_size=100))
+
+
+_ZORDER_SQL = f"""
+    SELECT {_LOGS_PROJ_SQL}
+    FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')
+    WHERE contract_address = (
+        SELECT min(contract_address)
+        FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')
+    )
+      AND block_number >= 1000010 AND block_number <= 1000025
+    ORDER BY block_number, id LIMIT 100
+"""
+
+
+@register(
+    "store_zorder_logs",
+    _ZORDER_SQL,
+    tags=("evm-native", "store", "zorder", "projection"),
+)
+def store_zorder_logs(spark, sf_dir):
+    """'Logs for address X in block range [a,b]' served from the
+    Z-ORDER projection (store/zorder.py + build_projection zorder_by):
+    Morton tiles bound BOTH (contract_address, block_number) per
+    fragment, so the key tier (min_key/max_key + blooms/dicts per tile)
+    AND the manifest block tier prune together — the two-dimensional
+    composite-index shape (init.sql:71-74 idx_logs_address is
+    (address, block_number)) that a single-column sort cannot give.
+    Probe address is derived from the snapshot (min) so the oracle
+    replays input-independently; layout pruning is CI-asserted in
+    test_projections.py, bench in tools/projection_bench.py."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from .operators import GetLogsFilter, get_logs
+    from .store import TableStore
+
+    root = _ensure_compact_fixture(spark)
+    store = TableStore(spark, root / "store")
+    addr = _pc.min(
+        _pq.read_table(
+            str(root / "logs_snapshot"), columns=["contract_address"]
+        )["contract_address"]
+    ).as_py()
+    src = store.read_projection(
+        "logs",
+        "z_addr_block",
+        key_equals=addr,
+        min_block=1_000_010,
+        max_block=1_000_025,
+    )
+    return get_logs(
+        src,
+        GetLogsFilter(
+            address=addr,
+            from_block=1_000_010,
+            to_block=1_000_025,
+            page_size=100,
+        ),
+    )
 
 
 _TRIANGLE_SQL = f"""
@@ -4697,9 +4765,9 @@ _DRIVER_PRIORITY = [
     "substring_dup",
     "source_mix_weights",
     "skew_salted_topk",
-    "events_gapfill_locf",
     # -- never driver-checked: NEW round-6 entries ----------------------
     "similarity_ivfpq_topk",
+    "store_zorder_logs",
 ]
 
 

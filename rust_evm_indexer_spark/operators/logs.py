@@ -166,7 +166,16 @@ def get_logs_from_store(store, flt: GetLogsFilter) -> DataFrame:
         for name, p in store.projections("logs").items():
             if p["cluster_by"][0] == "contract_address":
                 try:
-                    df = store.read_projection("logs", name, key_equals=flt.address)
+                    # block bounds prune per-fragment footer stats on
+                    # top of the key tier — decisive on a z-order
+                    # projection, whose tiles bound both dimensions
+                    df = store.read_projection(
+                        "logs",
+                        name,
+                        key_equals=flt.address,
+                        min_block=flt.from_block,
+                        max_block=flt.to_block,
+                    )
                 except RuntimeError:
                     df = None  # stale projection: fall through to base
                 break

@@ -145,6 +145,7 @@ class Manifest:
                 t: {
                     name: {
                         "cluster_by": p["cluster_by"],
+                        "layout": p.get("layout", "range"),
                         "covers": p["covers"],
                         "fragments": [f.to_json() for f in p["fragments"]],
                     }
@@ -171,6 +172,7 @@ class Manifest:
                 t: {
                     name: {
                         "cluster_by": list(p["cluster_by"]),
+                        "layout": p.get("layout", "range"),
                         "covers": list(p["covers"]),
                         "fragments": [Fragment(**f) for f in p["fragments"]],
                     }
@@ -194,6 +196,17 @@ class Manifest:
 #: pointer rename.
 _FRAGLIST_SCHEMA = None  # built lazily (pyarrow import at module top)
 _FRAGLIST_ROW_GROUP = 2048
+
+#: ``manifest_format="auto"`` crossover: total fragments at which new
+#: manifest versions switch from inline JSON to the parquet fraglist.
+#: Below it JSON wins (read_full — what every mutation pays — parses
+#: faster than a columnar load, and pruned reads are sub-5 ms either
+#: way); above it the JSON prune cost grows linearly with the fragment
+#: count while parquet's row-group-stat prune stays near-flat
+#: (tools/manifest_bench.py: at 10k fragments JSON prune is 51 ms vs
+#: parquet 3.7 ms; at 200k, 1.8 s vs 12 ms).  Migration is per-swap, so
+#: a store crossing the threshold converts on its next commit.
+AUTO_PARQUET_FRAGMENTS = 4096
 
 
 def _fraglist_schema():
@@ -359,10 +372,12 @@ class TableStore:
         *,
         bloom_columns: dict[str, tuple[str, ...]] | None = None,
         dict_columns: dict[str, tuple[str, ...]] | None = None,
-        manifest_format: str = "json",
+        manifest_format: str = "auto",
     ):
-        if manifest_format not in ("json", "parquet"):
-            raise ValueError(f"manifest_format must be json|parquet, got {manifest_format!r}")
+        if manifest_format not in ("auto", "json", "parquet"):
+            raise ValueError(
+                f"manifest_format must be auto|json|parquet, got {manifest_format!r}"
+            )
         self.spark = spark
         self.root = Path(root)
         self.bloom_columns = (
@@ -373,7 +388,13 @@ class TableStore:
         )
         #: how NEW manifest versions are written; reads auto-detect per
         #: version, so a store can be migrated by simply reopening with
-        #: the other format (the next swap converts)
+        #: the other format (the next swap converts).  The default
+        #: ``auto`` picks per swap by total fragment count: inline JSON
+        #: below AUTO_PARQUET_FRAGMENTS (read_full is cheaper and every
+        #: mutation pays it), the columnar parquet fraglist above it
+        #: (pruned reads — the hot query path — stay near-flat in
+        #: fragment count; tools/manifest_bench.py measures the
+        #: crossover, numbers in SCALE.md)
         self.manifest_format = manifest_format
         (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(parents=True, exist_ok=True)
@@ -418,7 +439,11 @@ class TableStore:
         mdir = self.root / "_manifests"
         mpath = mdir / f"v{manifest.version:06d}.json"
         d = manifest.to_json()
-        if self.manifest_format == "parquet":
+        fmt = self.manifest_format
+        if fmt == "auto":
+            n_frags = sum(len(fs) for fs in manifest.tables.values())
+            fmt = "parquet" if n_frags >= AUTO_PARQUET_FRAGMENTS else "json"
+        if fmt == "parquet":
             # fragment list to a columnar sidecar FIRST (an orphaned
             # sidecar from a lost race is reclaimed with its version by
             # vacuum's manifest pruning); the JSON keeps everything else
@@ -734,6 +759,7 @@ class TableStore:
             new.projections[table] = dict(new.projections[table])
             new.projections[table][name] = {
                 "cluster_by": list(proj["cluster_by"]),
+                "layout": proj.get("layout", "range"),
                 "covers": new_covers,
                 "fragments": new_pfrags,
             }
@@ -1194,9 +1220,10 @@ class TableStore:
         self,
         table: str,
         name: str,
-        cluster_by: tuple[str, ...],
+        cluster_by: tuple[str, ...] = (),
         *,
         max_fragments: int = 8,
+        zorder_by: tuple[str, ...] = (),
     ) -> int:
         """Materialize a replica of ``table`` clustered by ``cluster_by``
         — the manifest analog of the reference's secondary composite
@@ -1220,11 +1247,29 @@ class TableStore:
         stale; :meth:`read_projection` detects that and raises, and the
         background maintenance that runs compaction is expected to
         rebuild projections after it (same job class).
-        Returns the number of projection fragments."""
+        Returns the number of projection fragments.
+
+        ``zorder_by=(colA, colB, ...)`` (exclusive with ``cluster_by``)
+        switches the projection layout to Z-order (Morton) tiles over
+        ≥2 columns — the same trade :meth:`compact` offers the base
+        table (store/zorder.py): each projection fragment covers a
+        BOUNDED RANGE OF EVERY listed column, so e.g. an
+        (address, block_number) projection prunes by the key tier
+        (min_key/max_key + blooms/dicts, built per tile like any
+        projection fragment) AND by the manifest block tier at once —
+        two-dimensional pruning the single-column range layout cannot
+        give (one dimension's clustering destroys the other's).  The
+        layout is recorded in the manifest, so refresh and maintenance
+        rebuilds preserve it."""
+        if bool(cluster_by) == bool(zorder_by):
+            raise ValueError("pass exactly one of cluster_by / zorder_by")
+        layout = "zorder" if zorder_by else "range"
+        cluster_by = tuple(zorder_by) if zorder_by else tuple(cluster_by)
         m = self.current_manifest()
         base = m.tables.get(table, [])
         frags = self._write_clustered_fragments(
-            table, name, self.read(table), cluster_by, max_fragments
+            table, name, self.read(table), cluster_by, max_fragments,
+            layout=layout,
         )
         new = Manifest(
             version=m.version + 1,
@@ -1237,6 +1282,7 @@ class TableStore:
         )
         new.projections.setdefault(table, {})[name] = {
             "cluster_by": list(cluster_by),
+            "layout": layout,
             "covers": [f.path for f in base],
             "fragments": frags,
         }
@@ -1250,18 +1296,36 @@ class TableStore:
         df: DataFrame,
         cluster_by: tuple[str, ...] | list[str],
         max_fragments: int,
+        *,
+        layout: str = "range",
     ) -> list[Fragment]:
-        """Range-partition ``df`` by the cluster key, sort
-        ``(cluster_by..., block_number)`` within partitions, and adopt
-        the parts as projection fragments with ``min_key``/``max_key``
-        footer stats (shared by full build and incremental refresh)."""
+        """Cluster ``df`` and adopt the parts as projection fragments
+        with ``min_key``/``max_key`` footer stats (shared by full build
+        and incremental refresh).  ``layout="range"``: range-partition
+        by the cluster key, sort ``(cluster_by..., block_number)``
+        within partitions.  ``layout="zorder"``: Morton tiles over all
+        ``cluster_by`` columns — every fragment bounds every listed
+        column (min_key/max_key from the first, min_block/max_block
+        from the footer as always)."""
         from pyspark.sql import functions as F
 
-        df = df.repartitionByRange(max_fragments, *[F.col(c) for c in cluster_by])
-        sort_cols = list(cluster_by) + (
-            ["block_number"] if "block_number" in df.columns else []
-        )
-        df = df.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+        if layout == "zorder":
+            from .zorder import with_zorder_key
+
+            df = with_zorder_key(df, tuple(cluster_by))
+            df = (
+                df.repartitionByRange(max_fragments, F.col("_zkey"))
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        else:
+            df = df.repartitionByRange(
+                max_fragments, *[F.col(c) for c in cluster_by]
+            )
+            sort_cols = list(cluster_by) + (
+                ["block_number"] if "block_number" in df.columns else []
+            )
+            df = df.sortWithinPartitions(*[F.col(c) for c in sort_cols])
         dir_name = f"{table}__proj__{name}"
         staging = self.root / "data" / dir_name / f".build-{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(str(staging))
@@ -1315,7 +1379,8 @@ class TableStore:
             reader = reader.schema(schema)
         df = reader.parquet(*[str(self.root / f.path) for f in delta])
         frags = self._write_clustered_fragments(
-            table, name, df, proj["cluster_by"], max_fragments
+            table, name, df, proj["cluster_by"], max_fragments,
+            layout=proj.get("layout", "range"),
         )
         new = Manifest(
             version=m.version + 1,
@@ -1329,6 +1394,7 @@ class TableStore:
         new.projections[table] = dict(new.projections[table])
         new.projections[table][name] = {
             "cluster_by": list(proj["cluster_by"]),
+            "layout": proj.get("layout", "range"),
             "covers": list(proj["covers"]) + [f.path for f in delta],
             "fragments": list(proj["fragments"]) + frags,
         }
@@ -1343,15 +1409,23 @@ class TableStore:
         key_equals: str | None = None,
         key_min: str | None = None,
         key_max: str | None = None,
+        min_block: int | None = None,
+        max_block: int | None = None,
     ) -> DataFrame:
         """Read through a clustered projection, pruning its fragments by
         the cluster-key bounds (``key_equals`` is shorthand for a
-        one-point range and ALSO probes the blooms).  Base fragments
-        committed after the projection was built are unioned in
-        unpruned-by-key (they are small, recent, and block-clustered —
-        the LSM tail).  Raises if a covered base fragment has been
-        removed (rollback/delete/compact) — the projection no longer
-        represents the table and must be rebuilt.
+        one-point range and ALSO probes the blooms).  ``min_block``/
+        ``max_block`` prune by each fragment's block footer stats on
+        top — on a RANGE projection the key sort makes blocks span
+        nearly everything per fragment, but on a Z-ORDER projection
+        every tile bounds both dimensions, so a (key, block-range)
+        probe prunes multiplicatively (tools/projection_bench.py
+        measures it).  Base fragments committed after the projection
+        was built are unioned in pruned by block bounds only (they are
+        small, recent, and block-clustered — the LSM tail).  Raises if
+        a covered base fragment has been removed (rollback/delete/
+        compact) — the projection no longer represents the table and
+        must be rebuilt.
 
         PRUNING ONLY, like every store read: callers still apply the
         actual predicate."""
@@ -1393,6 +1467,12 @@ class TableStore:
         if key_equals is not None:
             key_col = proj["cluster_by"][0]
             delta = [f for f in delta if self._frag_keeps(f, {key_col: key_equals})]
+        if min_block is not None:
+            frags = [f for f in frags if f.max_block is None or f.max_block >= min_block]
+            delta = [f for f in delta if f.max_block is None or f.max_block >= min_block]
+        if max_block is not None:
+            frags = [f for f in frags if f.min_block is None or f.min_block <= max_block]
+            delta = [f for f in delta if f.min_block is None or f.min_block <= max_block]
         paths = [str(self.root / f.path) for f in frags + delta]
         schema = self._read_schema(m, table)
         if not paths:
@@ -1452,11 +1532,16 @@ class TableStore:
         for name, proj in dict(m.projections.get(table, {})).items():
             stale = any(p not in current_paths for p in proj["covers"])
             if stale:
+                kw = (
+                    {"zorder_by": tuple(proj["cluster_by"])}
+                    if proj.get("layout", "range") == "zorder"
+                    else {"cluster_by": tuple(proj["cluster_by"])}
+                )
                 self.build_projection(
                     table,
                     name,
-                    tuple(proj["cluster_by"]),
                     max_fragments=max(len(proj["fragments"]), 1),
+                    **kw,
                 )
                 report["projections_rebuilt"].append(name)
             elif self.refresh_projection(table, name) > 0:

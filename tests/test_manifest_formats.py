@@ -109,3 +109,51 @@ def test_format_migration_on_reopen(spark, tmp_path):
     back.commit({"pts": df.withColumn("id", F.lit(8).cast("long"))})
     assert not isinstance(back.current_manifest(), LazyManifest)
     assert back.read("pts").count() == 62
+
+
+def test_auto_format_switches_at_fragment_threshold(spark, tmp_path):
+    """The default ``auto`` writes inline JSON while the store is small
+    (read_full — what every mutation pays — is cheaper) and switches new
+    versions to the parquet fraglist once total fragments cross
+    AUTO_PARQUET_FRAGMENTS, converting on the next swap."""
+    import json as _json
+
+    from rust_evm_indexer_spark.store.table_store import (
+        AUTO_PARQUET_FRAGMENTS,
+        Fragment,
+        Manifest,
+    )
+
+    store = TableStore(spark, tmp_path / "auto", bloom_columns={}, dict_columns={})
+    assert store.manifest_format == "auto"
+    df = spark.createDataFrame([(1, "a", 100)], "id: long, addr: string, block_number: long")
+    store.commit({"pts": df})
+    v1 = store.current_manifest().version
+    d = _json.loads((store.root / "_manifests" / f"v{v1:06d}.json").read_text())
+    assert "tables_pq" not in d  # small store: inline JSON
+
+    # fabricate a version holding >= threshold fragments (metadata only)
+    m = store.current_manifest()
+    big = Manifest(
+        version=m.version + 1,
+        tables={
+            "pts": m.tables["pts"]
+            + [
+                Fragment(path=f"data/pts/fake-{i}", rows=1, min_block=i, max_block=i)
+                for i in range(AUTO_PARQUET_FRAGMENTS)
+            ]
+        },
+    )
+    store._swap(big)
+    d2 = _json.loads(
+        (store.root / "_manifests" / f"v{big.version:06d}.json").read_text()
+    )
+    assert "tables_pq" in d2  # crossed the threshold: columnar fraglist
+    assert isinstance(store.current_manifest(), LazyManifest)
+    # explicit formats still force their layout regardless of size
+    forced = TableStore(
+        spark, tmp_path / "forced", bloom_columns={}, manifest_format="json"
+    )
+    forced.commit({"pts": df})
+    dj = _json.loads((forced.root / "_manifests" / "v000001.json").read_text())
+    assert "tables_pq" not in dj

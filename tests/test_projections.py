@@ -294,3 +294,84 @@ def test_full_rebuild_recompacts_generations(spark, tmp_path):
     proj = store.projections("pts")["by_addr"]
     assert len(proj["fragments"]) == 3  # one sorted level again
     assert store.read_projection("pts", "by_addr").count() == store.read("pts").count()
+
+
+def test_zorder_projection_prunes_both_dimensions(spark, tmp_path):
+    """Z-order projection: every tile bounds BOTH (addr, block_number),
+    so a key probe prunes via min_key/max_key + blooms AND a block
+    range prunes via min/max_block — multiplicative when combined,
+    which the single-column range layout cannot do (its key sort makes
+    every fragment span all blocks)."""
+    store = _pts_store(spark, tmp_path, n_batches=8, rows_per=64)
+    n = store.build_projection(
+        "pts", "z_addr_block", zorder_by=("addr", "block_number"),
+        max_fragments=8,
+    )
+    assert n == 8
+    proj = store.current_manifest().projections["pts"]["z_addr_block"]
+    assert proj["layout"] == "zorder"
+    # every tile bounds both dimensions strictly tighter than the table
+    blocks_span = [
+        (f.max_block - f.min_block) for f in proj["fragments"]
+    ]
+    assert all(s <= 7 for s in blocks_span)
+    assert any(s < 7 for s in blocks_span)  # some tiles split the block axis
+    keys = [(f.min_key, f.max_key) for f in proj["fragments"]]
+    assert all(k != (None, None) for k in keys)
+
+    base = store.read("pts")
+    probe = "0x0103"
+    # key-only prune beats the base (which never prunes keys)...
+    via_key = store.read_projection("pts", "z_addr_block", key_equals=probe)
+    assert len(via_key.inputFiles()) < len(base.inputFiles())
+    # ...and adding the block range prunes FURTHER (two dimensions)
+    via_both = store.read_projection(
+        "pts", "z_addr_block", key_equals=probe, min_block=100, max_block=101,
+    )
+    assert len(via_both.inputFiles()) <= len(via_key.inputFiles())
+    got = sorted(
+        r["id"]
+        for r in via_both.filter(
+            (F.col("addr") == probe) & F.col("block_number").between(100, 101)
+        ).collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in base.filter(
+            (F.col("addr") == probe) & F.col("block_number").between(100, 101)
+        ).collect()
+    )
+    assert got == want
+
+
+def test_zorder_projection_refresh_and_rebuild_keep_layout(spark, tmp_path):
+    store = _pts_store(spark, tmp_path)
+    store.build_projection(
+        "pts", "z", zorder_by=("addr", "block_number"), max_fragments=4
+    )
+    # delta commit → refresh folds it in, layout preserved
+    df = spark.createDataFrame(
+        [(9000 + i, f"0x{i:04x}", 110) for i in range(32)],
+        "id: long, addr: string, block_number: long",
+    )
+    store.commit({"pts": df})
+    assert store.refresh_projection("pts", "z") > 0
+    proj = store.projections("pts")["z"]
+    assert proj["layout"] == "zorder"
+    # compaction staleness → maintain() rebuilds with the SAME layout
+    rep = store.maintain("pts", max_fragments=2)
+    assert "z" in rep["projections_rebuilt"]
+    assert store.projections("pts")["z"]["layout"] == "zorder"
+    # replay equivalence after the whole lifecycle
+    got = store.read_projection("pts", "z").count()
+    assert got == store.read("pts").count()
+
+
+def test_build_projection_rejects_ambiguous_layout(spark, tmp_path):
+    store = _pts_store(spark, tmp_path, n_batches=2, rows_per=4)
+    with pytest.raises(ValueError, match="exactly one"):
+        store.build_projection("pts", "x")
+    with pytest.raises(ValueError, match="exactly one"):
+        store.build_projection(
+            "pts", "x", ("addr",), zorder_by=("addr", "block_number")
+        )

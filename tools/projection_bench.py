@@ -92,6 +92,69 @@ def main() -> None:
         store.read_projection("pts", "by_addr", key_equals=probe).inputFiles()
     )
 
+    # z-order projection: two-dimension probe (addr + narrow block range).
+    # The range projection's key sort makes every fragment span all
+    # blocks, so the block bound prunes nothing there; z-order tiles
+    # bound both dimensions and prune multiplicatively.
+    t0 = time.perf_counter()
+    store.build_projection(
+        "pts", "z_addr_block", zorder_by=("addr", "block_number"),
+        max_fragments=8,
+    )
+    zproject_s = time.perf_counter() - t0
+    blk_lo, blk_hi = 0, (FRAGMENTS * 100) // 4  # first quarter of blocks
+
+    def history2(df):
+        return (
+            df.where(
+                (F.col("addr") == probe)
+                & F.col("block_number").between(blk_lo, blk_hi)
+            )
+            .orderBy("block_number", "id")
+            .count()
+        )
+
+    range2_s, n_r2 = timed(
+        lambda: history2(
+            store.read_projection("pts", "by_addr", key_equals=probe)
+        )
+    )
+    z2_s, n_z2 = timed(
+        lambda: history2(
+            store.read_projection(
+                "pts", "z_addr_block", key_equals=probe,
+                min_block=blk_lo, max_block=blk_hi,
+            )
+        )
+    )
+    assert n_r2 == n_z2, (n_r2, n_z2)
+    files_range2 = len(
+        store.read_projection("pts", "by_addr", key_equals=probe).inputFiles()
+    )
+    files_z2 = len(
+        store.read_projection(
+            "pts", "z_addr_block", key_equals=probe,
+            min_block=blk_lo, max_block=blk_hi,
+        ).inputFiles()
+    )
+    # the OTHER query class on the same layouts: a block-range scan with
+    # no key.  The range projection's key sort spreads every block over
+    # every fragment (prunes nothing); z-order tiles bound the block
+    # axis too — the point of z-order is ONE layout serving both
+    # classes at ~sqrt(f) each, not beating a dedicated single-column
+    # index at its own probe.
+    files_blk_range = len(
+        store.read_projection(
+            "pts", "by_addr", min_block=blk_lo, max_block=blk_hi
+        ).inputFiles()
+    )
+    files_blk_z = len(
+        store.read_projection(
+            "pts", "z_addr_block", min_block=blk_lo, max_block=blk_hi
+        ).inputFiles()
+    )
+    store.drop_projection("pts", "z_addr_block")  # keep refresh section as-is
+
     # delta commit + incremental refresh
     delta = spark.range(ROWS_PER).select(
         (F.lit(FRAGMENTS) * ROWS_PER + F.col("id")).alias("id"),
@@ -125,6 +188,14 @@ def main() -> None:
                 "speedup_vs_base": round(base_s / proj_s, 2),
                 "files_base": files_base,
                 "files_projection": files_proj,
+                "zorder_build_sec": round(zproject_s, 2),
+                "twodim_range_proj_sec": round(range2_s, 4),
+                "twodim_zorder_proj_sec": round(z2_s, 4),
+                "twodim_speedup": round(range2_s / z2_s, 2),
+                "files_twodim_range": files_range2,
+                "files_twodim_zorder": files_z2,
+                "files_blockscan_range_proj": files_blk_range,
+                "files_blockscan_zorder_proj": files_blk_z,
                 "refresh_sec": round(refresh_s, 2),
                 "history_after_refresh_sec": round(post_s, 4),
             }
