@@ -1,0 +1,111 @@
+"""The 'only the delta pays' loop, end-to-end: JSONL shards land ->
+IncrementalDeduper admits them against the accumulated corpus (banded
+join probes stored state, never re-shingles it) -> the store changefeed
+delivers EXACTLY each round's survivors to a downstream consumer -> the
+consumer keeps a signed word-frequency table and refreshes a batched
+BPE vocabulary from it.  A compliance takedown (delete_equals) then
+propagates through changes(include_deletes=True): downstream subtracts
+the deleted documents' counts without ever rescanning the corpus.
+
+Every stage's per-round cost is delta-sized; the corpus-sized state is
+only ever probed (band join) or appended (changefeed).
+
+Run: python examples/demo_delta_pipeline.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from rust_evm_indexer_spark.operators.bpe import train_bpe, word_freqs
+from rust_evm_indexer_spark.operators.incremental_dedup import IncrementalDeduper
+from rust_evm_indexer_spark.session import get_spark
+from rust_evm_indexer_spark.sources.text_corpus import read_jsonl_documents
+from rust_evm_indexer_spark.store import TableStore
+
+WORDS = ["alpha", "beta", "gamma", "delta", "tokens", "corpus", "spark",
+         "shard", "vocab", "merge"]
+
+
+def _shard(path: Path, rnd: int, n: int) -> None:
+    lines = []
+    for i in range(n):
+        gid = rnd * 1000 + i
+        src = i if (rnd > 0 and i % 5 == 0) else gid  # 20% cross-round dups
+        body = " ".join(
+            WORDS[(src * 13 + j * 7) % len(WORDS)] + str((src * 31 + j) % 97)
+            for j in range(12)
+        )
+        lines.append(json.dumps(
+            {"doc_id": gid, "text": f"doc {src} says {body}", "lang": "en"}
+        ))
+    if rnd == 1:
+        lines.append("{not json")  # quarantine path stays exercised
+    path.write_text("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    spark = get_spark("demo_delta_pipeline", cpus=8, shuffle_partitions=8)
+    root = Path(tempfile.mkdtemp(prefix="delta_pipe_"))
+    store = TableStore(spark, root / "store", bloom_columns={}, dict_columns={})
+    dd = IncrementalDeduper(store, threshold=0.5, n_perm=16, bands=8)
+
+    # downstream state: SIGNED per-round word-frequency deltas in the
+    # same store — the vocab is one vocab-sized groupBy over them
+    consumed_version = 0
+    for rnd in range(3):
+        shard = root / f"shard{rnd}.jsonl"
+        _shard(shard, rnd, 40)
+        docs, corrupt = read_jsonl_documents(spark, shard, source="crawl")
+        rep = dd.add_batch(docs.select("doc_id", "text", "lang", "source", "n_chars"))
+        print(f"round {rnd}: batch={rep['batch']} within_kept={rep['within_kept']} "
+              f"cross_dropped={rep['cross_dropped']} added={rep['added']} "
+              f"corrupt={corrupt.count()}")
+
+        # the changefeed hands downstream EXACTLY this round's survivors
+        now = store.current_manifest().version
+        delta = store.changes("corpus", since_version=consumed_version,
+                              to_version=now)
+        consumed_version = now
+        n_delta = delta.count()
+        assert n_delta == rep["added"], (n_delta, rep["added"])
+        wf = word_freqs(delta).withColumn("freq", F.col("freq"))
+        store.commit({"word_freq_deltas": wf})
+        print(f"  changefeed delivered {n_delta} docs -> "
+              f"{wf.count()} word-delta rows")
+
+    def vocab_freqs():
+        return (store.read("word_freq_deltas")
+                .groupBy("word").agg(F.sum("freq").alias("freq"))
+                .where(F.col("freq") > 0))
+
+    merges = train_bpe(None, n_merges=24, freqs=vocab_freqs(), batch=8)
+    print(f"refreshed BPE vocab: {len(merges)} merges, "
+          f"{vocab_freqs().count()} live words")
+
+    # compliance takedown: delete one document everywhere, propagate the
+    # exact deleted rows downstream, subtract its counts
+    victim = store.read("corpus").select(F.min("doc_id")).first()[0]
+    pre = store.current_manifest().version
+    store.delete_equals("corpus", "doc_id", victim)
+    feed = store.changes("corpus", since_version=pre,
+                         include_deletes=True)
+    gone = feed.where(F.col("_change_type") == "delete").drop(
+        "_change_type", "_commit_version")
+    neg = word_freqs(gone).select("word", (-F.col("freq")).alias("freq"))
+    store.commit({"word_freq_deltas": neg})
+    merges2 = train_bpe(None, n_merges=24, freqs=vocab_freqs(), batch=8)
+    print(f"takedown doc {victim}: {gone.count()} row(s) retracted "
+          f"downstream, vocab refreshed ({len(merges2)} merges) — "
+          f"no corpus rescan anywhere")
+
+
+if __name__ == "__main__":
+    main()

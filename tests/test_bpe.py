@@ -101,3 +101,65 @@ def test_encode_plan_is_vocab_python_corpus_jvm(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def _reference_bpe_batched(word_counts: dict[str, int], n_merges: int, batch: int):
+    """Single-machine twin of the BATCHED trainer: per round, rank every
+    pair (count desc, pair lexicographic), examine the same bounded
+    candidate list, accept via the shared select_batch rule, and apply
+    the accepted merges in rank order."""
+    from rust_evm_indexer_spark.operators.bpe import (
+        BATCH_CANDIDATE_FACTOR,
+        select_batch,
+    )
+
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    while len(merges) < n_merges:
+        take = min(batch, n_merges - len(merges))
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        cands = [p for p, _ in ranked[: max(take * BATCH_CANDIDATE_FACTOR, 1)]]
+        chosen = select_batch(cands, take)
+        merges.extend(chosen)
+        for best in chosen:
+            new_vocab = {}
+            for syms, c in vocab.items():
+                out = []
+                for s in syms:
+                    if out and out[-1] == best[0] and s == best[1]:
+                        out[-1] = best[0] + best[1]
+                    else:
+                        out.append(s)
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+            vocab = new_vocab
+    return merges
+
+
+def test_batched_train_matches_batched_reference(spark):
+    docs = _docs(spark, _CORPUS)
+    wf = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    for b in (2, 4):
+        want = _reference_bpe_batched(wf, n_merges=12, batch=b)
+        got = train_bpe(docs, n_merges=12, batch=b)
+        assert got == want, f"batch={b}"
+        assert len(got) == 12
+
+
+def test_batch_of_one_is_exact_classic_greedy(spark):
+    docs = _docs(spark, _CORPUS)
+    wf = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    assert train_bpe(docs, n_merges=10, batch=1) == _reference_bpe(wf, 10)
+
+
+def test_batched_encode_still_lossless(spark):
+    docs = _docs(spark, _CORPUS)
+    merges = train_bpe(docs, n_merges=12, batch=4)
+    rows = {r["doc_id"]: r for r in encode_corpus(docs, merges).collect()}
+    for i, text in enumerate(_CORPUS):
+        assert "".join(rows[i]["tokens"]) == "".join(text.split())

@@ -86,3 +86,42 @@ def test_banded_minhash_exact_dup_collides_everywhere(spark, tmp_path):
         .count()
     )
     assert collisions == 32  # identical text → every band collides
+
+
+def test_changefeed_delivers_exactly_each_rounds_survivors(spark, tmp_path):
+    """The delta pipeline contract (examples/demo_delta_pipeline.py):
+    after every add_batch, the changefeed window since the last consumed
+    version contains EXACTLY that round's admitted survivors — so a
+    downstream consumer (BPE vocab refresh, index builder) only ever
+    pays for the delta.  A takedown then propagates through the delete
+    feed with exactly the removed rows."""
+    dd, store = _mk(spark, tmp_path)
+    batches = [
+        [(1, _SENT), (2, "novel text about columnar formats and stores")],
+        [(10, _SENT),  # cross-round dup: dropped, must NOT reach downstream
+         (11, "fresh words on morton tiles and pruning strategies")],
+        [(20, "third round content regarding broadcast joins in spark")],
+    ]
+    consumed = 0
+    for rows in batches:
+        rep = dd.add_batch(_docs(spark, rows))
+        now = store.current_manifest().version
+        delta = store.changes(dd.corpus_table, since_version=consumed, to_version=now)
+        consumed = now
+        got = sorted(r["doc_id"] for r in delta.collect())
+        assert len(got) == rep["added"]
+    # cumulative: feed from genesis equals the corpus
+    all_ids = sorted(
+        r["doc_id"]
+        for r in store.changes(dd.corpus_table, since_version=0).collect()
+    )
+    assert all_ids == sorted(r["doc_id"] for r in dd.corpus().collect())
+    assert 10 not in all_ids  # the dropped dup never reached downstream
+
+    # takedown: the delete feed carries exactly the removed row
+    pre = store.current_manifest().version
+    store.delete_equals(dd.corpus_table, "doc_id", 1)
+    feed = store.changes(
+        dd.corpus_table, since_version=pre, include_deletes=True
+    ).collect()
+    assert [r["doc_id"] for r in feed if r["_change_type"] == "delete"] == [1]
