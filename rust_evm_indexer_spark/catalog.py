@@ -3045,6 +3045,19 @@ def similarity_ivfpq_topk(spark, sf_dir):
     from .operators import pq as PQ
 
     emb = _t(spark, sf_dir, "embeddings")
+    idx, cb, codes_dir = _ensure_ivfpq_codes(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.ivfpq_search(
+        spark, idx, codes_dir, cb, qvec, topk=10, n_probe=2, exclude_ids=(0,)
+    )
+
+
+def _ensure_ivfpq_codes(spark, sf_dir):
+    """The IVFPQ physical index: k-means IVF (with centroid export) +
+    PQ exports + the cell-partitioned code table, all freshness-keyed;
+    returns (index, codebooks, codes_dir)."""
+    from .operators import pq as PQ
+
     idx = _ivf_index(spark, sf_dir, "kmeans8")
     _export_ivf_oracle(spark, idx, "kmeans8", sf_dir)
     cb, out = _ensure_pq_export(spark, sf_dir)
@@ -3054,9 +3067,81 @@ def similarity_ivfpq_topk(spark, sf_dir):
     if not (cmarker.exists() and cmarker.read_text() == ckey):
         PQ.ivfpq_write_codes(idx, cb, codes_dir)
         cmarker.write_text(ckey)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return PQ.ivfpq_search(
-        spark, idx, codes_dir, cb, qvec, topk=10, n_probe=2, exclude_ids=(0,)
+    return idx, cb, codes_dir
+
+
+_IVFPQ_KNN_SQL = f"""
+    WITH cent AS (SELECT cell, centroid
+                  FROM read_parquet('{_IVFPQ_BASE}/centroids/*.parquet')),
+    assign AS ({{assign}}),
+    q AS (SELECT vec_id AS q_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 4),
+    pc AS (SELECT q_id, qv, cell,
+                  row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY list_inner_product(centroid, qv)
+                             / (sqrt(list_inner_product(centroid, centroid))
+                                * sqrt(list_inner_product(qv, qv))) DESC,
+                             cell) AS rk
+           FROM q, cent),
+    probe AS (SELECT q_id, cell FROM pc WHERE rk <= 2),
+    cb AS (SELECT s, j, cent FROM read_parquet('{_PQ_DIR}/codebooks/*.parquet')),
+    c AS (SELECT p.q_id, cl.vec_id, cl.s, cl.code
+          FROM probe p
+          JOIN assign a USING (cell)
+          JOIN read_parquet('{_PQ_DIR}/codes_long/*.parquet') cl
+            ON cl.vec_id = a.vec_id),
+    t AS (SELECT c.q_id, c.vec_id, c.s,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(q.qv, c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS dt,
+                 list_inner_product(cb.cent, cb.cent) AS nr
+          FROM c JOIN cb ON cb.s = c.s AND cb.j = c.code
+                 JOIN q ON q.q_id = c.q_id),
+    agg AS (SELECT q_id, vec_id,
+                   list_sum(list(dt ORDER BY s)) AS sd,
+                   list_sum(list(nr ORDER BY s)) AS sn
+            FROM t GROUP BY q_id, vec_id),
+    s AS (SELECT a.q_id, a.vec_id,
+                 round(a.sd / (sqrt(list_inner_product(q.qv, q.qv))
+                               * sqrt(a.sn)), 6) AS sim_pq
+          FROM agg a JOIN q USING (q_id)),
+    r AS (SELECT q_id, vec_id, sim_pq,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY sim_pq DESC, vec_id) AS rank
+          FROM s)
+    SELECT q_id, vec_id, sim_pq, rank FROM r WHERE rank <= 5
+"""
+
+
+@register(
+    "similarity_ivfpq_knn_join",
+    _IVFPQ_KNN_SQL.format(assign=_assign_sql("kmeans8", _IVFPQ_BASE)),
+    tags=("llm", "X-3", "pq", "ivf", "oracle-sf0.01"),
+)
+def similarity_ivfpq_knn_join(spark, sf_dir):
+    """Multi-query IVFADC join (operators/pq.py::ivfpq_knn_join): probe
+    assignment distributed via a broadcast centroid rank, candidates
+    from the cell equi-join against the PARTITIONED code table, ADC
+    lookup tables materialized as broadcast per-query rows (plan
+    literals cannot be per-query), per-(query, vector) sums folded in
+    subspace order for bitwise determinism, per-query rank window.
+    The scale path when the query side is itself a table — 5 queries or
+    5 billion, and the corpus side never leaves PQ codes.  Oracle:
+    probe + assignment recomputed from the centroid export, ADC
+    replayed from the codebook/code exports (same trust boundary as
+    ``similarity_ivfpq_topk``)."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx, cb, codes_dir = _ensure_ivfpq_codes(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return PQ.ivfpq_knn_join(
+        spark, idx, codes_dir, cb, queries, k=5, n_probe=2
     )
 
 
@@ -4764,9 +4849,9 @@ _DRIVER_PRIORITY = [
     "repetition_signals",
     "substring_dup",
     "source_mix_weights",
-    "skew_salted_topk",
     # -- never driver-checked: NEW round-6 entries ----------------------
     "similarity_ivfpq_topk",
+    "similarity_ivfpq_knn_join",
     "store_zorder_logs",
 ]
 

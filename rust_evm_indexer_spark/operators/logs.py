@@ -163,22 +163,31 @@ def get_logs_from_store(store, flt: GetLogsFilter) -> DataFrame:
     (CI-asserted in test_projections.py)."""
     df = None
     if flt.address is not None and flt.block_hash is None:
-        for name, p in store.projections("logs").items():
-            if p["cluster_by"][0] == "contract_address":
-                try:
-                    # block bounds prune per-fragment footer stats on
-                    # top of the key tier — decisive on a z-order
-                    # projection, whose tiles bound both dimensions
-                    df = store.read_projection(
-                        "logs",
-                        name,
-                        key_equals=flt.address,
-                        min_block=flt.from_block,
-                        max_block=flt.to_block,
-                    )
-                except RuntimeError:
-                    df = None  # stale projection: fall through to base
-                break
+        cands = [
+            (name, p)
+            for name, p in store.projections("logs").items()
+            if p["cluster_by"][0] == "contract_address"
+        ]
+        has_bounds = flt.from_block is not None or flt.to_block is not None
+        # layout preference mirrors a cost-based index choice: with
+        # block bounds a z-order replica prunes BOTH dimensions
+        # (min_key/max_key × min/max_block per tile); without them the
+        # dedicated key-range layout is strictly tighter on the key
+        want = "zorder" if has_bounds else "range"
+        cands.sort(key=lambda np: np[1].get("layout", "range") != want)
+        for name, p in cands:
+            try:
+                df = store.read_projection(
+                    "logs",
+                    name,
+                    key_equals=flt.address,
+                    min_block=flt.from_block,
+                    max_block=flt.to_block,
+                )
+            except RuntimeError:
+                df = None  # stale projection: try next / fall to base
+                continue
+            break
     if df is None:
         equals = {}
         if flt.address is not None:

@@ -48,6 +48,7 @@ class ChangefeedStream:
         checkpoint_path: str | Path,
         poll_interval_seconds: float = 10.0,
         allow_reorged: bool = False,
+        include_deletes: bool = False,
     ):
         self.spark = spark
         self.store = store
@@ -56,6 +57,11 @@ class ChangefeedStream:
         self.checkpoint_path = Path(checkpoint_path)
         self.poll_interval_seconds = poll_interval_seconds
         self.allow_reorged = allow_reorged
+        #: opt-in compliance feed: deltas additionally carry rows removed
+        #: by delete_equals, tagged _change_type='delete' with a
+        #: _commit_version for version-ordered replay (the callback MUST
+        #: branch on _change_type; see TableStore.changes)
+        self.include_deletes = include_deletes
         self._query: StreamingQuery | None = None
 
     # -- version checkpoint ------------------------------------------------
@@ -85,6 +91,7 @@ class ChangefeedStream:
             since_version=since,
             to_version=to,
             allow_reorged=self.allow_reorged,
+            include_deletes=self.include_deletes,
         )
         n = delta.count()
         if n > 0:

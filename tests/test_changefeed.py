@@ -348,3 +348,29 @@ def test_delete_feed_insert_and_delete_same_window_nets_out(spark, tmp_path):
     }
     assert _replay(feed) == fresh
     assert not any(k[1] == "0xa1" for k in _replay(feed))
+
+
+def test_changefeed_stream_delivers_deletes_when_opted_in(spark, tmp_path):
+    from rust_evm_indexer_spark.streaming import ChangefeedStream
+
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})
+    seen: list[tuple[str, int]] = []
+    consumer = ChangefeedStream(
+        spark, store, "pts",
+        lambda df, frm, to: seen.extend(
+            (r["_change_type"], r["id"]) for r in df.collect()
+        ),
+        checkpoint_path=tmp_path / "ck.json",
+        include_deletes=True,
+    )
+    consumer.poll_once()
+    assert {c for c, _ in seen} == {"insert"} and len(seen) == 50
+    seen.clear()
+    store.delete_equals("pts", "addr", "0xa4")
+    consumer.poll_once()
+    assert seen and all(c == "delete" for c, _ in seen)
+    assert sorted(i for _, i in seen) == [i for i in range(50) if i % 7 == 4]
+    # caught up: nothing re-delivered
+    seen.clear()
+    assert consumer.poll_once() == 0 and not seen

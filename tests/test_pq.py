@@ -136,3 +136,36 @@ def test_ivfpq_matches_flat_pq_on_probed_cells(spark, tmp_path):
     # ...and end-to-end through the lossy PQ codes must beat chance
     # (random 10/500 ≈ 0.2 expected overlap) by an order of magnitude
     assert len(exact & {r["vec_id"] for r in got}) >= 3
+
+
+def test_ivfpq_knn_join_matches_per_query_search(spark, tmp_path):
+    """The multi-query IVFADC join must agree with single-query
+    ivfpq_search for every query (same probe rule, same ADC math — the
+    join materializes per-query lookup tables as rows instead of plan
+    literals), and its plan must stay JVM with no cartesian."""
+    from rust_evm_indexer_spark.plans import physical_plan
+
+    emb = _emb(spark)
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf", k=4, iters=2)
+    cb = PQ.pq_train(emb, m=8, k=16, iters=5)
+    PQ.ivfpq_write_codes(idx, cb, tmp_path / "codes")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    joined = PQ.ivfpq_knn_join(
+        spark, idx, tmp_path / "codes", cb, queries, k=5, n_probe=2
+    )
+    got = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["sim_pq"])
+        for r in joined.collect()
+    }
+    for q in range(4):
+        qv = emb.filter(F.col("vec_id") == q).first()["embedding"]
+        want = PQ.ivfpq_search(
+            spark, idx, tmp_path / "codes", cb, qv, topk=5, n_probe=2
+        ).collect()
+        for rank, r in enumerate(want, start=1):
+            assert got[(q, rank)] == (r["vec_id"], r["sim_pq"]), (q, rank)
+    plan = physical_plan(joined, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

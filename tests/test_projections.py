@@ -375,3 +375,41 @@ def test_build_projection_rejects_ambiguous_layout(spark, tmp_path):
         store.build_projection(
             "pts", "x", ("addr",), zorder_by=("addr", "block_number")
         )
+
+
+def test_routing_prefers_zorder_with_block_bounds(spark, tmp_path):
+    """get_logs_from_store layout preference: with block bounds the
+    z-order replica wins (both-dimension pruning); without them the
+    dedicated key-range layout wins — and results are identical either
+    way because get_logs re-applies the full predicate."""
+    from rust_evm_indexer_spark.operators import GetLogsFilter, get_logs_from_store
+
+    store = _pts_store(spark, tmp_path)
+    # rename columns the router expects on "logs"
+    logs = store.read("pts").selectExpr(
+        "id", "addr as contract_address", "block_number"
+    )
+    lstore = TableStore(spark, tmp_path / "lstore", bloom_columns={})
+    lstore.commit({"logs": logs})
+    lstore.build_projection("logs", "by_address", ("contract_address",))
+    lstore.build_projection(
+        "logs", "z", zorder_by=("contract_address", "block_number"),
+        max_fragments=4,
+    )
+    projs = lstore.projections("logs")
+    assert projs["by_address"]["layout"] == "range"
+    assert projs["z"]["layout"] == "zorder"
+    probe = "0x00b3"
+    bounded = GetLogsFilter(address=probe, from_block=100, to_block=102)
+    unbounded = GetLogsFilter(address=probe)
+    # result identity across routes (the planner invariant)
+    n_b = get_logs_from_store(lstore, bounded).count()
+    n_u = get_logs_from_store(lstore, unbounded).count()
+    base = lstore.read("logs")
+    assert n_b == base.filter(
+        (F.lower(F.col("contract_address")) == probe)
+        & F.col("block_number").between(100, 102)
+    ).count()
+    assert n_u == base.filter(
+        F.lower(F.col("contract_address")) == probe
+    ).count()
