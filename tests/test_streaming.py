@@ -430,15 +430,16 @@ def test_stream_dedup_canonical_null_text_exactly_once_across_restart(
     assert got == [1, 2, 99]
 
 
-def test_stream_dedup_canonical_idless_fallback_duplicates_on_restart(
+def test_stream_dedup_canonical_idless_fallback_restart_stable(
     spark, tmp_path
 ):
-    """Mutation guard for the test above: with ``id_col=None`` the
-    exemption key falls back to uuid(), which re-seeds on restart — the
-    replayed NULL-text row IS emitted twice.  This pins the documented
-    single-run-only semantics of the id-less fallback; if this test ever
-    FAILS with one emission, the fallback grew restart stability and the
-    docstring in streaming/dedup.py should be rewritten."""
+    """Since r6 the id-less fallback hashes ALL columns (restart-stable
+    row identity), so a checkpoint replay of the same null-text row is
+    swallowed exactly once — the r5 uuid() fallback emitted it twice.
+    Distinct null-text rows differing in any column still both pass
+    (exercised below via distinct timestamps); rows identical in EVERY
+    column are indistinguishable exact duplicates and deduping them IS
+    the operator's contract."""
     from rust_evm_indexer_spark.streaming.dedup import stream_dedup_canonical
 
     src = tmp_path / "idless_in"
@@ -477,10 +478,16 @@ def test_stream_dedup_canonical_idless_fallback_duplicates_on_restart(
 
     _deliver([(1, "2024-01-01 00:01:00", None)], "batch1")
     _run_until_drained()
-    _deliver([(1, "2024-01-01 00:01:00", None)], "batch2")
+    # replay of the SAME row (all columns equal) + a DISTINCT null-text
+    # row (different ts) in one batch
+    _deliver(
+        [(1, "2024-01-01 00:01:00", None), (1, "2024-01-01 00:02:00", None)],
+        "batch2",
+    )
     _run_until_drained()
-    got = [
-        r["doc_id"]
+    got = sorted(
+        r["ts"].minute
         for r in spark.read.schema(schema).parquet(str(out)).collect()
-    ]
-    assert got == [1, 1]  # uuid() fallback: replay emits twice
+    )
+    # replayed row swallowed once; the distinct null-text row passes
+    assert got == [1, 2]
