@@ -374,3 +374,48 @@ def test_changefeed_stream_delivers_deletes_when_opted_in(spark, tmp_path):
     # caught up: nothing re-delivered
     seen.clear()
     assert consumer.poll_once() == 0 and not seen
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_delete_feed_replay_converges_under_random_maintenance(spark, ops):
+    """For ANY interleaving of commits, compactions and targeted deletes
+    (no rollback), replaying changes(since=0, include_deletes=True) in
+    version order from empty state converges EXACTLY to a fresh read —
+    the compliance-feed contract: every delete is delivered with its
+    exact rows, compaction neither re-delivers nor fabricates deletes,
+    and insert/delete interleave correctly within one window."""
+    from collections import Counter
+
+    root = Path(tempfile.mkdtemp(prefix="cf-del-prop-"))
+    store = TableStore(spark, root / "s", bloom_columns={}, dict_columns={})
+    batch_no = 0
+    for op in ops:
+        if op[0] == "commit":
+            store.commit({"pts": _batch(spark, batch_no, rows_per=30)})
+            batch_no += 1
+        elif op[0] == "compact":
+            store.compact("pts", max_fragments=1)
+        else:
+            store.delete_equals("pts", "addr", f"0xa{op[1] % 7}")
+    if batch_no == 0:
+        return  # nothing ever inserted; feed is trivially empty
+    feed = store.changes("pts", since_version=0, include_deletes=True).collect()
+    state: Counter = Counter()
+    for r in sorted(feed, key=lambda r: r["_commit_version"]):
+        key = (r["id"], r["addr"], r["block_number"])
+        if r["_change_type"] == "insert":
+            state[key] += 1
+        else:
+            assert state[key] > 0, f"delete before insert for {key}"
+            state[key] -= 1
+    replayed = {k for k, n in state.items() if n > 0}
+    fresh = {
+        (r["id"], r["addr"], r["block_number"])
+        for r in store.read("pts").collect()
+    }
+    assert replayed == fresh
