@@ -81,6 +81,49 @@ def main() -> None:
         print(f"  changefeed delivered {n_delta} docs -> "
               f"{wf.count()} word-delta rows")
 
+    # the ANN index rides the same delta: round 0's survivors seed an
+    # IVFPQ index (frozen quantizer + codebooks), later rounds APPEND
+    # their delta's codes — O(delta) maintenance, no re-encode
+    from rust_evm_indexer_spark.operators import pq as PQ
+    from rust_evm_indexer_spark.operators.similarity import IvfIndex
+
+    def _fake_embeddings(docs_df):
+        """Deterministic 16-dim unit-ish vectors from doc_id (the demo
+        stand-in for a real embedding model)."""
+        return docs_df.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(
+                *[
+                    (
+                        F.pmod(F.xxhash64("doc_id", F.lit(i)), F.lit(1000))
+                        / 1000.0
+                    ).cast("float")
+                    for i in range(16)
+                ]
+            ).alias("embedding"),
+        )
+
+    seed_emb = _fake_embeddings(
+        store.changes("corpus", since_version=0,
+                      to_version=store.manifest_at(1).version)
+    )
+    idx = IvfIndex.build(seed_emb, root / "ivf", k=2, iters=3)
+    cb = PQ.pq_train(seed_emb, m=4, k=8, iters=4)
+    PQ.ivfpq_write_codes(idx, cb, root / "codes")
+    later = store.changes("corpus", since_version=1)
+    n_appended = 0
+    if later.limit(1).count():
+        n_appended = PQ.ivfpq_append(
+            idx, cb, root / "codes", _fake_embeddings(later)
+        )
+    n_codes = spark.read.parquet(str(root / "codes")).count()
+    probe_vec = [float(x) for x in seed_emb.first()["embedding"]]
+    hit = PQ.ivfpq_search(
+        spark, idx, root / "codes", cb, probe_vec, topk=1, n_probe=2
+    ).first()
+    print(f"IVFPQ index: seeded round-0, appended {n_appended} delta "
+          f"codes ({n_codes} total), self-probe top hit vec {hit['vec_id']}")
+
     def vocab_freqs():
         return (store.read("word_freq_deltas")
                 .groupBy("word").agg(F.sum("freq").alias("freq"))

@@ -400,3 +400,49 @@ def ivfpq_knn_join(
         .where(F.col("rank") <= k)
         .select(q_id_col, index.id_col, "sim_pq", "rank")
     )
+
+
+def ivfpq_append(
+    index,
+    codebooks: list[list[list[float]]],
+    codes_dir: "str | Path",
+    new_embeddings: DataFrame,
+) -> int:
+    """Admit NEW vectors into an existing IVFPQ index — the delta-only
+    maintenance step a continuously-growing corpus needs.
+
+    Cells come from the STORED coarse quantizer and codes from the
+    STORED codebooks, both frozen: the production regime (quantizers
+    train once on a bounded sample and the index grows under them;
+    retraining is a rebuild, not maintenance).  New codes append as
+    extra files inside the cell partitions — resident codes are never
+    rewritten, and searches see the union at the next partition
+    listing.  Cost is O(delta): one assignment pass + one Arrow encode
+    pass over the new vectors only.
+
+    Pairs with ``TableStore.changes``: feed each round's survivor delta
+    here and the ANN index keeps pace with the corpus — the same
+    "only the delta pays" regime as the incremental deduper.  Returns
+    the number of vectors appended."""
+    from .similarity import assign_cells
+
+    cell_ids = sorted(index.centroids)
+    cents = [index.centroids[c] for c in cell_ids]
+    assigned = assign_cells(new_embeddings, cents, vec_col=index.vec_col)
+    if cell_ids != list(range(len(cell_ids))):
+        # label-built indexes can have non-contiguous cell ids: map the
+        # quantizer's positional argmax back to the stored id space
+        id_map = F.array(*[F.lit(int(c)) for c in cell_ids])
+        assigned = assigned.withColumn(
+            "cell", F.element_at(id_map, F.col("cell") + 1)
+        )
+    enc = pq_encode(
+        assigned,
+        codebooks,
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+        keep=("cell",),
+    )
+    n = new_embeddings.count()
+    enc.write.mode("append").partitionBy("cell").parquet(str(codes_dir))
+    return n

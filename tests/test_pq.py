@@ -169,3 +169,47 @@ def test_ivfpq_knn_join_matches_per_query_search(spark, tmp_path):
     plan = physical_plan(joined, "simple")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_append_equals_full_build(spark, tmp_path):
+    """Incremental index growth: building on half the corpus then
+    appending the other half under the frozen quantizer + codebooks
+    must yield the same searchable index as encoding everything at once
+    (assignment and encode are deterministic), and the append must only
+    ADD files — resident code files are never rewritten."""
+    emb = _emb(spark)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = sim.IvfIndex.build(first, tmp_path / "ivf", k=4, iters=2)
+    cb = PQ.pq_train(first, m=8, k=16, iters=5)
+    PQ.ivfpq_write_codes(idx, cb, tmp_path / "codes")
+    before = set(map(str, (tmp_path / "codes").rglob("*.parquet")))
+    n = PQ.ivfpq_append(idx, cb, tmp_path / "codes", rest)
+    assert n == rest.count()
+    after = set(map(str, (tmp_path / "codes").rglob("*.parquet")))
+    assert before <= after and len(after) > len(before)
+
+    # reference: one-shot encode of the full corpus under the same
+    # frozen quantizer + codebooks
+    from rust_evm_indexer_spark.operators.similarity import assign_cells
+
+    cents = [idx.centroids[c] for c in sorted(idx.centroids)]
+    full = PQ.pq_encode(
+        assign_cells(emb, cents), cb, keep=("cell",)
+    )
+    got = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(str(tmp_path / "codes")).collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in full.collect()
+    }
+    assert got == want
+    # and search over the grown index finds the appended row: probing
+    # with an appended vector's own embedding ranks it top (its code is
+    # the nearest reconstruction to itself)
+    q = emb.filter(F.col("vec_id") == 1).first()["embedding"]  # appended row
+    top = PQ.ivfpq_search(
+        spark, idx, tmp_path / "codes", cb, q, topk=1, n_probe=4
+    ).first()
+    assert top["vec_id"] == 1
