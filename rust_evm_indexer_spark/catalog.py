@@ -882,6 +882,93 @@ def store_zorder_logs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Changefeed insert+delete replay under the driver contract: the
+# fixture writes the raw BATCH INPUTS to parquet, feeds them through
+# commit → delete_equals → commit, and the entry returns the full
+# changes(include_deletes=True) feed.  The oracle recomputes the feed
+# from the INPUTS alone (inserts tagged with their known commit
+# versions; delete rows = the predicate applied to the pre-delete
+# batches, tagged with the delete version) — so a feed that dropped a
+# delete, re-delivered a rewrite, or mis-versioned a row breaks the
+# hash.
+# ---------------------------------------------------------------------
+
+_CFEED_DIR = FIXTURE_CACHE / "changefeed"
+_CFEED_KEY = "v1 batches=3 rows=60 delete=0xa3 at=v3"
+
+
+def _ensure_changefeed_fixture(spark: SparkSession) -> Path:
+    marker = _CFEED_DIR / "_DONE"
+    if marker.exists() and marker.read_text() != _CFEED_KEY:
+        import shutil
+
+        shutil.rmtree(_CFEED_DIR, ignore_errors=True)
+    if not marker.exists():
+        from .store import TableStore
+
+        store = TableStore(
+            spark, _CFEED_DIR / "store", bloom_columns={}, dict_columns={}
+        )
+        for b in range(3):
+            rows = [
+                (b * 1000 + i, f"0xa{(i * 3 + b) % 7}", 100 + b)
+                for i in range(60)
+            ]
+            df = spark.createDataFrame(
+                rows, "id: long, addr: string, block_number: long"
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(
+                str(_CFEED_DIR / f"batch{b}")
+            )
+            store.commit({"pts": df})  # v1, v2 … then v4 below
+            if b == 1:
+                store.delete_equals("pts", "addr", "0xa3")  # v3
+        marker.write_text(_CFEED_KEY)
+    return _CFEED_DIR
+
+
+_CFEED_COLS = "id, addr, block_number"
+_CFEED_SQL = f"""
+    SELECT {_CFEED_COLS}, 'insert' AS _change_type,
+           CAST(1 AS INTEGER) AS _commit_version
+    FROM read_parquet('{_CFEED_DIR}/batch0/*.parquet')
+    UNION ALL
+    SELECT {_CFEED_COLS}, 'insert', CAST(2 AS INTEGER)
+    FROM read_parquet('{_CFEED_DIR}/batch1/*.parquet')
+    UNION ALL
+    SELECT {_CFEED_COLS}, 'delete', CAST(3 AS INTEGER)
+    FROM read_parquet('{_CFEED_DIR}/batch[01]/*.parquet')
+    WHERE addr = '0xa3'
+    UNION ALL
+    SELECT {_CFEED_COLS}, 'insert', CAST(4 AS INTEGER)
+    FROM read_parquet('{_CFEED_DIR}/batch2/*.parquet')
+"""
+
+
+@register(
+    "store_changefeed_deletes",
+    _CFEED_SQL,
+    tags=("evm-native", "store", "changefeed", "cdc"),
+)
+def store_changefeed_deletes(spark, sf_dir):
+    """The insert+delete changefeed end-to-end under the driver:
+    commits at v1/v2, a targeted delete at v3 (predicate recorded in
+    the manifest, deleted rows recovered from the retained pre-delete
+    fragments — no tombstones), a post-delete commit at v4.  The oracle
+    rebuilds the exact feed from the raw batch inputs alone, so the
+    hash verifies delivery-exactly-once, delete-row recovery, and
+    version stamping all at once (the replay-convergence property is
+    additionally hypothesis-tested in tests/test_changefeed.py)."""
+    from .store import TableStore
+
+    root = _ensure_changefeed_fixture(spark)
+    store = TableStore(
+        spark, root / "store", bloom_columns={}, dict_columns={}
+    )
+    return store.changes("pts", since_version=0, include_deletes=True)
+
+
 _TRIANGLE_SQL = f"""
     WITH e AS (SELECT DISTINCT least(from_address, to_address) AS a,
                       greatest(from_address, to_address) AS b
@@ -4848,11 +4935,11 @@ _DRIVER_PRIORITY = [
     "bm25_search",
     "repetition_signals",
     "substring_dup",
-    "source_mix_weights",
     # -- never driver-checked: NEW round-6 entries ----------------------
     "similarity_ivfpq_topk",
     "similarity_ivfpq_knn_join",
     "store_zorder_logs",
+    "store_changefeed_deletes",
 ]
 
 
