@@ -2780,6 +2780,14 @@ def _ivf_index(spark, sf_dir: str, flavor: str) -> "sim.IvfIndex":
         idx = sim.IvfIndex.load(spark, d)
     elif flavor == "label":
         idx = sim.IvfIndex.build(_t(spark, sf_dir, "embeddings"), d, cell_col="label")
+    elif flavor == "seed400":
+        # the incremental-semantic-dedup fixture: quantizer trained and
+        # index built on the SEED half only (vec_id < 400), so the delta
+        # admits against genuinely frozen state
+        idx = sim.IvfIndex.build(
+            _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400),
+            d, k=4, iters=2,
+        )
     else:  # kmeans8: deterministic Lloyd's quantizer trained in Spark
         idx = sim.IvfIndex.build(_t(spark, sf_dir, "embeddings"), d, k=8, iters=3)
     _IVF_CACHE[key] = idx
@@ -2792,7 +2800,11 @@ def _ivf_index(spark, sf_dir: str, flavor: str) -> "sim.IvfIndex":
 # change can never leave Spark and DuckDB silently reading a stale
 # export (ADVICE r3 item 1)
 _IVF_EXPORT_VERSION = "centroids-only-v2"
-_IVF_BUILD_PARAMS = {"label": "cell=label", "kmeans8": "k=8,iters=3"}
+_IVF_BUILD_PARAMS = {
+    "label": "cell=label",
+    "kmeans8": "k=8,iters=3",
+    "seed400": "seed<400,k=4,iters=2",
+}
 
 
 def _export_ivf_oracle(spark, idx, flavor: str, sf_dir: str) -> None:
@@ -3230,6 +3242,102 @@ def similarity_ivfpq_knn_join(spark, sf_dir):
     return PQ.ivfpq_knn_join(
         spark, idx, codes_dir, cb, queries, k=5, n_probe=2
     )
+
+
+# Incremental SemDeDup (semantic_admit): the delta-regime semantic
+# near-dup gate over a FROZEN seed index.  The oracle recomputes the
+# whole admit decision from raw embeddings + the exported seed
+# centroids alone: seed and delta cell assignments (argmax cosine, ties
+# → lowest cell — the assign_cells rule), within-delta losers
+# (smaller-id same-cell sibling at cosine ≥ τ), cross losers (ANY seed
+# vector in the cell at ≥ τ), kept = delta minus both.  Entry uses
+# append=False so it is a pure function of the inputs.
+_SEMADMIT_BASE = f"{FIXTURE_CACHE}/ivf_seed400_sf0.01"
+_SEMADMIT_TAU = 0.98
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
+        f" * sqrt(list_inner_product({b}, {b})))"
+    )
+
+
+_SEMADMIT_SQL = f"""
+    WITH cent AS (SELECT cell, centroid
+                  FROM read_parquet('{_SEMADMIT_BASE}/centroids/*.parquet')),
+    raw AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+    delta AS (
+      SELECT vec_id, v FROM raw WHERE vec_id >= 400
+      UNION ALL
+      SELECT vec_id + 900000, list_transform(v, x -> x * 2.0)
+      FROM raw WHERE vec_id < 10
+      UNION ALL
+      SELECT vec_id + 950000, list_transform(v, x -> x * 3.0)
+      FROM raw WHERE vec_id >= 400 AND vec_id < 405
+    ),
+    aseed AS (SELECT vec_id, v, cell FROM (
+        SELECT r.vec_id, r.v, c.cell,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY {_duck_cos('c.centroid', 'r.v')} DESC, c.cell) AS rn
+        FROM raw r, cent c WHERE r.vec_id < 400) WHERE rn = 1),
+    adelta AS (SELECT vec_id, v, cell FROM (
+        SELECT d.vec_id, d.v, c.cell,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY {_duck_cos('c.centroid', 'd.v')} DESC, c.cell) AS rn
+        FROM delta d, cent c) WHERE rn = 1),
+    wl AS (SELECT DISTINCT b.vec_id
+           FROM adelta a JOIN adelta b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE round({_duck_cos('a.v', 'b.v')}, 6) >= {_SEMADMIT_TAU}),
+    xl AS (SELECT DISTINCT d.vec_id
+           FROM adelta d JOIN aseed s ON d.cell = s.cell
+           WHERE round({_duck_cos('s.v', 'd.v')}, 6) >= {_SEMADMIT_TAU})
+    SELECT d.vec_id, d.cell FROM adelta d
+    WHERE d.vec_id NOT IN (SELECT vec_id FROM wl)
+      AND d.vec_id NOT IN (SELECT vec_id FROM xl)
+"""
+
+
+@register(
+    "semantic_admit_delta",
+    _SEMADMIT_SQL,
+    tags=("llm", "X-2", "semdedup", "incremental", "oracle-sf0.01"),
+)
+def semantic_admit_delta(spark, sf_dir):
+    """Incremental SemDeDup (operators/similarity.py::semantic_admit):
+    a delta batch — 100 novel vectors, 10 scaled copies of STORED seed
+    vectors (cosine 1.0, cross-dropped), 5 scaled copies of smaller-id
+    batch siblings (within-dropped) — admitted against the frozen
+    seed<400 IVF index.  The stored side is read partition-pruned to
+    the delta's cells and probed by the broadcast delta (zero Exchange
+    on the structure that grows — plan-asserted in tests).  Returns the
+    admitted (vec_id, cell); the oracle recomputes every assignment and
+    cosine decision from raw inputs + the centroid export."""
+    from .operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivf_index(spark, sf_dir, "seed400")
+    _export_ivf_oracle(spark, idx, "seed400", sf_dir)
+    raw = emb.select("vec_id", "embedding")
+    novel = raw.filter(F.col("vec_id") >= 400)
+    dup_stored = raw.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    dup_sibling = raw.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 405)
+    ).select(
+        (F.col("vec_id") + 950000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    delta = novel.unionByName(dup_stored).unionByName(dup_sibling)
+    kept, _stats = sim.semantic_admit(
+        idx, delta, threshold=_SEMADMIT_TAU, append=False
+    )
+    return kept.select("vec_id", "cell")
 
 
 _WORDS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -4934,12 +5042,12 @@ _DRIVER_PRIORITY = [
     "semantic_dedup",
     "bm25_search",
     "repetition_signals",
-    "substring_dup",
     # -- never driver-checked: NEW round-6 entries ----------------------
     "similarity_ivfpq_topk",
     "similarity_ivfpq_knn_join",
     "store_zorder_logs",
     "store_changefeed_deletes",
+    "semantic_admit_delta",
 ]
 
 

@@ -426,6 +426,43 @@ class IvfIndex:
     def vectors(self) -> DataFrame:
         return self.spark.read.parquet(str(self.index_dir / self.VECTORS))
 
+    def append(self, embeddings: DataFrame, *, cell_col: str | None = None) -> int:
+        """Admit NEW vectors under the FROZEN coarse quantizer — the
+        delta-only maintenance step of a continuously-growing corpus
+        (quantizers train once on a bounded sample and the index grows
+        under them; retraining is a rebuild).  Cells assigned via the
+        broadcast-rank form (scales to any k), appended as new files
+        inside the cell partitions; resident files never rewritten,
+        searches see the union at the next partition listing.  Pass
+        ``cell_col`` when rows are already assigned (e.g. the survivors
+        of :func:`semantic_admit` — avoids a second assignment pass).
+        Returns the number of vectors appended."""
+        if cell_col is None:
+            cell_ids = sorted(self.centroids)
+            cents = [self.centroids[c] for c in cell_ids]
+            assigned = assign_cells_join(
+                embeddings, cents, id_col=self.id_col, vec_col=self.vec_col
+            )
+            if cell_ids != list(range(len(cell_ids))):
+                id_map = F.array(*[F.lit(int(c)) for c in cell_ids])
+                assigned = assigned.withColumn(
+                    "cell", F.element_at(id_map, F.col("cell") + 1)
+                )
+        else:
+            assigned = embeddings.withColumnRenamed(cell_col, "cell")
+        # appended files must match the resident parquet schema exactly
+        # (a double-typed delta next to float-typed residents fails the
+        # unioned read with PARQUET_COLUMN_DATA_TYPE_MISMATCH)
+        stored_t = self.vectors().schema[self.vec_col].dataType
+        assigned = assigned.withColumn(
+            self.vec_col, F.col(self.vec_col).cast(stored_t)
+        )
+        n = assigned.count()
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            str(self.index_dir / self.VECTORS)
+        )
+        return n
+
     def search(
         self,
         query_vec: list[float],
@@ -712,3 +749,104 @@ def ivf_topk_trained(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_admit(
+    index: IvfIndex,
+    new_embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    append: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Delta-only SemDeDup: admit a batch of new embeddings against a
+    MATERIALIZED IVF index — the semantic twin of
+    ``incremental_dedup.IncrementalDeduper`` (lexical), completing the
+    "only the delta pays" family.
+
+    Per-batch cost, by construction:
+
+    - cells assigned under the FROZEN quantizer (broadcast-rank — the
+      SemDeDup blocking step, cost ∝ delta);
+    - within-batch semantic losers: same-cell pairwise cosine among the
+      DELTA only (keep-first by id — `dedup.dedup_survivors` policy);
+    - cross-round candidates: the stored vector table is read with a
+      PARTITION filter on the delta's cells and probed by the
+      BROADCAST delta — zero Exchange and zero unprobed-cell I/O on
+      the one structure that grows with the corpus (the same posture
+      as the incremental deduper's band join, plan-asserted in
+      tests/test_plan_hygiene.py);
+    - survivors append into the index's cell partitions
+      (:meth:`IvfIndex.append`) so the NEXT batch dedups against them.
+
+    A new vector is dropped iff a smaller-id batch sibling or ANY
+    stored vector in its cell has cosine ≥ ``threshold`` (rounded to
+    6dp before the compare, cross-engine stable).  Returns
+    ``(kept_df_with_cell, stats)``."""
+    idc, vc = index.id_col, index.vec_col
+    cell_ids = sorted(index.centroids)
+    cents = [index.centroids[c] for c in cell_ids]
+    assigned = assign_cells_join(
+        new_embeddings, cents, id_col=idc, vec_col=vc
+    )
+    if cell_ids != list(range(len(cell_ids))):
+        id_map = F.array(*[F.lit(int(c)) for c in cell_ids])
+        assigned = assigned.withColumn(
+            "cell", F.element_at(id_map, F.col("cell") + 1)
+        )
+    assigned = assigned.select(
+        idc, "cell", vc, _norm(F.col(vc)).alias("_n")
+    ).persist()
+    n_batch = assigned.count()
+
+    a = assigned.select(
+        F.col(idc).alias("id_a"), "cell",
+        F.col(vc).alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        F.col(idc).alias("id_b"), "cell",
+        F.col(vc).alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    wsim = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
+    within_losers = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(wsim >= threshold)
+        .select(F.col("id_b").alias(idc))
+        .distinct()
+    )
+    kept_within = assigned.join(F.broadcast(within_losers), idc, "left_anti")
+
+    delta_cells = [int(r["cell"]) for r in kept_within.select("cell").distinct().collect()]
+    stored = index.vectors().filter(F.col("cell").isin(delta_cells))
+    st = stored.select(
+        "cell", F.col(vc).alias("_vs"), _norm(F.col(vc)).alias("_ns")
+    )
+    d = kept_within.select(
+        F.col(idc), "cell", F.col(vc).alias("_vd"), F.col("_n").alias("_nd")
+    )
+    xsim = F.round(
+        _dot(F.col("_vs"), F.col("_vd")) / (F.col("_ns") * F.col("_nd")), 6
+    )
+    cross_losers = (
+        st.join(F.broadcast(d), "cell")
+        .where(xsim >= threshold)
+        .select(idc)
+        .distinct()
+    )
+    kept = (
+        kept_within.join(F.broadcast(cross_losers), idc, "left_anti")
+        .select(idc, vc, "cell")
+    )
+    n_kept = kept.count()
+    stats = {
+        "batch": n_batch,
+        "within_dropped": n_batch - kept_within.count(),
+        "cross_dropped": kept_within.count() - n_kept,
+        "admitted": n_kept,
+    }
+    if append and n_kept:
+        index.append(kept, cell_col="cell")
+    assigned.unpersist()
+    return kept, stats

@@ -564,3 +564,82 @@ def test_approx_quantile_bound(spark, sf_dir):
         assert row["within_rank_bound"] is True
         assert row["lo_rank_value"] == exact[et]["lo"]
         assert row["hi_rank_value"] == exact[et]["hi"]
+
+
+# -- incremental semantic dedup (semantic_admit) ----------------------------
+
+
+def _seed_index(spark, tmp_path, emb):
+    from rust_evm_indexer_spark.operators import similarity as sim
+
+    seed = emb.filter(F.col("vec_id") < 300)
+    return sim.IvfIndex.build(seed, tmp_path / "semidx", k=4, iters=2)
+
+
+def test_semantic_admit_drops_cross_round_and_within_batch_dups(spark, tmp_path):
+    """Delta regime: a new vector that is a scaled copy of a STORED one
+    (cosine 1.0) is dropped; a scaled copy of a smaller-id BATCH sibling
+    is dropped within-batch; novel vectors are admitted and appended so
+    the NEXT batch dedups against them."""
+    from rust_evm_indexer_spark.operators import similarity as sim
+    from rust_evm_indexer_spark.sources.batch import load_driver_table
+
+    from conftest import SF_ORACLE
+
+    emb = load_driver_table(spark, str(SF_ORACLE), "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = _seed_index(spark, tmp_path, emb)
+    novel = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 320))
+    dup_of_stored = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    dup_of_sibling = novel.filter(F.col("vec_id") < 303).select(
+        (F.col("vec_id") + 950000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    batch = novel.unionByName(dup_of_stored).unionByName(dup_of_sibling)
+    kept, stats = sim.semantic_admit(idx, batch, threshold=0.999999)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    assert stats["batch"] == 28
+    assert stats["cross_dropped"] >= 5  # the 5 scaled copies of stored
+    assert stats["within_dropped"] >= 3  # the 3 scaled batch siblings
+    assert not (kept_ids & {900000 + i for i in range(5)})
+    assert not (kept_ids & {950000 + i for i in range(300, 303)})
+    assert {r["vec_id"] for r in novel.collect()} <= kept_ids | {
+        300, 301, 302
+    }  # novels admitted (siblings' originals included)
+    # admitted vectors are IN the index now: replaying the same novel
+    # batch drops everything as cross-round dups
+    kept2, stats2 = sim.semantic_admit(
+        idx, novel.select((F.col("vec_id") + 980000).alias("vec_id"), "embedding"),
+        threshold=0.999999,
+    )
+    assert stats2["admitted"] == 0 and stats2["cross_dropped"] == 20
+
+
+def test_semantic_admit_stored_side_partition_pruned_never_shuffled(
+    spark, tmp_path
+):
+    """The stored vector table is the one structure that grows: the
+    cross-round candidate join must read it with a PARTITION filter on
+    the delta's cells and probe it with the broadcast delta — zero
+    Exchange and zero unprobed-cell I/O on the stored side."""
+    from rust_evm_indexer_spark.operators import similarity as sim
+    from rust_evm_indexer_spark.plans import partition_filters, physical_plan
+    from rust_evm_indexer_spark.sources.batch import load_driver_table
+
+    from conftest import SF_ORACLE
+
+    emb = load_driver_table(spark, str(SF_ORACLE), "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = _seed_index(spark, tmp_path, emb)
+    batch = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 310))
+    kept, _ = sim.semantic_admit(idx, batch, threshold=0.999999, append=False)
+    pf = partition_filters(kept)
+    assert any("cell" in f for f in pf), f"no partition filter: {pf}"
+    plan = physical_plan(kept, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
