@@ -113,8 +113,21 @@ def main() -> None:
     later = store.changes("corpus", since_version=1)
     n_appended = 0
     if later.limit(1).count():
+        # semantic gate first: the delta admits against the FROZEN index
+        # (partition-pruned stored scan, broadcast delta) and only the
+        # admitted vectors pay the PQ encode
+        from rust_evm_indexer_spark.operators.similarity import semantic_admit
+
+        admitted, sstats = semantic_admit(
+            idx, _fake_embeddings(later), threshold=0.999
+        )
+        print(f"semantic gate: {sstats['batch']} delta vectors -> "
+              f"{sstats['admitted']} admitted "
+              f"({sstats['cross_dropped']} cross, "
+              f"{sstats['within_dropped']} within dropped)")
         n_appended = PQ.ivfpq_append(
-            idx, cb, root / "codes", _fake_embeddings(later)
+            idx, cb, root / "codes",
+            admitted.select("vec_id", "embedding"),
         )
     n_codes = spark.read.parquet(str(root / "codes")).count()
     probe_vec = [float(x) for x in seed_emb.first()["embedding"]]
