@@ -4969,6 +4969,136 @@ def bm25_search(spark, sf_dir):
     return tx.bm25_topk(_t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20)
 
 
+# ---------------------------------------------------------------------------
+# round 6b: learned quality classifier + C4 span-level corpus dedup
+# ---------------------------------------------------------------------------
+
+_QM_PARAMS = "feat=v1 iters=8 ridge=1e-3 label=v1"
+
+
+def _ensure_qm_export(spark, sf_dir) -> tuple[list[float], Path]:
+    """Train-or-load the quality-classifier weights for ``sf_dir`` and
+    export them as a 1-row parquet, keyed by corpus identity AND the
+    training params (the PQ-codebook export pattern): DECIMAL-summed
+    Newton training is bit-deterministic, so the export is a pure cache
+    — regeneration can never diverge Spark from DuckDB."""
+    from .operators import quality_model as QM
+
+    out = Path(f"{FIXTURE_CACHE}/qm_{Path(sf_dir).name}")
+    src = Path(sf_dir) / "documents.parquet"
+    st = src.stat()
+    src_key = f"{src}:{st.st_size}:{st.st_mtime_ns}|{_QM_PARAMS}"
+    marker = out / "_EXPORTED_FROM"
+    if not (marker.exists() and marker.read_text() == src_key):
+        docs = _t(spark, sf_dir, "documents")
+        feats = QM.weak_label(QM.quality_features(docs)).cache()
+        try:
+            w = QM.train_quality_model(feats, n_iter=8, ridge=1e-3)
+        finally:
+            feats.unpersist()
+        spark.createDataFrame(
+            [tuple(w)], "b: double, w0: double, w1: double, w2: double, w3: double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(out / "weights"))
+        marker.write_text(src_key)
+        return w, out
+    r = spark.read.parquet(str(out / "weights")).first()
+    return [r["b"], r["w0"], r["w1"], r["w2"], r["w3"]], out
+
+
+# quality_model.STOPWORDS is LANG_MARKERS["en"]; the SQL mirror must
+# list them in the same order the Spark lambda tests membership.
+_QM_STOP_SQL = ", ".join(f"'{w}'" for w in tx.LANG_MARKERS["en"])
+
+_QM_SQL = f"""
+    WITH wt AS (SELECT * FROM
+                read_parquet('{FIXTURE_CACHE}/qm_sf0.01/weights/*.parquet')),
+    t AS (SELECT doc_id, {_NORM_SQL} AS norm,
+                 string_split({_NORM_SQL}, ' ') AS ws
+          FROM documents),
+    f AS (SELECT doc_id,
+                 ln(1.0 + CAST(len(ws) AS DOUBLE)) AS f0,
+                 CAST(length(norm) - (len(ws) - 1) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE) AS f1,
+                 CAST(len(list_filter(ws, w -> w IN ({_QM_STOP_SQL})))
+                      AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS f2,
+                 CAST(len(list_distinct(ws)) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE) AS f3
+          FROM t WHERE norm <> '')
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(wt.b + wt.w0 * f0 + wt.w1 * f1
+                                    + wt.w2 * f2 + wt.w3 * f3))), 6) AS q_score,
+           round(1.0 / (1.0 + exp(-(wt.b + wt.w0 * f0 + wt.w1 * f1
+                                    + wt.w2 * f2 + wt.w3 * f3))), 6) >= 0.5 AS keep
+    FROM f, wt
+    """
+
+
+@register(
+    "quality_classifier_scores",
+    _QM_SQL,
+    tags=("llm", "X-4", "classifier", "oracle-sf0.01"),
+)
+def quality_classifier_scores(spark, sf_dir):
+    """Learned quality-filter scores (operators/quality_model.py —
+    CCNet/fastText-style): logistic regression TRAINED DISTRIBUTED
+    (one scan per Newton iteration, DECIMAL-summed sufficient
+    statistics ⇒ bit-identical weights under any partitioning), then
+    scored as pure codegen with the d+1 weights as plan literals.  The
+    oracle replays feature extraction + the left-folded affine form +
+    sigmoid from the exported weights — only the numpy linear solve
+    (driver-side, microseconds) is outside DuckDB's reach."""
+    from .operators import quality_model as QM
+
+    w, _ = _ensure_qm_export(spark, sf_dir)
+    return QM.score_with_weights(_t(spark, sf_dir, "documents"), w)
+
+
+_SPAN_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+               FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS word,
+                 generate_subscripts(ws, 1) - 1 AS pos
+          FROM t),
+    sp AS (SELECT doc_id, pos // 5 AS span_id,
+                  string_agg(word, ' ' ORDER BY pos) AS span,
+                  count(*) AS nw
+           FROM w GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER
+                    (PARTITION BY span ORDER BY doc_id, span_id) AS rn
+          FROM sp),
+    kept AS (SELECT doc_id, span_id, span FROM r WHERE nw < 5 OR rn = 1),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(span, ' ' ORDER BY span_id) AS clean_text,
+                       count(*) AS n_spans_kept
+                FROM kept GROUP BY 1),
+    totals AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(coalesce(r.n_spans_kept, 0) AS BIGINT) AS n_spans_kept,
+           CAST(t.n_spans - coalesce(r.n_spans_kept, 0) AS BIGINT)
+             AS n_spans_dropped
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+@register(
+    "dedup_spans_global",
+    _SPAN_SQL,
+    tags=("llm", "X-1", "c4", "span-dedup"),
+)
+def dedup_spans_global_q(spark, sf_dir):
+    """C4-style duplicate-span removal + document reassembly
+    (operators/corpus.py:dedup_spans_global): every repeated full
+    5-word span survives only at its first (doc_id, span_id)
+    occurrence corpus-wide.  First-occurrence ownership is a
+    map-side-combined groupBy-min — skew-safe where a window over the
+    span partition is not — and reassembly array_sorts per-doc structs
+    so output text is deterministic at any parallelism."""
+    from .operators.corpus import dedup_spans_global
+
+    return dedup_spans_global(_t(spark, sf_dir, "documents"), span_words=5)
+
+
 def clear_session_caches() -> None:
     """Unpersist and drop the per-session shared frames (shingles, capped
     pair list, IVF indexes).  The caches make a full catalog drive cheap
@@ -5032,8 +5162,6 @@ _DRIVER_PRIORITY = [
     # r4 cohort — TPC-H q1..q20 block and the dedup/similarity batch
     # entries — drains in r7 with the then-2-round-old r5 cohort) -------
     "multimodal_meta",
-    "window_running_sum",
-    "window_lag_delta",
     "pivot_order_status",
     "approx_distinct_users",
     "store_compacted_logs",
@@ -5043,11 +5171,15 @@ _DRIVER_PRIORITY = [
     "bm25_search",
     "repetition_signals",
     # -- never driver-checked: NEW round-6 entries ----------------------
+    # (window_running_sum / window_lag_delta displaced to the drop list
+    # to make room — r4-green, first in line with the r7 drain)
     "similarity_ivfpq_topk",
     "similarity_ivfpq_knn_join",
     "store_zorder_logs",
     "store_changefeed_deletes",
     "semantic_admit_delta",
+    "quality_classifier_scores",
+    "dedup_spans_global",
 ]
 
 

@@ -658,3 +658,90 @@ def connected_components_star(
         comps.select(F.col("node").alias("_n")), all_nodes.node == F.col("_n"), "left_anti"
     ).select("node", F.col("node").alias("component_id"))
     return comps.union(roots)
+
+
+def dedup_spans_global(
+    df: DataFrame, text_col: str = "text", span_words: int = 5
+) -> DataFrame:
+    """C4-style cross-document duplicate-span REMOVAL (Raffel et al.
+    arXiv:1910.10683 §2.2 deduplicated any three-sentence span repeated
+    in the corpus; here the span unit is ``span_words`` consecutive
+    normalized words, the word-soup analogue): every full span that
+    occurs more than once corpus-wide survives only at its FIRST
+    occurrence in (doc_id, span_id) order — including within-document
+    repeats — and each document is reassembled from its surviving
+    spans.  Unlike ``substring_dup_stats`` (which MEASURES duplication),
+    this operator performs the actual corpus transform.
+
+    Shape at scale — two bounded shuffles, no window over skewed keys:
+
+    1. spans are carved driver-free from each doc's word array
+       (``slice``/``array_join`` under one ``posexplode`` — no per-word
+       explode, no reassembly-order ambiguity);
+    2. the global first-occurrence owner per span text is a
+       ``groupBy(span).agg(min(struct(doc_id, span_id)))`` — partial
+       aggregation combines map-side, so a boilerplate span duplicated
+       a billion times costs one partial per task, NOT a billion-row
+       window partition (the skew-safe alternative to
+       ``row_number() OVER (PARTITION BY span)``);
+    3. reassembly is a per-doc ``groupBy`` collecting (span_id, span)
+       structs, ``array_sort``-ed — deterministic regardless of arrival
+       order.
+
+    Tail spans shorter than ``span_words`` are never dedup-eligible
+    (C4 kept partial sentences too).  Documents whose every span is
+    removed are retained with empty ``clean_text`` so the output stays
+    row-aligned with the input corpus.
+    """
+    norm = normalize_text(text_col)
+    ws = F.split(norm, " ")
+    n_spans = F.ceil(F.size(ws) / F.lit(span_words)).cast("int")
+    spans = df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(ws, i * span_words + F.lit(1), span_words), " "
+                ),
+            )
+        ).alias("span_id", "span"),
+    ).withColumn(
+        "eligible", F.size(F.split(F.col("span"), " ")) == F.lit(span_words)
+    )
+    owners = (
+        spans.where("eligible")
+        .groupBy("span")
+        .agg(F.min(F.struct("doc_id", "span_id")).alias("o"))
+        .select(
+            "span",
+            F.col("o.doc_id").alias("o_doc"),
+            F.col("o.span_id").alias("o_span"),
+        )
+    )
+    kept = spans.join(owners, "span", "left").where(
+        (~F.col("eligible"))
+        | ((F.col("doc_id") == F.col("o_doc")) & (F.col("span_id") == F.col("o_span")))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_id", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_spans_kept"),
+    )
+    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_spans_kept", F.lit(0)).cast("long").alias("n_spans_kept"),
+            (F.col("n_spans") - F.coalesce("n_spans_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_spans_dropped"),
+        )
+    )

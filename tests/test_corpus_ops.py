@@ -176,3 +176,77 @@ def test_dedup_clusters_star_algorithm(spark):
         for r in cp.dedup_clusters(docs, pairs, algorithm="star").collect()
     }
     assert got == {(0, 0), (1, 1), (2, 2), (3, 0), (4, 4), (5, 0)}
+
+
+def test_span_dedup_removes_cross_doc_repeats_keeps_first(spark):
+    # doc 1 owns span "a b c d e"; doc 2 repeats it and must lose it
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique one two three four"),
+            (2, "a b c d e other words go here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cp.dedup_spans_global(docs).collect()}
+    assert got[1].clean_text == "a b c d e unique one two three four"
+    assert got[1].n_spans_dropped == 0
+    assert got[2].clean_text == "other words go here now"
+    assert got[2].n_spans_kept == 1 and got[2].n_spans_dropped == 1
+
+
+def test_span_dedup_removes_within_doc_repeats(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e tail bit")], "doc_id long, text string"
+    )
+    row = cp.dedup_spans_global(docs).first()
+    # second occurrence of the span dropped; short tail span kept
+    assert row.clean_text == "a b c d e tail bit"
+    assert row.n_spans_kept == 2 and row.n_spans_dropped == 1
+
+
+def test_span_dedup_tail_spans_never_eligible(spark):
+    # identical 3-word docs: tails are < span_words, both survive
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in cp.dedup_spans_global(docs).collect()}
+    assert rows[1].clean_text == "x y z" and rows[2].clean_text == "x y z"
+    assert rows[1].n_spans_dropped == 0 and rows[2].n_spans_dropped == 0
+
+
+def test_span_dedup_fully_duplicated_doc_stays_as_empty_row(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cp.dedup_spans_global(docs).collect()}
+    assert rows[1].clean_text == "a b c d e f g h i j"
+    assert rows[2].clean_text == "" and rows[2].n_spans_kept == 0
+    assert rows[2].n_spans_dropped == 2
+
+
+def test_span_dedup_reassembly_preserves_span_order(spark):
+    # drop a MIDDLE span: doc 2 shares doc 1's span in position 1
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t"),
+            (2, "m n o aa bb p q r s t cc dd ee ff gg"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cp.dedup_spans_global(docs).collect()}
+    assert rows[2].clean_text == "m n o aa bb cc dd ee ff gg"
+
+
+def test_span_dedup_plan_has_no_window_over_span(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        cp.dedup_spans_global(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # skew posture: first-occurrence via partial-aggregating groupBy,
+    # not a row_number window over the (hot) span partition
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
