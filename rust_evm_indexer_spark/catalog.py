@@ -5053,6 +5053,67 @@ def quality_classifier_scores(spark, sf_dir):
     return QM.score_with_weights(_t(spark, sf_dir, "documents"), w)
 
 
+_PCA_PARAMS = "dim=64 k=16 eps=1e-9 sign=pivot-pos v1"
+
+
+def _ensure_pca_export(spark, sf_dir) -> Path:
+    """Fit-or-load the PCA whitener for ``sf_dir`` and export the
+    component rows (j, w, b, s) — the PQ-codebook export pattern.
+    DECIMAL-summed moments + the pivot-positive sign convention make
+    the fit bit-deterministic, so the export is a pure cache."""
+    from .operators import pca as PCA
+
+    out = Path(f"{FIXTURE_CACHE}/pca_{Path(sf_dir).name}")
+    src = Path(sf_dir) / "embeddings.parquet"
+    st = src.stat()
+    src_key = f"{src}:{st.st_size}:{st.st_mtime_ns}|{_PCA_PARAMS}"
+    marker = out / "_EXPORTED_FROM"
+    if not (marker.exists() and marker.read_text() == src_key):
+        comps = PCA.fit_pca_whitener(
+            _t(spark, sf_dir, "embeddings"), dim=64, k=16
+        )
+        spark.createDataFrame(
+            [(c["j"], c["w"], c["b"], c["s"]) for c in comps],
+            "j: int, w: array<double>, b: double, s: double",
+        ).coalesce(1).write.mode("overwrite").parquet(str(out / "components"))
+        marker.write_text(src_key)
+    return out
+
+
+_PCA_SQL = f"""
+    WITH c AS (SELECT j, w, b, s FROM
+               read_parquet('{FIXTURE_CACHE}/pca_sf0.01/components/*.parquet')),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+    SELECT e.vec_id, c.j,
+           round(c.s * (list_inner_product(e.v, c.w) - c.b), 6) AS value
+    FROM e, c
+    """
+
+
+@register(
+    "embedding_pca_whiten",
+    _PCA_SQL,
+    tags=("llm", "X-3", "pca", "whitening", "oracle-sf0.01"),
+)
+def embedding_pca_whiten(spark, sf_dir):
+    """PCA whitening of the embedding corpus (operators/pca.py — the
+    ABTT/Mu & Viswanath pre-ANN normalization): moments aggregate
+    distributed through DECIMAL sums (bit-identical at any
+    partitioning), the driver eigensolves the 64×64 covariance, and the
+    projection is k broadcast component rows × one codegen fold per
+    row — zero Exchange.  The oracle replays the projection from the
+    exported components via ``list_inner_product`` (the proven
+    bit-compatible fold pairing); only the numpy eigensolve is outside
+    DuckDB's reach."""
+    from .operators import pca as PCA
+
+    out = _ensure_pca_export(spark, sf_dir)
+    comps = spark.read.parquet(str(out / "components"))
+    return PCA.project_whitened(_t(spark, sf_dir, "embeddings"), comps)
+
+
 _SPAN_SQL = f"""
     WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
                FROM documents),
@@ -5162,7 +5223,6 @@ _DRIVER_PRIORITY = [
     # r4 cohort — TPC-H q1..q20 block and the dedup/similarity batch
     # entries — drains in r7 with the then-2-round-old r5 cohort) -------
     "multimodal_meta",
-    "pivot_order_status",
     "approx_distinct_users",
     "store_compacted_logs",
     "store_tx_bloom_lookup",
@@ -5180,6 +5240,7 @@ _DRIVER_PRIORITY = [
     "semantic_admit_delta",
     "quality_classifier_scores",
     "dedup_spans_global",
+    "embedding_pca_whiten",
 ]
 
 
