@@ -262,3 +262,139 @@ def unigram_nll(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+def _token_arrays(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, ws) with the normalized word array; drops docs that
+    normalize to nothing (split('') yields [''])."""
+    from .dedup import normalize_text
+
+    return df.select(
+        "doc_id", F.split(normalize_text(text_col), " ").alias("ws")
+    ).where((F.size("ws") > 0) & (F.element_at("ws", 1) != ""))
+
+
+def stupid_backoff_nll(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model quality score with Stupid Backoff (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — THE
+    distributed n-gram LM: no discounting passes, counts only, designed
+    for MapReduce-scale corpora).  Counts are fit on ``model_df`` (the
+    reference corpus — CCNet fits on Wikipedia) and every document in
+    ``df`` is scored against them, so out-of-model bigrams genuinely
+    exercise the backoff path:
+
+        s(w)        = c1(w)/T           if seen, else  alpha/T
+        s(w2 | w1)  = c2(w1,w2)/c1(w1)  if bigram seen, else alpha*s(w2)
+        avg_nll     = -(log s(w_0) + sum log s(w_i|w_{i-1})) / n_words
+
+    Shape at scale: the unigram vocabulary is Heaps'-law bounded and
+    BROADCASTS; the bigram table is NOT broadcast-bounded (it grows much
+    faster than the vocabulary), so it joins by a key-partitioned
+    equi-join on (w1, w2) — the scale-honest path.  Pair extraction is
+    in-array (element_at over a sequence), so there is NO window and NO
+    per-doc shuffle to recover adjacency.  Per-term NLLs accumulate
+    through DECIMAL(27,15) (order-independent under partial aggregation;
+    same policy as unigram_nll), so Spark and the DuckDB oracle agree
+    bit-for-bit.
+    """
+    docs = _token_arrays(df, text_col)
+    model = _token_arrays(model_df if model_df is not None else df, text_col)
+
+    m_words = model.select(F.explode("ws").alias("word"))
+    uni = m_words.groupBy("word").agg(F.count("*").alias("c1"))
+    total = uni.agg(F.sum("c1").cast("double").alias("t"))
+
+    _PAIRS = (
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+    )
+    m_pairs = model.where(F.size("ws") >= 2).select(
+        F.explode(F.expr(_PAIRS)).alias("bg")
+    )
+    bi = m_pairs.groupBy(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).agg(F.count("*").alias("c2"))
+
+    pairs = (
+        docs.where(F.size("ws") >= 2)
+        .select("doc_id", F.explode(F.expr(_PAIRS)).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c1").alias("c1_w2"))
+    score = F.when(
+        F.col("c2").isNotNull(), F.col("c2") / F.col("c1_w1")
+    ).otherwise(
+        alpha * F.coalesce(F.col("c1_w2").cast("double"), F.lit(alpha)) / F.col("t")
+    )
+    pair_nll = (
+        pairs.join(bi, ["w1", "w2"], "left")  # NOT broadcast: bigram vocab unbounded
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.sum((-F.log(score)).cast("decimal(27,15)")).alias("pair_sum"))
+    )
+    uf = uni.select(F.col("word").alias("fw"), F.col("c1").alias("c1_fw"))
+    base = (
+        docs.select("doc_id", F.size("ws").alias("n_words"),
+                    F.element_at("ws", 1).alias("fw"))
+        .join(F.broadcast(uf), "fw", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_words",
+            (-F.log(
+                F.coalesce(F.col("c1_fw").cast("double"), F.lit(alpha)) / F.col("t")
+            )).cast("decimal(27,15)").alias("nll0"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(27,15)")
+    return base.join(pair_nll, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(
+            (F.col("nll0") + F.coalesce(F.col("pair_sum"), zero)).cast("double")
+            / F.col("n_words"),
+            6,
+        ).alias("avg_nll"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", size: int = 32, stride: int = 24
+) -> DataFrame:
+    """RAG/embedding-prep chunking: overlapping ``size``-word windows
+    every ``stride`` words over the normalized text, emitted as
+    (doc_id, chunk_id, word_start, n_words, chunk_text).
+
+    All in-array JVM expressions — the window starts are a per-doc
+    ``sequence(1, n_words, stride)`` and each chunk is a ``slice`` +
+    ``array_join``, so the whole operator is ONE narrow projection +
+    explode under whole-stage codegen: no shuffle, no Python, and the
+    output partitioning inherits the scan's (chunks of a document stay
+    in its input partition).  Tail chunks shorter than ``size`` are kept
+    (they hold the only copy of the final words).
+    """
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
+    docs = _token_arrays(df, text_col)
+    chunks = F.expr(
+        f"transform(sequence(1, size(ws), {stride}), "
+        f"s -> struct(s AS word_start, slice(ws, s, {size}) AS cw))"
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "ch"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("ch.word_start").cast("long").alias("word_start"),
+            F.size("ch.cw").cast("long").alias("n_words"),
+            F.array_join("ch.cw", " ").alias("chunk_text"),
+        )
+    )

@@ -643,3 +643,92 @@ def test_semantic_admit_stored_side_partition_pruned_never_shuffled(
     plan = physical_plan(kept, "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round 6c: Stupid Backoff bigram LM + RAG chunking --------------------
+
+
+def _sb_docs(spark):
+    rows = [
+        ("m1", "a b a c"),   # model + scored
+        ("d2", "a d c"),     # unseen bigrams + OOV word -> backoff path
+        ("d3", "b"),         # single word: unigram term only
+        ("d4", "zzz"),       # OOV single word: alpha/T floor
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_stupid_backoff_matches_hand_reference(spark):
+    """Every branch of the scoring contract against a by-hand model:
+    seen bigram, unseen bigram w/ in-vocab continuation, unseen bigram
+    w/ OOV continuation, first-word unigram, OOV floor."""
+    import math
+
+    df = _sb_docs(spark)
+    model = df.where(F.col("doc_id") == "m1")
+    got = {
+        r["doc_id"]: (r["n_words"], r["avg_nll"])
+        for r in tx.stupid_backoff_nll(df, model_df=model).collect()
+    }
+    # model: c1 = {a:2, b:1, c:1}, T=4; bigrams (a,b),(b,a),(a,c) once each
+    ref = {
+        "m1": (4, -(math.log(2 / 4) + math.log(1 / 2) + math.log(1 / 1)
+                    + math.log(1 / 2)) / 4),
+        "d2": (3, -(math.log(2 / 4) + math.log(0.4 * 0.4 / 4)
+                    + math.log(0.4 * 1 / 4)) / 3),
+        "d3": (1, -math.log(1 / 4)),
+        "d4": (1, -math.log(0.4 / 4)),
+    }
+    assert set(got) == set(ref)
+    for k, (n, nll) in ref.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(nll, abs=1e-6), k
+
+
+def test_stupid_backoff_self_model_never_backs_off(spark):
+    """Fit on the full corpus = every scored bigram is in-model, so the
+    score equals pure bigram MLE (no alpha anywhere); sanity-check one
+    doc against the conditional-count ratio."""
+    import math
+
+    df = _sb_docs(spark).where(F.col("doc_id").isin("m1", "d3"))
+    got = {
+        r["doc_id"]: r["avg_nll"]
+        for r in tx.stupid_backoff_nll(df).collect()
+    }
+    # corpus: c1 = {a:2, b:2, c:1}, T=5; doc m1 bigrams all seen once
+    exp = -(math.log(2 / 5) + math.log(1 / 2) + math.log(1 / 2)
+            + math.log(1 / 2)) / 4
+    assert got["m1"] == pytest.approx(exp, abs=1e-6)
+
+
+def test_chunk_documents_layout(spark):
+    """Exact window layout: 10 words, size=4, stride=3 -> starts
+    1,4,7,10 with the tail single-word chunk kept."""
+    df = spark.createDataFrame(
+        [("d1", " ".join(f"w{i}" for i in range(1, 11)))], ["doc_id", "text"]
+    )
+    out = tx.chunk_documents(df, size=4, stride=3).orderBy("chunk_id").collect()
+    assert [(r["chunk_id"], r["word_start"], r["n_words"]) for r in out] == [
+        (0, 1, 4), (1, 4, 4), (2, 7, 4), (3, 10, 1)
+    ]
+    assert out[0]["chunk_text"] == "w1 w2 w3 w4"
+    assert out[1]["chunk_text"] == "w4 w5 w6 w7"  # overlap of size-stride
+    assert out[3]["chunk_text"] == "w10"
+    # every word is covered by at least one chunk
+    covered = set()
+    for r in out:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(1, 11)}
+
+
+def test_chunk_documents_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [("one", "hello"), ("empty", "!!!"), ("two", "x y")],
+        ["doc_id", "text"],
+    )
+    out = tx.chunk_documents(df, size=32, stride=24).collect()
+    by_doc = {(r["doc_id"], r["chunk_id"]): r for r in out}
+    assert set(by_doc) == {("one", 0), ("two", 0)}  # '!!!' normalizes away
+    assert by_doc[("one", 0)]["chunk_text"] == "hello"
+    assert by_doc[("two", 0)]["n_words"] == 2

@@ -529,3 +529,29 @@ def test_incremental_dedup_stored_bands_never_shuffle(spark, tmp_path):
         store, n_perm=16, bands=8, delta_broadcast_cap=0
     )
     assert broadcast_hint_count(dd_nocap.cross_candidates(delta_bands, n_delta=1)) == 0
+
+
+def test_chunk_documents_is_one_narrow_projection(spark):
+    """RAG chunking must plan as scan -> project/generate with ZERO
+    Exchange and zero Python: the fan-out happens in-partition after
+    the scan, never through a shuffle."""
+    plan = physical_plan(CATALOG["chunk_documents"].fn(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Generate" in plan, plan  # the posexplode fan-out
+
+
+def test_stupid_backoff_join_posture(spark):
+    """Unigram vocab + 1-row total broadcast; the bigram table — NOT
+    broadcast-bounded at scale — joins by key-partitioned equi-join;
+    no cartesian product, no Python anywhere."""
+    df = CATALOG["lm_stupid_backoff"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly the five BOUNDED frames are hint-forced (u1, u2, first-word
+    # vocab, and the 1-row total twice); the bigram-count join must carry
+    # NO hint — at sf0.01 the planner may still size-broadcast it, but at
+    # 100 TB it degrades gracefully to a key-partitioned equi-join
+    assert broadcast_hint_count(df) == 5, broadcast_hint_count(df)
