@@ -5274,6 +5274,40 @@ def chunk_documents_q(spark, sf_dir):
     return tx.chunk_documents(_t(spark, sf_dir, "documents"), size=32, stride=24)
 
 
+_SHARD_SQL = """
+    WITH h AS (SELECT doc_id,
+                      ((doc_id * 2654435761 + 7) % 4294967296) AS shuffle_key
+               FROM documents)
+    SELECT doc_id,
+           CAST(shuffle_key % 16 AS BIGINT) AS shard_id,
+           CAST(row_number() OVER (PARTITION BY shuffle_key % 16
+                                   ORDER BY shuffle_key, doc_id)
+                AS BIGINT) AS pos,
+           CAST(shuffle_key AS BIGINT) AS shuffle_key
+    FROM h
+    """
+
+
+@register(
+    "corpus_shuffle_shards",
+    _SHARD_SQL,
+    tags=("llm", "X-4", "sharding", "training-export"),
+)
+def corpus_shuffle_shards_q(spark, sf_dir):
+    """Deterministic global shuffle + 16-way sharding for training
+    export (operators/corpus.py:shuffle_shards): permutation key = a
+    seeded Knuth multiplicative hash (bijective mod 2^32 — no ties, so
+    rank order is engine-independent), shard = key mod N, pos = rank
+    within shard.  ONE Exchange on shard_id (uniform by construction)
+    + the per-shard sort the export layout needs anyway; rand() could
+    never reproduce epoch-0 order after a retry, this always does."""
+    from .operators.corpus import shuffle_shards
+
+    return shuffle_shards(
+        _t(spark, sf_dir, "documents"), n_shards=16, seed=7
+    )
+
+
 # --- store time travel under the driver contract --------------------------
 # Every other store entry reads the CURRENT manifest; this one pins an
 # earlier version.  The fixture commits the documents table in two halves
@@ -5390,7 +5424,6 @@ _DRIVER_PRIORITY = [
     "store_compacted_logs",
     "store_tx_bloom_lookup",
     "store_projection_logs",
-    "semantic_dedup",
     "bm25_search",
     # -- never driver-checked: NEW round-6 entries ----------------------
     # (window_running_sum / window_lag_delta / multimodal_meta /
@@ -5407,6 +5440,7 @@ _DRIVER_PRIORITY = [
     "lm_stupid_backoff",
     "chunk_documents",
     "store_time_travel",
+    "corpus_shuffle_shards",
 ]
 
 

@@ -745,3 +745,51 @@ def dedup_spans_global(
             .alias("n_spans_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Deterministic corpus shuffle + sharding (training export layout)
+# ---------------------------------------------------------------------
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a (shard_id, pos) for training export: a
+    deterministic global shuffle, sharded.
+
+    Training runs want the corpus in pseudo-random order, split into N
+    equal shards, and REPRODUCIBLE — the epoch-0 order must be
+    re-derivable after a failed export, on any cluster size.  ``rand()``
+    gives none of that.  Here the permutation key is a Knuth
+    multiplicative hash of the id (odd multiplier ⇒ bijective mod 2^32,
+    so no collisions reorder ties differently across engines) offset by
+    ``seed``; shard = key mod N, position = rank of the key within the
+    shard.
+
+    Scale shape: ONE Exchange on shard_id (uniform by construction — a
+    bijection mod 2^32 taken mod N is balanced, no skew salting needed)
+    and a per-shard sort for the rank — exactly the physical layout the
+    export needs anyway, since each shard is written in position order.
+    No global sort, no driver state; re-running any subset of shards
+    reproduces identical contents.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    key = ((F.col(id_col) * F.lit(_KNUTH)) + F.lit(seed)) % F.lit(_MOD)
+    shard = (key % F.lit(n_shards)).cast("long")
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", id_col)
+    return (
+        df.select(
+            id_col,
+            key.alias("shuffle_key"),
+            shard.alias("shard_id"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard_id", "pos", "shuffle_key")
+    )

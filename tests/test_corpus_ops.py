@@ -250,3 +250,43 @@ def test_span_dedup_plan_has_no_window_over_span(spark):
     # not a row_number window over the (hot) span partition
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+# --- shuffle_shards: deterministic training-export sharding ---------------
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark):
+    docs = spark.createDataFrame([(i,) for i in range(320)], "doc_id long")
+    a = cp.shuffle_shards(docs, n_shards=8, seed=3)
+    b = cp.shuffle_shards(docs.repartition(13), n_shards=8, seed=3)
+    rows_a = {(r.doc_id, r.shard_id, r.pos) for r in a.collect()}
+    rows_b = {(r.doc_id, r.shard_id, r.pos) for r in b.collect()}
+    assert rows_a == rows_b  # partitioning-independent assignment
+    sizes = (
+        a.groupBy("shard_id").count().select("count").rdd.map(lambda r: r[0])
+    ).collect()
+    assert len(sizes) == 8
+    # bijective-hash sharding of a contiguous id range is exactly balanced
+    assert max(sizes) - min(sizes) <= 1
+    # positions are a clean 1..size sequence per shard
+    per = {
+        r.shard_id: r.n
+        for r in a.groupBy("shard_id").agg(
+            F.count("*").alias("n"), F.max("pos").alias("mx"),
+            F.min("pos").alias("mn"),
+        ).select("shard_id", "n").collect()
+    }
+    mx = {r.shard_id: (r.mn, r.mx) for r in a.groupBy("shard_id").agg(
+        F.min("pos").alias("mn"), F.max("pos").alias("mx")).collect()}
+    for sid, n in per.items():
+        assert mx[sid] == (1, n)
+
+
+def test_shuffle_shards_seed_changes_order_not_membership(spark):
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = {(r.doc_id, r.shard_id, r.pos) for r in
+         cp.shuffle_shards(docs, n_shards=4, seed=1).collect()}
+    b = {(r.doc_id, r.shard_id, r.pos) for r in
+         cp.shuffle_shards(docs, n_shards=4, seed=2).collect()}
+    assert {d for d, _, _ in a} == {d for d, _, _ in b} == set(range(100))
+    assert a != b  # a different seed is a different permutation

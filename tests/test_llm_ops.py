@@ -732,3 +732,40 @@ def test_chunk_documents_short_and_empty_docs(spark):
     assert set(by_doc) == {("one", 0), ("two", 0)}  # '!!!' normalizes away
     assert by_doc[("one", 0)]["chunk_text"] == "hello"
     assert by_doc[("two", 0)]["n_words"] == 2
+
+
+def test_chunk_documents_matches_python_model(spark):
+    """Randomized (size, stride, doc length) layouts against a pure-
+    Python model of the contract."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_words=st.integers(min_value=1, max_value=60),
+        size=st.integers(min_value=1, max_value=12),
+        stride=st.integers(min_value=1, max_value=15),
+    )
+    def run(n_words, size, stride):
+        words = [f"w{i}" for i in range(n_words)]
+        df = spark.createDataFrame([("d", " ".join(words))], ["doc_id", "text"])
+        got = sorted(
+            (r.chunk_id, r.word_start, r.n_words, r.chunk_text)
+            for r in tx.chunk_documents(df, size=size, stride=stride).collect()
+        )
+        exp = [
+            (
+                i,
+                s + 1,
+                len(words[s:s + size]),
+                " ".join(words[s:s + size]),
+            )
+            for i, s in enumerate(range(0, n_words, stride))
+        ]
+        assert got == exp
+
+    run()
