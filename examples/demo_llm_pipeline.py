@@ -96,6 +96,34 @@ def main() -> None:
     shards = packed.count()
     print(f"sample+pack: {n2} -> {n3} docs -> {shards} 256-token shards")
 
+    # 6b. training-export tail: bigram-LM gate -> RAG chunks ->
+    # deterministic shuffled shards written partitioned by shard_id.
+    # localCheckpoint truncates the dedup-pipeline lineage first:
+    # stupid_backoff_nll references its input ~6 times (model counts,
+    # pairs, first words), and without truncation each reference
+    # re-derives the whole upstream gate/dedup DAG (measured: thousands
+    # of stages at sf0.01).
+    sampled = sampled.localCheckpoint()
+    sb = textops.stupid_backoff_nll(
+        sampled, model_df=sampled.where(F.col("lang") == "en")
+    )
+    lm_kept = sampled.join(
+        sb.where(F.col("avg_nll") <= 12.0).select("doc_id"), "doc_id"
+    )
+    chunks = textops.chunk_documents(lm_kept, size=32, stride=24)
+    shard_map = corpus.shuffle_shards(lm_kept, n_shards=4, seed=7)
+    export = chunks.join(shard_map.select("doc_id", "shard_id", "pos"), "doc_id")
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="training_export_")
+    export.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+    per_shard = {
+        r["shard_id"]: r["n"]
+        for r in export.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    print(f"training export: {lm_kept.count()} docs -> {chunks.count()} chunks "
+          f"-> 4 shards {sorted(per_shard.values())} at {out_dir}")
+
     # 7. corpus stats on the cleaned set
     stats = textops.text_stats(survivors).agg(
         F.round(F.avg("n_words"), 1).alias("avg_words"),
