@@ -816,7 +816,13 @@ def semantic_admit(
         .select(F.col("id_b").alias(idc))
         .distinct()
     )
-    kept_within = assigned.join(F.broadcast(within_losers), idc, "left_anti")
+    # persist + count ONCE: four downstream actions (cell collect, the
+    # two stats counts, the append write) would each re-run the
+    # within-batch cosine join otherwise — measured 3x the entry wall
+    kept_within = assigned.join(
+        F.broadcast(within_losers), idc, "left_anti"
+    ).persist()
+    n_within_kept = kept_within.count()
 
     delta_cells = [int(r["cell"]) for r in kept_within.select("cell").distinct().collect()]
     stored = index.vectors().filter(F.col("cell").isin(delta_cells))
@@ -842,11 +848,18 @@ def semantic_admit(
     n_kept = kept.count()
     stats = {
         "batch": n_batch,
-        "within_dropped": n_batch - kept_within.count(),
-        "cross_dropped": kept_within.count() - n_kept,
+        "within_dropped": n_batch - n_within_kept,
+        "cross_dropped": n_within_kept - n_kept,
         "admitted": n_kept,
     }
     if append and n_kept:
         index.append(kept, cell_col="cell")
     assigned.unpersist()
+    # kept_within stays cached ON PURPOSE: the returned `kept` plan
+    # reads through it, and the caller's collect comes next.  It is
+    # delta-sized (bounded by the batch regime, never corpus-sized) and
+    # LRU-evictable; unpersisting here would make the caller re-run the
+    # within-batch cosine join — and for append=True a re-execution
+    # after the index mutation is a correctness hazard, not just a slow
+    # path (the batch would match itself in the stored side).
     return kept, stats
