@@ -5279,6 +5279,56 @@ def chunk_documents_q(spark, sf_dir):
     return tx.chunk_documents(_t(spark, sf_dir, "documents"), size=32, stride=24)
 
 
+_WINNOW_SQL = f"""
+    WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+                  FROM documents),
+    d AS (SELECT doc_id, ws FROM norm
+          WHERE len(ws) >= 3 AND ws[1] <> ''),
+    gpos AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM d),
+    g AS (SELECT doc_id, i,
+                 md5(array_to_string(list_slice(ws, i, i + 2), ' ')) AS h
+          FROM gpos),
+    wm AS (SELECT doc_id, i,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                    AS fp,
+                  count(*) OVER (PARTITION BY doc_id) AS nh
+           FROM g),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wm
+            WHERE i <= greatest(nh - 3, 1)),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+    pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     count(*) AS n_shared
+              FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared FROM pairs
+    """
+
+
+@register(
+    "dedup_winnowing",
+    _WINNOW_SQL,
+    tags=("llm", "X-2", "winnowing", "fingerprint"),
+)
+def dedup_winnowing_q(spark, sf_dir):
+    """Winnowed-fingerprint near-dup candidates (Schleimer et al.
+    SIGMOD 2003 — the MOSS scheme; operators/dedup.py:winnow_pairs):
+    md5 every word-3-gram, keep each 4-window's minimum (any shared run
+    >= 6 words is GUARANTEED a shared fingerprint at ~2/(w+1) of the
+    gram volume), then the df-capped inverted-index self-join every
+    dedup flavor here uses.  Selection is in-array (transform / slice /
+    array_min) — zero shuffle until the fingerprint explode; the
+    oracle replays md5 + window-min + cap + join exactly (md5 hex
+    strings order identically in both engines)."""
+    from .operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"), k=3, window=4,
+        min_shared=2, doc_freq_cap=50,
+    )
+
+
 _SHARD_SQL = """
     WITH h AS (SELECT doc_id,
                       ((doc_id * 2654435761 + 7) % 4294967296) AS shuffle_key
@@ -5429,7 +5479,6 @@ _DRIVER_PRIORITY = [
     "store_compacted_logs",
     "store_tx_bloom_lookup",
     "store_projection_logs",
-    "bm25_search",
     # -- never driver-checked: NEW round-6 entries ----------------------
     # (window_running_sum / window_lag_delta / multimodal_meta /
     # approx_distinct_users / repetition_signals displaced to the drop
@@ -5446,6 +5495,7 @@ _DRIVER_PRIORITY = [
     "chunk_documents",
     "store_time_travel",
     "corpus_shuffle_shards",
+    "dedup_winnowing",
 ]
 
 

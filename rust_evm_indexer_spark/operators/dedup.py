@@ -441,3 +441,96 @@ def simhash_pairs(
         cand.select("a_id", "b_id", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# -- Winnowing fingerprints (Schleimer et al., SIGMOD 2003) ----------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fp) pairs: winnowed document fingerprints — the MOSS
+    local-document-fingerprinting scheme (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003).  Hash every word ``k``-gram, slide a ``window`` over
+    the hash sequence, keep each window's MINIMUM: any shared substring
+    of length >= k + window - 1 words is GUARANTEED to share a
+    fingerprint, while only ~2/(window+1) of the grams are retained.
+
+    The hash is md5 of the gram text, compared as hex strings — both
+    engines produce identical digests and identical string ordering, so
+    the DuckDB oracle replays selection exactly.  All in-array
+    (transform / slice / array_min under whole-stage codegen): zero
+    shuffle and zero Python until the fingerprints explode, and the
+    word array is materialized behind a select boundary so the
+    normalize pipeline runs once per doc, not once per lambda element
+    (the word_shingles lesson).  Documents shorter than ``k`` words
+    have no grams and drop out, matching the SQL mirror.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_ws")
+    ).where((F.size("_ws") >= k) & (F.element_at("_ws", 1) != ""))
+    grams = words.select(
+        id_col,
+        F.expr(
+            f"transform(sequence(1, size(_ws) - {k} + 1), "
+            f"i -> md5(array_join(slice(_ws, i, {k}), ' ')))"
+        ).alias("_h"),
+    )
+    fps = grams.select(
+        id_col,
+        F.when(
+            F.size("_h") >= window,
+            F.expr(
+                f"transform(sequence(1, size(_h) - {window} + 1), "
+                f"j -> array_min(slice(_h, j, {window})))"
+            ),
+        )
+        .otherwise(F.array(F.array_min("_h")))
+        .alias("_fps"),
+    )
+    return fps.select(
+        id_col, F.explode(F.array_distinct("_fps")).alias("fp")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    doc_freq_cap: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs sharing >= ``min_shared`` winnowed
+    fingerprints: (a_id, b_id, n_shared), a_id < b_id.
+
+    The inverted-index self-join shape shared by every dedup flavor
+    here: fingerprints whose document frequency exceeds
+    ``doc_freq_cap`` are dropped FIRST (boilerplate grams — a
+    fingerprint in f docs contributes f² join rows, so the cap bounds
+    the worst key's fan-out; same recall trade as ngram_jaccard's
+    top_shingle_cap, and winnowing guarantees survivors for any shared
+    run longer than k+window-1 words)."""
+    fp = winnow_fingerprints(
+        df, text_col=text_col, k=k, window=window, id_col=id_col
+    )
+    rare = fp.groupBy("fp").agg(F.count("*").alias("_df")).where(
+        F.col("_df") <= doc_freq_cap
+    )
+    fp = fp.join(rare.select("fp"), "fp")
+    a = fp.select(F.col("fp"), F.col(id_col).alias("a_id"))
+    b = fp.select(F.col("fp"), F.col(id_col).alias("b_id"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

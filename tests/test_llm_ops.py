@@ -769,3 +769,49 @@ def test_chunk_documents_matches_python_model(spark):
         assert got == exp
 
     run()
+
+
+# --- winnowing fingerprints (Schleimer et al. SIGMOD 2003) -----------------
+
+
+def test_winnowing_guarantee_shared_run_detected(spark):
+    """The winnowing theorem: two documents sharing a word run of
+    length >= k + window - 1 (= 6 here) MUST share a fingerprint, no
+    matter what surrounds it."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"totally different prefix words {shared} and other tail"),
+        (3, "nothing in common with anyone at all here today friends"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dd.winnow_pairs(df, k=3, window=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnowing_recovers_planted_dups(docs, exact_pairs):
+    got = {
+        (r.a_id, r.b_id)
+        for r in dd.winnow_pairs(docs, k=3, window=4, min_shared=2).collect()
+    }
+    assert exact_pairs <= got  # exact dups share every fingerprint
+
+
+def test_winnowing_density_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "p q r")],
+        ["doc_id", "text"],
+    )
+    fp = dd.winnow_fingerprints(df, k=3, window=4)
+    per = {r.doc_id: r.n for r in
+           fp.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    # doc 2 has < k words -> no grams -> absent; doc 3 has exactly one
+    # gram -> one whole-window fingerprint
+    assert 2 not in per and per[3] == 1
+    # doc 1: 8 grams, 5 full windows -> between 1 and 5 distinct minima,
+    # strictly fewer fingerprints than grams (the winnowing compression)
+    assert 1 <= per[1] <= 5
