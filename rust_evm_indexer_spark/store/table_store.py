@@ -1132,6 +1132,59 @@ class TableStore:
             return pc.sum(tbl["rows"]).as_py() or 0
         return sum(f.rows for f in m.tables.get(table, []))
 
+    def stats(self) -> dict:
+        """Metadata-only store observability — the numbers an operator
+        dashboards before deciding to compact/refresh/vacuum, computed
+        entirely from the current manifest + local file metadata (no
+        data read, no Spark job; cost O(#fragments) like any manifest
+        walk).
+
+        Per table: fragment/row counts, on-disk bytes, block bounds,
+        index-tier coverage (how many fragments carry blooms / dicts).
+        Per projection: layout, fragment count, ``stale`` (a covered
+        base fragment was removed — reads raise until rebuild) and
+        ``lag_fragments`` (base fragments newer than the projection —
+        the LSM tail read_projection unions in; refresh_projection
+        drains it)."""
+        m = self.current_manifest()
+        out: dict = {"version": m.version, "tables": {}}
+        for table, frags in m.tables.items():
+            n_bytes = 0
+            for f in frags:
+                d = self.root / f.path
+                if d.exists():
+                    n_bytes += sum(
+                        p.stat().st_size for p in d.rglob("*") if p.is_file()
+                    )
+            blocks = [
+                (f.min_block, f.max_block)
+                for f in frags
+                if f.min_block is not None
+            ]
+            t: dict = {
+                "fragments": len(frags),
+                "rows": sum(f.rows for f in frags),
+                "bytes": n_bytes,
+                "bloom_fragments": sum(1 for f in frags if f.blooms),
+                "dict_fragments": sum(1 for f in frags if f.dicts),
+                "min_block": min((b for b, _ in blocks), default=None),
+                "max_block": max((b for _, b in blocks), default=None),
+                "projections": {},
+            }
+            paths = {f.path for f in frags}
+            for name, p in m.projections.get(table, {}).items():
+                covered = set(p["covers"])
+                t["projections"][name] = {
+                    "layout": p.get("layout", "range"),
+                    "cluster_by": list(p["cluster_by"]),
+                    "fragments": len(p["fragments"]),
+                    "rows": sum(f.rows for f in p["fragments"]),
+                    "stale": bool(covered - paths),
+                    "lag_fragments": len(paths - covered),
+                }
+            out["tables"][table] = t
+        return out
+
     def compact(
         self,
         table: str,

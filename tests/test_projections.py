@@ -413,3 +413,34 @@ def test_routing_prefers_zorder_with_block_bounds(spark, tmp_path):
     assert n_u == base.filter(
         F.lower(F.col("contract_address")) == probe
     ).count()
+
+
+def test_store_stats_observability(spark, tmp_path):
+    """stats() is the metadata-only ops surface: fragment/row/byte
+    counts, index-tier coverage, projection freshness (stale vs lag) —
+    all from the manifest + local file metadata, no Spark job."""
+    store = _pts_store(spark, tmp_path, n_batches=3)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=2)
+    s = store.stats()
+    t = s["tables"]["pts"]
+    assert t["fragments"] == 3 and t["rows"] == 120
+    assert t["bytes"] > 0
+    assert t["bloom_fragments"] == 3  # bloom_columns covers addr
+    assert t["min_block"] == 100 and t["max_block"] == 102
+    p = t["projections"]["by_addr"]
+    assert p["fragments"] == 2 and p["rows"] == 120
+    assert p["stale"] is False and p["lag_fragments"] == 0
+
+    # a new commit is the LSM tail: projection lags but is not stale
+    df = spark.createDataFrame(
+        [(9000 + i, f"0x{i:04x}", 200) for i in range(10)],
+        "id: long, addr: string, block_number: long",
+    )
+    store.commit({"pts": df})
+    p = store.stats()["tables"]["pts"]["projections"]["by_addr"]
+    assert p["stale"] is False and p["lag_fragments"] == 1
+
+    # compaction removes covered base fragments: projection is stale
+    store.compact("pts", max_fragments=1)
+    p = store.stats()["tables"]["pts"]["projections"]["by_addr"]
+    assert p["stale"] is True
