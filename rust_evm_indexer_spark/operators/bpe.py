@@ -182,6 +182,13 @@ def vocab_token_counts(
     of a trained tokenizer: token counting then reduces to a corpus-side
     JVM join + sum against this table (see the ``bpe_token_counts``
     catalog entry, which the DuckDB oracle replays over the export)."""
+    from ..util import ensure_package_shipped
+
+    # the UDF closes over module-level _encode_word — pickled by module
+    # REFERENCE, so workers outside the repo cwd need the package zip
+    # (only bites when the export cache is cold; the drive script runs
+    # from /tmp precisely to catch this)
+    ensure_package_shipped(docs.sparkSession)
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     @F.pandas_udf("int")
@@ -206,6 +213,9 @@ def encode_corpus(
     The Python encode runs over the DISTINCT words only (Arrow-batched
     pandas UDF, cost ∝ vocab); the corpus-sized side is a JVM explode +
     broadcast join + collect_list — no per-corpus-row Python."""
+    from ..util import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)  # _encode_word by module ref
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     @F.pandas_udf("array<string>")

@@ -96,6 +96,9 @@ def pq_encode(
     """(vec_id, [keep...,] codes array<int>) — nearest centroid per
     subspace, one Arrow-batched numpy pass per partition batch.
     ``keep`` carries extra columns (e.g. the IVF ``cell``) through."""
+    from ..util import ensure_package_shipped
+
+    ensure_package_shipped(embeddings.sparkSession)  # cold-cache safety
     import numpy as np
 
     m = len(codebooks)
