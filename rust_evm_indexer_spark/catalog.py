@@ -5376,7 +5376,15 @@ _TT_KEY = "v1 table=documents split=n_chars-even commits=2"
 def _ensure_tt_fixture(spark: SparkSession, sf_dir: str) -> Path:
     from .store import TableStore
 
-    key = f"{_TT_KEY} sf={Path(sf_dir).name}"
+    # key on source size+mtime too: the driver REGENERATES testdata each
+    # round, and a store built from last round's documents would
+    # hash-mismatch an oracle reading this round's (the param-keyed
+    # marker rule every sf-derived fixture here follows)
+    st = (Path(sf_dir) / "documents.parquet").stat()
+    key = (
+        f"{_TT_KEY} sf={Path(sf_dir).name}"
+        f" src={st.st_size}:{st.st_mtime_ns}"
+    )
     marker = _TT_DIR / "_TT_DONE"
     if marker.exists() and marker.read_text() != key:
         import shutil
