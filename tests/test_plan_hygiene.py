@@ -555,3 +555,14 @@ def test_stupid_backoff_join_posture(spark):
     # NO hint — at sf0.01 the planner may still size-broadcast it, but at
     # 100 TB it degrades gracefully to a key-partitioned equi-join
     assert broadcast_hint_count(df) == 5, broadcast_hint_count(df)
+
+
+def test_winnowing_join_posture(spark):
+    """Winnowed-fingerprint candidates: selection is in-array (no
+    Exchange before the explode), the pair join is a plain equi-join
+    on fp — never cartesian — and nothing crosses into Python."""
+    df = CATALOG["dedup_winnowing"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert broadcast_hint_count(df) == 0  # both join sides scale with data
