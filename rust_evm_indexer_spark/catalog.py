@@ -5370,7 +5370,7 @@ def corpus_shuffle_shards_q(spark, sf_dir):
 # a predicate the oracle replays over the raw table with no exports.
 
 _TT_DIR = FIXTURE_CACHE / "timetravel"
-_TT_KEY = "v1 table=documents split=n_chars-even commits=2"
+_TT_KEY = "v2 table=documents split=n_chars-even commits=2 upsert=mod10-upper"
 
 
 def _ensure_tt_fixture(spark: SparkSession, sf_dir: str) -> Path:
@@ -5395,6 +5395,16 @@ def _ensure_tt_fixture(spark: SparkSession, sf_dir: str) -> Path:
         store = TableStore(spark, _TT_DIR / "store")
         store.commit({"documents": docs.where(F.col("n_chars") % 2 == 0)})
         store.commit({"documents": docs.where(F.col("n_chars") % 2 != 0)})
+        # v3: key-upsert — every mod-10 doc gets an uppercased new
+        # version (store_upsert_docs reads current; store_time_travel
+        # still pins v1, proving versions are isolated)
+        store.upsert(
+            "documents",
+            docs.where(F.col("doc_id") % 10 == 0).withColumn(
+                "text", F.upper(F.col("text"))
+            ),
+            "doc_id",
+        )
         marker.write_text(key)
     return _TT_DIR
 
@@ -5418,6 +5428,32 @@ def store_time_travel_q(spark, sf_dir):
     root = _ensure_tt_fixture(spark, sf_dir)
     store = TableStore(spark, root / "store")
     return store.read("documents", version=1).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "store_upsert_docs",
+    "SELECT doc_id,"
+    " CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END AS text,"
+    " lang, source, n_chars FROM documents",
+    tags=("store", "upsert", "merge"),
+)
+def store_upsert_docs_q(spark, sf_dir):
+    """Key-upsert under the driver contract (TableStore.upsert — the
+    Delta MERGE shape): the fixture's third commit replaces every
+    mod-10 document with an uppercased new version in ONE atomic swap
+    (old versions removed from the read path, batch visible, clean
+    fragments kept by reference).  The oracle recomputes the merged
+    state from the raw table alone, so a lost old row, a surviving
+    superseded version, or a dropped batch row all break the hash; the
+    sibling store_time_travel entry pins version 1 of the SAME store,
+    proving upsert never rewrites history."""
+    from .store import TableStore
+
+    root = _ensure_tt_fixture(spark, sf_dir)
+    store = TableStore(spark, root / "store")
+    return store.read("documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
 
@@ -5486,7 +5522,6 @@ _DRIVER_PRIORITY = [
     # entries — drains in r7 with the then-2-round-old r5 cohort) -------
     "store_compacted_logs",
     "store_tx_bloom_lookup",
-    "store_projection_logs",
     # -- never driver-checked: NEW round-6 entries ----------------------
     # (window_running_sum / window_lag_delta / multimodal_meta /
     # approx_distinct_users / repetition_signals displaced to the drop
@@ -5504,6 +5539,7 @@ _DRIVER_PRIORITY = [
     "store_time_travel",
     "corpus_shuffle_shards",
     "dedup_winnowing",
+    "store_upsert_docs",
 ]
 
 

@@ -800,6 +800,155 @@ class TableStore:
             return F.lower(F.col(column)) == value.lower()
         return F.col(column) == value
 
+    @staticmethod
+    def _in_pred(column: str, values: list):
+        """Set form of :meth:`_equals_pred` (upsert's match predicate) —
+        the same case-insensitive string semantics, compiled to an InSet
+        over the (batch-bounded) key list.  Shared with the changefeed's
+        upsert replay so both agree on which old-version rows an upsert
+        superseded."""
+        from pyspark.sql import functions as F
+
+        if values and isinstance(values[0], str):
+            return F.lower(F.col(column)).isin([v.lower() for v in values])
+        return F.col(column).isin(values)
+
+    def upsert(
+        self, table: str, df: DataFrame, key_col: str, *, max_keys: int = 65536
+    ) -> dict:
+        """Key-upsert (the Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT
+        MATCHED INSERT`` shape): every row of ``df`` replaces the rows
+        sharing its ``key_col`` value, or inserts if the key is new —
+        metadata corrections, re-scored documents, refreshed embeddings.
+        ONE atomic manifest swap: old versions removed and new rows
+        visible together or neither.
+
+        Scale contract: ``df`` is a DELTA batch (the incremental
+        regime), never corpus-sized — its distinct keys are collected
+        to prune fragments, capped at ``max_keys``.  Cost is then
+        bounded by the index tiers exactly like :meth:`delete_equals`:
+        fragments whose blooms/dicts exclude every key are kept by
+        manifest reference (zero I/O), bloom false positives cost one
+        scan, and only fragments actually holding an upserted key are
+        rewritten (``derived=True`` — the changefeed never re-delivers
+        surviving rows).  The batch itself lands as one fresh
+        non-derived fragment, so the changefeed delivers the new
+        versions as inserts; with ``include_deletes=True`` it also
+        replays the superseded old versions from the retained
+        pre-upsert fragments (op_info records the key set), so a
+        version-ordered replay — deletes before inserts within a
+        version — converges even for consumers that don't key-match.
+
+        Projections of the table are purged of the upserted keys in the
+        same swap (the delete_equals compliance contract); the new rows
+        reach projection readers through the LSM delta-union until the
+        next refresh.  ``df`` must carry at most one row per key
+        (Delta MERGE's multiple-match rule), enforced here.
+
+        Returns ``{"keys": n, "candidates": n, "rewritten": n,
+        "replaced_rows": n, "inserted_rows": n,
+        "projection_fragments_rewritten": n}``."""
+        from pyspark.sql import functions as F
+
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.col(key_col)).alias("d"),
+        ).first()
+        n_rows, n_keys = agg["n"], agg["d"]
+        if n_rows != n_keys:
+            raise ValueError(
+                f"upsert batch has {n_rows} rows but {n_keys} distinct "
+                f"{key_col} values — one row per key required (resolve "
+                "winners upstream, e.g. dedup_survivors)"
+            )
+        if n_keys > max_keys:
+            raise ValueError(
+                f"upsert batch carries {n_keys} keys > max_keys={max_keys}: "
+                "upsert is for delta batches; rewrite the table for bulk loads"
+            )
+        keys = [r[0] for r in df.select(key_col).distinct().collect()]
+        stats = {
+            "keys": len(keys),
+            "candidates": 0,
+            "rewritten": 0,
+            "replaced_rows": 0,
+            "inserted_rows": n_rows,
+            "projection_fragments_rewritten": 0,
+        }
+        m = self.current_manifest()
+        pred = self._in_pred(key_col, keys)
+        new_frags: list[Fragment] = []
+        replaced: dict[str, str | None] = {}
+        for frag in m.tables.get(table, []):
+            if not any(self._frag_keeps(frag, {key_col: k}) for k in keys):
+                new_frags.append(frag)  # index tiers exclude every key
+                continue
+            stats["candidates"] += 1
+            fdf = self.spark.read.parquet(str(self.root / frag.path))
+            n_hit = fdf.filter(pred).count()
+            if n_hit == 0:
+                new_frags.append(frag)  # false positive: scan only
+                continue
+            stats["rewritten"] += 1
+            stats["replaced_rows"] += n_hit
+            rewritten = self._write_fragment(
+                table, fdf.filter(~F.coalesce(pred, F.lit(False)))
+            )
+            replaced[frag.path] = rewritten.path if rewritten is not None else None
+            if rewritten is not None:
+                rewritten.derived = True
+                new_frags.append(rewritten)
+        batch_frag = self._write_fragment(table, df)
+        if batch_frag is not None:
+            new_frags.append(batch_frag)
+        elif stats["rewritten"] == 0:
+            return stats  # empty batch, nothing matched: don't burn a version
+        new = Manifest(
+            version=m.version + 1,
+            txns=dict(m.txns),
+            status=m.status,
+            op="upsert",
+            op_info={"table": table, "column": key_col, "values": keys},
+            tables={t: list(fs) for t, fs in m.tables.items()},
+            schemas=dict(m.schemas),
+            projections={t: dict(ps) for t, ps in m.projections.items()},
+        )
+        evolved = _evolve_schema(self._read_schema(m, table), df.schema)
+        new.schemas[table] = evolved.jsonValue()
+        new.tables[table] = new_frags
+        for name, proj in dict(new.projections.get(table, {})).items():
+            if not any(p in replaced for p in proj["covers"]):
+                continue
+            new_covers = [
+                replaced.get(p, p) for p in proj["covers"]
+                if replaced.get(p, p) is not None
+            ]
+            new_pfrags: list[Fragment] = []
+            for pf in proj["fragments"]:
+                if not any(self._frag_keeps(pf, {key_col: k}) for k in keys):
+                    new_pfrags.append(pf)
+                    continue
+                pdf = self.spark.read.parquet(str(self.root / pf.path))
+                if pdf.filter(pred).count() == 0:
+                    new_pfrags.append(pf)
+                    continue
+                stats["projection_fragments_rewritten"] += 1
+                pkept = self._rewrite_projection_fragment(
+                    table, name, proj["cluster_by"][0],
+                    pdf.filter(~F.coalesce(pred, F.lit(False))),
+                )
+                if pkept is not None:
+                    new_pfrags.append(pkept)
+            new.projections[table] = dict(new.projections[table])
+            new.projections[table][name] = {
+                "cluster_by": list(proj["cluster_by"]),
+                "layout": proj.get("layout", "range"),
+                "covers": new_covers,
+                "fragments": new_pfrags,
+            }
+        self._swap(new)
+        return stats
+
     def set_status(self, status: dict) -> None:
         """Checkpoint-only upsert (O-9) when no data moved."""
         m = self.current_manifest()
@@ -944,9 +1093,13 @@ class TableStore:
                     "to consume at-least-once"
                 )
             cur_paths = {f.path for f in m.tables.get(table, [])}
+            # upserts replay like deletes: the superseded old versions
+            # come from the replaced pre-upsert fragments via the
+            # recorded key set (the new versions arrive as ordinary
+            # inserts from the batch fragment in the same version)
             if (
                 include_deletes
-                and m.op == "delete"
+                and m.op in ("delete", "upsert")
                 and m.op_info is not None
                 and m.op_info.get("table") == table
             ):
@@ -991,9 +1144,14 @@ class TableStore:
         ] + [
             # deleted rows = the recorded predicate applied to the
             # replaced pre-delete fragments (rows that did NOT match
-            # went into the derived rewrite and are not re-delivered)
+            # went into the derived rewrite and are not re-delivered);
+            # a delete records one value, an upsert its key set
             _read(paths)
-            .filter(self._equals_pred(info["column"], info["value"]))
+            .filter(
+                self._in_pred(info["column"], info["values"])
+                if "values" in info
+                else self._equals_pred(info["column"], info["value"])
+            )
             .withColumn("_change_type", F.lit("delete"))
             .withColumn("_commit_version", F.lit(v))
             for v, paths, info in deletes

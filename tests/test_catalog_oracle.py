@@ -66,7 +66,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "source_mix_weights", "substring_dup",
     "window_running_sum", "window_lag_delta", "pivot_order_status",
     "multimodal_meta", "approx_distinct_users", "repetition_signals",
-    "semantic_dedup", "bm25_search",
+    "semantic_dedup", "bm25_search", "store_projection_logs",
     # r5-green, 1 round old at r6 — rotated out to drain the r3 tail;
     # back-fill material for r7 after the r4 remainder
     "logs_filter_conj", "logs_keyset_page", "logs_offset_page",
