@@ -112,7 +112,7 @@ def main() -> None:
     # linearity assertions
     base = {}
     for name in ("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-                 "dedup_simhash"):
+                 "dedup_simhash", "dedup_winnowing"):
         base[name] = CATALOG[name].fn(spark, str(SRC)).count()
     clear_session_caches()
 
@@ -141,6 +141,15 @@ def main() -> None:
     n = run("dedup_simhash")
     checks["dedup_simhash_10x_band"] = (
         0.7 * 10 * base["dedup_simhash"] <= n <= 1.3 * 10 * base["dedup_simhash"]
+    )
+    # winnowing is hash-ORDER-valued: suffixed grams get fresh md5s, so
+    # each copy selects different window minima and near-threshold pairs
+    # flip per copy (exact dups still share every fingerprint); cross-
+    # copy grams are disjoint, so expect the simhash-style linear band
+    n = run("dedup_winnowing")
+    checks["dedup_winnowing_10x_band"] = (
+        0.7 * 10 * base["dedup_winnowing"] <= n
+        <= 1.3 * 10 * base["dedup_winnowing"]
     )
 
     # embedding flavors: rotation changes the neighbor graph (cosine
