@@ -877,10 +877,17 @@ class TableStore:
         }
         m = self.current_manifest()
         pred = self._in_pred(key_col, keys)
+        # per-key index pruning is driver-side O(keys x fragments); past
+        # a few thousand keys the loop costs more than the scans it
+        # would save AND almost every bloom admits some key anyway —
+        # skip straight to scanning (parquet pushdown still applies)
+        prune = len(keys) <= 2048
         new_frags: list[Fragment] = []
         replaced: dict[str, str | None] = {}
         for frag in m.tables.get(table, []):
-            if not any(self._frag_keeps(frag, {key_col: k}) for k in keys):
+            if prune and not any(
+                self._frag_keeps(frag, {key_col: k}) for k in keys
+            ):
                 new_frags.append(frag)  # index tiers exclude every key
                 continue
             stats["candidates"] += 1
@@ -925,7 +932,9 @@ class TableStore:
             ]
             new_pfrags: list[Fragment] = []
             for pf in proj["fragments"]:
-                if not any(self._frag_keeps(pf, {key_col: k}) for k in keys):
+                if prune and not any(
+                    self._frag_keeps(pf, {key_col: k}) for k in keys
+                ):
                     new_pfrags.append(pf)
                     continue
                 pdf = self.spark.read.parquet(str(self.root / pf.path))
