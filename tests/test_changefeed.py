@@ -127,15 +127,29 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 # op encoding: ("commit", batch_no) | ("compact",) | ("delete", addr_mod)
+#            | ("upsert", id_block) — new versions for 10 ids of block
+#              id_block (an update if that block was committed, a pure
+#              insert otherwise; repeated upserts update the update)
 _ops = st.lists(
     st.one_of(
         st.tuples(st.just("commit")),
         st.tuples(st.just("compact")),
         st.tuples(st.just("delete"), st.integers(0, 6)),
+        st.tuples(st.just("upsert"), st.integers(0, 3)),
     ),
     min_size=2,
     max_size=6,
 )
+
+
+def _upsert_batch(spark, id_block: int, seq: int):
+    rows = [
+        (id_block * 1000 + i, f"0xa{i % 7}", 900_000 + seq)
+        for i in range(10)
+    ]
+    return spark.createDataFrame(
+        rows, "id: long, addr: string, block_number: long"
+    )
 
 
 @settings(
@@ -153,6 +167,7 @@ def test_changefeed_is_insert_exact_under_random_maintenance(spark, ops):
     store = TableStore(spark, root / "s", bloom_columns={}, dict_columns={})
     inserted_at: list[tuple[int, set[int]]] = []  # (version, ids committed)
     batch_no = 0
+    seq = 0
     for op in ops:
         if op[0] == "commit":
             ids = set(range(batch_no * 1000, batch_no * 1000 + 30))
@@ -161,6 +176,13 @@ def test_changefeed_is_insert_exact_under_random_maintenance(spark, ops):
             batch_no += 1
         elif op[0] == "compact":
             store.compact("pts", max_fragments=1)
+        elif op[0] == "upsert":
+            # the new versions are first-seen rows: the insert feed must
+            # deliver them (and never the derived rewrite survivors)
+            seq += 1
+            store.upsert("pts", _upsert_batch(spark, op[1], seq), "id")
+            ids = set(range(op[1] * 1000, op[1] * 1000 + 10))
+            inserted_at.append((store.current_manifest().version, ids))
         else:
             store.delete_equals("pts", "addr", f"0xa{op[1] % 7}")
     head = store.current_manifest().version
@@ -394,15 +416,24 @@ def test_delete_feed_replay_converges_under_random_maintenance(spark, ops):
     root = Path(tempfile.mkdtemp(prefix="cf-del-prop-"))
     store = TableStore(spark, root / "s", bloom_columns={}, dict_columns={})
     batch_no = 0
+    seq = 0
+    wrote = False
     for op in ops:
         if op[0] == "commit":
             store.commit({"pts": _batch(spark, batch_no, rows_per=30)})
             batch_no += 1
+            wrote = True
         elif op[0] == "compact":
             store.compact("pts", max_fragments=1)
+        elif op[0] == "upsert":
+            # superseded versions must replay as deletes in the same
+            # version as the replacing inserts
+            seq += 1
+            store.upsert("pts", _upsert_batch(spark, op[1], seq), "id")
+            wrote = True
         else:
             store.delete_equals("pts", "addr", f"0xa{op[1] % 7}")
-    if batch_no == 0:
+    if not wrote:
         return  # nothing ever inserted; feed is trivially empty
     feed = store.changes("pts", since_version=0, include_deletes=True).collect()
     state: Counter = Counter()
