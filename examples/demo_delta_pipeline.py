@@ -5,7 +5,9 @@ delivers EXACTLY each round's survivors to a downstream consumer -> the
 consumer keeps a signed word-frequency table and refreshes a batched
 BPE vocabulary from it.  A compliance takedown (delete_equals) then
 propagates through changes(include_deletes=True): downstream subtracts
-the deleted documents' counts without ever rescanning the corpus.
+the deleted documents' counts without ever rescanning the corpus, and
+a re-score upsert replays old-version-out / new-version-in by the same
+delta algebra.
 
 Every stage's per-round cost is delta-sized; the corpus-sized state is
 only ever probed (band join) or appended (changefeed).
@@ -161,6 +163,30 @@ def main() -> None:
     print(f"takedown doc {victim}: {gone.count()} row(s) retracted "
           f"downstream, vocab refreshed ({len(merges2)} merges) — "
           f"no corpus rescan anywhere")
+
+    # re-score: upsert replaces one document's text with a new version
+    # in ONE atomic swap; the changefeed replays old-version-out /
+    # new-version-in, so the derived word counts converge by the same
+    # delta algebra (subtract deletes, add inserts) — CRUD complete,
+    # still no corpus rescan
+    target = store.read("corpus").select(F.max("doc_id")).first()[0]
+    pre = store.current_manifest().version
+    newdoc = (store.read("corpus").where(F.col("doc_id") == target)
+              .withColumn("text", F.concat(F.col("text"),
+                                           F.lit(" revised revision"))))
+    store.upsert("corpus", newdoc, "doc_id")
+    feed = store.changes("corpus", since_version=pre, include_deletes=True)
+    old = feed.where(F.col("_change_type") == "delete").drop(
+        "_change_type", "_commit_version")
+    new = feed.where(F.col("_change_type") == "insert").drop(
+        "_change_type", "_commit_version")
+    delta = (word_freqs(old).select("word", (-F.col("freq")).alias("freq"))
+             .unionByName(word_freqs(new)))
+    store.commit({"word_freq_deltas": delta})
+    revised = vocab_freqs().where(F.col("word") == "revision").first()
+    print(f"re-score doc {target}: upsert replayed "
+          f"{old.count()} old / {new.count()} new version(s); "
+          f"downstream counts picked up 'revision' x{revised['freq']}")
 
 
 if __name__ == "__main__":
