@@ -5523,9 +5523,10 @@ _DRIVER_PRIORITY = [
     "store_compacted_logs",
     "store_tx_bloom_lookup",
     # -- never driver-checked: NEW round-6 entries ----------------------
-    # (window_running_sum / window_lag_delta / multimodal_meta /
-    # approx_distinct_users / repetition_signals displaced to the drop
-    # list to make room — r4-green, first in line with the r7 drain)
+    # (displaced to the drop list to make room, all r4-green and first
+    # in line with the r7 drain: window_running_sum, window_lag_delta,
+    # multimodal_meta, approx_distinct_users, repetition_signals,
+    # semantic_dedup, bm25_search, store_projection_logs)
     "similarity_ivfpq_topk",
     "similarity_ivfpq_knn_join",
     "store_zorder_logs",

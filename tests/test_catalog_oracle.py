@@ -41,13 +41,14 @@ def test_entry_smoke(spark):
 # window (drained completely), the flagship block shrank to 6 core
 # entries, and the remaining slots back-fill the oldest r4-green names.
 #
-# ROUND-7 ROTATION PLAN (125 entries / 50 slots): (1) the r4-green
+# ROUND-7 ROTATION PLAN (127 entries / 50 slots): (1) the r4-green
 # remainder below (TPC-H q1..q20 block + the dedup/similarity batch +
-# the five names the late-r6 additions displaced: window_running_sum,
+# the eight names the late-r6 additions displaced: window_running_sum,
 # window_lag_delta, multimodal_meta, approx_distinct_users,
-# repetition_signals, semantic_dedup) — 3 rounds stale at r7, drain it
-# first (~25 entries); (2) then the oldest r5-green names (flagship
-# siblings logs_filter_conj/keyset/offset, top1_latest, stats_lag, the
+# repetition_signals, semantic_dedup, bm25_search,
+# store_projection_logs) — 3 rounds stale at r7, drain it first
+# (~27 entries); (2) then the oldest r5-green names (flagship siblings
+# logs_filter_conj/keyset/offset, top1_latest, stats_lag, the
 # evm_logs_* siblings, reorg_rollup_exact, then the r2-cohort re-checks
 # dedup_exact/similarity_topk/...).  The r6-green window entries can
 # all sit out r7 safely.
