@@ -1,0 +1,80 @@
+"""Fragment-surgical upsert economics: on a store with many fragments,
+a small-key upsert should REWRITE only the fragments that actually hold
+the keys, keep the rest by manifest reference, and the bloom tier
+should spare even the SCAN on definitely-clean fragments.
+
+Prints one JSON line:
+  {"fragments": F, "keys": K,
+   "bloom":   {"candidates": c, "rewritten": r, "wall_s": w},
+   "nobloom": {"candidates": c, "rewritten": r, "wall_s": w}}
+
+Run: python tools/upsert_bench.py  (~1-2 min)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+N_FRAGS = 64
+ROWS_PER = 2_000
+N_KEYS = 10
+
+
+def build(spark, root, bloom):
+    from rust_evm_indexer_spark.store import TableStore
+
+    store = TableStore(
+        spark, root,
+        bloom_columns={"docs": ("doc_id",)} if bloom else {},
+        dict_columns={},
+    )
+    for b in range(N_FRAGS):
+        rows = [(b * ROWS_PER + i, f"text-{b}-{i}", b) for i in range(ROWS_PER)]
+        store.commit({
+            "docs": spark.createDataFrame(
+                rows, "doc_id: long, text: string, block_number: long"
+            )
+        })
+    return store
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from rust_evm_indexer_spark.session import get_spark
+
+    spark = get_spark("upsert_bench", cpus=8, shuffle_partitions=8)
+    out = {"fragments": N_FRAGS, "keys": N_KEYS}
+    for label, bloom in (("bloom", True), ("nobloom", False)):
+        root = Path(tempfile.mkdtemp(prefix=f"upsert_bench_{label}_"))
+        store = build(spark, root / "s", bloom)
+        # keys spread across 2 fragments only
+        keys = [i for i in range(5)] + [ROWS_PER * 32 + i for i in range(5)]
+        batch = spark.createDataFrame(
+            [(k, f"new-{k}", 999) for k in keys],
+            "doc_id: long, text: string, block_number: long",
+        )
+        t0 = time.perf_counter()
+        stats = store.upsert("docs", batch, "doc_id")
+        wall = round(time.perf_counter() - t0, 2)
+        assert stats["rewritten"] == 2 and stats["replaced_rows"] == 10
+        got = store.read("docs").where(F.col("doc_id").isin(keys))
+        assert got.count() == 10
+        assert all(r["text"].startswith("new-") for r in got.collect())
+        out[label] = {
+            "candidates": stats["candidates"],
+            "rewritten": stats["rewritten"],
+            "wall_s": wall,
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
