@@ -398,6 +398,46 @@ def test_changefeed_stream_delivers_deletes_when_opted_in(spark, tmp_path):
     assert consumer.poll_once() == 0 and not seen
 
 
+def test_changefeed_stream_delivers_upsert_replays(spark, tmp_path):
+    """An upsert mid-stream arrives as old-version-out / new-version-in
+    in ONE polled window: a key-upsert-applying consumer converges, and
+    the next poll re-delivers nothing."""
+    from rust_evm_indexer_spark.streaming import ChangefeedStream
+
+    store = _mk_store(spark, tmp_path)
+    store.commit({"pts": _batch(spark, 0)})  # ids 0..49
+    state: dict[tuple, str] = {}
+
+    def apply(df, frm, to):
+        rows = sorted(
+            df.collect(),
+            key=lambda r: (r["_commit_version"],
+                           r["_change_type"] != "delete"),
+        )
+        for r in rows:
+            key = (r["id"], r["addr"], r["block_number"])
+            if r["_change_type"] == "delete":
+                state.pop(key, None)
+            else:
+                state[key] = r["_change_type"]
+
+    consumer = ChangefeedStream(
+        spark, store, "pts", apply,
+        checkpoint_path=tmp_path / "ck_up.json",
+        include_deletes=True,
+    )
+    consumer.poll_once()
+    assert len(state) == 50
+    store.upsert("pts", _upsert_batch(spark, 0, seq=1), "id")  # ids 0..9
+    consumer.poll_once()
+    fresh = {(r["id"], r["addr"], r["block_number"])
+             for r in store.read("pts").collect()}
+    assert set(state) == fresh  # converged: 10 new versions, olds gone
+    assert all(b == 900_001 for i, _, b in state if i < 10)
+    n_before = len(state)
+    assert consumer.poll_once() == 0 and len(state) == n_before
+
+
 @settings(
     max_examples=4,
     deadline=None,
