@@ -5474,73 +5474,57 @@ def clear_session_caches() -> None:
     _IVF_CACHE.clear()
 
 
-_DRIVER_PRIORITY = [
-    # -- flagship CORE (shrunk from 15 to 6 per the r6 rotation plan:
-    # one representative per flagship family — page+order, equality
-    # filter, block range, point lookup, stats, topic page; the other
-    # nine share their operators and re-enter the window on rotation
-    # like everything else) ---------------------------------------------
-    "logs_page_first",
-    "logs_filter_eq",
-    "logs_range",
-    "point_lookup",
-    "stats_counts",
-    "evm_logs_topic_page",
-    # -- r3-green tail: newest driver green is round 3 — 3 rounds stale
-    # at r6, the catalog's staleness ceiling.  The rotation plan says
-    # drain COMPLETELY this round (all 28) ------------------------------
-    "multimodal_resize",
-    "multimodal_frames",
-    "evm_block_activity",
-    "pack_sequences",
-    "decontaminate_ngram",
-    "evm_address_activity",
-    "gopher_quality",
-    "unigram_nll",
-    "similarity_ivf_knn_join",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "window_topk_per_group",
-    "events_sessionize",
-    "events_sliding_rollup",
-    "rollup_orders",
-    "cube_lineitem",
-    "distinct_agg",
-    "set_ops_customers",
-    "semi_join_exists",
-    "anti_join_not_exists",
-    "asof_join_events",
-    "range_join_events",
-    "median_per_type",
-    "orders_monthly",
-    "dedup_survivors",
-    "json_extract_props",
-    "json_agg_by_key",
-    # -- oldest r4-green back-fill (2 rounds stale at r6; the remaining
-    # r4 cohort — TPC-H q1..q20 block and the dedup/similarity batch
-    # entries — drains in r7 with the then-2-round-old r5 cohort) -------
-    "store_compacted_logs",
-    "store_tx_bloom_lookup",
-    # -- never driver-checked: NEW round-6 entries ----------------------
-    # (displaced to the drop list to make room, all r4-green and first
-    # in line with the r7 drain: window_running_sum, window_lag_delta,
-    # multimodal_meta, approx_distinct_users, repetition_signals,
-    # semantic_dedup, bm25_search, store_projection_logs)
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_knn_join",
-    "store_zorder_logs",
-    "store_changefeed_deletes",
-    "semantic_admit_delta",
-    "quality_classifier_scores",
-    "dedup_spans_global",
-    "embedding_pca_whiten",
-    "lm_stupid_backoff",
-    "chunk_documents",
-    "store_time_travel",
-    "corpus_shuffle_shards",
-    "dedup_winnowing",
-    "store_upsert_docs",
+_DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
+    "logs_page_first",  # flagship-core
+    "logs_filter_eq",  # flagship-core
+    "logs_range",  # flagship-core
+    "point_lookup",  # flagship-core
+    "stats_counts",  # flagship-core
+    "evm_logs_topic_page",  # flagship-core
+    "similarity_ivfpq_topk",  # DIRTY
+    "similarity_ivfpq_knn_join",  # DIRTY
+    "semantic_admit_delta",  # DIRTY
+    "corpus_shuffle_shards",  # DIRTY
+    "store_upsert_docs",  # DIRTY
+    "store_projection_logs",  # newest green r4
+    "graph_triangle_count",  # newest green r4
+    "q1_pricing_summary",  # newest green r4
+    "q3_shipping_priority",  # newest green r4
+    "q5_local_supplier",  # newest green r4
+    "q10_returned_items",  # newest green r4
+    "q17_small_qty_avg",  # newest green r4
+    "q6_forecast_revenue",  # newest green r4
+    "q7_nation_volume",  # newest green r4
+    "q8_market_share",  # newest green r4
+    "q18_large_orders",  # newest green r4
+    "q4_priority_check",  # newest green r4
+    "q9_product_profit",  # newest green r4
+    "q12_late_shipments",  # newest green r4
+    "q20_excess_sellers",  # newest green r4
+    "events_gapfill_locf",  # newest green r4
+    "dedup_ngram_jaccard",  # newest green r4
+    "dedup_minhash_lsh",  # newest green r4
+    "dedup_embedding_cosine",  # newest green r4
+    "dedup_embedding_lsh",  # newest green r4
+    "semantic_dedup",  # newest green r4
+    "dedup_simhash",  # newest green r4
+    "similarity_ivf_topk",  # newest green r4
+    "multimodal_meta",  # newest green r4
+    "window_running_sum",  # newest green r4
+    "window_lag_delta",  # newest green r4
+    "skew_salted_topk",  # newest green r4
+    "pivot_order_status",  # newest green r4
+    "approx_distinct_users",  # newest green r4
+    "repetition_signals",  # newest green r4
+    "substring_dup",  # newest green r4
+    "source_mix_weights",  # newest green r4
+    "bm25_search",  # newest green r4
+    "jsonl_ingest",  # newest green r5
+    "logs_filter_conj",  # newest green r5
+    "logs_keyset_page",  # newest green r5
+    "logs_offset_page",  # newest green r5
+    "top1_latest",  # newest green r5
+    "stats_lag",  # newest green r5
 ]
 
 

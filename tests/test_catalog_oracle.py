@@ -30,63 +30,99 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-# Round-6 out-of-window set: every name here holds a green driver row
-# from a PREVIOUS round (r4 or r5) and was deliberately rotated out of
-# the 50-entry window to make room for staler entries.  Pinning the set
-# makes window reorders EXPLICIT: adding a catalog entry or reshuffling
-# _DRIVER_PRIORITY must consciously update this list, so external
-# driver coverage can never be dropped silently (ADVICE r3).
+# Out-of-window set: every name here holds a green driver row from a
+# PREVIOUS round and was deliberately rotated out of the 50-entry
+# window to make room for staler / never-checked / code-dirtied
+# entries.  Pinning the set makes window reorders EXPLICIT: adding a
+# catalog entry or reshuffling _DRIVER_PRIORITY must consciously update
+# this list, so external driver coverage can never be dropped silently
+# (ADVICE r3).
 #
-# r6 executed the rotation plan: the 28-entry r3-green tail is IN the
-# window (drained completely), the flagship block shrank to 6 core
-# entries, and the remaining slots back-fill the oldest r4-green names.
-#
-# ROUND-7 ROTATION PLAN (127 entries / 50 slots): (1) the r4-green
-# remainder below (TPC-H q1..q20 block + the dedup/similarity batch +
-# the eight names the late-r6 additions displaced: window_running_sum,
-# window_lag_delta, multimodal_meta, approx_distinct_users,
-# repetition_signals, semantic_dedup, bm25_search,
-# store_projection_logs) — 3 rounds stale at r7, drain it first
-# (~27 entries); (2) then the oldest r5-green names (flagship siblings
-# logs_filter_conj/keyset/offset, top1_latest, stats_lag, the
-# evm_logs_* siblings, reorg_rollup_exact, then the r2-cohort re-checks
-# dedup_exact/similarity_topk/...).  The r6-green window entries can
-# all sit out r7 safely.
+# Since round 7 the ordering is GENERATED, not hand-written: both this
+# set and catalog._DRIVER_PRIORITY come from `tools/rotation_plan.py
+# --emit`, which derives per-entry freshness from the CORRECTNESS_r*.json
+# history (flagship core pinned; never-checked + DIRTY first; then
+# stalest-green first).  test_rotation_plan.py asserts the committed
+# window matches the generated one, so the bookkeeping can't drift from
+# the data (VERDICT r6 "what's wrong" #4).
 _EXPECTED_OUT_OF_WINDOW = {
-    # r4-green remainder, 2 rounds old at r6 — FIRST IN LINE for r7
-    "q1_pricing_summary", "q3_shipping_priority", "q4_priority_check",
-    "q5_local_supplier", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q12_late_shipments", "q17_small_qty_avg", "q18_large_orders",
-    "q20_excess_sellers",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_embedding_lsh", "similarity_ivf_topk",
-    # r4-green, displaced from the back-fill block by the new r6
-    # entries (never-driver-checked entries take the slot)
-    "graph_triangle_count", "events_gapfill_locf", "skew_salted_topk",
-    "source_mix_weights", "substring_dup",
-    "window_running_sum", "window_lag_delta", "pivot_order_status",
-    "multimodal_meta", "approx_distinct_users", "repetition_signals",
-    "semantic_dedup", "bm25_search", "store_projection_logs",
-    # r5-green, 1 round old at r6 — rotated out to drain the r3 tail;
-    # back-fill material for r7 after the r4 remainder
-    "logs_filter_conj", "logs_keyset_page", "logs_offset_page",
-    "top1_latest", "stats_lag", "evm_logs_address_range",
-    "evm_logs_cursor_page", "evm_logs_blockhash_override",
-    "reorg_rollup_exact",
-    "approx_quantile_p90", "cms_user_frequency", "unpivot_part_metrics",
-    "interval_join_events", "evm_wei_sum_exact", "funnel_conversion",
-    "retention_cohorts", "sample_weighted", "store_topic0_dict_logs",
-    "jsonl_ingest", "bpe_token_counts", "similarity_pq_topk",
-    "dedup_exact", "similarity_topk", "similarity_knn_join",
-    "text_stats", "token_counts",
-    "q14_promo_revenue", "q15_top_supplier", "q2_min_cost_supplier",
-    "q11_important_parts", "q16_supplier_counts", "q19_disjunctive",
-    "q21_sole_supplier", "q22_idle_customers", "q13_order_distribution",
-    "orders_having", "events_hourly_rollup",
-    "multimodal_features", "similarity_ivf_kmeans", "dedup_clusters",
-    "pii_redact", "sample_stratified", "evm_join_enriched",
-    "evm_transfer_volume",
+    "anti_join_not_exists",  # newest green r6
+    "approx_quantile_p90",  # newest green r5
+    "asof_join_events",  # newest green r6
+    "bpe_token_counts",  # newest green r5
+    "chunk_documents",  # newest green r6
+    "cms_user_frequency",  # newest green r5
+    "cube_lineitem",  # newest green r6
+    "decontaminate_ngram",  # newest green r6
+    "dedup_clusters",  # newest green r5
+    "dedup_exact",  # newest green r5
+    "dedup_spans_global",  # newest green r6
+    "dedup_survivors",  # newest green r6
+    "dedup_winnowing",  # newest green r6
+    "distinct_agg",  # newest green r6
+    "doc_fingerprint",  # newest green r6
+    "embedding_pca_whiten",  # newest green r6
+    "events_hourly_rollup",  # newest green r5
+    "events_sessionize",  # newest green r6
+    "events_sliding_rollup",  # newest green r6
+    "evm_address_activity",  # newest green r6
+    "evm_block_activity",  # newest green r6
+    "evm_join_enriched",  # newest green r5
+    "evm_logs_address_range",  # newest green r5
+    "evm_logs_blockhash_override",  # newest green r5
+    "evm_logs_cursor_page",  # newest green r5
+    "evm_transfer_volume",  # newest green r5
+    "evm_wei_sum_exact",  # newest green r5
+    "funnel_conversion",  # newest green r5
+    "gopher_quality",  # newest green r6
+    "interval_join_events",  # newest green r5
+    "json_agg_by_key",  # newest green r6
+    "json_extract_props",  # newest green r6
+    "lang_id",  # newest green r6
+    "lm_stupid_backoff",  # newest green r6
+    "median_per_type",  # newest green r6
+    "multimodal_features",  # newest green r5
+    "multimodal_frames",  # newest green r6
+    "multimodal_resize",  # newest green r6
+    "orders_having",  # newest green r5
+    "orders_monthly",  # newest green r6
+    "pack_sequences",  # newest green r6
+    "pii_redact",  # newest green r5
+    "q11_important_parts",  # newest green r5
+    "q13_order_distribution",  # newest green r5
+    "q14_promo_revenue",  # newest green r5
+    "q15_top_supplier",  # newest green r5
+    "q16_supplier_counts",  # newest green r5
+    "q19_disjunctive",  # newest green r5
+    "q21_sole_supplier",  # newest green r5
+    "q22_idle_customers",  # newest green r5
+    "q2_min_cost_supplier",  # newest green r5
+    "quality_classifier_scores",  # newest green r6
+    "quality_score",  # newest green r6
+    "range_join_events",  # newest green r6
+    "reorg_rollup_exact",  # newest green r5
+    "retention_cohorts",  # newest green r5
+    "rollup_orders",  # newest green r6
+    "sample_stratified",  # newest green r5
+    "sample_weighted",  # newest green r5
+    "semi_join_exists",  # newest green r6
+    "set_ops_customers",  # newest green r6
+    "similarity_ivf_kmeans",  # newest green r5
+    "similarity_ivf_knn_join",  # newest green r6
+    "similarity_knn_join",  # newest green r5
+    "similarity_pq_topk",  # newest green r5
+    "similarity_topk",  # newest green r5
+    "store_changefeed_deletes",  # newest green r6
+    "store_compacted_logs",  # newest green r6
+    "store_time_travel",  # newest green r6
+    "store_topic0_dict_logs",  # newest green r5
+    "store_tx_bloom_lookup",  # newest green r6
+    "store_zorder_logs",  # newest green r6
+    "text_stats",  # newest green r5
+    "token_counts",  # newest green r5
+    "unigram_nll",  # newest green r6
+    "unpivot_part_metrics",  # newest green r5
+    "window_topk_per_group",  # newest green r6
 }
 
 
