@@ -131,6 +131,7 @@ def main() -> None:
             idx, cb, root / "codes",
             admitted.select("vec_id", "embedding"),
         )
+        sstats["release"]()  # terminal action on `admitted` done
     n_codes = spark.read.parquet(str(root / "codes")).count()
     probe_vec = [float(x) for x in seed_emb.first()["embedding"]]
     hit = PQ.ivfpq_search(

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 from .functions.timeutil import ts_micros
 from .operators import dedup as dd
+from .operators.corpus import knuth_sql as _knuth_sql
+from .operators.corpus import sample_hash as _sample_hash
 from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import textops as tx
@@ -3867,10 +3869,10 @@ def retention_cohorts(spark, sf_dir):
 
 @register(
     "sample_weighted",
-    """
+    f"""
     WITH w AS (
       SELECT doc_id, n_chars,
-             (((doc_id * 2654435761) % 4294967296) + 0.5)
+             ({_knuth_sql("doc_id")} + 0.5)
                  / 4294967296.0 AS u
       FROM documents WHERE n_chars > 0)
     SELECT doc_id, n_chars FROM (
@@ -3898,7 +3900,7 @@ def sample_weighted(spark, sf_dir):
     doc = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     # +0.5 keeps u strictly inside (0,1): Spark's log(0) is NULL while
     # DuckDB's ln(0) is -inf, so u = 0 would diverge engines.
-    m = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    m = _sample_hash(F.col("doc_id"))
     k = F.log((m + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("n_chars")
     return (
         doc.select("doc_id", "n_chars", k.alias("k"))
@@ -4740,7 +4742,7 @@ _SAMPLE_CASE = "CASE lang {} ELSE {} END".format(
     "sample_stratified",
     f"""
     SELECT doc_id, lang, source FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 < ({_SAMPLE_CASE})
+    WHERE {_knuth_sql("doc_id")} < ({_SAMPLE_CASE})
     """,
     tags=("llm", "X-4", "sampling"),
 )
@@ -5329,9 +5331,10 @@ def dedup_winnowing_q(spark, sf_dir):
     )
 
 
-_SHARD_SQL = """
+_SHARD_SQL = f"""
     WITH h AS (SELECT doc_id,
-                      ((doc_id * 2654435761 + 7) % 4294967296) AS shuffle_key
+                      (({_knuth_sql("doc_id")} + 7) % 4294967296)
+                          AS shuffle_key
                FROM documents)
     SELECT doc_id,
            CAST(shuffle_key % 16 AS BIGINT) AS shard_id,
@@ -5472,6 +5475,10 @@ def clear_session_caches() -> None:
                 pass
         cache.clear()
     _IVF_CACHE.clear()
+    # semantic_admit registers one delta-sized cache per batch; safe to
+    # drain here because callers are done with their `kept` frames by
+    # the time a new bench entry starts (ADVICE r6)
+    sim.release_admit_caches()
 
 
 _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py

@@ -247,11 +247,35 @@ def pii_scan(df: DataFrame, text_col: str = "pii_text") -> DataFrame:
 #: (rand(seed) is none of those: it depends on partition layout).
 _KNUTH = 2654435761
 _MOD = 4294967296  # 2^32
+# 16-bit split of the multiplier for overflow-safe products: with the id
+# first reduced mod 2^32, every partial product stays under 2^48 — far
+# inside int64 — so the hash is exact for ANY non-negative int64 id.
+# The naive (id * _KNUTH) % _MOD overflows int64 once id > ~3.47e9:
+# Spark (non-ANSI) silently wraps negative while ANSI engines raise, so
+# the two engines would diverge exactly at scale (ADVICE r6).
+_KNUTH_HI = _KNUTH >> 16  # 40503
+_KNUTH_LO = _KNUTH & 0xFFFF  # 17329
 
 
 def sample_hash(id_col: Column | str) -> Column:
+    """``(id · _KNUTH) mod 2³²`` for non-negative int64 ids, computed as
+    two 16-bit partial products so no intermediate exceeds 2^48."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c * F.lit(_KNUTH)) % F.lit(_MOD)
+    x = F.pmod(c, F.lit(_MOD))
+    lo = (x * F.lit(_KNUTH_LO)) % F.lit(_MOD)
+    hi = ((x * F.lit(_KNUTH_HI)) % F.lit(65536)) * F.lit(65536)
+    return (lo + hi) % F.lit(_MOD)
+
+
+def knuth_sql(expr: str) -> str:
+    """ANSI-SQL replay of :func:`sample_hash` — the identical partial-
+    product arithmetic, so DuckDB oracles match Spark bit-for-bit on the
+    full non-negative int64 domain (no silent wrap / no out-of-range)."""
+    x = f"(({expr}) % {_MOD})"
+    return (
+        f"((({x} * {_KNUTH_LO}) % {_MOD}"
+        f" + (({x} * {_KNUTH_HI}) % 65536) * 65536) % {_MOD})"
+    )
 
 
 def stratified_sample(
@@ -765,10 +789,12 @@ def shuffle_shards(
     equal shards, and REPRODUCIBLE — the epoch-0 order must be
     re-derivable after a failed export, on any cluster size.  ``rand()``
     gives none of that.  Here the permutation key is a Knuth
-    multiplicative hash of the id (odd multiplier ⇒ bijective mod 2^32,
-    so no collisions reorder ties differently across engines) offset by
-    ``seed``; shard = key mod N, position = rank of the key within the
-    shard.
+    multiplicative hash of the id (odd multiplier ⇒ bijective mod 2^32
+    for ids below 2^32; larger ids first reduce mod 2^32 via the
+    overflow-safe partial products in ``sample_hash``, and the
+    ``(shuffle_key, id)`` order-by breaks any resulting ties
+    identically on every engine) offset by ``seed``; shard = key mod N,
+    position = rank of the key within the shard.
 
     Scale shape: ONE Exchange on shard_id (uniform by construction — a
     bijection mod 2^32 taken mod N is balanced, no skew salting needed)
@@ -781,7 +807,7 @@ def shuffle_shards(
         raise ValueError("n_shards must be >= 1")
     from pyspark.sql import Window
 
-    key = ((F.col(id_col) * F.lit(_KNUTH)) + F.lit(seed)) % F.lit(_MOD)
+    key = (sample_hash(id_col) + F.lit(seed)) % F.lit(_MOD)
     shard = (key % F.lit(n_shards)).cast("long")
     w = Window.partitionBy("shard_id").orderBy("shuffle_key", id_col)
     return (

@@ -751,6 +751,32 @@ def ivf_topk_trained(
     )
 
 
+# Live kept_within caches from semantic_admit calls: each admit batch
+# persists one delta-sized frame that must outlive the caller's terminal
+# action on the returned `kept` (see the comment at the return site), so
+# semantic_admit cannot unpersist it itself.  The registry gives
+# long-lived sessions (bench drives, streaming micro-batch loops) a
+# bulk-release path — catalog.clear_session_caches() drains it — while
+# stats["release"] releases a single batch's cache (ADVICE r6).
+_ADMIT_CACHES: list[DataFrame] = []
+
+
+def release_admit_caches() -> int:
+    """Unpersist every live ``semantic_admit`` cache; returns how many.
+    Call only when all previously returned ``kept`` frames are done
+    (collected/written): a later action on one would re-run the
+    within-batch cosine join — against the ALREADY-APPENDED index for
+    ``append=True`` batches, which self-matches and corrupts results."""
+    n = len(_ADMIT_CACHES)
+    for df in _ADMIT_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _ADMIT_CACHES.clear()
+    return n
+
+
 def semantic_admit(
     index: IvfIndex,
     new_embeddings: DataFrame,
@@ -861,5 +887,22 @@ def semantic_admit(
     # LRU-evictable; unpersisting here would make the caller re-run the
     # within-batch cosine join — and for append=True a re-execution
     # after the index mutation is a correctness hazard, not just a slow
-    # path (the batch would match itself in the stored side).
+    # path (the batch would match itself in the stored side).  The
+    # caller releases it AFTER its terminal action on `kept`, either
+    # per-batch via stats["release"] or in bulk via
+    # release_admit_caches(); otherwise a long-lived session accumulates
+    # one delta-sized cache per admit batch (ADVICE r6).
+    _ADMIT_CACHES.append(kept_within)
+
+    def _release() -> None:
+        try:
+            kept_within.unpersist()
+        except Exception:
+            pass
+        try:
+            _ADMIT_CACHES.remove(kept_within)
+        except ValueError:
+            pass  # already drained by release_admit_caches()
+
+    stats["release"] = _release
     return kept, stats

@@ -849,17 +849,27 @@ class TableStore:
         "replaced_rows": n, "inserted_rows": n,
         "projection_fragments_rewritten": n}``."""
         from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
 
+        # the guard must count keys with the SAME semantics _in_pred
+        # matches them: string keys compare case-insensitively, so
+        # 'Key-A' and 'key-a' are ONE key — counting them as two would
+        # let both rows insert and leave two live versions (ADVICE r6)
+        key_is_str = isinstance(df.schema[key_col].dataType, StringType)
+        key_expr = F.lower(F.col(key_col)) if key_is_str else F.col(key_col)
         agg = df.agg(
             F.count("*").alias("n"),
-            F.count_distinct(F.col(key_col)).alias("d"),
+            F.count_distinct(key_expr).alias("d"),
         ).first()
         n_rows, n_keys = agg["n"], agg["d"]
         if n_rows != n_keys:
             raise ValueError(
                 f"upsert batch has {n_rows} rows but {n_keys} distinct "
-                f"{key_col} values — one row per key required (resolve "
-                "winners upstream, e.g. dedup_survivors)"
+                f"{key_col} values"
+                + (" (string keys compare case-insensitively, matching "
+                   "the upsert match predicate)" if key_is_str else "")
+                + " — one row per key required (resolve winners "
+                "upstream, e.g. dedup_survivors)"
             )
         if n_keys > max_keys:
             raise ValueError(

@@ -290,3 +290,45 @@ def test_shuffle_shards_seed_changes_order_not_membership(spark):
          cp.shuffle_shards(docs, n_shards=4, seed=2).collect()}
     assert {d for d, _, _ in a} == {d for d, _, _ in b} == set(range(100))
     assert a != b  # a different seed is a different permutation
+
+
+# --- sample_hash: overflow safety above 2^32 (ADVICE r6) -------------------
+
+
+def test_sample_hash_overflow_safe_matches_python_and_duckdb(spark, duck):
+    """Ids past ~3.47e9 used to overflow (id * 2654435761) in int64:
+    Spark wrapped negative while ANSI engines raise.  The partial-product
+    form must equal ((id % 2^32) * K) % 2^32 exactly, stay non-negative,
+    and evaluate identically in DuckDB for the FULL non-negative int64
+    domain."""
+    ids = [
+        0, 1, 7, 12345,
+        3_473_400_000,            # just below the old overflow point
+        3_473_400_001, 2**32 - 1,
+        2**32, 2**32 + 9,         # reduce-mod-2^32 regime
+        5_000_000_000, 2**48 + 3, 2**62, 2**63 - 1,
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", cp.sample_hash("doc_id").alias("h")
+        ).collect()
+    }
+    expected = {i: ((i % 2**32) * 2654435761) % 2**32 for i in ids}
+    assert got == expected
+    assert all(0 <= h < 2**32 for h in got.values())
+
+    duck_rows = duck.execute(
+        "SELECT doc_id, " + cp.knuth_sql("doc_id") + " AS h "
+        "FROM (SELECT unnest(?) AS doc_id)", [ids]
+    ).fetchall()
+    assert {d: h for d, h in duck_rows} == expected
+
+
+def test_shuffle_shards_handles_huge_ids(spark):
+    ids = [1, 2, 3, 2**33 + 5, 2**62 + 1, 2**63 - 1]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = cp.shuffle_shards(docs, n_shards=4, seed=7).collect()
+    assert {r.doc_id for r in rows} == set(ids)
+    assert all(r.shard_id >= 0 and r.shuffle_key >= 0 for r in rows)

@@ -815,3 +815,36 @@ def test_winnowing_density_and_short_docs(spark):
     # doc 1: 8 grams, 5 full windows -> between 1 and 5 distinct minima,
     # strictly fewer fingerprints than grams (the winnowing compression)
     assert 1 <= per[1] <= 5
+
+
+def test_semantic_admit_caches_are_releasable(spark, tmp_path):
+    """Each admit batch persists one delta-sized frame; a long-lived
+    session must be able to release them — per-batch via
+    stats["release"] or in bulk via release_admit_caches() (ADVICE r6)."""
+    from rust_evm_indexer_spark.operators import similarity as sim
+    from rust_evm_indexer_spark.sources.batch import load_driver_table
+
+    from conftest import SF_ORACLE
+
+    emb = load_driver_table(spark, str(SF_ORACLE), "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = _seed_index(spark, tmp_path, emb)
+    before = len(sim._ADMIT_CACHES)
+
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 305))
+    kept1, stats1 = sim.semantic_admit(idx, b1, append=False)
+    kept1.collect()  # terminal action
+    assert len(sim._ADMIT_CACHES) == before + 1
+    assert sim._ADMIT_CACHES[-1].storageLevel.useMemory
+    cached = sim._ADMIT_CACHES[-1]
+    stats1["release"]()
+    assert len(sim._ADMIT_CACHES) == before
+    assert not cached.storageLevel.useMemory  # actually unpersisted
+    stats1["release"]()  # idempotent
+
+    b2 = emb.filter((F.col("vec_id") >= 310) & (F.col("vec_id") < 315))
+    kept2, _ = sim.semantic_admit(idx, b2, append=False)
+    kept2.collect()
+    assert sim.release_admit_caches() >= 1
+    assert len(sim._ADMIT_CACHES) == 0

@@ -126,3 +126,17 @@ def test_upsert_string_keys_case_insensitive(spark, tmp_path):
     got = {r["text"].lower() for r in store.read("docs").collect()}
     assert "v1-2" in got
     assert store.read("docs").count() == 4  # replaced, not added
+
+
+def test_upsert_guard_counts_string_keys_case_insensitively(spark, tmp_path):
+    """A batch with 'Key-A' and 'key-a' is ONE key to the match
+    predicate, so the one-row-per-key guard must reject it — otherwise
+    both rows insert and two live versions of the same key survive
+    (ADVICE r6)."""
+    store = _mk(spark, tmp_path)
+    store.commit({"docs": _rows(spark, range(0, 3), "v1")})
+    batch = spark.createDataFrame(
+        [(50, "Key-A", 1), (51, "key-a", 2)], SCHEMA)
+    with pytest.raises(ValueError, match="case-insensitively"):
+        store.upsert("docs", batch, "text")
+    assert store.current_manifest().version == 1  # state unchanged
