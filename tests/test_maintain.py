@@ -93,3 +93,72 @@ def test_maintain_with_zorder_layout(spark, tmp_path):
     assert report["compacted_from"] == 6
     after = sorted(r["id"] for r in store.read("pts").collect())
     assert after == before
+
+
+# --- batched fragment maintenance (r7: two jobs total, not two/frag) -------
+
+
+def test_batched_delete_edge_cases(spark, tmp_path):
+    """One delete over many fragments must: drop matching rows from
+    every hit fragment, EMPTY a fragment whose rows all match (no
+    zero-row fragment lands in the manifest), keep NULL-key rows (the
+    NULL-safe survivor filter), and keep clean fragments by reference
+    with their non-derived changefeed status intact."""
+    store = TableStore(spark, tmp_path / "bstore", bloom_columns={},
+                       dict_columns={})
+    schema = "id: long, addr: string, block_number: long"
+    # frag A: mixed (2 of 4 match), frag B: all match (emptied),
+    # frag C: clean, frag D: holds a NULL key
+    store.commit({"pts": spark.createDataFrame(
+        [(1, "0xAA", 1), (2, "0xbb", 1), (3, "0xaa", 1), (4, "0xcc", 1)],
+        schema)})
+    store.commit({"pts": spark.createDataFrame(
+        [(5, "0xaa", 2), (6, "0xAA", 2)], schema)})
+    store.commit({"pts": spark.createDataFrame(
+        [(7, "0xdd", 3)], schema)})
+    store.commit({"pts": spark.createDataFrame(
+        [(8, None, 4), (9, "0xee", 4)], schema)})
+    before_paths = {f.path: f.derived
+                    for f in store.current_manifest().tables["pts"]}
+
+    stats = store.delete_equals("pts", "addr", "0xAA")  # case-insensitive
+
+    assert stats["candidates"] == 4  # no blooms: every fragment scanned
+    assert stats["rewritten"] == 2   # A rewritten, B emptied
+    assert stats["deleted_rows"] == 4
+    left = {(r["id"], r["addr"]) for r in store.read("pts").collect()}
+    assert left == {(2, "0xbb"), (4, "0xcc"), (7, "0xdd"),
+                    (8, None), (9, "0xee")}
+    after = store.current_manifest().tables["pts"]
+    assert all(f.rows > 0 for f in after)  # emptied fragment gone
+    # clean fragments kept by REFERENCE (same path, still non-derived)
+    kept_untouched = [f for f in after if f.path in before_paths]
+    assert len(kept_untouched) == 2 and all(
+        not f.derived for f in kept_untouched)
+    # rewritten survivor fragment is derived (changefeed skips it)
+    assert all(f.derived for f in after if f.path not in before_paths)
+
+
+def test_batched_upsert_across_evolved_schemas(spark, tmp_path):
+    """Upsert keys spread over fragments written BEFORE and AFTER a
+    schema evolution: the batched rewrite reads under the manifest
+    schema, so pre-evolution survivors materialize the new column as
+    NULL — exactly what read() already presented."""
+    store = TableStore(spark, tmp_path / "estore", bloom_columns={},
+                       dict_columns={})
+    store.commit({"docs": spark.createDataFrame(
+        [(1, "old-1"), (2, "old-2")], "doc_id: long, text: string")})
+    store.commit({"docs": spark.createDataFrame(
+        [(3, "old-3", 0.5)], "doc_id: long, text: string, score: double")})
+
+    batch = spark.createDataFrame(
+        [(2, "new-2", 0.9), (3, "new-3", 0.7), (4, "new-4", 0.1)],
+        "doc_id: long, text: string, score: double")
+    stats = store.upsert("docs", batch, "doc_id")
+
+    assert stats["rewritten"] == 2 and stats["replaced_rows"] == 2
+    assert stats["inserted_rows"] == 3
+    got = {r["doc_id"]: (r["text"], r["score"])
+           for r in store.read("docs").collect()}
+    assert got == {1: ("old-1", None), 2: ("new-2", 0.9),
+                   3: ("new-3", 0.7), 4: ("new-4", 0.1)}
