@@ -774,10 +774,12 @@ def test_chunk_documents_matches_python_model(spark):
 # --- winnowing fingerprints (Schleimer et al. SIGMOD 2003) -----------------
 
 
-def test_winnowing_guarantee_shared_run_detected(spark):
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_winnowing_guarantee_shared_run_detected(spark, hash_fn):
     """The winnowing theorem: two documents sharing a word run of
     length >= k + window - 1 (= 6 here) MUST share a fingerprint, no
-    matter what surrounds it."""
+    matter what surrounds it — for BOTH hash backends (the guarantee
+    is hash-agnostic; xxhash64 is the cheap pipeline path)."""
     shared = "alpha beta gamma delta epsilon zeta"
     rows = [
         (1, f"one two three {shared} four five six"),
@@ -787,18 +789,31 @@ def test_winnowing_guarantee_shared_run_detected(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     pairs = {
         (r.a_id, r.b_id)
-        for r in dd.winnow_pairs(df, k=3, window=4, min_shared=1).collect()
+        for r in dd.winnow_pairs(
+            df, k=3, window=4, min_shared=1, hash_fn=hash_fn
+        ).collect()
     }
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
 
 
-def test_winnowing_recovers_planted_dups(docs, exact_pairs):
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_winnowing_recovers_planted_dups(docs, exact_pairs, hash_fn):
     got = {
         (r.a_id, r.b_id)
-        for r in dd.winnow_pairs(docs, k=3, window=4, min_shared=2).collect()
+        for r in dd.winnow_pairs(
+            docs, k=3, window=4, min_shared=2, hash_fn=hash_fn
+        ).collect()
     }
     assert exact_pairs <= got  # exact dups share every fingerprint
+
+
+def test_winnowing_xxhash_fps_are_longs(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    fp = dd.winnow_fingerprints(df, k=3, window=4, hash_fn="xxhash64")
+    assert dict(fp.dtypes)["fp"] == "bigint"
+    with pytest.raises(ValueError, match="hash_fn"):
+        dd.winnow_fingerprints(df, hash_fn="sha1")
 
 
 def test_winnowing_density_and_short_docs(spark):
