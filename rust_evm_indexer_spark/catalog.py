@@ -5251,6 +5251,95 @@ def lm_stupid_backoff_q(spark, sf_dir):
     )
 
 
+_SB3_SQL = f"""
+    WITH norm AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS ws
+                  FROM documents),
+    d AS (SELECT doc_id, lang, ws FROM norm
+          WHERE len(ws) > 0 AND ws[1] <> ''),
+    m AS (SELECT ws FROM d WHERE lang = 'en'),
+    uni AS (SELECT word, count(*) AS c1
+            FROM (SELECT unnest(ws) AS word FROM m) GROUP BY 1),
+    tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
+    bi AS (SELECT w1, w2, count(*) AS c2
+           FROM (SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS w1,
+                        unnest(list_slice(ws, 2, len(ws))) AS w2
+                 FROM m WHERE len(ws) >= 2) GROUP BY 1, 2),
+    tri AS (SELECT w1, w2, w3, count(*) AS c3
+            FROM (SELECT unnest(list_slice(ws, 1, len(ws) - 2)) AS w1,
+                         unnest(list_slice(ws, 2, len(ws) - 1)) AS w2,
+                         unnest(list_slice(ws, 3, len(ws))) AS w3
+                  FROM m WHERE len(ws) >= 3) GROUP BY 1, 2, 3
+            HAVING count(*) >= 2),
+    triples AS (SELECT doc_id,
+                       unnest(list_slice(ws, 1, len(ws) - 2)) AS w1,
+                       unnest(list_slice(ws, 2, len(ws) - 1)) AS w2,
+                       unnest(list_slice(ws, 3, len(ws))) AS w3
+                FROM d WHERE len(ws) >= 3),
+    tnll AS (SELECT p.doc_id,
+                    CAST(-ln(CASE
+                        WHEN t3.c3 IS NOT NULL
+                          THEN CAST(t3.c3 AS DOUBLE) / bc.c2
+                        WHEN bn.c2 IS NOT NULL
+                          THEN 0.4 * CAST(bn.c2 AS DOUBLE) / u2.c1
+                        ELSE 0.4 * 0.4
+                             * COALESCE(CAST(u3.c1 AS DOUBLE), 0.4) / t.t
+                        END) AS DECIMAL(27,15)) AS nll
+             FROM triples p
+             LEFT JOIN tri t3 ON p.w1 = t3.w1 AND p.w2 = t3.w2
+                             AND p.w3 = t3.w3
+             LEFT JOIN bi bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+             LEFT JOIN bi bn ON p.w2 = bn.w1 AND p.w3 = bn.w2
+             LEFT JOIN uni u2 ON p.w2 = u2.word
+             LEFT JOIN uni u3 ON p.w3 = u3.word, tot t),
+    tsum AS (SELECT doc_id, sum(nll) AS s3 FROM tnll GROUP BY 1),
+    p2 AS (SELECT doc_id, ws[1] AS w1, ws[2] AS w2 FROM d
+           WHERE len(ws) >= 2),
+    n2 AS (SELECT p.doc_id,
+                  CAST(-ln(CASE WHEN b.c2 IS NOT NULL
+                                THEN CAST(b.c2 AS DOUBLE) / u1.c1
+                                ELSE 0.4 * COALESCE(CAST(u2.c1 AS DOUBLE),
+                                                    0.4) / t.t END)
+                       AS DECIMAL(27,15)) AS nll2
+           FROM p2 p
+           LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+           LEFT JOIN uni u1 ON p.w1 = u1.word
+           LEFT JOIN uni u2 ON p.w2 = u2.word, tot t),
+    base AS (SELECT d.doc_id, len(d.ws) AS n_words,
+                    CAST(-ln(COALESCE(CAST(u.c1 AS DOUBLE), 0.4) / t.t)
+                         AS DECIMAL(27,15)) AS nll0
+             FROM d LEFT JOIN uni u ON d.ws[1] = u.word, tot t)
+    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+           round(CAST(b.nll0 + COALESCE(n.nll2, 0) + COALESCE(ts.s3, 0)
+                      AS DOUBLE) / b.n_words, 6) AS avg_nll
+    FROM base b
+    LEFT JOIN n2 n USING (doc_id)
+    LEFT JOIN tsum ts USING (doc_id)
+    """
+
+
+@register(
+    "lm_stupid_backoff_tri",
+    _SB3_SQL,
+    tags=("llm", "X-4", "perplexity", "stupid-backoff", "trigram"),
+)
+def lm_stupid_backoff_tri_q(spark, sf_dir):
+    """Trigram Stupid Backoff with count-cutoff pruning (Brants et al.
+    2007 §4 — the tractability lever that makes higher orders feasible
+    at scale; operators/textops.py:stupid_backoff_trigram_nll), fit on
+    the lang='en' slice, scoring EVERY document so all three backoff
+    hops (trigram -> bigram -> unigram floor) run for real.  Trigrams
+    below count 2 are PRUNED from the model — the Zipf tail that
+    dominates trigram volume backs off instead of paying storage.
+    Unigram vocab + total broadcast; the bigram and trigram tables join
+    key-partitioned (bigram twice: context and backoff keys); DECIMAL
+    per-term accumulation keeps both engines bit-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.stupid_backoff_trigram_nll(
+        docs, model_df=docs.where(F.col("lang") == "en"),
+        alpha=0.4, trigram_min_count=2,
+    )
+
+
 _CHUNK_SQL = f"""
     WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
                   FROM documents),
@@ -5493,6 +5582,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "semantic_admit_delta",  # DIRTY
     "corpus_shuffle_shards",  # DIRTY
     "store_upsert_docs",  # DIRTY
+    "lm_stupid_backoff_tri",  # never checked
     "store_projection_logs",  # newest green r4
     "graph_triangle_count",  # newest green r4
     "q1_pricing_summary",  # newest green r4
@@ -5531,7 +5621,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "logs_keyset_page",  # newest green r5
     "logs_offset_page",  # newest green r5
     "top1_latest",  # newest green r5
-    "stats_lag",  # newest green r5
 ]
 
 

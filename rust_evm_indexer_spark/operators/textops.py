@@ -366,6 +366,180 @@ def stupid_backoff_nll(
     )
 
 
+def stupid_backoff_trigram_nll(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    alpha: float = 0.4,
+    trigram_min_count: int = 2,
+) -> DataFrame:
+    """Trigram Stupid Backoff with count-cutoff pruning — the full
+    Brants et al. 2007 recipe (§4: higher orders become tractable at
+    scale only with count cutoffs; Google's 5-gram model pruned at
+    count < 40).  Per word position:
+
+        s(w3 | w1,w2) = c3(w1,w2,w3)/c2(w1,w2)   if trigram RETAINED
+                        alpha * s(w3 | w2)        else (bigram hop)
+        s(w2 | w1)    = c2(w1,w2)/c1(w1)          if seen
+                        alpha * s(w2)             else (unigram hop)
+        s(w)          = c1(w)/T, floor alpha/T
+
+    and a document of words w_1..w_n scores
+    ``-(log s(w1) + log s(w2|w1) + sum_{i>=3} log s(w_i|..)) / n``.
+
+    **Pruning is the tractability lever**: trigrams observed fewer than
+    ``trigram_min_count`` times are DROPPED from the model — the long
+    tail that dominates trigram-table volume (most trigrams are
+    singletons, Zipf) backs off to the bigram chain instead of paying
+    storage + join width.  A retained trigram's context bigram is
+    always in the (unpruned) bigram table, so the seen-branch
+    denominator never nulls.
+
+    Scale shape, same posture as the bigram operator: unigram vocab +
+    1-row total broadcast (Heaps-bounded); the bigram AND trigram
+    tables are NOT broadcast-bounded, so the doc-triple stream joins
+    them by key-partitioned equi-joins (trigram on (w1,w2,w3), bigram
+    twice — context (w1,w2) and backoff (w2,w3)); adjacency is in-array
+    triple extraction, never a window shuffle.  DECIMAL(27,15) per-term
+    accumulation keeps partial-aggregation order out of the result, so
+    the DuckDB oracle matches bit-for-bit."""
+    docs = _token_arrays(df, text_col)
+    model = _token_arrays(model_df if model_df is not None else df, text_col)
+
+    m_words = model.select(F.explode("ws").alias("word"))
+    uni = m_words.groupBy("word").agg(F.count("*").alias("c1"))
+    total = uni.agg(F.sum("c1").cast("double").alias("t"))
+
+    _TRIPLES = (
+        "transform(sequence(1, size(ws) - 2), "
+        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2, "
+        "element_at(ws, i + 2) AS w3))"
+    )
+    _PAIRS = (
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+    )
+    bi = (
+        model.where(F.size("ws") >= 2)
+        .select(F.explode(F.expr(_PAIRS)).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    tri = (
+        model.where(F.size("ws") >= 3)
+        .select(F.explode(F.expr(_TRIPLES)).alias("tg"))
+        .groupBy(
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+        .agg(F.count("*").alias("c3"))
+        .where(F.col("c3") >= trigram_min_count)  # count-cutoff pruning
+    )
+
+    triples = (
+        docs.where(F.size("ws") >= 3)
+        .select("doc_id", F.explode(F.expr(_TRIPLES)).alias("tg"))
+        .select(
+            "doc_id",
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+    )
+    bi_ctx = bi.select("w1", "w2", F.col("c2").alias("c2_ctx"))
+    bi_nxt = bi.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c2").alias("c2_nxt"),
+    )
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c1").alias("c1_w2"))
+    u3 = uni.select(F.col("word").alias("w3"), F.col("c1").alias("c1_w3"))
+    score3 = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2_ctx"))
+        .when(
+            F.col("c2_nxt").isNotNull(),
+            alpha * F.col("c2_nxt") / F.col("c1_w2"),
+        )
+        .otherwise(
+            alpha * alpha
+            * F.coalesce(F.col("c1_w3").cast("double"), F.lit(alpha))
+            / F.col("t")
+        )
+    )
+    tri_nll = (
+        triples.join(tri, ["w1", "w2", "w3"], "left")  # NOT broadcast: grows with corpus
+        .join(bi_ctx, ["w1", "w2"], "left")  # NOT broadcast
+        .join(bi_nxt, ["w2", "w3"], "left")  # NOT broadcast
+        .join(F.broadcast(u2), "w2", "left")
+        .join(F.broadcast(u3), "w3", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.sum((-F.log(score3)).cast("decimal(27,15)")).alias("tri_sum"))
+    )
+
+    # position-2 term: s(w2 | w1) for the document's FIRST pair only
+    # (positions >= 3 are covered by the trigram terms above)
+    u1f = uni.select(F.col("word").alias("w1"), F.col("c1").alias("c1_w1"))
+    score2 = F.when(
+        F.col("c2").isNotNull(), F.col("c2") / F.col("c1_w1")
+    ).otherwise(
+        alpha
+        * F.coalesce(F.col("c1_w2").cast("double"), F.lit(alpha))
+        / F.col("t")
+    )
+    second = (
+        docs.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.element_at("ws", 1).alias("w1"),
+            F.element_at("ws", 2).alias("w2"),
+        )
+        .join(bi, ["w1", "w2"], "left")  # NOT broadcast
+        .join(F.broadcast(u1f), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", (-F.log(score2)).cast("decimal(27,15)").alias("nll2")
+        )
+    )
+
+    uf = uni.select(F.col("word").alias("fw"), F.col("c1").alias("c1_fw"))
+    base = (
+        docs.select(
+            "doc_id", F.size("ws").alias("n_words"),
+            F.element_at("ws", 1).alias("fw"),
+        )
+        .join(F.broadcast(uf), "fw", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_words",
+            (-F.log(
+                F.coalesce(F.col("c1_fw").cast("double"), F.lit(alpha))
+                / F.col("t")
+            )).cast("decimal(27,15)").alias("nll0"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(27,15)")
+    return (
+        base.join(second, "doc_id", "left")
+        .join(tri_nll, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(
+                (
+                    F.col("nll0")
+                    + F.coalesce(F.col("nll2"), zero)
+                    + F.coalesce(F.col("tri_sum"), zero)
+                ).cast("double")
+                / F.col("n_words"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame, text_col: str = "text", size: int = 32, stride: int = 24
 ) -> DataFrame:

@@ -112,6 +112,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "similarity_knn_join",  # newest green r5
     "similarity_pq_topk",  # newest green r5
     "similarity_topk",  # newest green r5
+    "stats_lag",  # newest green r5
     "store_changefeed_deletes",  # newest green r6
     "store_compacted_logs",  # newest green r6
     "store_time_travel",  # newest green r6

@@ -863,3 +863,62 @@ def test_semantic_admit_caches_are_releasable(spark, tmp_path):
     kept2.collect()
     assert sim.release_admit_caches() >= 1
     assert len(sim._ADMIT_CACHES) == 0
+
+
+# --- round 7: trigram Stupid Backoff with count-cutoff pruning -------------
+
+
+def test_stupid_backoff_trigram_matches_hand_reference(spark):
+    """Every branch against a by-hand model: retained trigram, PRUNED
+    trigram -> bigram hop, unseen trigram + unseen bigram -> unigram
+    hop (in-vocab and OOV), first-word/second-word terms, OOV floor."""
+    import math
+
+    rows = [
+        ("m1", "a b c a b c"),  # model: tri (a,b,c) x2 retained; others pruned
+        ("d2", "a b d"),        # unseen tri, unseen bigram hop, OOV cont.
+        ("d3", "b a c"),        # unseen tri, unseen bigram, in-vocab cont.
+        ("d4", "c a"),          # bigram-only doc (no trigram terms)
+        ("d5", "x"),            # OOV floor
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = df.where(F.col("doc_id") == "m1")
+    got = {
+        r["doc_id"]: (r["n_words"], r["avg_nll"])
+        for r in tx.stupid_backoff_trigram_nll(
+            df, model_df=model, alpha=0.4, trigram_min_count=2
+        ).collect()
+    }
+    # model: c1={a:2,b:2,c:2} T=6; c2={(a,b):2,(b,c):2,(c,a):1};
+    # c3={(a,b,c):2 RETAINED, (b,c,a):1 pruned, (c,a,b):1 pruned}
+    ln = math.log
+    ref = {
+        "m1": (6, -(ln(2 / 6) + ln(2 / 2)        # s(a), s(b|a)
+                    + ln(2 / 2)                   # (a,b,c) retained
+                    + ln(0.4 * 1 / 2)             # (b,c,a) pruned -> s(a|c)
+                    + ln(0.4 * 2 / 2)             # (c,a,b) pruned -> s(b|a)
+                    + ln(2 / 2)) / 6),            # (a,b,c) retained
+        "d2": (3, -(ln(2 / 6) + ln(2 / 2)
+                    + ln(0.4 * 0.4 * 0.4 / 6)) / 3),  # OOV continuation
+        "d3": (3, -(ln(2 / 6) + ln(0.4 * 2 / 6)       # (b,a) unseen bigram
+                    + ln(0.4 * 0.4 * 2 / 6)) / 3),    # in-vocab continuation
+        "d4": (2, -(ln(2 / 6) + ln(1 / 2)) / 2),      # s(c), s(a|c)
+        "d5": (1, -ln(0.4 / 6)),
+    }
+    assert set(got) == set(ref)
+    for k, (n, nll) in ref.items():
+        assert got[k][0] == n, k
+        assert got[k][1] == pytest.approx(nll, abs=1e-6), k
+
+
+def test_stupid_backoff_trigram_pruning_lever(spark):
+    """Raising the cutoff prunes more trigrams -> more backoff -> the
+    score of a doc whose trigrams were retained gets WORSE (backoff
+    multiplies by alpha < 1), never better."""
+    rows = [("m", "p q r p q r p q r")]  # (p,q,r) x3
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    keep = tx.stupid_backoff_trigram_nll(
+        df, trigram_min_count=1).first()["avg_nll"]
+    prune = tx.stupid_backoff_trigram_nll(
+        df, trigram_min_count=10).first()["avg_nll"]
+    assert prune > keep

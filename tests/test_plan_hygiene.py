@@ -566,3 +566,21 @@ def test_winnowing_join_posture(spark):
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert broadcast_hint_count(df) == 0  # both join sides scale with data
+
+
+def test_stupid_backoff_trigram_join_posture(spark):
+    """Trigram SB: unigram vocab + 1-row total broadcast; the bigram
+    AND trigram tables — neither broadcast-bounded at scale — join by
+    key-partitioned equi-joins (bigram twice: context + backoff keys);
+    no cartesian, no Python."""
+    df = CATALOG["lm_stupid_backoff_tri"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly the EIGHT bounded frames carry hints (u2/u3/total in the
+    # trigram leg, u1/u2/total in the second-word leg, first-word
+    # vocab/total in the base leg); the trigram and three bigram joins
+    # carry NO hint — size-broadcastable at sf0.01, key-partitioned at
+    # 100 TB
+    assert broadcast_hint_count(df) == 8, broadcast_hint_count(df)
