@@ -3004,6 +3004,7 @@ def similarity_ivf_knn_join(spark, sf_dir):
 # subspace order (list_sum over an ORDER BY s list ≡ Spark's
 # left-to-right literal adds), IEEE-double on both engines.
 _PQ_DIR = f"{FIXTURE_CACHE}/pq_sf0.01"
+_PQ_RES_DIR = f"{FIXTURE_CACHE}/pqres_sf0.01"  # residual-IVFADC exports
 _PQ_M, _PQ_K, _PQ_ITERS = 8, 16, 8
 _PQ_DSUB = 8  # 64-dim embeddings / m
 
@@ -3180,6 +3181,135 @@ def _ensure_ivfpq_codes(spark, sf_dir):
         PQ.ivfpq_write_codes(idx, cb, codes_dir)
         cmarker.write_text(ckey)
     return idx, cb, codes_dir
+
+
+# Residual IVFADC (FAISS by_residual=True, Jégou §IV): vectors encode
+# as PQ codes of x − centroid(cell).  The oracle replays the FULL
+# residual ADC from raw inputs + the kernel exports: probe and cell
+# assignment recomputed from the centroid export (same trust boundary
+# as the flat entry), then
+#   sim = (dot(q,c) + Σ dt) / (|q| · sqrt(|c|² + 2·Σ cs + Σ nr))
+# with dt/nr from the residual-codebook export and cs =
+# dot(c_slice_s, codeword) recomputed in SQL from centroid + codebook.
+_IVFPQ_RES_SQL = f"""
+    WITH cent AS (SELECT cell, centroid
+                  FROM read_parquet('{_IVFPQ_BASE}/centroids/*.parquet')),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT cell FROM cent, q
+              ORDER BY list_inner_product(centroid, qv)
+                       / (sqrt(list_inner_product(centroid, centroid))
+                          * sqrt(list_inner_product(qv, qv))) DESC, cell
+              LIMIT 2),
+    assign AS ({{assign}}),
+    cb AS (SELECT s, j, cent
+           FROM read_parquet('{_PQ_RES_DIR}/codebooks_res/*.parquet')),
+    c AS (SELECT cl.vec_id, a.cell, cl.s, cl.code
+          FROM read_parquet('{_PQ_RES_DIR}/codes_long_res/*.parquet') cl
+          JOIN assign a ON a.vec_id = cl.vec_id
+          WHERE a.cell IN (SELECT cell FROM probe) AND cl.vec_id <> 0),
+    t AS (SELECT c.vec_id, c.cell, c.s,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(q.qv, c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS dt,
+                 list_inner_product(cb.cent, cb.cent) AS nr,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(ct.centroid,
+                              c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS cs
+          FROM c JOIN cb ON cb.s = c.s AND cb.j = c.code
+                 JOIN cent ct ON ct.cell = c.cell, q),
+    agg AS (SELECT vec_id, cell,
+                   list_sum(list(dt ORDER BY s)) AS sd,
+                   list_sum(list(nr ORDER BY s)) AS sn,
+                   list_sum(list(cs ORDER BY s)) AS sc
+            FROM t GROUP BY vec_id, cell)
+    SELECT a.vec_id,
+           round((list_inner_product(q.qv, ct.centroid) + a.sd)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(ct.centroid, ct.centroid)
+                           + 2.0 * a.sc + a.sn)),
+                 6) AS sim_pq
+    FROM agg a JOIN cent ct ON ct.cell = a.cell, q
+    ORDER BY sim_pq DESC, a.vec_id
+    LIMIT 10
+"""
+
+
+def _ensure_ivfpq_res_export(spark, sf_dir):
+    """Residual-IVFADC exports: residual codebooks (trained against the
+    kmeans8 coarse quantizer) + the residual code table, keyed on corpus
+    identity, the quantizer dir, AND the training params (same
+    staleness contract as _ensure_pq_export).  Returns (index,
+    codebooks, codes_dir)."""
+    from .operators import pq as PQ
+
+    idx = _ivf_index(spark, sf_dir, "kmeans8")
+    _export_ivf_oracle(spark, idx, "kmeans8", sf_dir)
+    out = Path(f"{FIXTURE_CACHE}/pqres_{Path(sf_dir).name}")
+    src = Path(sf_dir) / "embeddings.parquet"
+    st = src.stat()
+    key = (
+        f"{src}:{st.st_size}:{st.st_mtime_ns}|ivf={idx.index_dir}"
+        f"|m={_PQ_M},k={_PQ_K},iters={_PQ_ITERS},"
+        f"sample={PQ.TRAIN_SAMPLE_CAP},enc=res-v1"
+    )
+    marker = out / "_EXPORTED_FROM"
+    codes_dir = out / "codes_by_cell_res"
+    if marker.exists() and marker.read_text() == key:
+        cb_rows = spark.read.parquet(str(out / "codebooks_res")).collect()
+        cb = [[None] * _PQ_K for _ in range(_PQ_M)]
+        for r in cb_rows:
+            cb[r["s"]][r["j"]] = list(r["cent"])
+        return idx, cb, codes_dir
+    cb = PQ.ivfpq_train_residual(idx, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in centv])
+            for s, book in enumerate(cb)
+            for j, centv in enumerate(book)
+        ],
+        "s: int, j: int, cent: array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "codebooks_res"))
+    PQ.ivfpq_write_codes(idx, cb, codes_dir, by_residual=True)
+    spark.read.parquet(str(codes_dir)).select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    ).write.mode("overwrite").parquet(str(out / "codes_long_res"))
+    marker.write_text(key)
+    return idx, cb, codes_dir
+
+
+@register(
+    "similarity_ivfpq_residual_topk",
+    _IVFPQ_RES_SQL.format(assign=_assign_sql("kmeans8", _IVFPQ_BASE)),
+    tags=("llm", "X-3", "pq", "ivf", "residual", "oracle-sf0.01"),
+)
+def similarity_ivfpq_residual_topk(spark, sf_dir):
+    """Residual IVFADC top-10 (operators/pq.py, by_residual=True — the
+    FAISS-default configuration, Jégou TPAMI'11 §IV): vectors stored as
+    PQ codes of x − centroid(cell), scored per probe cell with the
+    residual-codebook lookup tables PLUS the per-cell corrections
+    dot(q,c), |c|² and the query-independent cross table dot(c_s, C_s[j])
+    — all bounded driver-side scalars, so corpus-side scoring stays
+    pure-JVM lookups over partition-pruned cell scans.  The oracle
+    recomputes probe + assignment from the centroid export and replays
+    the complete residual ADC including the cross terms from SQL.
+    Measured on THIS synthetic corpus (~uniform on the sphere, residual
+    norm ratio 0.965) residual buys no recall over the global-codebook
+    entry — see SCALE.md r7; on clustered real embeddings it is the
+    higher-recall regime at identical code size, which is why both are
+    first-class."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx, cb, codes_dir = _ensure_ivfpq_res_export(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.ivfpq_search(
+        spark, idx, codes_dir, cb, qvec, topk=10, n_probe=2,
+        exclude_ids=(0,), by_residual=True,
+    )
 
 
 _IVFPQ_KNN_SQL = f"""
@@ -5583,6 +5713,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "corpus_shuffle_shards",  # DIRTY
     "store_upsert_docs",  # DIRTY
     "lm_stupid_backoff_tri",  # never checked
+    "similarity_ivfpq_residual_topk",  # never checked
     "store_projection_logs",  # newest green r4
     "graph_triangle_count",  # newest green r4
     "q1_pricing_summary",  # newest green r4
@@ -5620,7 +5751,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "logs_filter_conj",  # newest green r5
     "logs_keyset_page",  # newest green r5
     "logs_offset_page",  # newest green r5
-    "top1_latest",  # newest green r5
 ]
 
 

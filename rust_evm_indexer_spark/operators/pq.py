@@ -185,27 +185,121 @@ def pq_search(
 # economics: codes are stored PARTITIONED BY CELL, the coarse quantizer
 # picks n_probe cells driver-side (k×dim floats, no Spark job), and ADC
 # scores only the probe cells' residents — scan cost n_probe/n_cells of
-# the code table, which is itself 32× smaller than the corpus.  Codes
-# are global-codebook (FAISS IndexIVFPQ ``by_residual=False``): the
-# same code means the same reconstruction everywhere, so one codebook
-# export serves both the flat and the IVF path and the ADC lookup
-# tables stay query-only (residual encoding would make them
-# per-probe-cell — n_probe× more driver math for a recall gain that at
-# 8 coarse cells is marginal; documented trade).
+# the code table, which is itself 32× smaller than the corpus.
+#
+# Two encoding regimes, selected by ``by_residual`` (default False):
+#
+# - **global-codebook** (FAISS IndexIVFPQ ``by_residual=False``): the
+#   same code means the same reconstruction everywhere, one codebook
+#   export serves both the flat and IVF path, and the ADC lookup
+#   tables stay query-only.
+# - **residual** (``by_residual=True`` — FAISS's DEFAULT IVFADC
+#   configuration, Jégou §IV): each vector is encoded as PQ codes of
+#   its residual x − centroid(cell).  Residuals concentrate around the
+#   origin, so the same k codewords cover a much tighter distribution —
+#   measurably better recall at identical code size.  The price is
+#   per-probe-cell correction terms:
+#       dot(q, x)  ≈ dot(q, cₚ) + Σₛ dot(qₛ, Cₛ[codeₛ])
+#       |x|²       ≈ |cₚ|² + 2·Σₛ dot(cₚ,ₛ, Cₛ[codeₛ]) + Σₛ |Cₛ[codeₛ]|²
+#   where cₚ is the cell centroid.  dot(q, cₚ)/|cₚ|² are per-(query,
+#   cell) scalars and the cross table dot(cₚ,ₛ, Cₛ[j]) is
+#   query-INDEPENDENT — n_cells·m·k scalars, precomputable and bounded
+#   by index design — so the corpus-side scoring stays pure-JVM table
+#   lookups in both regimes.
+
+
+def ivfpq_train_residual(
+    index,
+    m: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    iters: int = 10,
+    *,
+    sample_cap: int = TRAIN_SAMPLE_CAP,
+) -> list[list[list[float]]]:
+    """Fit per-subspace codebooks on RESIDUALS against the index's
+    coarse centroids (Jégou §IV) — same deterministic recipe as
+    :func:`pq_train` (lowest-id sample, first-k init, float64 Lloyd),
+    but each training vector is first reduced to x − centroid(cell).
+    Residuals cluster around the origin regardless of which coarse cell
+    the vector came from, so k codewords buy more precision than over
+    raw vectors."""
+    import numpy as np
+
+    rows = (
+        index.vectors()
+        .select(index.id_col, index.vec_col, "cell")
+        .orderBy(index.id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    cents = {int(c): np.asarray(v, dtype=np.float64)
+             for c, v in index.centroids.items()}
+    X = np.asarray(
+        [np.asarray(r[index.vec_col], dtype=np.float64) - cents[int(r["cell"])]
+         for r in rows]
+    )
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * d_sub : (s + 1) * d_sub]
+        C = Xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    C[j] = Xs[mask].mean(axis=0)
+        codebooks.append(C.tolist())
+    return codebooks
+
+
+def _residual_frame(index, assigned: DataFrame) -> DataFrame:
+    """Replace the vector column with x − centroid(cell): a broadcast
+    join against the bounded centroid table + one zip_with — JVM-side,
+    no Python before the encode kernel."""
+    spark = assigned.sparkSession
+    cent = spark.createDataFrame(
+        [
+            (int(c), [float(x) for x in v])
+            for c, v in sorted(index.centroids.items())
+        ],
+        "cell int, _cent array<double>",
+    )
+    return (
+        assigned.join(F.broadcast(cent), "cell")
+        .withColumn(
+            index.vec_col,
+            F.expr(
+                f"zip_with({index.vec_col}, _cent, (x, y) -> double(x) - y)"
+            ),
+        )
+        .drop("_cent")
+    )
 
 
 def ivfpq_write_codes(
     index,
     codebooks: list[list[list[float]]],
     codes_dir: "str | Path",
+    *,
+    by_residual: bool = False,
 ) -> None:
-    """Encode the IVF corpus with the global codebooks and write the
-    code table partitioned by ``cell`` — the one-time index-build step
-    (Arrow-batched encode, one pass; the write is cell-partitioned so
-    the probe filter prunes at file-listing level, same layout contract
-    as IvfIndex.VECTORS)."""
+    """Encode the IVF corpus and write the code table partitioned by
+    ``cell`` — the one-time index-build step (Arrow-batched encode, one
+    pass; the write is cell-partitioned so the probe filter prunes at
+    file-listing level, same layout contract as IvfIndex.VECTORS).
+    With ``by_residual=True`` the codebooks must come from
+    :func:`ivfpq_train_residual` and each vector is encoded as its
+    residual against the cell centroid."""
+    src = index.vectors()
+    if by_residual:
+        src = _residual_frame(index, src)
     enc = pq_encode(
-        index.vectors(),
+        src,
         codebooks,
         id_col=index.id_col,
         vec_col=index.vec_col,
@@ -224,23 +318,97 @@ def ivfpq_search(
     n_probe: int = 2,
     *,
     exclude_ids: tuple[int, ...] = (),
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVFADC top-k: probe cells from the stored coarse centroids
     (driver-side), then flat ADC over ONLY the probe cells' code
-    partitions — ``cell IN (...)`` is a partition filter (plan-asserted
-    in tests/test_pq.py), scoring is the same pure-JVM ``element_at``
-    lookup chain as :func:`pq_search`, top-k is
-    TakeOrderedAndProject."""
+    partitions — ``cell IN (...)``/``cell = c`` is a partition filter
+    (plan-asserted in tests/test_pq.py), scoring is pure-JVM
+    ``element_at`` lookup chains, top-k is TakeOrderedAndProject.
+
+    ``by_residual=True`` (the stored codes must have been written under
+    the same flag): each probe cell scans with its own literal tables —
+    residual-codebook dots/norms PLUS the per-cell correction scalars
+    dot(q, cₚ) and |cₚ|² and the query-independent cross table
+    dot(cₚ,ₛ, Cₛ[j]) — all m·k(+2) driver-side floats per probe cell,
+    bounded by index design.  The n_probe per-cell scans union before
+    one global top-k."""
+    import math
+
     probe = index.probe_cells(query_vec, n_probe)
-    codes = spark.read.parquet(str(codes_dir)).filter(F.col("cell").isin(probe))
-    return pq_search(
-        codes,
-        codebooks,
-        query_vec,
-        topk,
-        id_col=index.id_col,
-        exclude_ids=exclude_ids,
-    )
+    if not by_residual:
+        codes = spark.read.parquet(str(codes_dir)).filter(
+            F.col("cell").isin(probe)
+        )
+        return pq_search(
+            codes,
+            codebooks,
+            query_vec,
+            topk,
+            id_col=index.id_col,
+            exclude_ids=exclude_ids,
+        )
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    dots = []
+    norms = []
+    for s in range(m):
+        qs = query_vec[s * d_sub : (s + 1) * d_sub]
+        dots.append(
+            [sum(q * c for q, c in zip(qs, cent)) for cent in codebooks[s]]
+        )
+        norms.append([sum(c * c for c in cent) for cent in codebooks[s]])
+
+    def lookup(vals: list[float], s: int) -> F.Column:
+        return F.element_at(
+            F.array(*[F.lit(float(v)) for v in vals]),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+
+    scans = []
+    for c in probe:
+        cent = [float(x) for x in index.centroids[c]]
+        qc = sum(q * v for q, v in zip(query_vec, cent))
+        nc = sum(v * v for v in cent)
+        cross = [
+            [
+                sum(
+                    cv * cb
+                    for cv, cb in zip(
+                        cent[s * d_sub : (s + 1) * d_sub], codebooks[s][j]
+                    )
+                )
+                for j in range(len(codebooks[s]))
+            ]
+            for s in range(m)
+        ]
+        sum_dot = sum(
+            (lookup(dots[s], s) for s in range(1, m)), lookup(dots[0], 0)
+        )
+        sum_norm = sum(
+            (lookup(norms[s], s) for s in range(1, m)), lookup(norms[0], 0)
+        )
+        sum_cross = sum(
+            (lookup(cross[s], s) for s in range(1, m)), lookup(cross[0], 0)
+        )
+        sim = (F.lit(qc) + sum_dot) / (
+            F.lit(qnorm)
+            * F.sqrt(F.lit(nc) + F.lit(2.0) * sum_cross + sum_norm)
+        )
+        scan = (
+            spark.read.parquet(str(codes_dir))
+            .filter(F.col("cell") == int(c))
+            .select(index.id_col, F.round(sim, 6).alias("sim_pq"))
+        )
+        scans.append(scan)
+    out = scans[0]
+    for s in scans[1:]:
+        out = out.unionByName(s)
+    if exclude_ids:
+        out = out.where(~F.col(index.id_col).isin(*exclude_ids))
+    return out.orderBy(F.desc("sim_pq"), index.id_col).limit(topk)
 
 
 def ivfpq_knn_join(
@@ -254,11 +422,19 @@ def ivfpq_knn_join(
     *,
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVFADC k-NN JOIN — the multi-query scale path (same relationship
     to :func:`ivfpq_search` as IvfIndex.knn_join to IvfIndex.search):
     works for 5 queries or 5 billion, and the corpus side stays PQ
     codes, never raw vectors.
+
+    ``by_residual=True``: the correction terms ride the same bounded
+    frames — dot(q, cₚ)/|cₚ|² computed per (query, probe-cell) row in
+    the probe assignment (JVM folds), and the query-independent cross
+    table dot(cₚ,ₛ, Cₛ[j]) broadcasts as n_cells·m·k rows joined on
+    (cell, s, code) — so the corpus-side shape is identical to the
+    global-codebook path plus one broadcast join.
 
     Plan shape, all JVM:
 
@@ -311,6 +487,22 @@ def ivfpq_knn_join(
         * F.sqrt(F.expr("aggregate(centroid, 0D, (a, x) -> a + x * x)"))
     )
     by_query = Window.partitionBy(q_id_col)
+    # residual corrections per (query, probe cell): dot(q, centroid)
+    # and |centroid|^2 — left-to-right IEEE folds matching the oracle's
+    # list_inner_product
+    _extra = (
+        [
+            F.expr(
+                f"aggregate(zip_with({q_vec_col}, centroid,"
+                " (x, y) -> double(x) * y), 0D, (a, x) -> a + x)"
+            ).alias("_qc"),
+            F.expr(
+                "aggregate(centroid, 0D, (a, x) -> a + x * x)"
+            ).alias("_nc"),
+        ]
+        if by_residual
+        else []
+    )
     probes = (
         queries.crossJoin(F.broadcast(cent))
         .withColumn(
@@ -318,7 +510,7 @@ def ivfpq_knn_join(
             F.row_number().over(by_query.orderBy(F.desc(csim), F.asc("cell"))),
         )
         .where(F.col("_rk") <= n_probe)
-        .select(q_id_col, q_vec_col, "cell")
+        .select(q_id_col, q_vec_col, "cell", *_extra)
     )
 
     # exploded codebook: (s, code, cent, nr) — m·k rows, bounded by
@@ -361,36 +553,114 @@ def ivfpq_knn_join(
     )
 
     codes = spark.read.parquet(str(codes_dir))
-    cand = probes.select(q_id_col, "cell").join(codes, "cell").select(
-        q_id_col,
-        F.col(index.id_col),
-        F.posexplode("codes").alias("s", "code"),
-    )
-    scored = (
-        cand.join(qd, [q_id_col, "s", "code"])
-        .select(
+    if not by_residual:
+        cand = probes.select(q_id_col, "cell").join(codes, "cell").select(
             q_id_col,
-            index.id_col,
-            "_qnorm",
-            F.struct("s", "dt", "nr").alias("term"),
+            F.col(index.id_col),
+            F.posexplode("codes").alias("s", "code"),
         )
-        .groupBy(q_id_col, index.id_col, "_qnorm")
-        .agg(F.array_sort(F.collect_list("term")).alias("terms"))
-        .select(
-            q_id_col,
-            index.id_col,
-            F.round(
-                F.expr("aggregate(terms, 0D, (a, x) -> a + x.dt)")
-                / (
-                    F.col("_qnorm")
-                    * F.sqrt(
-                        F.expr("aggregate(terms, 0D, (a, x) -> a + x.nr)")
+        scored = (
+            cand.join(qd, [q_id_col, "s", "code"])
+            .select(
+                q_id_col,
+                index.id_col,
+                "_qnorm",
+                F.struct("s", "dt", "nr").alias("term"),
+            )
+            .groupBy(q_id_col, index.id_col, "_qnorm")
+            .agg(F.array_sort(F.collect_list("term")).alias("terms"))
+            .select(
+                q_id_col,
+                index.id_col,
+                F.round(
+                    F.expr("aggregate(terms, 0D, (a, x) -> a + x.dt)")
+                    / (
+                        F.col("_qnorm")
+                        * F.sqrt(
+                            F.expr("aggregate(terms, 0D, (a, x) -> a + x.nr)")
+                        )
+                    ),
+                    6,
+                ).alias("sim_pq"),
+            )
+        )
+    else:
+        # query-independent cross table: dot(centroid_slice_s, C_s[j])
+        # — n_cells·m·k rows, bounded by index design, broadcast-safe
+        crossdf = spark.createDataFrame(
+            [
+                (
+                    int(c),
+                    s,
+                    j,
+                    float(
+                        sum(
+                            cv * cb
+                            for cv, cb in zip(
+                                [float(x) for x in v][
+                                    s * d_sub : (s + 1) * d_sub
+                                ],
+                                codebooks[s][j],
+                            )
+                        )
+                    ),
+                )
+                for c, v in sorted(index.centroids.items())
+                for s in range(m)
+                for j in range(kk)
+            ],
+            "cell int, s int, code int, cs double",
+        )
+        cand = (
+            probes.select(q_id_col, "cell", "_qc", "_nc")
+            .join(codes, "cell")
+            .select(
+                q_id_col,
+                "cell",
+                "_qc",
+                "_nc",
+                F.col(index.id_col),
+                F.posexplode("codes").alias("s", "code"),
+            )
+        )
+        scored = (
+            cand.join(qd, [q_id_col, "s", "code"])
+            .join(F.broadcast(crossdf), ["cell", "s", "code"])
+            .select(
+                q_id_col,
+                index.id_col,
+                "_qnorm",
+                "_qc",
+                "_nc",
+                F.struct("s", "dt", "nr", "cs").alias("term"),
+            )
+            .groupBy(q_id_col, index.id_col, "_qnorm", "_qc", "_nc")
+            .agg(F.array_sort(F.collect_list("term")).alias("terms"))
+            .select(
+                q_id_col,
+                index.id_col,
+                F.round(
+                    (
+                        F.col("_qc")
+                        + F.expr("aggregate(terms, 0D, (a, x) -> a + x.dt)")
                     )
-                ),
-                6,
-            ).alias("sim_pq"),
+                    / (
+                        F.col("_qnorm")
+                        * F.sqrt(
+                            F.col("_nc")
+                            + F.lit(2.0)
+                            * F.expr(
+                                "aggregate(terms, 0D, (a, x) -> a + x.cs)"
+                            )
+                            + F.expr(
+                                "aggregate(terms, 0D, (a, x) -> a + x.nr)"
+                            )
+                        )
+                    ),
+                    6,
+                ).alias("sim_pq"),
+            )
         )
-    )
     return (
         scored.withColumn(
             "rank",
@@ -410,6 +680,8 @@ def ivfpq_append(
     codebooks: list[list[list[float]]],
     codes_dir: "str | Path",
     new_embeddings: DataFrame,
+    *,
+    by_residual: bool = False,
 ) -> int:
     """Admit NEW vectors into an existing IVFPQ index — the delta-only
     maintenance step a continuously-growing corpus needs.
@@ -439,6 +711,8 @@ def ivfpq_append(
         assigned = assigned.withColumn(
             "cell", F.element_at(id_map, F.col("cell") + 1)
         )
+    if by_residual:
+        assigned = _residual_frame(index, assigned)
     enc = pq_encode(
         assigned,
         codebooks,

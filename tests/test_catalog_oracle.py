@@ -121,6 +121,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "store_zorder_logs",  # newest green r6
     "text_stats",  # newest green r5
     "token_counts",  # newest green r5
+    "top1_latest",  # newest green r5
     "unigram_nll",  # newest green r6
     "unpivot_part_metrics",  # newest green r5
     "window_topk_per_group",  # newest green r6

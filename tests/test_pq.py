@@ -213,3 +213,139 @@ def test_ivfpq_append_equals_full_build(spark, tmp_path):
         spark, idx, tmp_path / "codes", cb, q, topk=1, n_probe=4
     ).first()
     assert top["vec_id"] == 1
+
+
+# --- residual encoding (FAISS IVFADC by_residual=True, Jégou §IV) ----------
+
+
+def test_residual_train_is_deterministic(spark, tmp_path):
+    emb = _emb(spark)
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf", k=4, iters=2)
+    cb1 = PQ.ivfpq_train_residual(idx, m=8, k=16, iters=5)
+    cb2 = PQ.ivfpq_train_residual(idx, m=8, k=16, iters=5)
+    assert cb1 == cb2
+    assert len(cb1) == 8 and len(cb1[0]) == 16 and len(cb1[0][0]) == 8
+
+
+def test_residual_search_self_query_ranks_top(spark, tmp_path):
+    """Querying with an indexed vector's own embedding must rank that
+    vector first with sim ≈ 1: its residual quantizes to the nearest
+    codewords, and the reconstruction centroid+r̂ is the closest of any
+    indexed vector."""
+    emb = _emb(spark)
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf", k=4, iters=2)
+    cb = PQ.ivfpq_train_residual(idx, m=8, k=16, iters=8)
+    PQ.ivfpq_write_codes(idx, cb, tmp_path / "codes", by_residual=True)
+    for qid in (0, 7, 42):
+        q = emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        top = PQ.ivfpq_search(
+            spark, idx, tmp_path / "codes", cb, q, topk=1, n_probe=1,
+            by_residual=True,
+        ).first()
+        assert top["vec_id"] == qid, qid
+        # the estimate is lossy (16 codewords/subspace on high-entropy
+        # synthetic vectors, self-sim ~0.8); top-rank is the strong
+        # property here — sign/scale bugs are caught by the dedicated
+        # estimation-error test below
+        assert top["sim_pq"] > 0.7
+
+
+def test_residual_search_prunes_partitions_and_stays_jvm(spark, tmp_path):
+    from rust_evm_indexer_spark.plans import partition_filters, physical_plan
+
+    emb = _emb(spark)
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf", k=4, iters=2)
+    cb = PQ.ivfpq_train_residual(idx, m=8, k=16, iters=3)
+    PQ.ivfpq_write_codes(idx, cb, tmp_path / "codes", by_residual=True)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    res = PQ.ivfpq_search(
+        spark, idx, tmp_path / "codes", cb, q, topk=10, n_probe=2,
+        by_residual=True,
+    )
+    pf = partition_filters(res)
+    assert any("cell" in f for f in pf), f"no partition filter on cell: {pf}"
+    plan = physical_plan(res, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_residual_knn_join_matches_per_query_search(spark, tmp_path):
+    emb = _emb(spark)
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf", k=4, iters=2)
+    cb = PQ.ivfpq_train_residual(idx, m=8, k=16, iters=5)
+    PQ.ivfpq_write_codes(idx, cb, tmp_path / "codes", by_residual=True)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    joined = PQ.ivfpq_knn_join(
+        spark, idx, tmp_path / "codes", cb, queries, k=5, n_probe=2,
+        by_residual=True,
+    )
+    got = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["sim_pq"])
+        for r in joined.collect()
+    }
+    for q in range(4):
+        qv = emb.filter(F.col("vec_id") == q).first()["embedding"]
+        want = PQ.ivfpq_search(
+            spark, idx, tmp_path / "codes", cb, qv, topk=5, n_probe=2,
+            by_residual=True,
+        ).collect()
+        for rank, r in enumerate(want, start=1):
+            assert got[(q, rank)] == (r["vec_id"], r["sim_pq"]), (q, rank)
+
+
+def test_residual_append_equals_full_build(spark, tmp_path):
+    emb = _emb(spark)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = sim.IvfIndex.build(first, tmp_path / "ivf", k=4, iters=2)
+    cb = PQ.ivfpq_train_residual(idx, m=8, k=16, iters=5)
+    PQ.ivfpq_write_codes(idx, cb, tmp_path / "codes", by_residual=True)
+    n = PQ.ivfpq_append(idx, cb, tmp_path / "codes", rest, by_residual=True)
+    assert n == rest.count()
+
+    from rust_evm_indexer_spark.operators.similarity import assign_cells
+
+    cents = [idx.centroids[c] for c in sorted(idx.centroids)]
+    full = PQ.pq_encode(
+        PQ._residual_frame(idx, assign_cells(emb, cents)), cb, keep=("cell",)
+    )
+    got = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(str(tmp_path / "codes")).collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in full.collect()
+    }
+    assert got == want
+
+
+def test_residual_estimate_is_sane_vs_exact(spark, tmp_path):
+    """ADC under residual encoding must track true cosine: small mean
+    absolute error over the corpus and max error no worse than ~2x the
+    flat regime's documented band (loose, data-stable bounds)."""
+    import numpy as np
+
+    emb = _emb(spark)
+    idx = sim.IvfIndex.build(emb, tmp_path / "ivf", k=8, iters=3)
+    cb = PQ.ivfpq_train_residual(idx, m=8, k=16, iters=8)
+    PQ.ivfpq_write_codes(idx, cb, tmp_path / "codes", by_residual=True)
+    rows = emb.filter(F.col("vec_id") < 100).collect()
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = X[0]
+    got = {
+        r["vec_id"]: r["sim_pq"]
+        for r in PQ.ivfpq_search(
+            spark, idx, tmp_path / "codes", cb, [float(x) for x in q],
+            topk=500, n_probe=8, exclude_ids=(0,), by_residual=True,
+        ).collect()
+    }
+    errs = [
+        abs(got[i] - float(q @ x / (np.linalg.norm(q) * np.linalg.norm(x))))
+        for i, x in X.items()
+        if i in got
+    ]
+    assert len(errs) >= 90
+    assert float(np.mean(errs)) < 0.15
+    assert float(np.max(errs)) < 0.5
