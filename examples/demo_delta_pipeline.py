@@ -127,11 +127,17 @@ def main() -> None:
               f"{sstats['admitted']} admitted "
               f"({sstats['cross_dropped']} cross, "
               f"{sstats['within_dropped']} within dropped)")
+        n_seeded = spark.read.parquet(str(root / "codes")).count()
         n_appended = PQ.ivfpq_append(
             idx, cb, root / "codes",
             admitted.select("vec_id", "embedding"),
         )
         sstats["release"]()  # terminal action on `admitted` done
+        # the contract this demo exists to prove: index growth ==
+        # exactly this round's semantic survivors, nothing else pays
+        assert n_appended == sstats["admitted"], (n_appended, sstats)
+        grown = spark.read.parquet(str(root / "codes")).count() - n_seeded
+        assert grown == sstats["admitted"], (grown, sstats)
     n_codes = spark.read.parquet(str(root / "codes")).count()
     probe_vec = [float(x) for x in seed_emb.first()["embedding"]]
     hit = PQ.ivfpq_search(

@@ -781,11 +781,52 @@ class TableStore:
         clustered.  The next :meth:`vacuum` then reclaims every
         pre-delete copy.  Returns ``{"candidates": n, "rewritten": n,
         "deleted_rows": n, "projection_fragments_rewritten": n}``."""
+        return self._delete_where(
+            table, column, value,
+            self._equals_pred(column, value),
+            {"table": table, "column": column, "value": value},
+        )
+
+    def delete_in(
+        self, table: str, column: str, values, *, max_keys: int = 65536
+    ) -> dict:
+        """Batched compliance delete — :meth:`delete_equals` for a KEY
+        SET, in ONE atomic version: a takedown list of ten thousand
+        doc_ids costs one manifest swap and two Spark jobs (the batched
+        maintenance kernel), not ten thousand versions each with their
+        own scan.  Same index-tier pruning (ONE list-probe per fragment
+        — dict/bloom take IN-lists natively), same NULL-safe survivor
+        semantics, same projection purge, and the changefeed replays
+        the whole batch from the recorded key set exactly like an
+        upsert's superseded versions (``op_info["values"]`` →
+        ``_in_pred``).  ``values`` is capped at ``max_keys`` — this is
+        the delta regime; rewrite the table for bulk erasure."""
+        vals = list(values)
+        if not vals:
+            return {"candidates": 0, "rewritten": 0, "deleted_rows": 0,
+                    "projection_fragments_rewritten": 0}
+        if len(vals) > max_keys:
+            raise ValueError(
+                f"delete_in carries {len(vals)} keys > max_keys={max_keys}: "
+                "batched deletes are for delta-sized takedown lists; "
+                "rewrite the table for bulk erasure"
+            )
+        return self._delete_where(
+            table, column, vals,
+            self._in_pred(column, vals),
+            {"table": table, "column": column, "values": vals},
+        )
+
+    def _delete_where(
+        self, table: str, column: str, probe, pred, op_info: dict
+    ) -> dict:
+        """Shared delete kernel: ``probe`` is the scalar or key list the
+        index tiers prune on; ``pred`` the match predicate; ``op_info``
+        what the manifest records for changefeed replay."""
         from pyspark.sql import functions as F
 
         m = self.current_manifest()
         frags = m.tables.get(table, [])
-        pred = self._equals_pred(column, value)
         new_frags: list[Fragment] = []
         replaced: dict[str, str | None] = {}  # old base path -> new (None = emptied)
         stats = {
@@ -794,7 +835,14 @@ class TableStore:
             "deleted_rows": 0,
             "projection_fragments_rewritten": 0,
         }
-        candidates = [f for f in frags if self._frag_keeps(f, {column: value})]
+        # per-key index pruning is driver-side O(fragments); past a few
+        # thousand keys nearly every bloom admits something anyway —
+        # skip straight to the shared scan (same policy as upsert)
+        prune = not isinstance(probe, list) or len(probe) <= 2048
+        candidates = [
+            f for f in frags
+            if not prune or self._frag_keeps(f, {column: probe})
+        ]
         stats["candidates"] = len(candidates)
         # two Spark jobs TOTAL for the whole candidate set (hit counts,
         # then all survivor rewrites partitioned per source fragment) —
@@ -822,7 +870,7 @@ class TableStore:
             txns=dict(m.txns),
             status=m.status,
             op="delete",
-            op_info={"table": table, "column": column, "value": value},
+            op_info=op_info,
             tables={t: list(fs) for t, fs in m.tables.items()},
             schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},
@@ -837,7 +885,7 @@ class TableStore:
             ]
             new_pfrags: list[Fragment] = []
             for pf in proj["fragments"]:
-                if not self._frag_keeps(pf, {column: value}):
+                if prune and not self._frag_keeps(pf, {column: probe}):
                     new_pfrags.append(pf)
                     continue
                 pdf = self.spark.read.parquet(str(self.root / pf.path))

@@ -922,3 +922,63 @@ def test_stupid_backoff_trigram_pruning_lever(spark):
     prune = tx.stupid_backoff_trigram_nll(
         df, trigram_min_count=10).first()["avg_nll"]
     assert prune > keep
+
+
+def test_semantic_gate_index_growth_equals_survivors(spark, tmp_path):
+    """The full three-stage 'only the delta pays' admission path
+    (examples/demo_delta_pipeline.py): each round's delta passes the
+    semantic gate against the FROZEN quantizer, and ONLY the admitted
+    survivors are PQ-encoded into the IVFADC code table — so per-round
+    index growth must equal that round's semantic survivors exactly,
+    and the final code table is precisely the union of all admitted
+    ids."""
+    from rust_evm_indexer_spark.operators import pq as PQ
+    from rust_evm_indexer_spark.operators import similarity as sim
+    from rust_evm_indexer_spark.sources.batch import load_driver_table
+
+    from conftest import SF_ORACLE
+
+    emb = load_driver_table(spark, str(SF_ORACLE), "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.filter(F.col("vec_id") < 300)
+    idx = sim.IvfIndex.build(seed, tmp_path / "ivf", k=4, iters=2)
+    cb = PQ.pq_train(seed, m=4, k=8, iters=4)
+    codes_dir = tmp_path / "codes"
+    PQ.ivfpq_write_codes(idx, cb, codes_dir)
+    n_codes = spark.read.parquet(str(codes_dir)).count()
+    assert n_codes == 300
+    admitted_ids: set[int] = set(r["vec_id"] for r in seed.collect())
+
+    # round 1: novel vectors + scaled copies of STORED ones (dropped);
+    # round 2: novel vectors + scaled copies of ROUND-1 admits (dropped)
+    r1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 310)).unionByName(
+        emb.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 900000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+    )
+    r2 = emb.filter((F.col("vec_id") >= 310) & (F.col("vec_id") < 318)).unionByName(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 302)).select(
+            (F.col("vec_id") + 950000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+        )
+    )
+    for batch in (r1, r2):
+        kept, stats = sim.semantic_admit(idx, batch, threshold=0.999999)
+        grown = PQ.ivfpq_append(
+            idx, cb, codes_dir, kept.select("vec_id", "embedding")
+        )
+        stats["release"]()
+        now = spark.read.parquet(str(codes_dir)).count()
+        # this round's index growth == this round's semantic survivors
+        assert grown == stats["admitted"]
+        assert now - n_codes == stats["admitted"]
+        n_codes = now
+        admitted_ids |= {r["vec_id"] for r in kept.select("vec_id").collect()}
+
+    final_ids = {
+        r["vec_id"] for r in spark.read.parquet(str(codes_dir)).collect()
+    }
+    assert final_ids == admitted_ids
+    assert not any(v >= 900000 for v in final_ids)  # no dup ever encoded

@@ -5,6 +5,8 @@ after, and the projection must be routable again post-compaction."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rust_evm_indexer_spark.store import TableStore
@@ -162,3 +164,51 @@ def test_batched_upsert_across_evolved_schemas(spark, tmp_path):
            for r in store.read("docs").collect()}
     assert got == {1: ("old-1", None), 2: ("new-2", 0.9),
                    3: ("new-3", 0.7), 4: ("new-4", 0.1)}
+
+
+def test_delete_in_batched_takedown(spark, tmp_path):
+    """delete_in: one atomic version for a whole takedown list, exact
+    changefeed replay of the batch from the recorded key set, NULL keys
+    untouched, case-insensitive string matching."""
+    store = TableStore(spark, tmp_path / "dstore", bloom_columns={},
+                       dict_columns={})
+    schema = "id: long, addr: string, block_number: long"
+    store.commit({"pts": spark.createDataFrame(
+        [(1, "0xAA", 1), (2, "0xbb", 1), (3, None, 1)], schema)})
+    store.commit({"pts": spark.createDataFrame(
+        [(4, "0xaa", 2), (5, "0xcc", 2), (6, "0xdd", 2)], schema)})
+    pre = store.current_manifest().version
+
+    stats = store.delete_in("pts", "addr", ["0xaa", "0xCC"])
+
+    assert store.current_manifest().version == pre + 1  # ONE version
+    assert stats["deleted_rows"] == 3 and stats["rewritten"] == 2
+    left = {r["id"] for r in store.read("pts").collect()}
+    assert left == {2, 3, 6}  # NULL key survives
+    feed = store.changes("pts", since_version=pre, include_deletes=True)
+    deleted = sorted(r["id"] for r in feed.collect()
+                     if r["_change_type"] == "delete")
+    assert deleted == [1, 4, 5]
+
+    # empty list and oversized list contracts
+    assert store.delete_in("pts", "addr", [])["rewritten"] == 0
+    assert store.current_manifest().version == pre + 1
+    with pytest.raises(ValueError, match="max_keys"):
+        store.delete_in("pts", "addr", list(map(str, range(20))), max_keys=10)
+
+
+def test_delete_in_purges_projections(spark, tmp_path):
+    store = TableStore(spark, tmp_path / "pstore", bloom_columns={},
+                       dict_columns={})
+    schema = "id: long, addr: string, block_number: long"
+    store.commit({"pts": spark.createDataFrame(
+        [(i, f"0x{i % 7:02x}", i) for i in range(70)], schema)})
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=2)
+
+    stats = store.delete_in("pts", "addr", ["0x01", "0x03"])
+
+    assert stats["deleted_rows"] == 20
+    assert stats["projection_fragments_rewritten"] >= 1
+    via = store.read_projection("pts", "by_addr")
+    assert via.count() == 50
+    assert via.filter(F.col("addr").isin("0x01", "0x03")).count() == 0
