@@ -115,11 +115,26 @@ def main() -> None:
     warm_sf = str(Path(sf_dir).parent / "sf0.001")
     if not Path(warm_sf).is_dir():
         warm_sf = sf_dir
-    try:
-        CATALOG["dedup_ngram_jaccard"].fn(spark, warm_sf).count()
-        CATALOG["similarity_topk"].fn(spark, warm_sf).count()
-    except Exception as e:  # warm-up is best-effort by definition
-        print(f"warm-up skipped: {e}", file=sys.stderr)
+    # one representative per heavy stage-shape family (r7 measurement:
+    # the FIRST execution of a shape pays ~2x in JIT even after cache
+    # clears, and which entry absorbed it moved with every catalog
+    # reorder — warming the families at sf0.001 costs seconds and makes
+    # the per-entry numbers comparable round-over-round)
+    _WARM = (
+        "dedup_ngram_jaccard",   # shingle explode + band join family
+        "similarity_topk",       # zip_with/aggregate cosine folds
+        "dedup_embedding_cosine",  # sparse-dimension equi-join
+        "substring_dup",         # gram explode + positional self-join
+        "dedup_winnowing",       # in-array window-min + inverted index
+        "unigram_nll",           # vocab join + DECIMAL accumulation
+        "lm_stupid_backoff_tri",  # n-gram key-partitioned join chain
+        "dedup_spans_global",    # span groupBy-min ownership
+    )
+    for name in _WARM:
+        try:
+            CATALOG[name].fn(spark, warm_sf).count()
+        except Exception as e:  # warm-up is best-effort by definition
+            print(f"warm-up {name} skipped: {e}", file=sys.stderr)
     clear_session_caches()
 
     shared_total = None
