@@ -397,6 +397,18 @@ class TableStore:
         #: fragment count; tools/manifest_bench.py measures the
         #: crossover, numbers in SCALE.md)
         self.manifest_format = manifest_format
+        #: LRU of bloom sidecar bitsets keyed by (fragment path, column).
+        #: Fragments are immutable, so a cached bitset can never go
+        #: stale; without it every point lookup re-reads the few-KB
+        #: sidecar of every min/max-surviving fragment from disk — at
+        #: high lookup QPS on a hot table, that's the same file hundreds
+        #: of times.  Capped; bitsets are ~n·10/8 bytes each.
+        from collections import OrderedDict
+
+        self._bloom_sidecar_cache: OrderedDict[tuple[str, str], bytes] = (
+            OrderedDict()
+        )
+        self._bloom_sidecar_cache_max = 4096
         (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(parents=True, exist_ok=True)
 
@@ -1421,10 +1433,18 @@ class TableStore:
             params = frag.blooms.get(col)
             if params is None or value is None:
                 continue
-            try:
-                bits = _bloom.read_sidecar(fdir, col)
-            except OSError:
-                continue
+            ck = (frag.path, col)
+            bits = self._bloom_sidecar_cache.get(ck)
+            if bits is None:
+                try:
+                    bits = _bloom.read_sidecar(fdir, col)
+                except OSError:
+                    continue
+                self._bloom_sidecar_cache[ck] = bits
+                if len(self._bloom_sidecar_cache) > self._bloom_sidecar_cache_max:
+                    self._bloom_sidecar_cache.popitem(last=False)
+            else:
+                self._bloom_sidecar_cache.move_to_end(ck)
             probe = value if isinstance(value, (list, tuple)) else (value,)
             if all(
                 v is not None

@@ -236,3 +236,33 @@ def test_rollback_rewrite_keeps_blooms(spark, tmp_path):
     m2 = store.current_manifest()
     for f in m2.tables["logs"]:
         assert f.blooms and "contract_address" in f.blooms
+
+
+def test_bloom_sidecar_cache_hits_and_caps(spark, tmp_path):
+    """Repeated point probes must read each (fragment, column) sidecar
+    from disk ONCE — fragments are immutable, so the LRU can never go
+    stale — and the cache stays bounded."""
+    from rust_evm_indexer_spark.store import TableStore
+
+    store = TableStore(spark, tmp_path / "cstore",
+                       bloom_columns={"pts": ("addr",)}, dict_columns={})
+    store.commit({"pts": spark.createDataFrame(
+        [(i, f"0x{i:04x}", 1) for i in range(50)],
+        "id: long, addr: string, block_number: long")})
+    frag = store.current_manifest().tables["pts"][0]
+    assert len(store._bloom_sidecar_cache) == 0
+    for probe in ("0x0001", "0x0002", "0x0001", "0xffff"):
+        store._frag_keeps(frag, {"addr": probe})
+    assert list(store._bloom_sidecar_cache) == [(frag.path, "addr")]
+    # the cached bitset answers identically to a fresh read
+    from rust_evm_indexer_spark.store import bloom as _bloom
+    assert store._bloom_sidecar_cache[(frag.path, "addr")] == \
+        _bloom.read_sidecar(store.root / frag.path, "addr")
+    # cap: a miss-insert past the cap evicts the oldest entry
+    store._bloom_sidecar_cache_max = 1
+    store._bloom_sidecar_cache[("stale", "c")] = b"x"
+    store._bloom_sidecar_cache.move_to_end((frag.path, "addr"), last=False)
+    del store._bloom_sidecar_cache[(frag.path, "addr")]  # force a re-read
+    store._frag_keeps(frag, {"addr": "0x0003"})
+    assert len(store._bloom_sidecar_cache) == 1
+    assert (frag.path, "addr") in store._bloom_sidecar_cache  # oldest evicted
