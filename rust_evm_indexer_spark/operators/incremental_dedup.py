@@ -48,6 +48,8 @@ from .dedup import (
     dedup_survivors,
     exact_dedup,
     minhash_lsh_pairs,
+    winnow_fingerprints,
+    winnow_pairs,
     word_shingles,
 )
 
@@ -85,8 +87,38 @@ def banded_minhash(
     )
 
 
+def winnow_band_rows(
+    docs: DataFrame, *, k: int = 3, window: int = 4
+) -> DataFrame:
+    """(doc_id, band, bucket) rows from xxhash64 winnowed fingerprints
+    (dedup.winnow_fingerprints) — SCHEMA-COMPATIBLE with
+    :func:`banded_minhash` (band pinned to 0, bucket = the 8-byte
+    fingerprint), so the whole stored-state machinery — broadcast-probe
+    candidate join, atomic corpus+index commit, crash replay — is
+    shared verbatim between the two signature schemes.  Winnowing's
+    guarantee is STRUCTURAL rather than probabilistic: any shared word
+    run of length >= k + window - 1 produces a shared fingerprint, so
+    cross-round near-dups with long verbatim overlaps can never be
+    missed by the candidate stage (MinHash's recall is 1 - (1-s^r)^b)."""
+    fp = winnow_fingerprints(
+        docs, k=k, window=window, hash_fn="xxhash64"
+    )
+    return fp.select(
+        "doc_id", F.lit(0).alias("band"), F.col("fp").alias("bucket")
+    )
+
+
 class IncrementalDeduper:
-    """Ingest-cadence near-dup gate over a TableStore-backed corpus."""
+    """Ingest-cadence near-dup gate over a TableStore-backed corpus.
+
+    ``method`` picks the stored signature scheme: ``"minhash"`` (the
+    default — banded MinHash, threshold-matched recall for Jaccard
+    near-dups) or ``"winnow"`` (xxhash64 winnowed fingerprints — the
+    MOSS guarantee for long verbatim overlaps; see
+    :func:`winnow_band_rows`).  Both store the same (doc_id, band,
+    bucket) shape; a given ``bands_table`` must stick to ONE method for
+    its lifetime (buckets from different schemes never collide
+    meaningfully but would dilute the index)."""
 
     #: band rows above which the delta no longer broadcasts (3 longs/row
     #: ≈ 24 B → ~200 MB serialized at the cap; past it the shuffle join
@@ -104,7 +136,12 @@ class IncrementalDeduper:
         corpus_table: str = "corpus",
         bands_table: str = "minhash_bands",
         delta_broadcast_cap: int = DELTA_BROADCAST_CAP,
+        method: str = "minhash",
+        window: int = 4,
+        winnow_doc_freq_cap: int = 50,
     ):
+        if method not in ("minhash", "winnow"):
+            raise ValueError(f"method must be 'minhash' or 'winnow', got {method!r}")
         self.store = store
         self.threshold = threshold
         self.k = k
@@ -113,11 +150,52 @@ class IncrementalDeduper:
         self.corpus_table = corpus_table
         self.bands_table = bands_table
         self.delta_broadcast_cap = delta_broadcast_cap
+        self.method = method
+        self.window = window
+        self.winnow_doc_freq_cap = winnow_doc_freq_cap
+
+    def _signature_rows(self, docs: DataFrame) -> DataFrame:
+        if self.method == "winnow":
+            return winnow_band_rows(docs, k=self.k, window=self.window)
+        return banded_minhash(
+            docs, k=self.k, n_perm=self.n_perm, bands=self.bands
+        )
+
+    def _within_pairs(self, docs: DataFrame) -> DataFrame:
+        """Verified within-batch near-dup pairs under the active method
+        — both schemes end in the same exact-Jaccard verification, so
+        precision stays 1.0 regardless of the candidate generator."""
+        if self.method == "minhash":
+            return minhash_lsh_pairs(
+                docs, threshold=self.threshold, k=self.k,
+                n_perm=self.n_perm, bands=self.bands,
+            )
+        cand = winnow_pairs(
+            docs, k=self.k, window=self.window, min_shared=1,
+            doc_freq_cap=self.winnow_doc_freq_cap, hash_fn="xxhash64",
+        ).select("a_id", "b_id")
+        ids = (
+            cand.select(F.col("a_id").alias("doc_id"))
+            .union(cand.select(F.col("b_id")))
+            .distinct()
+        )
+        sh = word_shingles(
+            docs.join(F.broadcast(ids), "doc_id", "left_semi"), k=self.k
+        )
+        return _pair_jaccard(sh).where(
+            F.col("jaccard") >= self.threshold
+        ).join(F.broadcast(cand), ["a_id", "b_id"], "left_semi")
 
     def corpus(self) -> DataFrame:
         return self.store.read(self.corpus_table)
 
-    def cross_candidates(self, new_bands: DataFrame, n_delta: int) -> DataFrame:
+    def cross_candidates(
+        self,
+        new_bands: DataFrame,
+        n_delta: int | None = None,
+        *,
+        n_rows: int | None = None,
+    ) -> DataFrame:
         """(new_id, old_id) bucket collisions of the delta's band rows
         against the STORED band table.
 
@@ -131,9 +209,14 @@ class IncrementalDeduper:
         shuffle: at that size the delta itself is shuffle-sized and both
         sides pay proportionally."""
         stored_bands = self.store.read(self.bands_table)
+        # delta size in SIGNATURE ROWS: fixed n_delta x bands for
+        # minhash; winnowing emits a variable fingerprint count per doc,
+        # so the caller passes the exact row count (n_rows) instead
+        if n_rows is None:
+            n_rows = (n_delta or 0) * self.bands
         delta = (
             new_bands.alias("n")
-            if n_delta * self.bands > self.delta_broadcast_cap
+            if n_rows > self.delta_broadcast_cap
             else F.broadcast(new_bands.alias("n"))
         )
         return (
@@ -159,24 +242,24 @@ class IncrementalDeduper:
         docs = docs.join(
             exact_dedup(docs).select("doc_id"), "doc_id", "left_semi"
         )
-        pairs = minhash_lsh_pairs(
-            docs, threshold=self.threshold, k=self.k,
-            n_perm=self.n_perm, bands=self.bands,
-        )
+        pairs = self._within_pairs(docs)
         within = dedup_survivors(docs, pairs).persist()
         n_within = within.count()
 
         # 2. cross-round candidates: new band rows ⋈ stored band rows
         # (first round: no stored state, and an uncommitted table reads
         # as a schemaless empty frame — skip the join entirely)
-        new_bands = banded_minhash(
-            within, k=self.k, n_perm=self.n_perm, bands=self.bands
-        ).persist()
+        new_bands = self._signature_rows(within).persist()
         has_state = bool(
             self.store.current_manifest().tables.get(self.bands_table)
         )
         if has_state:
-            cand = self.cross_candidates(new_bands, n_within).persist()
+            n_sig_rows = (
+                new_bands.count()  # materializes the persist anyway
+                if self.method == "winnow"
+                else n_within * self.bands
+            )
+            cand = self.cross_candidates(new_bands, n_rows=n_sig_rows).persist()
         else:
             cand = None
 

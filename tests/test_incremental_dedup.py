@@ -125,3 +125,69 @@ def test_changefeed_delivers_exactly_each_rounds_survivors(spark, tmp_path):
         dd.corpus_table, since_version=pre, include_deletes=True
     ).collect()
     assert [r["doc_id"] for r in feed if r["_change_type"] == "delete"] == [1]
+
+
+# --- winnow signature scheme (r7): same machinery, structural recall -------
+
+
+def _mk_winnow(spark, tmp_path):
+    store = TableStore(spark, tmp_path / "incw", bloom_columns={},
+                       dict_columns={})
+    return IncrementalDeduper(
+        store, threshold=0.5, method="winnow", k=3, window=4,
+        bands_table="winnow_fps",
+    ), store
+
+
+def test_winnow_method_first_batch_and_cross_round(spark, tmp_path):
+    dd, store = _mk_winnow(spark, tmp_path)
+    rep = dd.add_batch(
+        _docs(spark, [(1, _SENT), (2, _SENT),
+                      (3, "completely different text about spark engines "
+                          "and broadcast joins")])
+    )
+    assert rep == {"batch": 3, "within_kept": 2, "cross_dropped": 0,
+                   "added": 2}
+    idx = store.read("winnow_fps")
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} \
+        == {1, 3}
+    assert dict(idx.dtypes)["bucket"] == "bigint"  # xxhash64 fingerprints
+
+    rep2 = dd.add_batch(
+        _docs(spark, [
+            (10, _SENT),  # exact dup of stored doc 1
+            (11, "entirely novel content on columnar storage formats and "
+                 "fragment pruning strategies for big tables"),
+        ])
+    )
+    assert rep2["cross_dropped"] == 1 and rep2["added"] == 1
+    assert sorted(r["doc_id"] for r in dd.corpus().collect()) == [1, 3, 11]
+
+
+def test_winnow_method_guarantee_catches_long_shared_run(spark, tmp_path):
+    """The structural winnowing guarantee in the incremental regime: a
+    round-2 doc sharing a >= k+window-1 word run with a STORED doc must
+    surface as a candidate; whether it drops is then the exact-Jaccard
+    verdict (precision contract unchanged)."""
+    dd, _ = _mk_winnow(spark, tmp_path)
+    dd.add_batch(_docs(spark, [(1, _SENT)]))
+    shared = " ".join(_SENT.split()[:8])  # 8-word run >= 3+4-1
+    new_bands = dd._signature_rows(
+        _docs(spark, [(20, f"prefix words then {shared} and a different tail")])
+    )
+    cand = dd.cross_candidates(new_bands, n_rows=100)
+    assert {(r["new_id"], r["old_id"]) for r in cand.collect()} == {(20, 1)}
+
+
+def test_winnow_method_stored_side_never_shuffled(spark, tmp_path):
+    """Same plan posture as the minhash scheme: the stored fingerprint
+    table (the structure that grows) is probed by the BROADCAST delta —
+    zero Exchange on the stored scan."""
+    from rust_evm_indexer_spark.plans import physical_plan
+
+    dd, _ = _mk_winnow(spark, tmp_path)
+    dd.add_batch(_docs(spark, [(1, _SENT)]))
+    new_bands = dd._signature_rows(_docs(spark, [(30, "novel words here")]))
+    plan = physical_plan(dd.cross_candidates(new_bands, n_rows=10), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

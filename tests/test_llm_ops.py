@@ -982,3 +982,84 @@ def test_semantic_gate_index_growth_equals_survivors(spark, tmp_path):
     }
     assert final_ids == admitted_ids
     assert not any(v >= 900000 for v in final_ids)  # no dup ever encoded
+
+
+def test_stupid_backoff_trigram_matches_python_model(spark):
+    """Randomized corpora against a pure-Python reference of the full
+    scoring contract (all hops, pruning, floors) — words drawn from a
+    tiny alphabet so every branch fires with high probability."""
+    import math
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def py_score(model_texts, doc_words, alpha, cutoff):
+        uni, bi, tri = {}, {}, {}
+        for t in model_texts:
+            ws = t.split()
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+            for a, b, c in zip(ws, ws[1:], ws[2:]):
+                tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+        tri = {k: v for k, v in tri.items() if v >= cutoff}
+        T = float(sum(uni.values()))
+
+        def s1(w):
+            return (uni.get(w, alpha) if w in uni else alpha) / T
+
+        total = -math.log(s1(doc_words[0]))
+        if len(doc_words) >= 2:
+            a, b = doc_words[0], doc_words[1]
+            if (a, b) in bi:
+                total += -math.log(bi[(a, b)] / uni[a])
+            else:
+                total += -math.log(alpha * s1(b))
+        for i in range(2, len(doc_words)):
+            a, b, c = doc_words[i - 2], doc_words[i - 1], doc_words[i]
+            if (a, b, c) in tri:
+                total += -math.log(tri[(a, b, c)] / bi[(a, b)])
+            elif (b, c) in bi:
+                total += -math.log(alpha * bi[(b, c)] / uni[b])
+            else:
+                total += -math.log(alpha * alpha * s1(c))
+        return total / len(doc_words)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seed=st.integers(min_value=0, max_value=10_000))
+    def run(seed):
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd"]
+        model_texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+            for _ in range(3)
+        ]
+        score_texts = model_texts[:1] + [
+            " ".join(
+                rng.choice(vocab + ["zz"])  # zz = OOV, exercises floors
+                for _ in range(rng.randint(1, 10))
+            )
+            for _ in range(3)
+        ]
+        rows = [(f"m{i}", t) for i, t in enumerate(model_texts)] + [
+            (f"d{i}", t) for i, t in enumerate(score_texts)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        model = df.where(F.col("doc_id").startswith("m"))
+        got = {
+            r["doc_id"]: r["avg_nll"]
+            for r in tx.stupid_backoff_trigram_nll(
+                df, model_df=model, alpha=0.4, trigram_min_count=2
+            ).collect()
+        }
+        for i, t in enumerate(score_texts):
+            want = py_score(model_texts, t.split(), 0.4, 2)
+            assert got[f"d{i}"] == pytest.approx(want, abs=1e-6), (seed, t)
+
+    run()
