@@ -5565,6 +5565,88 @@ _SHARD_SQL = f"""
     """
 
 
+_ZIPF_SQL = f"""
+    WITH norm AS (SELECT lang, string_split({_NORM_SQL}, ' ') AS ws
+                  FROM documents),
+    d AS (SELECT lang, ws FROM norm WHERE len(ws) > 0 AND ws[1] <> ''),
+    w AS (SELECT lang, unnest(ws) AS word FROM d),
+    f AS (SELECT lang, word, count(*) AS freq FROM w GROUP BY 1, 2),
+    r AS (SELECT lang, word, freq,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY freq DESC, word) AS rank
+          FROM f),
+    t AS (SELECT lang,
+                 CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(27,15)) AS x,
+                 CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(27,15)) AS y,
+                 CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                      AS DECIMAL(27,15)) AS xx,
+                 CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+                      AS DECIMAL(27,15)) AS xy
+          FROM r WHERE rank <= 1000),
+    a AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(xx) AS sxx, sum(xy) AS sxy
+          FROM t GROUP BY 1)
+    SELECT lang, CAST(n AS BIGINT) AS n_types,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+    FROM a WHERE n >= 2
+    """
+
+
+@register(
+    "corpus_zipf_slope",
+    _ZIPF_SQL,
+    tags=("llm", "X-4", "quality", "zipf"),
+)
+def corpus_zipf_slope_q(spark, sf_dir):
+    """Per-language Zipf fit (operators/textops.py::zipf_slope): the
+    least-squares slope of ln(freq) over ln(rank) for each language's
+    top-1000 words — the corpus-health diagnostic (natural text ≈ −1;
+    templated/generated slices drift shallow) a 100 TB mixer scores
+    sources with.  One count shuffle + a per-group rank window; the
+    slope comes from four DECIMAL(27,15) sums (order-independent under
+    partial aggregation) pushed through one double expression tree —
+    both engines bit-identical at 6dp."""
+    return tx.zipf_slope(
+        _t(spark, sf_dir, "documents"), by="lang", top_ranks=1000
+    )
+
+
+_LENHIST_SQL = f"""
+    WITH norm AS (SELECT source, string_split({_NORM_SQL}, ' ') AS ws
+                  FROM documents),
+    d AS (SELECT source, len(ws) AS n_tokens FROM norm
+          WHERE len(ws) > 0 AND ws[1] <> '')
+    SELECT source,
+           CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_len,
+           CAST(max(n_tokens) AS BIGINT) AS max_len,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM d GROUP BY 1, 2
+    """
+
+
+@register(
+    "corpus_length_histogram",
+    _LENHIST_SQL,
+    tags=("llm", "X-4", "packing", "histogram"),
+)
+def corpus_length_histogram_q(spark, sf_dir):
+    """Per-source log2-bucketed token-length histogram
+    (operators/corpus.py::length_histogram) — the planning input for
+    sequence packing and context-window sizing: bucket =
+    floor(log2(n_tokens)) computed EXACTLY as binary-repr length − 1
+    (float log2 wobbles at powers of two), so the whole operator is
+    integer arithmetic end to end: one narrow projection + one shuffle
+    on (source, bucket), no float parity surface at all."""
+    return cp.length_histogram(
+        _t(spark, sf_dir, "documents"), by="source"
+    )
+
+
 @register(
     "corpus_shuffle_shards",
     _SHARD_SQL,
@@ -5714,6 +5796,8 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "store_upsert_docs",  # DIRTY
     "lm_stupid_backoff_tri",  # never checked
     "similarity_ivfpq_residual_topk",  # never checked
+    "corpus_zipf_slope",  # never checked
+    "corpus_length_histogram",  # never checked
     "store_projection_logs",  # newest green r4
     "graph_triangle_count",  # newest green r4
     "q1_pricing_summary",  # newest green r4
@@ -5749,8 +5833,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "bm25_search",  # newest green r4
     "jsonl_ingest",  # newest green r5
     "logs_filter_conj",  # newest green r5
-    "logs_keyset_page",  # newest green r5
-    "logs_offset_page",  # newest green r5
 ]
 
 

@@ -771,6 +771,45 @@ def dedup_spans_global(
     )
 
 
+def length_histogram(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group log2-bucketed token-length histogram — the planning
+    input for sequence packing and context-window sizing: which sources
+    are dominated by snippets vs long documents, and how many tokens
+    each bucket contributes.  Output: (group, bucket, n_docs, min_len,
+    max_len, total_tokens) where bucket = floor(log2(n_tokens)), so
+    bucket 5 holds docs of 32-63 tokens.
+
+    Integer-exact end to end (token counts, bit-length buckets, integer
+    aggregates) — no float parity concerns; one narrow projection + one
+    shuffle on (group, bucket)."""
+    toks = df.select(
+        F.col(by).alias("_g"),
+        F.split(normalize_text(text_col), " ").alias("_ws"),
+    ).where(F.element_at("_ws", 1) != "").select(
+        "_g", F.size("_ws").alias("n_tokens")
+    )
+    # floor(log2(n)) as an exact integer: length of the binary repr - 1
+    bucket = (F.length(F.conv(F.col("n_tokens"), 10, 2)) - 1).cast("long")
+    return (
+        toks.select("_g", "n_tokens", bucket.alias("bucket"))
+        .groupBy("_g", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_len"),
+            F.max("n_tokens").cast("long").alias("max_len"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("_g").alias(by), "bucket", "n_docs",
+            "min_len", "max_len", "total_tokens",
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Deterministic corpus shuffle + sharding (training export layout)
 # ---------------------------------------------------------------------

@@ -540,6 +540,79 @@ def stupid_backoff_trigram_nll(
     )
 
 
+def zipf_slope(
+    df: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    top_ranks: int = 1000,
+) -> DataFrame:
+    """Per-group Zipf fit: the least-squares slope of ln(freq) over
+    ln(rank) across the ``top_ranks`` most frequent words — the classic
+    corpus-health diagnostic (natural text sits near −1; templated or
+    machine-generated slices drift shallow, OCR noise drifts steep), so
+    a 100 TB mixer can score SOURCES before sampling from them.
+
+    One shuffle for the (group, word) counts, one rank window inside
+    each group, then closed-form slope from four DECIMAL sums:
+    ``slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)`` with every ln() term
+    cast to DECIMAL(27,15) BEFORE summation — partial-aggregation order
+    can't wobble bits, so the DuckDB oracle matches exactly (the same
+    policy as unigram_nll; plain covar_pop/var_pop would be
+    order-dependent in float).  Rank ties break by word for a
+    deterministic cut at ``top_ranks``.  Output: (group, n_types,
+    slope) with slope rounded to 6dp."""
+    from .dedup import normalize_text
+
+    toks = df.select(
+        F.col(by).alias("_g"),
+        F.split(normalize_text(text_col), " ").alias("ws"),
+    ).where((F.size("ws") > 0) & (F.element_at("ws", 1) != ""))
+    words = toks.select("_g", F.explode("ws").alias("word"))
+    freq = words.groupBy("_g", "word").agg(F.count("*").alias("freq"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_g").orderBy(F.desc("freq"), F.asc("word"))
+    ranked = freq.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_ranks
+    )
+    dec = "decimal(27,15)"
+    terms = ranked.select(
+        "_g",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    ).select(
+        "_g",
+        F.col("x").cast(dec).alias("x"),
+        F.col("y").cast(dec).alias("y"),
+        (F.col("x") * F.col("x")).cast(dec).alias("xx"),
+        (F.col("x") * F.col("y")).cast(dec).alias("xy"),
+    )
+    agg = terms.groupBy("_g").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("xy").alias("sxy"),
+    )
+    # the SUMS are the order-sensitive part and they are DECIMAL; the
+    # closed-form itself is a fixed scalar expression tree, evaluated in
+    # double on identical inputs by both engines (decimal×decimal
+    # precision-clamp rules differ between engines, doubles do not)
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    slope = (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+    # a single-rank group has zero x-variance: no fit, drop it (both
+    # engines would otherwise hit a 0/0 with divergent null semantics)
+    return agg.where(F.col("n") >= 2).select(
+        F.col("_g").alias(by),
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("slope"),
+    )
+
+
 def chunk_documents(
     df: DataFrame, text_col: str = "text", size: int = 32, stride: int = 24
 ) -> DataFrame:

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from rust_evm_indexer_spark.operators import corpus as cp
 from rust_evm_indexer_spark.operators import dedup as dd
 from rust_evm_indexer_spark.operators import multimodal as mm
 from rust_evm_indexer_spark.operators import similarity as sim
@@ -1063,3 +1064,56 @@ def test_stupid_backoff_trigram_matches_python_model(spark):
             assert got[f"d{i}"] == pytest.approx(want, abs=1e-6), (seed, t)
 
     run()
+
+
+# --- round 7: corpus diagnostics (Zipf fit, length histogram) --------------
+
+
+def test_zipf_slope_recovers_planted_exponent(spark):
+    """A corpus built with freq(rank) = round(C / rank) must fit slope
+    ≈ −1; a group with a single distinct word (zero x-variance) is
+    dropped, not NaN'd."""
+    rows = []
+    for rank in range(1, 51):
+        word = f"w{rank:03d}"
+        for rep in range(max(1, round(200 / rank))):
+            rows.append(("zipf", f"{word} filler{rep % 3}"))
+    rows.append(("tiny", "onlyword"))
+    df = spark.createDataFrame(
+        [(i, g, t) for i, (g, t) in enumerate(rows)],
+        ["doc_id", "lang", "text"],
+    )
+    got = {r["lang"]: r for r in
+           tx.zipf_slope(df, by="lang", top_ranks=40).collect()}
+    assert "tiny" not in got  # single word -> no fit
+    assert got["zipf"]["n_types"] == 40
+    assert -1.6 < got["zipf"]["slope"] < -0.6  # fillers skew the tail
+
+
+def test_zipf_slope_deterministic_under_repartition(spark):
+    rows = [(i, "en", f"alpha beta gamma w{i % 17} w{i % 5}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    a = tx.zipf_slope(df).collect()[0]["slope"]
+    b = tx.zipf_slope(df.repartition(13)).collect()[0]["slope"]
+    assert a == b  # DECIMAL sums: partial-agg order cannot wobble bits
+
+
+def test_length_histogram_exact_buckets(spark):
+    docs = [
+        (1, "s1", "one"),                      # 1 token  -> bucket 0
+        (2, "s1", "two words"),                # 2        -> bucket 1
+        (3, "s1", "now three words here"[:15]),  # 3      -> bucket 1
+        (4, "s1", " ".join(["w"] * 32)),       # 32       -> bucket 5
+        (5, "s1", " ".join(["w"] * 63)),       # 63       -> bucket 5
+        (6, "s2", "!!!"),                      # normalizes away -> dropped
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    got = {(r["source"], r["bucket"]): (r["n_docs"], r["min_len"],
+                                        r["max_len"], r["total_tokens"])
+           for r in cp.length_histogram(df, by="source").collect()}
+    assert got == {
+        ("s1", 0): (1, 1, 1, 1),
+        ("s1", 1): (2, 2, 3, 5),
+        ("s1", 5): (2, 32, 63, 95),
+    }
