@@ -5470,6 +5470,118 @@ def lm_stupid_backoff_tri_q(spark, sf_dir):
     )
 
 
+def _sbn_sql(n: int, cutoff: int, alpha: float) -> str:
+    """Generate the DuckDB replay of stupid_backoff_ngram_nll at order
+    ``n`` — the same position-exploded NULL-padded frame, the same
+    pruned count tables, the same literal-double α^hops multipliers
+    (spelled via repr so both engines parse the identical IEEE value),
+    every count CAST to DOUBLE before the arithmetic (DuckDB parses
+    bare decimals as DECIMAL — mixed decimal math would diverge)."""
+    gram_ctes = []
+    for o in range(2, n + 1):
+        cols = ",\n                        ".join(
+            f"unnest(list_slice(ws, {j + 1}, len(ws) - {o - 1 - j})) AS g{j + 1}"
+            for j in range(o)
+        )
+        having = f"\n            HAVING count(*) >= {cutoff}" if o >= 3 else ""
+        gram_ctes.append(
+            f"t{o} AS (SELECT {', '.join(f'g{j + 1}' for j in range(o))},"
+            f" count(*) AS c{o}\n"
+            f"           FROM (SELECT {cols}\n"
+            f"                 FROM m WHERE len(ws) >= {o}) GROUP BY ALL"
+            f"{having})"
+        )
+    pcols = ",\n               ".join(
+        (f"CASE WHEN i - {n - 1 - j} >= 1 THEN ws[i - {n - 1 - j}] END"
+         f" AS p{j + 1}") if j < n - 1 else f"ws[i] AS p{n}"
+        for j in range(n)
+    )
+    joins = []
+    for o in range(n, 1, -1):
+        keys = " AND ".join(
+            f"p.p{n - o + j + 1} = n{o}.g{j + 1}" for j in range(o)
+        )
+        joins.append(f"LEFT JOIN t{o} n{o} ON {keys}")
+        if o >= 3:
+            ckeys = " AND ".join(
+                f"p.p{n - o + j + 1} = x{o - 1}.g{j + 1}" for j in range(o - 1)
+            )
+            joins.append(f"LEFT JOIN t{o - 1} x{o - 1} ON {ckeys}")
+
+    def mult(o: int) -> str:
+        whens = " ".join(
+            f"WHEN {a} THEN CAST({float(alpha) ** (a - o)!r} AS DOUBLE)"
+            for a in range(o, n + 1)
+        )
+        return f"(CASE least(p.i, {n}) {whens} END)"
+
+    branches = []
+    for o in range(n, 2, -1):
+        branches.append(
+            f"WHEN least(p.i, {n}) >= {o} AND n{o}.c{o} IS NOT NULL\n"
+            f"  THEN {mult(o)} * CAST(n{o}.c{o} AS DOUBLE)"
+            f" / CAST(x{o - 1}.c{o - 1} AS DOUBLE)"
+        )
+    branches.append(
+        f"WHEN least(p.i, {n}) >= 2 AND n2.c2 IS NOT NULL\n"
+        f"  THEN {mult(2)} * CAST(n2.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)"
+    )
+    case = (
+        "CASE " + "\n".join(branches)
+        + f"\n  ELSE {mult(1)} * COALESCE(CAST(u2.c1 AS DOUBLE),"
+        f" CAST({float(alpha)!r} AS DOUBLE)) / t.t END"
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS ws
+                  FROM documents),
+    d AS (SELECT doc_id, lang, ws FROM norm
+          WHERE len(ws) > 0 AND ws[1] <> ''),
+    m AS (SELECT ws FROM d WHERE lang = 'en'),
+    uni AS (SELECT word, count(*) AS c1
+            FROM (SELECT unnest(ws) AS word FROM m) GROUP BY 1),
+    tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
+    {','.join(gram_ctes)},
+    pos AS (SELECT doc_id, len(ws) AS n_words,
+                   unnest(range(1, len(ws) + 1)) AS i, ws
+            FROM d),
+    p AS (SELECT doc_id, n_words, i,
+               {pcols}
+          FROM pos),
+    terms AS (SELECT p.doc_id, p.n_words,
+                     CAST(-ln({case}) AS DECIMAL(27,15)) AS nll
+              FROM p
+              {' '.join(joins)}
+              LEFT JOIN uni u1 ON p.p{n - 1} = u1.word
+              LEFT JOIN uni u2 ON p.p{n} = u2.word, tot t)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(CAST(COALESCE(sum(nll), 0) AS DOUBLE) / n_words, 6)
+             AS avg_nll
+    FROM terms GROUP BY doc_id, n_words
+    """
+
+
+@register(
+    "lm_stupid_backoff_quad",
+    _sbn_sql(4, 2, 0.4),
+    tags=("llm", "X-4", "perplexity", "stupid-backoff", "ngram"),
+)
+def lm_stupid_backoff_quad_q(spark, sf_dir):
+    """Order-4 Stupid Backoff with count-cutoff pruning
+    (operators/textops.py::stupid_backoff_ngram_nll — the GENERAL
+    Brants'07 implementation at arbitrary order, bit-identical to the
+    dedicated bigram/trigram operators at n=2/3 by test): 4-gram →
+    trigram → bigram → unigram backoff chain, orders ≥3 pruned below
+    count 2, scored from ONE position-exploded NULL-padded frame.
+    Every n-gram table joins key-partitioned; vocab + total broadcast;
+    the oracle SQL is GENERATED by the same order parameter, so the
+    replay can never drift from the operator's chain."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.stupid_backoff_ngram_nll(
+        docs, model_df=docs.where(F.col("lang") == "en"),
+        alpha=0.4, n=4, min_count=2,
+    )
+
+
 _CHUNK_SQL = f"""
     WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
                   FROM documents),
@@ -5798,6 +5910,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "similarity_ivfpq_residual_topk",  # never checked
     "corpus_zipf_slope",  # never checked
     "corpus_length_histogram",  # never checked
+    "lm_stupid_backoff_quad",  # never checked
     "store_projection_logs",  # newest green r4
     "graph_triangle_count",  # newest green r4
     "q1_pricing_summary",  # newest green r4
@@ -5832,7 +5945,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "source_mix_weights",  # newest green r4
     "bm25_search",  # newest green r4
     "jsonl_ingest",  # newest green r5
-    "logs_filter_conj",  # newest green r5
 ]
 
 

@@ -540,6 +540,160 @@ def stupid_backoff_trigram_nll(
     )
 
 
+def stupid_backoff_ngram_nll(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    alpha: float = 0.4,
+    n: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Order-``n`` Stupid Backoff with count-cutoff pruning — the full
+    Brants et al. 2007 scheme at arbitrary order (Google ran n=5), one
+    uniform implementation replacing per-order special cases:
+
+        score(w_i) = α^hops · c_o(gram) / c_{o-1}(context)
+
+    where ``o`` is the highest order whose (possibly pruned) count
+    table retains the gram ending at position i, ``hops`` = available
+    context − o, and the chain bottoms out at the unigram floor
+    α^(avail−1) · max(c1, α)/T.  Orders ≥ 3 are pruned below
+    ``min_count`` (a retained o-gram's (o−1)-context always survives
+    the same cutoff, so the hit-branch denominator can never be NULL);
+    orders 1–2 are kept whole — they are the backoff denominators.
+
+    Plan shape: ONE position-exploded frame with NULL-padded context
+    columns (p1..pn, built in-array — no window shuffle), left-joined
+    to each order's count table by its key columns (key-partitioned —
+    n-gram tables grow superlinearly and are never hint-broadcast) and
+    to the broadcast unigram vocab/total; per-term NLLs accumulate in
+    DECIMAL(27,15).  The α^hops multipliers are literal doubles
+    selected by a CASE on the available context, so both engines
+    evaluate the identical scalar tree."""
+    if not 2 <= n <= 5:
+        raise ValueError(f"n must be in [2, 5], got {n}")
+    docs = _token_arrays(df, text_col)
+    model = _token_arrays(model_df if model_df is not None else df, text_col)
+
+    m_words = model.select(F.explode("ws").alias("word"))
+    uni = m_words.groupBy("word").agg(F.count("*").alias("c1"))
+    total = uni.agg(F.sum("c1").cast("double").alias("t"))
+
+    def gram_table(o: int) -> DataFrame:
+        cols = ", ".join(
+            f"element_at(ws, i + {j}) AS g{j + 1}" for j in range(o)
+        )
+        tbl = (
+            model.where(F.size("ws") >= o)
+            .select(F.explode(F.expr(
+                f"transform(sequence(1, size(ws) - {o - 1}), "
+                f"i -> struct({cols}))"
+            )).alias("g"))
+            .groupBy(*[F.col(f"g.g{j + 1}").alias(f"g{j + 1}")
+                       for j in range(o)])
+            .agg(F.count("*").alias(f"c{o}"))
+        )
+        if o >= 3:
+            tbl = tbl.where(F.col(f"c{o}") >= min_count)
+        return tbl
+
+    tables = {o: gram_table(o) for o in range(2, n + 1)}
+
+    # position frame: p1..pn with p_n = the word at position i and
+    # p_j NULL when the context doesn't reach back that far
+    pcols = ", ".join(
+        f"IF(i - {n - 1 - j} >= 1, element_at(ws, i - {n - 1 - j}), NULL)"
+        f" AS p{j + 1}"
+        for j in range(n)
+    )
+    pos = docs.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.explode(F.expr(
+            f"transform(sequence(1, size(ws)), i -> struct(i AS i, {pcols}))"
+        )).alias("p"),
+    ).select(
+        "doc_id", "n_words", F.col("p.i").alias("i"),
+        *[F.col(f"p.p{j + 1}").alias(f"p{j + 1}") for j in range(n)],
+    )
+    avail = F.least(F.col("i"), F.lit(n))
+
+    joined = pos
+    for o in range(n, 1, -1):
+        # next-table: the o-gram ENDING at the position
+        nxt = tables[o].select(
+            *[F.col(f"g{j + 1}").alias(f"p{n - o + j + 1}") for j in range(o)],
+            F.col(f"c{o}").alias(f"c{o}n"),
+        )
+        joined = joined.join(nxt, [f"p{n - o + j + 1}" for j in range(o)],
+                             "left")
+        if o >= 3:
+            # ctx-table: the (o-1)-gram PRECEDING the position — the
+            # hit-branch denominator of order o
+            ctx = tables[o - 1].select(
+                *[F.col(f"g{j + 1}").alias(f"p{n - o + j + 1}")
+                  for j in range(o - 1)],
+                F.col(f"c{o - 1}").alias(f"c{o - 1}ctx"),
+            )
+            joined = joined.join(
+                ctx, [f"p{n - o + j + 1}" for j in range(o - 1)], "left"
+            )
+    u_prev = uni.select(F.col("word").alias(f"p{n - 1}"),
+                        F.col("c1").alias("c1_prev"))
+    u_cur = uni.select(F.col("word").alias(f"p{n}"),
+                       F.col("c1").alias("c1_cur"))
+    joined = (
+        joined.join(F.broadcast(u_prev), f"p{n - 1}", "left")
+        .join(F.broadcast(u_cur), f"p{n}", "left")
+        .crossJoin(F.broadcast(total))
+    )
+
+    def mult(o: int) -> F.Column:
+        # alpha^(avail - o) as literal doubles picked by a CASE — the
+        # identical scalar tree the SQL oracle spells out
+        c = F.lit(1.0)
+        expr = None
+        for a in range(o, n + 1):
+            lit = F.lit(float(alpha ** (a - o)))
+            expr = F.when(avail == a, lit) if expr is None else expr.when(
+                avail == a, lit
+            )
+        _ = c
+        return expr
+
+    score = None
+    for o in range(n, 2, -1):
+        branch = (avail >= o) & F.col(f"c{o}n").isNotNull()
+        val = mult(o) * F.col(f"c{o}n") / F.col(f"c{o - 1}ctx")
+        score = F.when(branch, val) if score is None else score.when(
+            branch, val
+        )
+    bi_branch = (avail >= 2) & F.col("c2n").isNotNull()
+    bi_val = mult(2) * F.col("c2n") / F.col("c1_prev")
+    uni_val = (
+        mult(1)
+        * F.coalesce(F.col("c1_cur").cast("double"), F.lit(alpha))
+        / F.col("t")
+    )
+    score = (score.when(bi_branch, bi_val) if score is not None
+             else F.when(bi_branch, bi_val)).otherwise(uni_val)
+
+    zero = F.lit(0).cast("decimal(27,15)")
+    return (
+        joined.groupBy("doc_id", "n_words")
+        .agg(F.sum((-F.log(score)).cast("decimal(27,15)")).alias("s"))
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(
+                F.coalesce(F.col("s"), zero).cast("double")
+                / F.col("n_words"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def zipf_slope(
     df: DataFrame,
     by: str = "lang",

@@ -80,6 +80,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "json_extract_props",  # newest green r6
     "lang_id",  # newest green r6
     "lm_stupid_backoff",  # newest green r6
+    "logs_filter_conj",  # newest green r5
     "logs_keyset_page",  # newest green r5
     "logs_offset_page",  # newest green r5
     "median_per_type",  # newest green r6

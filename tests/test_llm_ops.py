@@ -1117,3 +1117,59 @@ def test_length_histogram_exact_buckets(spark):
         ("s1", 1): (2, 2, 3, 5),
         ("s1", 5): (2, 32, 63, 95),
     }
+
+
+def test_stupid_backoff_ngram_generalizes_dedicated_orders(spark):
+    """The general order-n implementation must be BIT-identical to the
+    dedicated bigram (n=2) and trigram (n=3) operators on the same
+    corpus — same chain, same floors, same DECIMAL accumulation."""
+    rows = [("m1", "a b c a b c d a b"), ("d2", "a b d zz"), ("d3", "c"),
+            ("d4", "b c a b c a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = df.where(F.col("doc_id").isin("m1", "d4"))
+    bi = {r["doc_id"]: r["avg_nll"] for r in
+          tx.stupid_backoff_nll(df, model_df=model).collect()}
+    bi_n = {r["doc_id"]: r["avg_nll"] for r in
+            tx.stupid_backoff_ngram_nll(df, model_df=model, n=2).collect()}
+    assert bi == bi_n
+    tri = {r["doc_id"]: r["avg_nll"] for r in
+           tx.stupid_backoff_trigram_nll(
+               df, model_df=model, trigram_min_count=2).collect()}
+    tri_n = {r["doc_id"]: r["avg_nll"] for r in
+             tx.stupid_backoff_ngram_nll(
+                 df, model_df=model, n=3, min_count=2).collect()}
+    assert tri == tri_n
+    with pytest.raises(ValueError, match="n must be"):
+        tx.stupid_backoff_ngram_nll(df, n=6)
+
+
+def test_stupid_backoff_quad_hand_reference(spark):
+    """n=4 specifics: a RETAINED 4-gram scores c4/c3(ctx); a pruned
+    4-gram hops to the trigram with one alpha; the deepest chain pays
+    alpha^3 to the unigram floor."""
+    import math
+
+    rows = [
+        ("m1", "a b c d a b c d"),  # 4-grams: (a,b,c,d)x2 kept, others x1 pruned
+        ("d2", "a b c d"),          # all retained path
+        ("d3", "x y z w v"),        # OOV everything: alpha^3 floors
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = df.where(F.col("doc_id") == "m1")
+    got = {r["doc_id"]: (r["n_words"], r["avg_nll"]) for r in
+           tx.stupid_backoff_ngram_nll(
+               df, model_df=model, alpha=0.4, n=4, min_count=2).collect()}
+    ln = math.log
+    # model: c1={a:2,b:2,c:2,d:2} T=8; c2 all=2 except (d,a)=1;
+    # c3: (a,b,c)x2,(b,c,d)x2 kept; (c,d,a)(d,a,b) pruned;
+    # c4: (a,b,c,d)x2 kept; others pruned
+    exp_d2 = -(ln(2 / 8)          # s(a)
+               + ln(2 / 2)        # s(b|a) bigram (avail=2)
+               + ln(2 / 2)        # s(c|a,b) trigram kept (avail=3)
+               + ln(2 / 2)) / 4   # s(d|a,b,c) 4-gram kept
+    exp_d3 = -(ln(0.4 / 8)                 # OOV unigram floor
+               + ln(0.4 * 0.4 / 8)         # avail=2, alpha^1
+               + ln(0.4 ** 2 * 0.4 / 8)    # avail=3, alpha^2
+               + 2 * ln(0.4 ** 3 * 0.4 / 8)) / 5  # avail=4, alpha^3
+    assert got["d2"] == (4, pytest.approx(exp_d2, abs=1e-6))
+    assert got["d3"] == (5, pytest.approx(exp_d3, abs=1e-6))

@@ -584,3 +584,16 @@ def test_stupid_backoff_trigram_join_posture(spark):
     # carry NO hint — size-broadcastable at sf0.01, key-partitioned at
     # 100 TB
     assert broadcast_hint_count(df) == 8, broadcast_hint_count(df)
+
+
+def test_stupid_backoff_quad_join_posture(spark):
+    """Order-4 SB: vocab + total broadcast; every n-gram table joins
+    key-partitioned (unhinted); no cartesian, no Python."""
+    df = CATALOG["lm_stupid_backoff_quad"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # exactly the three bounded frames carry hints (u_prev, u_cur, the
+    # 1-row total); the five n-gram joins (t4, t3 ctx+next, t2 ctx+next)
+    # carry NONE
+    assert broadcast_hint_count(df) == 3, broadcast_hint_count(df)
