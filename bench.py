@@ -128,6 +128,7 @@ def main() -> None:
         "dedup_winnowing",       # in-array window-min + inverted index
         "unigram_nll",           # vocab join + DECIMAL accumulation
         "lm_stupid_backoff_tri",  # n-gram key-partitioned join chain
+        "lm_stupid_backoff_quad",  # position-frame + 5-join chain
         "dedup_spans_global",    # span groupBy-min ownership
     )
     for name in _WARM:
