@@ -118,6 +118,12 @@ def test_store_model_upsert_delete_compact_chain(spark, tmp_path):
     got = {r["doc_id"]: r["text"] for r in store.read("docs").collect()}
     assert got == {1: "a-1", 2: "a-2", 3: "up-3", 4: "a-4", 5: "a-5",
                    6: "b-6", 8: "b-8", 9: "b-9", 10: "b-10", 11: "b-11"}
+    # time travel: the pre-delete version stays readable (fragments are
+    # immutable; the batched rewrite only produced NEW dirs)
+    pre_delete = store.current_manifest().version - 1
+    old = {r["doc_id"]: r["text"]
+           for r in store.read("docs", version=pre_delete).collect()}
+    assert old[0] == "a-0" and old[7] == "b-7" and old[20] == "up-20"
     store.vacuum(keep_manifests=2)
     got2 = {r["doc_id"]: r["text"] for r in store.read("docs").collect()}
     assert got2 == got  # vacuum never changes visible state
