@@ -707,7 +707,11 @@ def zipf_slope(
     a 100 TB mixer can score SOURCES before sampling from them.
 
     One shuffle for the (group, word) counts, one rank window inside
-    each group, then closed-form slope from four DECIMAL sums:
+    each group (window input = the group's DISTINCT vocabulary, which
+    is Heaps-law bounded — sublinear in corpus size — so the per-group
+    sort stays tractable at any corpus scale; it is the corpus that
+    grows 100×, not the vocabulary), then closed-form slope from four
+    DECIMAL sums:
     ``slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)`` with every ln() term
     cast to DECIMAL(27,15) BEFORE summation — partial-aggregation order
     can't wobble bits, so the DuckDB oracle matches exactly (the same

@@ -56,43 +56,43 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    root = Path(tempfile.mkdtemp(prefix="incdedup_bench_"))
-    store = TableStore(spark, root, bloom_columns={}, dict_columns={})
-    dd = IncrementalDeduper(store, threshold=0.5)
-
-    rounds = []
-    for r in range(ROUNDS):
-        t0 = time.perf_counter()
-        rep = dd.add_batch(_batch(spark, r, BATCH))
-        dt = time.perf_counter() - t0
-        corpus_n = store.table_rows(dd.corpus_table)
-        rounds.append(
-            {
-                "round": r,
-                "sec": round(dt, 2),
-                "added": rep["added"],
-                "cross_dropped": rep["cross_dropped"],
-                "corpus_rows": corpus_n,
-            }
+    out = {"rounds": ROUNDS, "batch": BATCH}
+    for method in ("minhash", "winnow"):
+        root = Path(tempfile.mkdtemp(prefix=f"incdedup_bench_{method}_"))
+        store = TableStore(spark, root, bloom_columns={}, dict_columns={})
+        dd = IncrementalDeduper(
+            store, threshold=0.5, method=method,
+            bands_table=f"{method}_sigs",
         )
 
-    warm = [r["sec"] for r in rounds[1:]]  # round 0 pays JIT/codegen
-    print(
-        json.dumps(
-            {
-                "rounds": ROUNDS,
-                "batch": BATCH,
-                "per_round": rounds,
-                "warm_first_sec": warm[0],
-                "warm_last_sec": warm[-1],
-                "growth_ratio_last_vs_first_warm": round(warm[-1] / warm[0], 2),
-                "corpus_growth": round(
-                    rounds[-1]["corpus_rows"] / rounds[1]["corpus_rows"], 2
-                ),
-            }
-        )
-    )
-    shutil.rmtree(root, ignore_errors=True)
+        rounds = []
+        for r in range(ROUNDS):
+            t0 = time.perf_counter()
+            rep = dd.add_batch(_batch(spark, r, BATCH))
+            dt = time.perf_counter() - t0
+            corpus_n = store.table_rows(dd.corpus_table)
+            rounds.append(
+                {
+                    "round": r,
+                    "sec": round(dt, 2),
+                    "added": rep["added"],
+                    "cross_dropped": rep["cross_dropped"],
+                    "corpus_rows": corpus_n,
+                }
+            )
+
+        warm = [r["sec"] for r in rounds[1:]]  # round 0 pays JIT/codegen
+        out[method] = {
+            "per_round": rounds,
+            "warm_first_sec": warm[0],
+            "warm_last_sec": warm[-1],
+            "growth_ratio_last_vs_first_warm": round(warm[-1] / warm[0], 2),
+            "corpus_growth": round(
+                rounds[-1]["corpus_rows"] / rounds[1]["corpus_rows"], 2
+            ),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
