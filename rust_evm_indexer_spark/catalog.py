@@ -3387,6 +3387,92 @@ def similarity_ivfpq_knn_join(spark, sf_dir):
     )
 
 
+_IVFPQ_RES_KNN_SQL = f"""
+    WITH cent AS (SELECT cell, centroid
+                  FROM read_parquet('{_IVFPQ_BASE}/centroids/*.parquet')),
+    assign AS ({{assign}}),
+    q AS (SELECT vec_id AS q_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 4),
+    pc AS (SELECT q_id, qv, cell,
+                  row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY list_inner_product(centroid, qv)
+                             / (sqrt(list_inner_product(centroid, centroid))
+                                * sqrt(list_inner_product(qv, qv))) DESC,
+                             cell) AS rk
+           FROM q, cent),
+    probe AS (SELECT q_id, cell FROM pc WHERE rk <= 2),
+    cb AS (SELECT s, j, cent
+           FROM read_parquet('{_PQ_RES_DIR}/codebooks_res/*.parquet')),
+    c AS (SELECT p.q_id, cl.vec_id, a.cell, cl.s, cl.code
+          FROM probe p
+          JOIN assign a USING (cell)
+          JOIN read_parquet('{_PQ_RES_DIR}/codes_long_res/*.parquet') cl
+            ON cl.vec_id = a.vec_id),
+    t AS (SELECT c.q_id, c.vec_id, c.cell, c.s,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(q.qv, c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS dt,
+                 list_inner_product(cb.cent, cb.cent) AS nr,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(ct.centroid,
+                              c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS cs
+          FROM c JOIN cb ON cb.s = c.s AND cb.j = c.code
+                 JOIN cent ct ON ct.cell = c.cell
+                 JOIN q ON q.q_id = c.q_id),
+    agg AS (SELECT q_id, vec_id, cell,
+                   list_sum(list(dt ORDER BY s)) AS sd,
+                   list_sum(list(nr ORDER BY s)) AS sn,
+                   list_sum(list(cs ORDER BY s)) AS sc
+            FROM t GROUP BY q_id, vec_id, cell),
+    s AS (SELECT a.q_id, a.vec_id,
+                 round((list_inner_product(q.qv, ct.centroid) + a.sd)
+                       / (sqrt(list_inner_product(q.qv, q.qv))
+                          * sqrt(list_inner_product(ct.centroid, ct.centroid)
+                                 + 2.0 * a.sc + a.sn)),
+                       6) AS sim_pq
+          FROM agg a JOIN cent ct ON ct.cell = a.cell JOIN q USING (q_id)),
+    r AS (SELECT q_id, vec_id, sim_pq,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY sim_pq DESC, vec_id) AS rank
+          FROM s)
+    SELECT q_id, vec_id, sim_pq, rank FROM r WHERE rank <= 5
+"""
+
+
+@register(
+    "similarity_ivfpq_residual_knn_join",
+    _IVFPQ_RES_KNN_SQL.format(assign=_assign_sql("kmeans8", _IVFPQ_BASE)),
+    tags=("llm", "X-3", "pq", "ivf", "residual", "oracle-sf0.01"),
+)
+def similarity_ivfpq_residual_knn_join(spark, sf_dir):
+    """Multi-query residual IVFADC join (operators/pq.py::ivfpq_knn_join
+    with by_residual=True): the correction terms ride the same bounded
+    frames as the flat join — dot(q,c)/|c|² computed per (query,
+    probe-cell) row in the broadcast-centroid probe assignment, and the
+    query-independent cross table dot(c_s, C_s[j]) broadcast as
+    n_cells·m·k rows joined on (cell, s, code) — so the corpus side is
+    identical to the global-codebook path plus ONE broadcast join.
+    Oracle replays the complete residual math per (query, vector) from
+    the centroid + residual-codebook exports, folds ordered by
+    subspace."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx, cb, codes_dir = _ensure_ivfpq_res_export(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return PQ.ivfpq_knn_join(
+        spark, idx, codes_dir, cb, queries, k=5, n_probe=2,
+        by_residual=True,
+    )
+
+
 # Incremental SemDeDup (semantic_admit): the delta-regime semantic
 # near-dup gate over a FROZEN seed index.  The oracle recomputes the
 # whole admit decision from raw embeddings + the exported seed
@@ -5911,6 +5997,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "corpus_zipf_slope",  # never checked
     "corpus_length_histogram",  # never checked
     "lm_stupid_backoff_quad",  # never checked
+    "similarity_ivfpq_residual_knn_join",  # never checked
     "store_projection_logs",  # newest green r4
     "graph_triangle_count",  # newest green r4
     "q1_pricing_summary",  # newest green r4
@@ -5944,7 +6031,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "substring_dup",  # newest green r4
     "source_mix_weights",  # newest green r4
     "bm25_search",  # newest green r4
-    "jsonl_ingest",  # newest green r5
 ]
 
 

@@ -78,6 +78,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "interval_join_events",  # newest green r5
     "json_agg_by_key",  # newest green r6
     "json_extract_props",  # newest green r6
+    "jsonl_ingest",  # newest green r5
     "lang_id",  # newest green r6
     "lm_stupid_backoff",  # newest green r6
     "logs_filter_conj",  # newest green r5
