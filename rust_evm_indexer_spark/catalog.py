@@ -5987,50 +5987,50 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "point_lookup",  # flagship-core
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
-    "similarity_ivfpq_topk",  # DIRTY
-    "similarity_ivfpq_knn_join",  # DIRTY
-    "semantic_admit_delta",  # DIRTY
-    "corpus_shuffle_shards",  # DIRTY
-    "store_upsert_docs",  # DIRTY
-    "lm_stupid_backoff_tri",  # never checked
-    "similarity_ivfpq_residual_topk",  # never checked
-    "corpus_zipf_slope",  # never checked
-    "corpus_length_histogram",  # never checked
-    "lm_stupid_backoff_quad",  # never checked
-    "similarity_ivfpq_residual_knn_join",  # never checked
-    "store_projection_logs",  # newest green r4
-    "graph_triangle_count",  # newest green r4
-    "q1_pricing_summary",  # newest green r4
-    "q3_shipping_priority",  # newest green r4
-    "q5_local_supplier",  # newest green r4
-    "q10_returned_items",  # newest green r4
-    "q17_small_qty_avg",  # newest green r4
-    "q6_forecast_revenue",  # newest green r4
-    "q7_nation_volume",  # newest green r4
-    "q8_market_share",  # newest green r4
-    "q18_large_orders",  # newest green r4
-    "q4_priority_check",  # newest green r4
-    "q9_product_profit",  # newest green r4
-    "q12_late_shipments",  # newest green r4
-    "q20_excess_sellers",  # newest green r4
-    "events_gapfill_locf",  # newest green r4
-    "dedup_ngram_jaccard",  # newest green r4
-    "dedup_minhash_lsh",  # newest green r4
-    "dedup_embedding_cosine",  # newest green r4
-    "dedup_embedding_lsh",  # newest green r4
-    "semantic_dedup",  # newest green r4
-    "dedup_simhash",  # newest green r4
-    "similarity_ivf_topk",  # newest green r4
-    "multimodal_meta",  # newest green r4
-    "window_running_sum",  # newest green r4
-    "window_lag_delta",  # newest green r4
-    "skew_salted_topk",  # newest green r4
-    "pivot_order_status",  # newest green r4
-    "approx_distinct_users",  # newest green r4
-    "repetition_signals",  # newest green r4
-    "substring_dup",  # newest green r4
-    "source_mix_weights",  # newest green r4
-    "bm25_search",  # newest green r4
+    "jsonl_ingest",  # newest green r5
+    "logs_filter_conj",  # newest green r5
+    "logs_keyset_page",  # newest green r5
+    "logs_offset_page",  # newest green r5
+    "top1_latest",  # newest green r5
+    "stats_lag",  # newest green r5
+    "evm_logs_address_range",  # newest green r5
+    "evm_logs_cursor_page",  # newest green r5
+    "evm_logs_blockhash_override",  # newest green r5
+    "reorg_rollup_exact",  # newest green r5
+    "store_topic0_dict_logs",  # newest green r5
+    "evm_join_enriched",  # newest green r5
+    "evm_transfer_volume",  # newest green r5
+    "evm_wei_sum_exact",  # newest green r5
+    "orders_having",  # newest green r5
+    "q14_promo_revenue",  # newest green r5
+    "q19_disjunctive",  # newest green r5
+    "q21_sole_supplier",  # newest green r5
+    "q22_idle_customers",  # newest green r5
+    "q2_min_cost_supplier",  # newest green r5
+    "q11_important_parts",  # newest green r5
+    "q13_order_distribution",  # newest green r5
+    "q15_top_supplier",  # newest green r5
+    "q16_supplier_counts",  # newest green r5
+    "events_hourly_rollup",  # newest green r5
+    "dedup_exact",  # newest green r5
+    "similarity_topk",  # newest green r5
+    "similarity_knn_join",  # newest green r5
+    "similarity_pq_topk",  # newest green r5
+    "text_stats",  # newest green r5
+    "token_counts",  # newest green r5
+    "bpe_token_counts",  # newest green r5
+    "multimodal_features",  # newest green r5
+    "funnel_conversion",  # newest green r5
+    "retention_cohorts",  # newest green r5
+    "sample_weighted",  # newest green r5
+    "unpivot_part_metrics",  # newest green r5
+    "interval_join_events",  # newest green r5
+    "cms_user_frequency",  # newest green r5
+    "approx_quantile_p90",  # newest green r5
+    "similarity_ivf_kmeans",  # newest green r5
+    "dedup_clusters",  # newest green r5
+    "pii_redact",  # newest green r5
+    "sample_stratified",  # newest green r5
 ]
 
 

@@ -57,15 +57,10 @@ FLAGSHIP_CORE = [
 # Entries whose implementation changed since their newest driver green:
 # their recorded freshness no longer certifies the current code, so the
 # plan treats them like never-checked.  Reviewed and re-emptied each
-# round (round 7: residual-PQ rewrite, batched upsert maintenance,
-# overflow-safe shuffle shards, semantic_admit cache-release API).
-DIRTY = {
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_knn_join",
-    "store_upsert_docs",
-    "corpus_shuffle_shards",
-    "semantic_admit_delta",
-}
+# round (round 8: all five r7 DIRTY names re-greened in CORRECTNESS_r07,
+# so the set starts empty; add names here when their operator code
+# changes this round).
+DIRTY: set[str] = set()
 
 
 def _green(rec: dict) -> bool:
