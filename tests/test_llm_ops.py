@@ -1173,3 +1173,74 @@ def test_stupid_backoff_quad_hand_reference(spark):
                + 2 * ln(0.4 ** 3 * 0.4 / 8)) / 5  # avail=4, alpha^3
     assert got["d2"] == (4, pytest.approx(exp_d2, abs=1e-6))
     assert got["d3"] == (5, pytest.approx(exp_d3, abs=1e-6))
+
+
+def test_stupid_backoff_quad_mixed_chain_pins_generated_oracle(spark):
+    """VERDICT r7 #2: the quad driver entry's oracle SQL is GENERATED
+    by the same order-parameterized template as the operator
+    (catalog._sbn_sql), so a template bug specific to n=4 could hide.
+    This fixture makes every backoff depth fire at FULL context —
+    retained 4-gram, pruned-4→retained-trigram hop, double-pruned→
+    bigram hop, and the in-vocab unigram floor after three hops — and
+    pins BOTH the operator and the n=4 generated SQL (executed by
+    DuckDB) against independently hand-computed values."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from rust_evm_indexer_spark.catalog import _sbn_sql
+
+    rows = [
+        ("m1", "en", "a b c d a b c d"),
+        ("d5", "xx", "b c d a b"),
+        ("d6", "xx", "x a b c"),
+        ("d7", "xx", "x x x a"),
+    ]
+    # model counts: c1={a,b,c,d: 2}, T=8; c2: (a,b)(b,c)(c,d)=2,(d,a)=1;
+    # c3 kept: (a,b,c)(b,c,d)=2, pruned: (c,d,a)(d,a,b)=1;
+    # c4 kept: (a,b,c,d)=2, pruned: the three wrap-around 4-grams.
+    ln = math.log
+    exp = {
+        "d5": (5, round(-(
+            ln(2 / 8)            # i1 'b'   in-vocab unigram, avail=1
+            + ln(2 / 2)          # i2 c|b   bigram hit, avail=2
+            + ln(2 / 2)          # i3 d|b,c trigram kept, avail=3
+            + ln(0.16 * 1 / 2)   # i4 a|b,c,d  4g+3g pruned -> c2(d,a)/c1(d)
+            + ln(0.16 * 2 / 2)   # i5 b|c,d,a  4g+3g pruned -> c2(a,b)/c1(a)
+        ) / 5, 6)),
+        "d6": (4, round(-(
+            ln(0.4 / 8)          # i1 'x'   OOV floor, avail=1
+            + ln(0.4 * 2 / 8)    # i2 a|x   no bigram -> unigram, one hop
+            + ln(0.4 * 2 / 2)    # i3 b|x,a no trigram -> c2(a,b)/c1(a)
+            + ln(0.4 * 2 / 2)    # i4 c|x,a,b  4g PRUNED -> RETAINED c3(a,b,c)/c2(a,b)
+        ) / 4, 6)),
+        "d7": (4, round(-(
+            ln(0.4 / 8)              # i1 'x' OOV
+            + ln(0.4 * 0.4 / 8)      # i2 one hop to OOV floor
+            + ln(0.16 * 0.4 / 8)     # i3 two hops
+            + ln(0.064 * 2 / 8)      # i4 a|x,x,x  three hops, IN-VOCAB unigram
+        ) / 4, 6)),
+    }
+
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got_spark = {r["doc_id"]: (r["n_words"], r["avg_nll"]) for r in
+                 tx.stupid_backoff_ngram_nll(
+                     df, model_df=df.where(F.col("lang") == "en"),
+                     alpha=0.4, n=4, min_count=2).collect()}
+    for doc_id, (n_words, nll) in exp.items():
+        assert got_spark[doc_id][0] == n_words
+        assert got_spark[doc_id][1] == pytest.approx(nll, abs=1e-6), doc_id
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    )
+    got_sql = {r[0]: (r[1], r[2])
+               for r in con.execute(_sbn_sql(4, 2, 0.4)).fetchall()}
+    for doc_id, (n_words, nll) in exp.items():
+        assert got_sql[doc_id][0] == n_words
+        assert got_sql[doc_id][1] == pytest.approx(nll, abs=1e-6), doc_id
+    # and the two engines agree bit-wise after the shared round(…, 6)
+    for doc_id in exp:
+        assert got_spark[doc_id] == got_sql[doc_id]
