@@ -41,6 +41,17 @@ The default run measures BOTH (shared drive first — it doubles as the
 JIT warm-up for the cold pass); ``--cold`` / ``--shared`` (or
 SPARK_GRAFT_BENCH_COLD=1) restrict to one regime, keyed in the emitted
 JSON by ``regime``.
+
+- **steady is the regression-tracking regime** (round-7 postmortem:
+  cold TOTALS swung 141.5 → 188.2 s between same-code runs because the
+  cold pass is only the 2nd execution of each stage shape and JIT/GC
+  noise lands unevenly): ``--steady`` (or SPARK_GRAFT_BENCH_STEADY=1)
+  appends a third cache-cleared pass, so each steady timing is the 3rd
+  same-session execution — SCALE.md's measured convergence point
+  (6.29 → 3.71 → 3.55 s on substring_dup).  Full precision lands in
+  ``bench_result_steady.json``; ``tools/bench_regression.py`` gates
+  round-over-round per-entry drift on THAT file at 1.3×.  Opt-in so the
+  driver's per-round bench keeps its r7 wall-clock envelope.
 """
 
 from __future__ import annotations
@@ -81,10 +92,14 @@ def _drive(spark, sf_dir: str, *, cold: bool) -> dict[str, float]:
     return timings
 
 
-def _write_sidecar(result: dict, timings: dict[str, float], cold: bool) -> None:
+def _write_sidecar(result: dict, timings: dict[str, float], regime: str) -> None:
     """Full-precision sidecar with unabbreviated names (judge-readable
     even if the harness's stdout capture truncates)."""
-    sidecar = "bench_result_cold.json" if cold else "bench_result.json"
+    sidecar = {
+        "cold": "bench_result_cold.json",
+        "shared": "bench_result.json",
+        "steady": "bench_result_steady.json",
+    }[regime]
     (Path(__file__).resolve().parent / sidecar).write_text(
         json.dumps(
             {**result, "queries": timings, "cpus": os.cpu_count()}, indent=1
@@ -100,6 +115,9 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_COLD", ""
     ) not in ("", "0")
     shared_only = "--shared" in args
+    with_steady = "--steady" in args or os.environ.get(
+        "SPARK_GRAFT_BENCH_STEADY", ""
+    ) not in ("", "0")
     spark = get_spark("bench")
 
     # cheap warm-ups to absorb JVM/codegen/session startup so per-entry
@@ -149,7 +167,7 @@ def main() -> None:
             "sf": sf,
             "regime": "shared",
         }
-        _write_sidecar(shared_result, shared, cold=False)
+        _write_sidecar(shared_result, shared, regime="shared")
         clear_session_caches()
 
     if shared_only:
@@ -169,7 +187,26 @@ def main() -> None:
         }
         if shared_total is not None:
             result["shared_total_sec"] = shared_total
-        _write_sidecar(result, timings, cold=True)
+        if with_steady:
+            # 3rd same-session execution of every entry (shared was the
+            # 1st, cold the 2nd), caches cleared per entry — SCALE.md's
+            # measured JIT convergence point and the ONLY number the
+            # round-over-round regression gate reads
+            steady = _drive(spark, sf_dir, cold=True)
+            steady_total = round(sum(steady.values()), 4)
+            _write_sidecar(
+                {
+                    "metric": "catalog_steady_wall_sec",
+                    "value": steady_total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "regime": "steady",
+                },
+                steady,
+                regime="steady",
+            )
+            result["steady_total_sec"] = steady_total
+        _write_sidecar(result, timings, regime="cold")
 
     spark.stop()  # stop BEFORE printing: no JVM output can trail the line
     # stay under ~2 KB line-buffer capture windows, degrading gracefully:
