@@ -1,1 +1,1 @@
-from .table_store import TableStore  # noqa: F401
+from .table_store import MaintenancePolicy, TableStore  # noqa: F401
