@@ -825,6 +825,52 @@ def store_topic0_dict_logs(spark, sf_dir):
     return get_logs_from_store(store, GetLogsFilter(topic0=probe, page_size=100))
 
 
+_STORE_CURSOR_BLOCK = 1_000_025  # past the first of the 2 compacted fragments
+_STORE_CURSOR_LOG_ID = 5
+_STORE_CURSOR_SQL = f"""
+    SELECT {_LOGS_PROJ_SQL}
+    FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')
+    WHERE topic0 = '{_TRANSFER_SIG}'
+      AND (block_number > {_STORE_CURSOR_BLOCK}
+           OR (block_number = {_STORE_CURSOR_BLOCK}
+               AND id > {_STORE_CURSOR_LOG_ID}))
+    ORDER BY block_number, id LIMIT 100
+"""
+
+
+@register(
+    "store_logs_cursor_page",
+    _STORE_CURSOR_SQL,
+    tags=("evm-native", "O-16", "store", "cursor", "dict-index"),
+)
+def store_logs_cursor_page(spark, sf_dir):
+    """Keyset-cursor log pagination over the STORE-ROUTED path — the
+    flagship composite (VERDICT r7 item 7): the cursor's tuple
+    predicate (block, id) > (cb, cid) implies ``block_number >= cb``,
+    which ``get_logs_from_store`` turns into a manifest min/max prune,
+    so page N of a 100 TB table scans the fragments AT the cursor, not
+    the table; the topic0 equality rides the dictionary tier on the
+    surviving fragments; and the full tuple predicate is still pushed
+    into the parquet scan (PushedFilters).  Fragment pruning + the
+    scan-level tuple predicate are CI-asserted in
+    test_store_cursor.py; the reference's keyset semantics are
+    src/api.rs:116,165-174."""
+    from .operators import GetLogsFilter, get_logs_from_store
+    from .store import TableStore
+
+    root = _ensure_compact_fixture(spark)
+    store = TableStore(spark, root / "store")
+    return get_logs_from_store(
+        store,
+        GetLogsFilter(
+            topic0=_TRANSFER_SIG,
+            cursor_block=_STORE_CURSOR_BLOCK,
+            cursor_log_id=_STORE_CURSOR_LOG_ID,
+            page_size=100,
+        ),
+    )
+
+
 _ZORDER_SQL = f"""
     SELECT {_LOGS_PROJ_SQL}
     FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')
@@ -5987,6 +6033,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "point_lookup",  # flagship-core
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
+    "store_logs_cursor_page",  # never checked
     "jsonl_ingest",  # newest green r5
     "logs_filter_conj",  # newest green r5
     "logs_keyset_page",  # newest green r5
@@ -6030,7 +6077,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "similarity_ivf_kmeans",  # newest green r5
     "dedup_clusters",  # newest green r5
     "pii_redact",  # newest green r5
-    "sample_stratified",  # newest green r5
 ]
 
 

@@ -160,7 +160,17 @@ def get_logs_from_store(store, flt: GetLogsFilter) -> DataFrame:
     Pruning never substitutes for predicates: ``get_logs`` applies the
     full filter over whichever source wins, so routing is a pure
     performance decision and result-identical by construction
-    (CI-asserted in test_projections.py)."""
+    (CI-asserted in test_projections.py).
+
+    A keyset cursor implies ``block_number >= cursor_block`` (the tuple
+    predicate's weaker projection), so deep pagination prunes every
+    fragment the cursor has already walked past at the MANIFEST tier —
+    page N of a 100 TB table scans the fragments at the cursor, not the
+    table (CI-asserted in test_store_cursor.py)."""
+    eff_from = flt.from_block
+    if flt.has_cursor and flt.block_hash is None:
+        cb = flt.cursor_block if flt.cursor_block is not None else 0
+        eff_from = cb if eff_from is None else max(eff_from, cb)
     df = None
     if flt.address is not None and flt.block_hash is None:
         cands = [
@@ -168,7 +178,7 @@ def get_logs_from_store(store, flt: GetLogsFilter) -> DataFrame:
             for name, p in store.projections("logs").items()
             if p["cluster_by"][0] == "contract_address"
         ]
-        has_bounds = flt.from_block is not None or flt.to_block is not None
+        has_bounds = eff_from is not None or flt.to_block is not None
         # layout preference mirrors a cost-based index choice: with
         # block bounds a z-order replica prunes BOTH dimensions
         # (min_key/max_key × min/max_block per tile); without them the
@@ -181,7 +191,7 @@ def get_logs_from_store(store, flt: GetLogsFilter) -> DataFrame:
                     "logs",
                     name,
                     key_equals=flt.address,
-                    min_block=flt.from_block,
+                    min_block=eff_from,
                     max_block=flt.to_block,
                 )
             except RuntimeError:
@@ -201,7 +211,7 @@ def get_logs_from_store(store, flt: GetLogsFilter) -> DataFrame:
             equals["topic0"] = flt.topic0
         df = store.read(
             "logs",
-            min_block=flt.from_block if flt.block_hash is None else None,
+            min_block=eff_from if flt.block_hash is None else None,
             max_block=flt.to_block if flt.block_hash is None else None,
             equals=equals or None,
         )

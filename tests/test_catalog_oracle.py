@@ -105,6 +105,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "range_join_events",  # newest green r6
     "repetition_signals",  # newest green r7
     "rollup_orders",  # newest green r6
+    "sample_stratified",  # newest green r5
     "semantic_admit_delta",  # newest green r7
     "semantic_dedup",  # newest green r7
     "semi_join_exists",  # newest green r6
