@@ -83,6 +83,20 @@ def main() -> None:
         print(f"  changefeed delivered {n_delta} docs -> "
               f"{wf.count()} word-delta rows")
 
+        # the observability face: one dashboard-sized health report per
+        # snapshot version (corpus totals + Zipf slope + length buckets)
+        from rust_evm_indexer_spark.operators.corpus import corpus_report
+
+        report = {
+            (r["section"], r["k"], r["metric"]): r["value"]
+            for r in corpus_report(store.read("corpus")).collect()
+        }
+        slope = {k[1]: v for k, v in report.items()
+                 if k[0] == "zipf" and k[2] == "slope"}
+        print(f"  health v{now}: docs={report[('corpus', 'all', 'n_docs')]:.0f} "
+              f"tokens={report[('corpus', 'all', 'total_tokens')]:.0f} "
+              f"zipf={slope}")
+
     # the ANN index rides the same delta: round 0's survivors seed an
     # IVFPQ index (frozen quantizer + codebooks), later rounds APPEND
     # their delta's codes — O(delta) maintenance, no re-encode

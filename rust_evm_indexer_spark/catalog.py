@@ -3143,6 +3143,122 @@ def similarity_pq_topk(spark, sf_dir):
     return PQ.pq_search(stored_codes, cb, qvec, topk=10, exclude_ids=(0,))
 
 
+# OPQ (Ge et al. CVPR 2013, parametric variant): a learned orthogonal
+# rotation before the subspace split, fixing the regime where raw
+# coordinates misalign with the quantizable directions.  The oracle
+# replays the ROTATED ADC end-to-end: the rotation matrix is exported
+# row-wise and DuckDB rebuilds Rq with one list_inner_product per row
+# (the same left-to-right float64 fold rotate_vec uses driver-side),
+# then runs the identical per-(subspace, code) lookup math over the
+# rotated-space codebooks + engine-exported codes.
+_OPQ_DIR = f"{FIXTURE_CACHE}/opq_sf0.01"
+_OPQ_SQL = f"""
+    WITH q0 AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                FROM embeddings WHERE vec_id = 0),
+    rot AS (SELECT i, vrow
+            FROM read_parquet('{_OPQ_DIR}/rotation/*.parquet')),
+    q AS (SELECT list(ip ORDER BY i) AS qv
+          FROM (SELECT r.i, list_inner_product(r.vrow, q0.qv) AS ip
+                FROM rot r, q0)),
+    cb AS (SELECT s, j, cent FROM read_parquet('{_OPQ_DIR}/codebooks/*.parquet')),
+    c AS (SELECT vec_id, s, code FROM read_parquet('{_OPQ_DIR}/codes_long/*.parquet')),
+    t AS (SELECT c.vec_id, c.s,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(q.qv, c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS dt,
+                 list_inner_product(cb.cent, cb.cent) AS nr
+          FROM c JOIN cb ON cb.s = c.s AND cb.j = c.code, q),
+    agg AS (SELECT vec_id,
+                   list_sum(list(dt ORDER BY s)) AS sd,
+                   list_sum(list(nr ORDER BY s)) AS sn
+            FROM t GROUP BY vec_id)
+    SELECT a.vec_id,
+           round(a.sd / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(a.sn)),
+                 6) AS sim_pq
+    FROM agg a, q
+    WHERE a.vec_id <> 0
+    ORDER BY sim_pq DESC, a.vec_id
+    LIMIT 10
+"""
+
+
+def _ensure_opq_export(spark, sf_dir) -> tuple[list, list, Path]:
+    """Train-or-load the OPQ rotation + rotated-space codebooks and
+    export rotation rows, codebooks, codes and codes_long — same
+    freshness-keying contract as :func:`_ensure_pq_export`.  Returns
+    (rotation, codebooks, export_dir)."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = Path(f"{FIXTURE_CACHE}/opq_{Path(sf_dir).name}")
+    src = Path(sf_dir) / "embeddings.parquet"
+    st = src.stat()
+    src_key = (
+        f"{src}:{st.st_size}:{st.st_mtime_ns}"
+        f"|m={_PQ_M},k={_PQ_K},iters={_PQ_ITERS},"
+        f"sample={PQ.TRAIN_SAMPLE_CAP},enc=opq1"
+    )
+    marker = out / "_EXPORTED_FROM"
+    if not (marker.exists() and marker.read_text() == src_key):
+        rot = PQ.opq_train_rotation(emb, m=_PQ_M)
+        cb = PQ.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS,
+                         rotation=rot)
+        spark.createDataFrame(
+            [(i, row) for i, row in enumerate(rot)],
+            "i: int, vrow: array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(str(out / "rotation"))
+        spark.createDataFrame(
+            [
+                (s, j, [float(x) for x in cent])
+                for s, book in enumerate(cb)
+                for j, cent in enumerate(book)
+            ],
+            "s: int, j: int, cent: array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(str(out / "codebooks"))
+        codes = PQ.pq_encode(emb, cb, rotation=rot)
+        codes.write.mode("overwrite").parquet(str(out / "codes"))
+        codes.select(
+            "vec_id", F.posexplode("codes").alias("s", "code")
+        ).write.mode("overwrite").parquet(str(out / "codes_long"))
+        marker.write_text(src_key)
+        return rot, cb, out
+    rot_rows = spark.read.parquet(str(out / "rotation")).collect()
+    rot = [None] * len(rot_rows)
+    for r in rot_rows:
+        rot[r["i"]] = list(r["vrow"])
+    cb_rows = spark.read.parquet(str(out / "codebooks")).collect()
+    cb = [[None] * _PQ_K for _ in range(_PQ_M)]
+    for r in cb_rows:
+        cb[r["s"]][r["j"]] = list(r["cent"])
+    return rot, cb, out
+
+
+@register(
+    "similarity_opq_topk",
+    _OPQ_SQL,
+    tags=("llm", "X-3", "pq", "opq", "oracle-sf0.01"),
+)
+def similarity_opq_topk(spark, sf_dir):
+    """OPQ-rotated asymmetric-distance cosine top-10
+    (operators/pq.py::opq_train_rotation — eigenvalue-balanced
+    orthogonal rotation learned on distributed DECIMAL moments, then
+    the standard PQ train/encode/search in the rotated space).  The
+    corpus side is byte-identical in shape to similarity_pq_topk (the
+    rotation costs one GEMM per Arrow batch at encode and m·k extra
+    driver flops per query); the driver verifies the rotation itself —
+    the oracle rebuilds Rq from the exported matrix and replays the
+    rotated ADC to the same 6dp."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rot, cb, out = _ensure_opq_export(spark, sf_dir)
+    stored_codes = spark.read.parquet(str(out / "codes"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.pq_search(stored_codes, cb, qvec, topk=10, exclude_ids=(0,),
+                        rotation=rot)
+
+
 # IVFADC (Jégou et al. TPAMI 2011 §V): the IVF probe restores scan
 # economics on top of PQ's 32× memory compression — codes partitioned
 # by coarse cell, ADC only over the probe cells' residents.  The oracle
@@ -5891,6 +6007,57 @@ def corpus_length_histogram_q(spark, sf_dir):
     )
 
 
+_REPORT_SQL = f"""
+    WITH tok AS (SELECT len(ws) AS n_tokens
+                 FROM (SELECT string_split({_NORM_SQL}, ' ') AS ws
+                       FROM documents)
+                 WHERE len(ws) > 0 AND ws[1] <> ''),
+    tot AS (SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens
+            FROM tok),
+    z AS (SELECT * FROM ({_ZIPF_SQL})),
+    h AS (SELECT * FROM ({_LENHIST_SQL}))
+    SELECT 'corpus' AS section, 'all' AS k, 'n_docs' AS metric,
+           CAST(n_docs AS DOUBLE) AS value FROM tot
+    UNION ALL
+    SELECT 'corpus', 'all', 'total_tokens', CAST(total_tokens AS DOUBLE)
+    FROM tot
+    UNION ALL
+    SELECT 'corpus', 'all', 'mean_tokens',
+           round(CAST(total_tokens AS DOUBLE) / n_docs, 6) FROM tot
+    UNION ALL
+    SELECT 'zipf', lang, 'n_types', CAST(n_types AS DOUBLE) FROM z
+    UNION ALL
+    SELECT 'zipf', lang, 'slope', CAST(slope AS DOUBLE) FROM z
+    UNION ALL
+    SELECT 'length', source || '/' || bucket, 'n_docs',
+           CAST(n_docs AS DOUBLE) FROM h
+    UNION ALL
+    SELECT 'length', source || '/' || bucket, 'min_len',
+           CAST(min_len AS DOUBLE) FROM h
+    UNION ALL
+    SELECT 'length', source || '/' || bucket, 'max_len',
+           CAST(max_len AS DOUBLE) FROM h
+    UNION ALL
+    SELECT 'length', source || '/' || bucket, 'total_tokens',
+           CAST(total_tokens AS DOUBLE) FROM h
+    """
+
+
+@register(
+    "corpus_report",
+    _REPORT_SQL,
+    tags=("llm", "X-4", "observability", "report"),
+)
+def corpus_report_q(spark, sf_dir):
+    """Corpus health report (operators/corpus.py::corpus_report —
+    VERDICT r7 item 8): totals + per-language Zipf slope + per-source
+    length histogram as ONE long-format (section, k, metric, value)
+    frame, dashboard-sized at any corpus scale (three bounded
+    aggregations, no corpus rescan).  The delta-pipeline demo prints it
+    per snapshot version."""
+    return cp.corpus_report(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "corpus_shuffle_shards",
     _SHARD_SQL,
@@ -6034,6 +6201,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
     "store_logs_cursor_page",  # never checked
+    "similarity_opq_topk",  # never checked
     "jsonl_ingest",  # newest green r5
     "logs_filter_conj",  # newest green r5
     "logs_keyset_page",  # newest green r5
@@ -6076,7 +6244,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "approx_quantile_p90",  # newest green r5
     "similarity_ivf_kmeans",  # newest green r5
     "dedup_clusters",  # newest green r5
-    "pii_redact",  # newest green r5
 ]
 
 

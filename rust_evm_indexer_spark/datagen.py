@@ -328,6 +328,54 @@ def write_u256_fixture(outdir: str | Path, *, seed: int = 97) -> Path:
     return outdir
 
 
+def write_clustered_embeddings(
+    outdir: str | Path,
+    *,
+    n: int = 2000,
+    dim: int = 64,
+    n_clusters: int = 8,
+    spread: float = 0.06,
+    seed: int = 11,
+) -> Path:
+    """Mixture-of-Gaussians embeddings — the CLUSTERED regime real text
+    embeddings live in (VERDICT r7 item 3).  The driver's synthetic
+    embeddings are ~uniform on the unit sphere (residual norm ratio
+    0.965), where residual/OPQ encodings provably cannot help; real
+    encoder outputs concentrate on topical clusters (ratio 0.3–0.7),
+    which is the regime those encodings exist for.  Each vector is
+    normalize(center_c + spread·N(0, I)) with unit-vector centers; the
+    per-coordinate noise scale aggregates over dim, so the residual
+    ratio is ≈ spread·√dim / √(1 + spread²·dim) — 0.06 at dim=64 gives
+    the ≈0.45 mid-band of real encoder outputs.  Same schema as
+    the driver's embeddings table (vec_id, embedding float32, label =
+    the generating cluster, usable as ground truth)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, size=n)
+    X = centers[labels] + spread * rng.standard_normal((n, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    schema = pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ])
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in X[i]],
+         "label": int(labels[i])}
+        for i in range(n)
+    ]
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        outdir / "embeddings.parquet",
+    )
+    return outdir
+
+
 if __name__ == "__main__":
     import sys
 

@@ -41,6 +41,78 @@ DEFAULT_K = 16
 TRAIN_SAMPLE_CAP = 4096
 
 
+def opq_train_rotation(
+    embeddings: DataFrame,
+    m: int = DEFAULT_M,
+    *,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge, Ke, Sun, CVPR 2013 §4, "OPQ-P"):
+    an orthogonal matrix ``R`` applied before the subspace split so
+    the m subspaces carry BALANCED variance — the standard fix for the
+    regime where raw coordinates misalign with the quantizable
+    directions.  ``rotated = R @ x``; rows of R are sign-fixed
+    covariance eigenvectors, ORDERED so that eigenvalue products per
+    subspace are greedily balanced (largest eigenvalue to the currently
+    emptiest-information subspace, each capped at dim/m rows).
+
+    Fitting is on distributed sufficient statistics
+    (pca.embedding_moments — DECIMAL-accumulated mean + second moment,
+    so R is bit-identical under any partitioning); the driver solves
+    one dim×dim eigenproblem.  Deterministic end-to-end."""
+    import numpy as np
+
+    from .pca import embedding_moments
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    mean, S, _ = embedding_moments(embeddings, vec_col, dim)
+    mu = np.asarray(mean)
+    cov = np.asarray(S) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]  # descending eigenvalues
+    # greedy balance: assign each eigen-direction (largest first) to
+    # the non-full subspace with the smallest log-eigenvalue sum
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    loads = [0.0] * m
+    floor = max(float(vals[order[0]]), 1e-30) * 1e-12
+    for idx in order:
+        open_b = [b for b in range(m) if len(buckets[b]) < d_sub]
+        b = min(open_b, key=lambda b: (loads[b], b))
+        buckets[b].append(int(idx))
+        loads[b] += float(np.log(max(float(vals[idx]), floor)))
+    R = np.empty((dim, dim), dtype=np.float64)
+    row = 0
+    for b in range(m):
+        for idx in buckets[b]:
+            w = vecs[:, idx].copy()
+            pivot = int(np.argmax(np.abs(w)))  # sign convention: pivot > 0
+            if w[pivot] < 0:
+                w = -w
+            R[row] = w
+            row += 1
+    return [[float(x) for x in r] for r in R]
+
+
+def rotate_vec(
+    rotation: list[list[float]] | None, vec: list[float]
+) -> list[float]:
+    """Driver-side ``R @ v`` (None = identity) as LEFT-TO-RIGHT float64
+    sums — not numpy matmul, whose BLAS summation order differs in the
+    last ulp from DuckDB's sequential ``list_inner_product``, which is
+    how the oracle replays the same rotation."""
+    if rotation is None:
+        return [float(x) for x in vec]
+    return [
+        sum(float(r) * float(x) for r, x in zip(row, vec))
+        for row in rotation
+    ]
+
+
 def pq_train(
     embeddings: DataFrame,
     m: int = DEFAULT_M,
@@ -50,13 +122,16 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_cap: int = TRAIN_SAMPLE_CAP,
+    rotation: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Fit per-subspace codebooks; returns ``codebooks[m][k][dim/m]``.
 
     Deterministic end-to-end: the training sample is the ``sample_cap``
     lowest-id rows, initialization is the first ``k`` sample subvectors,
     and Lloyd updates are numpy float64 — identical codebooks every
-    run."""
+    run.  ``rotation`` (an OPQ matrix from :func:`opq_train_rotation`)
+    trains the codebooks in the ROTATED space — encode/search must then
+    be given the same matrix."""
     import numpy as np
 
     rows = (
@@ -66,6 +141,8 @@ def pq_train(
         .collect()
     )
     X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    if rotation is not None:
+        X = np.asarray([rotate_vec(rotation, row) for row in X.tolist()])
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -92,10 +169,16 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: tuple[str, ...] = (),
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """(vec_id, [keep...,] codes array<int>) — nearest centroid per
     subspace, one Arrow-batched numpy pass per partition batch.
-    ``keep`` carries extra columns (e.g. the IVF ``cell``) through."""
+    ``keep`` carries extra columns (e.g. the IVF ``cell``) through.
+    ``rotation`` applies the OPQ matrix (one extra GEMM per Arrow
+    batch) before the subspace split — codes then index ROTATED-space
+    codebooks.  Only the argmax consumes the rotated values, so the
+    encode side needs no cross-engine float-order care (the exported
+    CODES are what both engines read)."""
     from ..util import ensure_package_shipped
 
     ensure_package_shipped(embeddings.sparkSession)  # cold-cache safety
@@ -105,10 +188,14 @@ def pq_encode(
     k = len(codebooks[0])
     d_sub = len(codebooks[0][0])
     C = np.asarray(codebooks, dtype=np.float64)  # (m, k, d_sub)
+    Rt = (None if rotation is None
+          else np.asarray(rotation, dtype=np.float64).T)
 
     @F.pandas_udf("array<int>")
     def enc(vecs: pd.Series) -> pd.Series:
         X = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        if Rt is not None:
+            X = X @ Rt
         n = X.shape[0]
         out = np.empty((n, m), dtype=np.int32)
         for s in range(m):
@@ -132,14 +219,21 @@ def pq_search(
     *,
     id_col: str = "vec_id",
     exclude_ids: tuple[int, ...] = (),
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance cosine top-k over PQ codes — (vec_id,
     sim_pq), sim rounded to 6dp, ordered sim DESC then id ASC.
 
     The corpus side is JVM-only: two ``element_at`` lookups per
-    subspace into literal tables built from the query driver-side."""
+    subspace into literal tables built from the query driver-side.
+    With ``rotation`` the query rotates driver-side (R is orthogonal,
+    so dot(q,x) = dot(Rq,Rx) and |x| = |Rx| — the rotated-space ADC
+    estimates the SAME cosine) and the lookup tables are built from
+    the rotated query against the rotated-space codebooks; nothing on
+    the corpus side changes shape."""
     import math
 
+    query_vec = rotate_vec(rotation, query_vec)
     m = len(codebooks)
     dots: list[list[float]] = []
     norms: list[list[float]] = []
@@ -215,6 +309,7 @@ def ivfpq_train_residual(
     iters: int = 10,
     *,
     sample_cap: int = TRAIN_SAMPLE_CAP,
+    rotation: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Fit per-subspace codebooks on RESIDUALS against the index's
     coarse centroids (Jégou §IV) — same deterministic recipe as
@@ -222,7 +317,8 @@ def ivfpq_train_residual(
     but each training vector is first reduced to x − centroid(cell).
     Residuals cluster around the origin regardless of which coarse cell
     the vector came from, so k codewords buy more precision than over
-    raw vectors."""
+    raw vectors.  ``rotation`` trains on R(x − centroid) — OPQ over the
+    residual space (search must get the same matrix)."""
     import numpy as np
 
     rows = (
@@ -238,6 +334,8 @@ def ivfpq_train_residual(
         [np.asarray(r[index.vec_col], dtype=np.float64) - cents[int(r["cell"])]
          for r in rows]
     )
+    if rotation is not None:
+        X = np.asarray([rotate_vec(rotation, row) for row in X.tolist()])
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -287,6 +385,7 @@ def ivfpq_write_codes(
     codes_dir: "str | Path",
     *,
     by_residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Encode the IVF corpus and write the code table partitioned by
     ``cell`` — the one-time index-build step (Arrow-batched encode, one
@@ -294,7 +393,9 @@ def ivfpq_write_codes(
     file-listing level, same layout contract as IvfIndex.VECTORS).
     With ``by_residual=True`` the codebooks must come from
     :func:`ivfpq_train_residual` and each vector is encoded as its
-    residual against the cell centroid."""
+    residual against the cell centroid.  ``rotation`` must match the
+    matrix the codebooks were trained under (applied inside the encode
+    kernel, after the residual subtraction when both are set)."""
     src = index.vectors()
     if by_residual:
         src = _residual_frame(index, src)
@@ -304,6 +405,7 @@ def ivfpq_write_codes(
         id_col=index.id_col,
         vec_col=index.vec_col,
         keep=("cell",),
+        rotation=rotation,
     )
     enc.write.mode("overwrite").partitionBy("cell").parquet(str(codes_dir))
 
@@ -319,6 +421,7 @@ def ivfpq_search(
     *,
     exclude_ids: tuple[int, ...] = (),
     by_residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVFADC top-k: probe cells from the stored coarse centroids
     (driver-side), then flat ADC over ONLY the probe cells' code
@@ -332,7 +435,14 @@ def ivfpq_search(
     dot(q, cₚ) and |cₚ|² and the query-independent cross table
     dot(cₚ,ₛ, Cₛ[j]) — all m·k(+2) driver-side floats per probe cell,
     bounded by index design.  The n_probe per-cell scans union before
-    one global top-k."""
+    one global top-k.
+
+    ``rotation`` (OPQ): the coarse probe and the per-cell correction
+    scalars stay in the ORIGINAL space (the coarse quantizer is not
+    rotated); only the PQ lookup tables rotate — dots from Rq, the
+    cross table from R·centroid slices — because the stored codes
+    reconstruct the ROTATED residual R(x − c), and R orthogonal makes
+    dot(q, x−c) = dot(Rq, R(x−c))."""
     import math
 
     probe = index.probe_cells(query_vec, n_probe)
@@ -347,15 +457,17 @@ def ivfpq_search(
             topk,
             id_col=index.id_col,
             exclude_ids=exclude_ids,
+            rotation=rotation,
         )
 
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q_rot = rotate_vec(rotation, query_vec)
     dots = []
     norms = []
     for s in range(m):
-        qs = query_vec[s * d_sub : (s + 1) * d_sub]
+        qs = q_rot[s * d_sub : (s + 1) * d_sub]
         dots.append(
             [sum(q * c for q, c in zip(qs, cent)) for cent in codebooks[s]]
         )
@@ -372,12 +484,13 @@ def ivfpq_search(
         cent = [float(x) for x in index.centroids[c]]
         qc = sum(q * v for q, v in zip(query_vec, cent))
         nc = sum(v * v for v in cent)
+        cent_rot = rotate_vec(rotation, cent)
         cross = [
             [
                 sum(
                     cv * cb
                     for cv, cb in zip(
-                        cent[s * d_sub : (s + 1) * d_sub], codebooks[s][j]
+                        cent_rot[s * d_sub : (s + 1) * d_sub], codebooks[s][j]
                     )
                 )
                 for j in range(len(codebooks[s]))

@@ -86,6 +86,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "multimodal_resize",  # newest green r6
     "orders_monthly",  # newest green r6
     "pack_sequences",  # newest green r6
+    "pii_redact",  # newest green r5
     "pivot_order_status",  # newest green r7
     "q10_returned_items",  # newest green r7
     "q12_late_shipments",  # newest green r7
