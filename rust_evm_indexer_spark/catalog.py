@@ -6202,6 +6202,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "evm_logs_topic_page",  # flagship-core
     "store_logs_cursor_page",  # never checked
     "similarity_opq_topk",  # never checked
+    "corpus_report",  # never checked
     "jsonl_ingest",  # newest green r5
     "logs_filter_conj",  # newest green r5
     "logs_keyset_page",  # newest green r5
@@ -6243,7 +6244,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "cms_user_frequency",  # newest green r5
     "approx_quantile_p90",  # newest green r5
     "similarity_ivf_kmeans",  # newest green r5
-    "dedup_clusters",  # newest green r5
 ]
 
 

@@ -56,6 +56,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "corpus_zipf_slope",  # newest green r7
     "cube_lineitem",  # newest green r6
     "decontaminate_ngram",  # newest green r6
+    "dedup_clusters",  # newest green r5
     "dedup_embedding_cosine",  # newest green r7
     "dedup_embedding_lsh",  # newest green r7
     "dedup_minhash_lsh",  # newest green r7
