@@ -536,6 +536,7 @@ def ivfpq_knn_join(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     by_residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVFADC k-NN JOIN — the multi-query scale path (same relationship
     to :func:`ivfpq_search` as IvfIndex.knn_join to IvfIndex.search):
@@ -574,7 +575,17 @@ def ivfpq_knn_join(
        would wobble last bits vs the oracle's ORDER BY s replay);
        per-query rank window keeps k.
 
-    Output: (q_id, vec_id, sim_pq, rank), rank ≤ k per query."""
+    Output: (q_id, vec_id, sim_pq, rank), rank ≤ k per query.
+
+    ``rotation`` (OPQ): queries rotate JVM-side as ROWS — the dim-row
+    rotation matrix broadcasts against the query frame and Rq folds one
+    inner product per (query, output-dim) row (the same
+    materialize-as-rows rule as the lookup tables; a literal-matrix
+    formulation would compile dim² terms).  Probing and the residual
+    correction scalars stay in the ORIGINAL space, the cross table uses
+    rotated centroid slices — bit-consistent with
+    :func:`ivfpq_search`'s rotated single-query math by the same
+    left-to-right folds."""
     from pyspark.sql import Window
 
     m = len(codebooks)
@@ -625,6 +636,35 @@ def ivfpq_knn_join(
         .where(F.col("_rk") <= n_probe)
         .select(q_id_col, q_vec_col, "cell", *_extra)
     )
+    qv_eff = q_vec_col
+    if rotation is not None:
+        spark_ = queries.sparkSession
+        rotdf = spark_.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(rotation)],
+            "i int, vrow array<double>",
+        )
+        qrot = (
+            queries.select(q_id_col, q_vec_col)
+            .crossJoin(F.broadcast(rotdf))
+            .select(
+                q_id_col,
+                "i",
+                F.expr(
+                    f"aggregate(zip_with({q_vec_col}, vrow,"
+                    " (x, y) -> double(x) * y), 0D, (a, x) -> a + x)"
+                ).alias("ip"),
+            )
+            .groupBy(q_id_col)
+            .agg(
+                F.array_sort(F.collect_list(F.struct("i", "ip"))).alias("_r")
+            )
+            .select(
+                q_id_col,
+                F.expr("transform(_r, s -> s.ip)").alias("_qrot"),
+            )
+        )
+        probes = probes.join(qrot, q_id_col)
+        qv_eff = "_qrot"
 
     # exploded codebook: (s, code, cent, nr) — m·k rows, bounded by
     # index design, broadcast-safe
@@ -641,14 +681,20 @@ def ivfpq_knn_join(
         ],
         "s int, code int, cent array<double>, nr double",
     )
+    # qnorm space mirrors the single-query paths exactly: pq_search
+    # (the flat path) computes |Rq| from the ROTATED query, the
+    # residual path keeps |q| in the original space
+    qnorm_src = q_vec_col if by_residual else qv_eff
     qnorm = F.sqrt(
-        F.expr(f"aggregate({q_vec_col}, 0D, (a, x) -> a + double(x) * double(x))")
+        F.expr(f"aggregate({qnorm_src}, 0D, (a, x) -> a + double(x) * double(x))")
     )
     # per-(query, subspace, centroid) ADC terms: dot(q_s, c) as one
     # left-to-right fold — the same IEEE order as pq_search's
     # driver-side tables and DuckDB's list_inner_product
     qd = (
-        probes.select(q_id_col, q_vec_col)
+        probes.select(
+            q_id_col, *dict.fromkeys((q_vec_col, qv_eff, qnorm_src))
+        )
         .distinct()
         .crossJoin(F.broadcast(cbdf))
         .select(
@@ -658,7 +704,7 @@ def ivfpq_knn_join(
             "nr",
             qnorm.alias("_qnorm"),
             F.expr(
-                f"aggregate(zip_with(slice({q_vec_col}, s * {d_sub} + 1,"
+                f"aggregate(zip_with(slice({qv_eff}, s * {d_sub} + 1,"
                 f" {d_sub}), cent, (x, y) -> double(x) * y),"
                 " 0D, (a, x) -> a + x)"
             ).alias("dt"),
@@ -700,6 +746,8 @@ def ivfpq_knn_join(
     else:
         # query-independent cross table: dot(centroid_slice_s, C_s[j])
         # — n_cells·m·k rows, bounded by index design, broadcast-safe
+        # rotated regime: codes reconstruct R(x − c), so the cross term
+        # dot(c, x − c) needs ROTATED centroid slices (R orthogonal)
         crossdf = spark.createDataFrame(
             [
                 (
@@ -710,9 +758,9 @@ def ivfpq_knn_join(
                         sum(
                             cv * cb
                             for cv, cb in zip(
-                                [float(x) for x in v][
-                                    s * d_sub : (s + 1) * d_sub
-                                ],
+                                rotate_vec(
+                                    rotation, [float(x) for x in v]
+                                )[s * d_sub : (s + 1) * d_sub],
                                 codebooks[s][j],
                             )
                         )
@@ -795,6 +843,7 @@ def ivfpq_append(
     new_embeddings: DataFrame,
     *,
     by_residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> int:
     """Admit NEW vectors into an existing IVFPQ index — the delta-only
     maintenance step a continuously-growing corpus needs.
@@ -832,6 +881,7 @@ def ivfpq_append(
         id_col=index.id_col,
         vec_col=index.vec_col,
         keep=("cell",),
+        rotation=rotation,
     )
     n = new_embeddings.count()
     enc.write.mode("append").partitionBy("cell").parquet(str(codes_dir))

@@ -139,3 +139,77 @@ def test_rotated_search_still_estimates_true_cosine(spark, aniso):
         return hits
 
     assert recall(R) >= recall(None)
+
+
+def test_rotated_knn_join_matches_per_query_search(spark, tmp_path):
+    """OPQ through the multi-query path: ivfpq_knn_join(rotation=R)
+    must agree EXACTLY with single-query ivfpq_search(rotation=R) for
+    every query, in both encoding regimes (same probe rule, same
+    left-to-right folds — the JVM-rows rotation vs the driver-side
+    rotate_vec)."""
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((300, 8)) * np.array(
+        [6, 6, 0.05, 0.05, 6, 6, 0.05, 0.05])
+    df = _frame(spark, X)
+    idx = sim.IvfIndex.build(df, tmp_path / "ivf", k=4, iters=2)
+    R = PQ.opq_train_rotation(df, m=4)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    for res in (False, True):
+        if res:
+            cb = PQ.ivfpq_train_residual(idx, m=4, k=8, iters=4, rotation=R)
+        else:
+            cb = PQ.pq_train(df, m=4, k=8, iters=4, rotation=R)
+        d = tmp_path / f"codes_{res}"
+        PQ.ivfpq_write_codes(idx, cb, d, by_residual=res, rotation=R)
+        joined = {
+            (r["q_id"], r["rank"]): (r["vec_id"], r["sim_pq"])
+            for r in PQ.ivfpq_knn_join(
+                spark, idx, d, cb, queries, k=5, n_probe=2,
+                by_residual=res, rotation=R).collect()
+        }
+        for q in range(3):
+            qv = [float(x) for x in X[q]]
+            want = PQ.ivfpq_search(
+                spark, idx, d, cb, qv, topk=5, n_probe=2,
+                by_residual=res, rotation=R).collect()
+            for rank, r in enumerate(want, start=1):
+                assert joined[(q, rank)] == (r["vec_id"], r["sim_pq"]), (
+                    res, q, rank)
+
+
+def test_rotated_append_matches_bulk_encode(spark, tmp_path):
+    """OPQ through the delta path: appending under a frozen rotation +
+    codebooks must produce the same stored codes as bulk-encoding the
+    full corpus (frozen-quantizer contract)."""
+    rng = np.random.default_rng(21)
+    X = rng.standard_normal((200, 8))
+    df = _frame(spark, X)
+    idx_all = sim.IvfIndex.build(df, tmp_path / "ivf_all", k=4, iters=2)
+    R = PQ.opq_train_rotation(df, m=4)
+    cb = PQ.ivfpq_train_residual(idx_all, m=4, k=8, iters=4, rotation=R)
+
+    bulk = tmp_path / "bulk"
+    PQ.ivfpq_write_codes(idx_all, cb, bulk, by_residual=True, rotation=R)
+
+    first = df.filter(F.col("vec_id") < 150)
+    delta = df.filter(F.col("vec_id") >= 150)
+    idx_first = sim.IvfIndex.build(
+        first, tmp_path / "ivf_first", k=4, iters=2,
+    )
+    # freeze the SAME quantizer for a fair code comparison
+    idx_first.centroids = idx_all.centroids
+    inc = tmp_path / "inc"
+    PQ.ivfpq_write_codes(idx_first, cb, inc, by_residual=True, rotation=R)
+    n = PQ.ivfpq_append(idx_all, cb, inc, delta, by_residual=True,
+                        rotation=R)
+    assert n == 50
+    got = {r["vec_id"]: (r["cell"], r["codes"]) for r in
+           spark.read.parquet(str(inc)).collect()}
+    want = {r["vec_id"]: (r["cell"], r["codes"]) for r in
+            spark.read.parquet(str(bulk)).collect()}
+    # the delta's codes must be identical to the bulk encode; resident
+    # codes differ only where idx_first's own assignment differed
+    for vid in range(150, 200):
+        assert got[vid] == want[vid], vid
