@@ -597,3 +597,38 @@ def test_stupid_backoff_quad_join_posture(spark):
     # 1-row total); the five n-gram joins (t4, t3 ctx+next, t2 ctx+next)
     # carry NONE
     assert broadcast_hint_count(df) == 3, broadcast_hint_count(df)
+
+
+def test_opq_search_stays_jvm_same_shape_as_flat(spark):
+    """OPQ costs the query a driver-side rotation and the corpus side
+    NOTHING: the rotated ADC plan must be Python-free with the same
+    top-k shape as similarity_pq_topk (the rotation never appears in
+    the distributed plan)."""
+    df = CATALOG["similarity_opq_topk"].fn(spark, SF)
+    plan = physical_plan(df, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert_takes_ordered_topk(df)
+
+
+def test_corpus_report_is_three_bounded_aggregations(spark):
+    """The health report must stay a union of bounded aggregates —
+    no Python nodes, no cartesian, exchanges only for the three keyed
+    aggregations + the per-lang rank window."""
+    df = CATALOG["corpus_report"].fn(spark, SF)
+    plan = physical_plan(df, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_store_cursor_page_plan_single_pruned_scan(spark):
+    """The flagship composite: ONE parquet scan (fragments past the
+    cursor never listed), the full tuple predicate pushed, and top-k
+    (TakeOrderedAndProject) — no Exchange anywhere."""
+    df = CATALOG["store_logs_cursor_page"].fn(spark, SF)
+    simple = physical_plan(df, "simple")
+    assert simple.count("Scan parquet") == 1
+    assert "Exchange" not in simple
+    plan = physical_plan(df, "formatted")
+    assert "GreaterThan(block_number,1000025)" in plan
+    assert "GreaterThan(id,5)" in plan
+    assert_takes_ordered_topk(df)
