@@ -66,6 +66,11 @@ def main() -> int:
     with open(args.current) as f:
         cur = json.load(f)
 
+    if base.get("sf") != cur.get("sf"):
+        print(f"baseline sf={base.get('sf')} != current sf={cur.get('sf')} "
+              f"— cross-SF comparison is meaningless; gate vacuous")
+        return 0
+
     bq, cq = base.get("queries", {}), cur.get("queries", {})
     regressions = []
     for name, t0 in sorted(bq.items()):
