@@ -3474,6 +3474,141 @@ def similarity_ivfpq_residual_topk(spark, sf_dir):
     )
 
 
+# OPQ over the residual space — the MEASURED-BEST encoding on clustered
+# geometry (SCALE.md r8 table: recall ≥ flat on both corpus regimes).
+# The oracle replays EVERYTHING: Rq rebuilt per-row from the rotation
+# export, probe + assignment in the ORIGINAL space from the centroid
+# export, per-cell ROTATED centroids for the cross terms, then the full
+# residual ADC — sim = (dot(q,c) + Σ dt) / (|q|·sqrt(|c|² + 2Σcs + Σnr))
+# with dt over slices of Rq and cs over slices of Rc.
+_OPQ_RES_DIR = f"{FIXTURE_CACHE}/opqres_sf0.01"
+_OPQ_RES_SQL = f"""
+    WITH cent AS (SELECT cell, centroid
+                  FROM read_parquet('{_IVFPQ_BASE}/centroids/*.parquet')),
+    q0 AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+    rot AS (SELECT i, vrow
+            FROM read_parquet('{_OPQ_DIR}/rotation/*.parquet')),
+    qr AS (SELECT list(list_inner_product(r.vrow, q0.qv) ORDER BY r.i)
+                    AS qv
+           FROM rot r, q0),
+    probe AS (SELECT cell FROM cent, q0
+              ORDER BY list_inner_product(centroid, q0.qv)
+                       / (sqrt(list_inner_product(centroid, centroid))
+                          * sqrt(list_inner_product(q0.qv, q0.qv))) DESC,
+                       cell
+              LIMIT 2),
+    assign AS ({{assign}}),
+    centr AS (SELECT c.cell,
+                     list(list_inner_product(r.vrow, c.centroid)
+                          ORDER BY r.i) AS cr
+              FROM cent c, rot r GROUP BY c.cell),
+    cb AS (SELECT s, j, cent
+           FROM read_parquet('{_OPQ_RES_DIR}/codebooks_res/*.parquet')),
+    c AS (SELECT cl.vec_id, a.cell, cl.s, cl.code
+          FROM read_parquet('{_OPQ_RES_DIR}/codes_long_res/*.parquet') cl
+          JOIN assign a ON a.vec_id = cl.vec_id
+          WHERE a.cell IN (SELECT cell FROM probe) AND cl.vec_id <> 0),
+    t AS (SELECT c.vec_id, c.cell, c.s,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(qr.qv, c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS dt,
+                 list_inner_product(cb.cent, cb.cent) AS nr,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(ctr.cr,
+                              c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS cs
+          FROM c JOIN cb ON cb.s = c.s AND cb.j = c.code
+                 JOIN centr ctr ON ctr.cell = c.cell, qr),
+    agg AS (SELECT vec_id, cell,
+                   list_sum(list(dt ORDER BY s)) AS sd,
+                   list_sum(list(nr ORDER BY s)) AS sn,
+                   list_sum(list(cs ORDER BY s)) AS sc
+            FROM t GROUP BY vec_id, cell)
+    SELECT a.vec_id,
+           round((list_inner_product(q0.qv, ct.centroid) + a.sd)
+                 / (sqrt(list_inner_product(q0.qv, q0.qv))
+                    * sqrt(list_inner_product(ct.centroid, ct.centroid)
+                           + 2.0 * a.sc + a.sn)),
+                 6) AS sim_pq
+    FROM agg a JOIN cent ct ON ct.cell = a.cell, q0
+    ORDER BY sim_pq DESC, a.vec_id
+    LIMIT 10
+"""
+
+
+def _ensure_opq_res_export(spark, sf_dir):
+    """OPQ-over-residuals exports: the rotation comes from the shared
+    OPQ export (same R for flat and residual — it is a property of the
+    corpus covariance, not the regime), residual codebooks train under
+    it against the kmeans8 quantizer, and codes are written rotated.
+    Returns (index, rotation, codebooks, codes_dir)."""
+    from .operators import pq as PQ
+
+    idx = _ivf_index(spark, sf_dir, "kmeans8")
+    _export_ivf_oracle(spark, idx, "kmeans8", sf_dir)
+    rot, _, opq_out = _ensure_opq_export(spark, sf_dir)
+    out = Path(f"{FIXTURE_CACHE}/opqres_{Path(sf_dir).name}")
+    key = (
+        f"{(opq_out / '_EXPORTED_FROM').read_text()}"
+        f"|ivf={idx.index_dir}|enc=opqres1"
+    )
+    marker = out / "_EXPORTED_FROM"
+    codes_dir = out / "codes_by_cell_res"
+    if marker.exists() and marker.read_text() == key:
+        cb_rows = spark.read.parquet(str(out / "codebooks_res")).collect()
+        cb = [[None] * _PQ_K for _ in range(_PQ_M)]
+        for r in cb_rows:
+            cb[r["s"]][r["j"]] = list(r["cent"])
+        return idx, rot, cb, codes_dir
+    cb = PQ.ivfpq_train_residual(
+        idx, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, rotation=rot
+    )
+    spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in centv])
+            for s, book in enumerate(cb)
+            for j, centv in enumerate(book)
+        ],
+        "s: int, j: int, cent: array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "codebooks_res"))
+    PQ.ivfpq_write_codes(idx, cb, codes_dir, by_residual=True, rotation=rot)
+    spark.read.parquet(str(codes_dir)).select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    ).write.mode("overwrite").parquet(str(out / "codes_long_res"))
+    marker.write_text(key)
+    return idx, rot, cb, codes_dir
+
+
+@register(
+    "similarity_opq_residual_topk",
+    _OPQ_RES_SQL.format(assign=_assign_sql("kmeans8", _IVFPQ_BASE)),
+    tags=("llm", "X-3", "pq", "opq", "residual", "oracle-sf0.01"),
+)
+def similarity_opq_residual_topk(spark, sf_dir):
+    """OPQ-rotated residual IVFADC top-10 — the measured-best encoding
+    (SCALE.md r8: recall ≥ flat on BOTH corpus geometries, +44% over
+    flat on the clustered fixture): codes are PQ of R(x − centroid),
+    scored per probe cell with rotated-query lookup tables, per-cell
+    corrections dot(q,c)/|c|² in the original space, and the cross
+    table over ROTATED centroid slices (R orthogonal makes
+    dot(c, x−c) = dot(Rc, R(x−c))).  Corpus-side plan is identical to
+    the un-rotated residual entry — partition-pruned pure-JVM lookups;
+    the oracle rebuilds Rq and Rc from the rotation export and replays
+    the complete chain."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx, rot, cb, codes_dir = _ensure_opq_res_export(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.ivfpq_search(
+        spark, idx, codes_dir, cb, qvec, topk=10, n_probe=2,
+        exclude_ids=(0,), by_residual=True, rotation=rot,
+    )
+
+
 _IVFPQ_KNN_SQL = f"""
     WITH cent AS (SELECT cell, centroid
                   FROM read_parquet('{_IVFPQ_BASE}/centroids/*.parquet')),
@@ -6203,6 +6338,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "store_logs_cursor_page",  # never checked
     "similarity_opq_topk",  # never checked
     "corpus_report",  # never checked
+    "similarity_opq_residual_topk",  # never checked
     "jsonl_ingest",  # newest green r5
     "logs_filter_conj",  # newest green r5
     "logs_keyset_page",  # newest green r5
@@ -6243,7 +6379,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "interval_join_events",  # newest green r5
     "cms_user_frequency",  # newest green r5
     "approx_quantile_p90",  # newest green r5
-    "similarity_ivf_kmeans",  # newest green r5
 ]
 
 

@@ -112,6 +112,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "semantic_dedup",  # newest green r7
     "semi_join_exists",  # newest green r6
     "set_ops_customers",  # newest green r6
+    "similarity_ivf_kmeans",  # newest green r5
     "similarity_ivf_knn_join",  # newest green r6
     "similarity_ivf_topk",  # newest green r7
     "similarity_ivfpq_knn_join",  # newest green r7
