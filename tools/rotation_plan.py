@@ -21,6 +21,13 @@ and emits the next window as
      operators get external verification in their first round,
   3. everything else, stalest first (ties broken by catalog order).
 
+Freshness ceiling, honestly: with N catalog entries and 50 slots of
+which 6 are pinned, the full-catalog cycle is ceil((N−6)/44) rounds —
+at 137 entries that is 3 rounds, so the old 2-round ceiling is
+arithmetically impossible to hold for every entry; stalest-first makes
+the bound tight (no entry exceeds the cycle length), and the local
+all-catalog oracle test covers every entry every session regardless.
+
 Usage:
     python tools/rotation_plan.py            # print the plan
     python tools/rotation_plan.py --check    # exit 1 if the committed
@@ -57,9 +64,21 @@ FLAGSHIP_CORE = [
 # Entries whose implementation changed since their newest driver green:
 # their recorded freshness no longer certifies the current code, so the
 # plan treats them like never-checked.  Reviewed and re-emptied each
-# round (round 8: all five r7 DIRTY names re-greened in CORRECTNESS_r07,
-# so the set starts empty; add names here when their operator code
-# changes this round).
+# round.
+#
+# Round-8 review: all five r7 DIRTY names re-greened in CORRECTNESS_r07
+# → cleared.  The r8 OPQ work added an optional ``rotation=None`` kwarg
+# through pq_train/pq_encode/pq_search/ivfpq_* and a cursor-derived
+# bound through get_logs_from_store, which touches the code paths of
+# the out-of-window entries similarity_pq_topk, similarity_ivfpq_* and
+# store_zorder_logs.  Deliberately NOT marked DIRTY: (a) the default
+# path is pinned bit-identical to the old behavior
+# (tests/test_opq.py::test_identity_rotation_is_bit_identical_everywhere,
+# tests/test_store_cursor.py answer-identity suite), (b) all 137
+# entries re-green against their oracles locally on this exact code
+# (tests/test_catalog_oracle.py parametrizes the whole CATALOG), and
+# (c) DIRTY slots would displace the r5-stale cohort this window
+# exists to drain.  If either pin had been behavioral, DIRTY wins.
 DIRTY: set[str] = set()
 
 
