@@ -281,3 +281,75 @@ def test_maintain_store_refresh_gated_on_projection_lag(spark, tmp_path):
     got = store.read_projection("pts", "by_addr", key_equals="0xa1").filter(
         F.col("addr") == "0xa1").count()
     assert got == want
+
+
+# -- property: maintain_store is safe under ANY op interleaving ----------
+
+import tempfile
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hs
+
+# op encoding: ("commit", rows) | ("delete", addr_mod) | ("maintain",)
+_store_ops = hs.lists(
+    hs.one_of(
+        hs.tuples(hs.just("commit"), hs.integers(20, 80)),
+        hs.tuples(hs.just("delete"), hs.integers(0, 4)),
+        hs.tuples(hs.just("maintain")),
+    ),
+    min_size=3,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_store_ops)
+def test_maintain_store_safe_under_random_op_interleavings(spark, ops):
+    """For ANY interleaving of commits, per-address deletes and
+    maintain_store passes: visible rows always equal the python-side
+    model (maintenance is answer-invariant), a maintain pass leaves
+    fragments at/below the policy cap, and an immediately repeated pass
+    fires nothing (idempotency holds from EVERY reachable state, not
+    just the soak's schedule)."""
+    root = Path(tempfile.mkdtemp(prefix="maint-prop-"))
+    store = TableStore(spark, root / "s", bloom_columns={}, dict_columns={})
+    from rust_evm_indexer_spark.store import MaintenancePolicy
+
+    pol = MaintenancePolicy(max_fragments=3, max_size_skew=64.0)
+    model: dict[int, str] = {}
+    next_id = 0
+    block = 0
+    for op in ops:
+        if op[0] == "commit":
+            rows = [(next_id + i, f"0xa{(next_id + i) % 5}", block)
+                    for i in range(op[1])]
+            store.commit({"pts": spark.createDataFrame(
+                rows, "id: long, addr: string, block_number: long")})
+            model.update({r[0]: r[1] for r in rows})
+            next_id += op[1]
+            block += 1
+        elif op[0] == "delete":
+            addr = f"0xa{op[1]}"
+            store.delete_equals("pts", "addr", addr)
+            model = {i: a for i, a in model.items() if a != addr}
+        else:
+            store.maintain_store(pol)
+            st = store.stats()["tables"].get("pts")
+            if st:
+                assert st["fragments"] <= pol.max_fragments
+            rep2 = store.maintain_store(pol)
+            assert rep2["triggers"] == {}
+            assert rep2["vacuumed"] == 0
+        if "pts" in store.current_manifest().tables:
+            got = {r["id"]: r["addr"] for r in store.read("pts").collect()}
+            assert got == model
+    # final pass from whatever state the sequence left behind
+    store.maintain_store(pol)
+    if "pts" in store.current_manifest().tables:
+        got = {r["id"]: r["addr"] for r in store.read("pts").collect()}
+        assert got == model

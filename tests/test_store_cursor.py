@@ -105,3 +105,57 @@ def test_cursor_routes_through_address_projection(store, spark):
     want = get_logs(store.read("logs"), flt).collect()
     assert routed == want and len(routed) > 0
     assert all(r["address"] == "0xaddr1" for r in routed)
+
+
+def test_cursor_walk_is_stable_under_concurrent_ingest(spark, tmp_path):
+    """The keyset contract under a GROWING table (the reference's
+    cursor exists exactly for this — src/api.rs:165-174): walking pages
+    by cursor while ingest commits land between pages must (a) never
+    duplicate a row, (b) never skip a row that existed when the walk
+    started, because the cursor is a total-order position, not an
+    offset.  Offset pagination cannot make this promise — each commit
+    shifts every later offset."""
+    st = TableStore(spark, tmp_path / "grow_store", dict_columns={})
+    rid = 0
+
+    def batch(n_blocks, start_blk):
+        nonlocal rid
+        rows = []
+        for blk in range(start_blk, start_blk + n_blocks):
+            for j in range(4):
+                rows.append((
+                    rid, j, f"0xtx{rid:04d}", j, blk, f"0xbh{blk:04d}",
+                    "0xaddr", "0x", "0xsig", None, None, None,
+                ))
+                rid += 1
+        st.commit({"logs": spark.createDataFrame(
+            rows,
+            "id: long, log_index_in_tx: long, transaction_hash: string, "
+            "transaction_index_in_block: long, block_number: long, "
+            "block_hash: string, contract_address: string, data: string, "
+            "topic0: string, topic1: string, topic2: string, topic3: string",
+        )})
+
+    batch(10, 0)
+    walk_start_rows = {(r["block_number"], r["id"])
+                       for r in st.read("logs").collect()}
+
+    seen = []
+    cursor = (None, None)
+    for page_no in range(10):
+        flt = GetLogsFilter(page_size=9, cursor_block=cursor[0],
+                            cursor_log_id=cursor[1])
+        if cursor == (None, None):
+            flt = GetLogsFilter(page_size=9, cursor_block=0,
+                                cursor_log_id=-1)
+        rows = get_logs_from_store(st, flt).collect()
+        if not rows:
+            break
+        seen.extend((r["block_number"], r["id"]) for r in rows)
+        cursor = (rows[-1]["block_number"], rows[-1]["id"])
+        # ingest lands between every page read
+        batch(2, 10 + 2 * page_no)
+
+    assert len(seen) == len(set(seen))          # (a) no duplicates
+    assert walk_start_rows <= set(seen)         # (b) nothing skipped
+    assert seen == sorted(seen)                 # total order held
