@@ -14,7 +14,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from rust_evm_indexer_spark import datagen
 from rust_evm_indexer_spark.ingest import EvmIngester
-from rust_evm_indexer_spark.operators import GetLogsFilter, run_get_logs
+from rust_evm_indexer_spark.operators import GetLogsFilter, get_logs, run_get_logs
 from rust_evm_indexer_spark.operators.lookups import get_block, get_stats
 from rust_evm_indexer_spark.session import get_spark
 from rust_evm_indexer_spark.sources.rpc import MockRpcClient
@@ -77,6 +77,29 @@ def main() -> None:
     assert ingester.last_processed() == client.head
     print(f"reorg converged: head={client.head}, orphan retracted, "
           f"blocks={store.table_rows('blocks')}")
+
+    print("== background maintenance ==")
+    # per-batch ingest + reorg rewrites leave many small fragments; the
+    # stats()-driven policy pass closes the loop a production deployment
+    # runs on a timer — and queries must be answer-identical across it
+    from rust_evm_indexer_spark.store import MaintenancePolicy
+
+    before = {r["id"] for r in get_logs(
+        store.read("logs"),
+        GetLogsFilter(topic0=datagen.TRANSFER_SIG, page_size=100),
+    ).collect()}
+    rep = store.maintain_store(MaintenancePolicy(max_fragments=4))
+    st = store.stats()["tables"]
+    print(f"maintain: triggers={rep['triggers']} vacuumed={rep['vacuumed']}; "
+          f"fragments now " +
+          ", ".join(f"{t}={v['fragments']}" for t, v in sorted(st.items())))
+    after = {r["id"] for r in get_logs(
+        store.read("logs"),
+        GetLogsFilter(topic0=datagen.TRANSFER_SIG, page_size=100),
+    ).collect()}
+    assert after == before, "maintenance changed query answers!"
+    assert all(v["fragments"] <= 4 for v in st.values())
+
     spark.stop()
     print("OK")
 
