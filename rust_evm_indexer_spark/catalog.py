@@ -3770,6 +3770,106 @@ def similarity_ivfpq_residual_knn_join(spark, sf_dir):
     )
 
 
+# OPQ-residual multi-query join: the measured-best encoding through the
+# scale path.  Oracle = the residual knn replay with TWO rotation CTEs:
+# per-query Rq (dt slices) and per-cell Rc (cross-term slices); probe,
+# corrections and |q| stay in the original space, mirroring
+# ivfpq_knn_join's qnorm_src choice exactly.
+_OPQ_RES_KNN_SQL = f"""
+    WITH cent AS (SELECT cell, centroid
+                  FROM read_parquet('{_IVFPQ_BASE}/centroids/*.parquet')),
+    rot AS (SELECT i, vrow
+            FROM read_parquet('{_OPQ_DIR}/rotation/*.parquet')),
+    assign AS ({{assign}}),
+    q AS (SELECT vec_id AS q_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 4),
+    qr AS (SELECT q.q_id,
+                  list(list_inner_product(r.vrow, q.qv) ORDER BY r.i) AS qv
+           FROM q, rot r GROUP BY q.q_id),
+    centr AS (SELECT c.cell,
+                     list(list_inner_product(r.vrow, c.centroid)
+                          ORDER BY r.i) AS cr
+              FROM cent c, rot r GROUP BY c.cell),
+    pc AS (SELECT q_id, qv, cell,
+                  row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY list_inner_product(centroid, qv)
+                             / (sqrt(list_inner_product(centroid, centroid))
+                                * sqrt(list_inner_product(qv, qv))) DESC,
+                             cell) AS rk
+           FROM q, cent),
+    probe AS (SELECT q_id, cell FROM pc WHERE rk <= 2),
+    cb AS (SELECT s, j, cent
+           FROM read_parquet('{_OPQ_RES_DIR}/codebooks_res/*.parquet')),
+    c AS (SELECT p.q_id, cl.vec_id, a.cell, cl.s, cl.code
+          FROM probe p
+          JOIN assign a USING (cell)
+          JOIN read_parquet('{_OPQ_RES_DIR}/codes_long_res/*.parquet') cl
+            ON cl.vec_id = a.vec_id),
+    t AS (SELECT c.q_id, c.vec_id, c.cell, c.s,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(qr.qv, c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS dt,
+                 list_inner_product(cb.cent, cb.cent) AS nr,
+                 list_inner_product(
+                   cb.cent,
+                   list_slice(ctr.cr,
+                              c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
+                 ) AS cs
+          FROM c JOIN cb ON cb.s = c.s AND cb.j = c.code
+                 JOIN centr ctr ON ctr.cell = c.cell
+                 JOIN qr ON qr.q_id = c.q_id),
+    agg AS (SELECT q_id, vec_id, cell,
+                   list_sum(list(dt ORDER BY s)) AS sd,
+                   list_sum(list(nr ORDER BY s)) AS sn,
+                   list_sum(list(cs ORDER BY s)) AS sc
+            FROM t GROUP BY q_id, vec_id, cell),
+    s AS (SELECT a.q_id, a.vec_id,
+                 round((list_inner_product(q.qv, ct.centroid) + a.sd)
+                       / (sqrt(list_inner_product(q.qv, q.qv))
+                          * sqrt(list_inner_product(ct.centroid, ct.centroid)
+                                 + 2.0 * a.sc + a.sn)),
+                       6) AS sim_pq
+          FROM agg a JOIN cent ct ON ct.cell = a.cell JOIN q USING (q_id)),
+    r AS (SELECT q_id, vec_id, sim_pq,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY sim_pq DESC, vec_id) AS rank
+          FROM s)
+    SELECT q_id, vec_id, sim_pq, rank FROM r WHERE rank <= 5
+"""
+
+
+@register(
+    "similarity_opq_residual_knn_join",
+    _OPQ_RES_KNN_SQL.format(assign=_assign_sql("kmeans8", _IVFPQ_BASE)),
+    tags=("llm", "X-3", "pq", "opq", "residual", "oracle-sf0.01"),
+)
+def similarity_opq_residual_knn_join(spark, sf_dir):
+    """Multi-query OPQ-residual IVFADC join — the measured-best
+    encoding (SCALE.md r8) through the SCALE path
+    (operators/pq.py::ivfpq_knn_join with by_residual=True,
+    rotation=R): queries rotate JVM-side as broadcast rotation ROWS
+    (one inner-product fold per output dim — never dim² plan
+    literals), the cross table carries rotated centroid slices, and
+    the corpus side stays the cell-keyed code join plus one broadcast
+    — byte-identical in shape to the un-rotated residual join.  The
+    oracle rebuilds per-query Rq AND per-cell Rc from the rotation
+    export and replays the complete chain per (query, vector)."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx, rot, cb, codes_dir = _ensure_opq_res_export(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return PQ.ivfpq_knn_join(
+        spark, idx, codes_dir, cb, queries, k=5, n_probe=2,
+        by_residual=True, rotation=rot,
+    )
+
+
 # Incremental SemDeDup (semantic_admit): the delta-regime semantic
 # near-dup gate over a FROZEN seed index.  The oracle recomputes the
 # whole admit decision from raw embeddings + the exported seed
@@ -6339,6 +6439,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "similarity_opq_topk",  # never checked
     "corpus_report",  # never checked
     "similarity_opq_residual_topk",  # never checked
+    "similarity_opq_residual_knn_join",  # never checked
     "jsonl_ingest",  # newest green r5
     "logs_filter_conj",  # newest green r5
     "logs_keyset_page",  # newest green r5
@@ -6378,7 +6479,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "unpivot_part_metrics",  # newest green r5
     "interval_join_events",  # newest green r5
     "cms_user_frequency",  # newest green r5
-    "approx_quantile_p90",  # newest green r5
 ]
 
 

@@ -48,6 +48,7 @@ def test_entry_smoke(spark):
 _EXPECTED_OUT_OF_WINDOW = {
     "anti_join_not_exists",  # newest green r6
     "approx_distinct_users",  # newest green r7
+    "approx_quantile_p90",  # newest green r5
     "asof_join_events",  # newest green r6
     "bm25_search",  # newest green r7
     "chunk_documents",  # newest green r6
