@@ -632,3 +632,13 @@ def test_store_cursor_page_plan_single_pruned_scan(spark):
     assert "GreaterThan(block_number,1000025)" in plan
     assert "GreaterThan(id,5)" in plan
     assert_takes_ordered_topk(df)
+
+
+def test_opq_residual_knn_join_stays_jvm_no_cartesian(spark):
+    """The rotated multi-query join must keep the un-rotated join's
+    posture: no Python eval nodes, no CartesianProduct (the rotation
+    rides broadcast rotation ROWS, not a dim² literal matrix)."""
+    df = CATALOG["similarity_opq_residual_knn_join"].fn(spark, SF)
+    plan = physical_plan(df, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
