@@ -124,8 +124,13 @@ def main() -> None:
                       to_version=store.manifest_at(1).version)
     )
     idx = IvfIndex.build(seed_emb, root / "ivf", k=2, iters=3)
-    cb = PQ.pq_train(seed_emb, m=4, k=8, iters=4)
-    PQ.ivfpq_write_codes(idx, cb, root / "codes")
+    # measured-best encoding (SCALE.md r8): OPQ rotation over residuals
+    # — rotation and codebooks are frozen with the quantizer; every
+    # later append encodes under the same (R, codebooks)
+    rot = PQ.opq_train_rotation(seed_emb, m=4)
+    cb = PQ.ivfpq_train_residual(idx, m=4, k=8, iters=4, rotation=rot)
+    PQ.ivfpq_write_codes(idx, cb, root / "codes", by_residual=True,
+                         rotation=rot)
     later = store.changes("corpus", since_version=1)
     n_appended = 0
     if later.limit(1).count():
@@ -145,6 +150,7 @@ def main() -> None:
         n_appended = PQ.ivfpq_append(
             idx, cb, root / "codes",
             admitted.select("vec_id", "embedding"),
+            by_residual=True, rotation=rot,
         )
         sstats["release"]()  # terminal action on `admitted` done
         # the contract this demo exists to prove: index growth ==
@@ -155,7 +161,8 @@ def main() -> None:
     n_codes = spark.read.parquet(str(root / "codes")).count()
     probe_vec = [float(x) for x in seed_emb.first()["embedding"]]
     hit = PQ.ivfpq_search(
-        spark, idx, root / "codes", cb, probe_vec, topk=1, n_probe=2
+        spark, idx, root / "codes", cb, probe_vec, topk=1, n_probe=2,
+        by_residual=True, rotation=rot,
     ).first()
     print(f"IVFPQ index: seeded round-0, appended {n_appended} delta "
           f"codes ({n_codes} total), self-probe top hit vec {hit['vec_id']}")
