@@ -107,6 +107,12 @@ def rotate_vec(
     how the oracle replays the same rotation."""
     if rotation is None:
         return [float(x) for x in vec]
+    if len(rotation) != len(vec) or len(rotation[0]) != len(vec):
+        # zip() would silently truncate a mis-sized matrix into garbage
+        raise ValueError(
+            f"rotation is {len(rotation)}x{len(rotation[0])} "
+            f"but the vector has dim {len(vec)}"
+        )
     return [
         sum(float(r) * float(x) for r, x in zip(row, vec))
         for row in rotation

@@ -213,3 +213,11 @@ def test_rotated_append_matches_bulk_encode(spark, tmp_path):
     # codes differ only where idx_first's own assignment differed
     for vid in range(150, 200):
         assert got[vid] == want[vid], vid
+
+
+def test_rotate_vec_rejects_mis_sized_matrix(spark):
+    with pytest.raises(ValueError, match="rotation is"):
+        PQ.rotate_vec([[1.0, 0.0]], [1.0, 2.0, 3.0])
+    with pytest.raises(ValueError, match="rotation is"):
+        PQ.rotate_vec([[1.0], [0.0]], [1.0, 2.0])
+    assert PQ.rotate_vec(None, [1.5, 2.5]) == [1.5, 2.5]
