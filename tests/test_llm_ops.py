@@ -1244,3 +1244,28 @@ def test_stupid_backoff_quad_mixed_chain_pins_generated_oracle(spark):
     # and the two engines agree bit-wise after the shared round(…, 6)
     for doc_id in exp:
         assert got_spark[doc_id] == got_sql[doc_id]
+
+
+def test_corpus_report_sections_and_empty_corpus(spark):
+    """Shape contract: the health report is long-format
+    (section, k, metric, value double) with exactly the three sections,
+    and an EMPTY corpus degrades to the three 'corpus' total rows
+    (n_docs 0, null sums) instead of throwing — the dashboard stays up
+    while a source is dark."""
+    docs = spark.createDataFrame(
+        [(1, "en", "s1", "alpha beta gamma"), (2, "en", "s2", "alpha")],
+        ["doc_id", "lang", "source", "text"],
+    )
+    rep = cp.corpus_report(docs).collect()
+    assert {r["section"] for r in rep} == {"corpus", "zipf", "length"}
+    by = {(r["section"], r["k"], r["metric"]): r["value"] for r in rep}
+    assert by[("corpus", "all", "n_docs")] == 2.0
+    assert by[("corpus", "all", "total_tokens")] == 4.0
+    assert by[("length", "s1/1", "n_docs")] == 1.0  # 3 tokens -> bucket 1
+
+    empty = docs.where("doc_id < 0")
+    rep0 = cp.corpus_report(empty).collect()
+    assert {r["section"] for r in rep0} == {"corpus"}
+    vals = {r["metric"]: r["value"] for r in rep0}
+    assert vals["n_docs"] == 0.0
+    assert vals["total_tokens"] is None and vals["mean_tokens"] is None
