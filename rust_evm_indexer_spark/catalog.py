@@ -6435,50 +6435,50 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "point_lookup",  # flagship-core
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
-    "store_logs_cursor_page",  # never checked
-    "similarity_opq_topk",  # never checked
-    "corpus_report",  # never checked
-    "similarity_opq_residual_topk",  # never checked
-    "similarity_opq_residual_knn_join",  # never checked
-    "jsonl_ingest",  # newest green r5
-    "logs_filter_conj",  # newest green r5
-    "logs_keyset_page",  # newest green r5
-    "logs_offset_page",  # newest green r5
-    "top1_latest",  # newest green r5
-    "stats_lag",  # newest green r5
-    "evm_logs_address_range",  # newest green r5
-    "evm_logs_cursor_page",  # newest green r5
-    "evm_logs_blockhash_override",  # newest green r5
-    "reorg_rollup_exact",  # newest green r5
-    "store_topic0_dict_logs",  # newest green r5
-    "evm_join_enriched",  # newest green r5
-    "evm_transfer_volume",  # newest green r5
-    "evm_wei_sum_exact",  # newest green r5
-    "orders_having",  # newest green r5
-    "q14_promo_revenue",  # newest green r5
-    "q19_disjunctive",  # newest green r5
-    "q21_sole_supplier",  # newest green r5
-    "q22_idle_customers",  # newest green r5
-    "q2_min_cost_supplier",  # newest green r5
-    "q11_important_parts",  # newest green r5
-    "q13_order_distribution",  # newest green r5
-    "q15_top_supplier",  # newest green r5
-    "q16_supplier_counts",  # newest green r5
-    "events_hourly_rollup",  # newest green r5
-    "dedup_exact",  # newest green r5
-    "similarity_topk",  # newest green r5
-    "similarity_knn_join",  # newest green r5
-    "similarity_pq_topk",  # newest green r5
-    "text_stats",  # newest green r5
-    "token_counts",  # newest green r5
-    "bpe_token_counts",  # newest green r5
-    "multimodal_features",  # newest green r5
-    "funnel_conversion",  # newest green r5
-    "retention_cohorts",  # newest green r5
-    "sample_weighted",  # newest green r5
-    "unpivot_part_metrics",  # newest green r5
-    "interval_join_events",  # newest green r5
-    "cms_user_frequency",  # newest green r5
+    "approx_quantile_p90",  # newest green r5
+    "similarity_ivf_kmeans",  # newest green r5
+    "dedup_clusters",  # newest green r5
+    "pii_redact",  # newest green r5
+    "sample_stratified",  # newest green r5
+    "store_compacted_logs",  # newest green r6
+    "store_tx_bloom_lookup",  # newest green r6
+    "store_zorder_logs",  # newest green r6
+    "store_changefeed_deletes",  # newest green r6
+    "events_sliding_rollup",  # newest green r6
+    "similarity_ivf_knn_join",  # newest green r6
+    "lang_id",  # newest green r6
+    "quality_score",  # newest green r6
+    "doc_fingerprint",  # newest green r6
+    "multimodal_resize",  # newest green r6
+    "multimodal_frames",  # newest green r6
+    "window_topk_per_group",  # newest green r6
+    "events_sessionize",  # newest green r6
+    "rollup_orders",  # newest green r6
+    "cube_lineitem",  # newest green r6
+    "distinct_agg",  # newest green r6
+    "set_ops_customers",  # newest green r6
+    "semi_join_exists",  # newest green r6
+    "anti_join_not_exists",  # newest green r6
+    "asof_join_events",  # newest green r6
+    "range_join_events",  # newest green r6
+    "median_per_type",  # newest green r6
+    "orders_monthly",  # newest green r6
+    "dedup_survivors",  # newest green r6
+    "json_extract_props",  # newest green r6
+    "json_agg_by_key",  # newest green r6
+    "gopher_quality",  # newest green r6
+    "pack_sequences",  # newest green r6
+    "decontaminate_ngram",  # newest green r6
+    "evm_address_activity",  # newest green r6
+    "evm_block_activity",  # newest green r6
+    "unigram_nll",  # newest green r6
+    "quality_classifier_scores",  # newest green r6
+    "embedding_pca_whiten",  # newest green r6
+    "dedup_spans_global",  # newest green r6
+    "lm_stupid_backoff",  # newest green r6
+    "chunk_documents",  # newest green r6
+    "dedup_winnowing",  # newest green r6
+    "store_time_travel",  # newest green r6
 ]
 
 
