@@ -92,9 +92,16 @@ def _drive(spark, sf_dir: str, *, cold: bool) -> dict[str, float]:
     return timings
 
 
+_PARTIAL_RUN = False  # --entries filter active: sidecars are NOT written
+# (a 3-entry spot-check must never clobber the committed full-catalog
+# sidecars that tools/bench_regression.py gates against)
+
+
 def _write_sidecar(result: dict, timings: dict[str, float], regime: str) -> None:
     """Full-precision sidecar with unabbreviated names (judge-readable
     even if the harness's stdout capture truncates)."""
+    if _PARTIAL_RUN:
+        return
     sidecar = {
         "cold": "bench_result_cold.json",
         "shared": "bench_result.json",
@@ -107,17 +114,81 @@ def _write_sidecar(result: dict, timings: dict[str, float], regime: str) -> None
     )
 
 
+def _parse_args(argv: list[str]):
+    """Strict CLI (VERDICT r8 item 7: an unknown flag must error, not
+    silently launch the 2-minute default run)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="bench.py",
+        description=(
+            "Run the full query catalog and print one JSON line. "
+            "Default: shared pass then cold pass (the driver contract). "
+            "--steady appends the 3rd, regression-gated pass."
+        ),
+    )
+    regime = ap.add_mutually_exclusive_group()
+    regime.add_argument(
+        "--cold", action="store_true",
+        help="cold regime only (caches cleared per entry)",
+    )
+    regime.add_argument(
+        "--shared", action="store_true",
+        help="shared regime only (caches live across the catalog)",
+    )
+    ap.add_argument(
+        "--steady", action="store_true",
+        help=(
+            "append the steady pass (3rd same-session execution per "
+            "entry) for tools/bench_regression.py; requires the full "
+            "shared+cold protocol, so it cannot combine with "
+            "--cold/--shared (the pass index would not be comparable)"
+        ),
+    )
+    ap.add_argument(
+        "--sf", metavar="DIR", default=None,
+        help="scale-factor directory (default $SPARK_GRAFT_SF_DIR "
+        "or /root/testdata/sf0.1)",
+    )
+    ap.add_argument(
+        "--entries", metavar="NAMES", default=None,
+        help="comma-separated catalog entry names to run (default: all); "
+        "unknown names error before Spark starts",
+    )
+    args = ap.parse_args(argv)
+    if args.steady and (args.cold or args.shared):
+        ap.error(
+            "--steady requires the full shared+cold protocol (it is "
+            "defined as the 3rd same-session execution); drop "
+            "--cold/--shared"
+        )
+    return args
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    global CATALOG
+    args = _parse_args(sys.argv[1:])
+    sf_dir = args.sf or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     sf = float(Path(sf_dir).name.replace("sf", "") or 0)
-    args = sys.argv[1:]
-    cold_only = "--cold" in args or os.environ.get(
+    cold_only = args.cold or os.environ.get(
         "SPARK_GRAFT_BENCH_COLD", ""
     ) not in ("", "0")
-    shared_only = "--shared" in args
-    with_steady = "--steady" in args or os.environ.get(
-        "SPARK_GRAFT_BENCH_STEADY", ""
-    ) not in ("", "0")
+    shared_only = args.shared
+    with_steady = args.steady or (
+        not cold_only
+        and not shared_only
+        and os.environ.get("SPARK_GRAFT_BENCH_STEADY", "") not in ("", "0")
+    )
+    if args.entries:
+        wanted = [n.strip() for n in args.entries.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in CATALOG]
+        if unknown:
+            sys.exit(f"unknown catalog entries: {', '.join(unknown)}")
+        CATALOG = {n: CATALOG[n] for n in wanted}
+        global _PARTIAL_RUN
+        _PARTIAL_RUN = True
     spark = get_spark("bench")
 
     # cheap warm-ups to absorb JVM/codegen/session startup so per-entry
@@ -126,7 +197,8 @@ def main() -> None:
     # would otherwise land on whichever dedup entry runs first).  The
     # extra warm-ups run at sf0.001 (500 docs — sub-second) and their
     # session caches are cleared so no measured entry inherits state.
-    CATALOG["logs_page_first"].fn(spark, sf_dir).collect()
+    if "logs_page_first" in CATALOG:
+        CATALOG["logs_page_first"].fn(spark, sf_dir).collect()
     # prefer the sibling sf0.001 corpus (sub-second); fall back to the
     # measured corpus itself, and never let a missing warm-up path kill
     # the run before the JSON line is emitted
@@ -150,6 +222,8 @@ def main() -> None:
         "dedup_spans_global",    # span groupBy-min ownership
     )
     for name in _WARM:
+        if name not in CATALOG:
+            continue
         try:
             CATALOG[name].fn(spark, warm_sf).count()
         except Exception as e:  # warm-up is best-effort by definition
@@ -201,6 +275,12 @@ def main() -> None:
                     "unit": "sec",
                     "sf": sf,
                     "regime": "steady",
+                    # the steady definition IS the pass index (3rd
+                    # same-session execution; ADVICE r8): recorded so
+                    # the regression gate can refuse a baseline produced
+                    # under a different protocol
+                    "pass_index": 3,
+                    "passes": ["shared", "cold", "steady"],
                 },
                 steady,
                 regime="steady",

@@ -871,6 +871,66 @@ def store_logs_cursor_page(spark, sf_dir):
     )
 
 
+_STORE_STATS_SQL = f"""
+    SELECT
+      (SELECT COUNT(*)
+       FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')) AS logs_cnt,
+      (SELECT COUNT(*)
+       FROM read_parquet('{_COMPACT_DIR}/txs_snapshot/*.parquet')) AS txs_cnt,
+      CAST(40 AS BIGINT) AS blocks_cnt,
+      CAST(1000039 AS BIGINT) AS last_processed_block,
+      CAST(0 AS BIGINT) AS ingestion_lag
+"""
+# blocks_cnt / last_processed_block / ingestion_lag are the seeded
+# fixture's known geometry (40 blocks from START_BLOCK=1_000_000,
+# ingested to head): deterministic replay constants like
+# _STORE_CURSOR_BLOCK, while logs_cnt/txs_cnt are genuinely recounted
+# from the snapshots.
+
+
+@register(
+    "store_stats_manifest",
+    _STORE_STATS_SQL,
+    tags=("evm-shape", "O-23", "O-24", "store", "manifest-tier"),
+)
+def store_stats_manifest(spark, sf_dir):
+    """/stats served ENTIRELY from the store's manifest tier (VERDICT r8
+    item 5): the reference keeps /stats always-cheap through its index
+    metadata (src/api.rs:243-258); here every table count is
+    ``TableStore.table_rows`` — exact per-fragment row counts summed
+    manifest-side (columnar fraglist prune / delta-tail arithmetic,
+    zero data files opened, no Spark scan job at ANY table size) — and
+    the checkpoint + lag fields ride the manifest-inline status row.
+    The returned DataFrame is a LocalTableScan of already-resolved
+    scalars: test_plan_hygiene pins that NO file scan appears anywhere
+    in the plan, which is the 100 TB posture (the sibling
+    ``stats_counts`` keeps the parquet-footer COUNT shape for raw
+    directories that have no store).  The oracle recounts the log/tx
+    snapshots the slow way and replays the seeded chain geometry for
+    the checkpoint fields."""
+    from .store import TableStore
+
+    root = _ensure_compact_fixture(spark)
+    store = TableStore(spark, root / "store")
+    status = store.read_status() or {}
+    last = status.get("last_processed_block")
+    head = status.get("chain_head_at_last_poll")
+    lag = (head - last) if head is not None and last is not None else None
+    return spark.createDataFrame(
+        [
+            (
+                store.table_rows("logs"),
+                store.table_rows("transactions"),
+                store.table_rows("blocks"),
+                last,
+                lag,
+            )
+        ],
+        "logs_cnt long, txs_cnt long, blocks_cnt long, "
+        "last_processed_block long, ingestion_lag long",
+    )
+
+
 _ZORDER_SQL = f"""
     SELECT {_LOGS_PROJ_SQL}
     FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')
@@ -3345,61 +3405,6 @@ def _ensure_ivfpq_codes(spark, sf_dir):
     return idx, cb, codes_dir
 
 
-# Residual IVFADC (FAISS by_residual=True, Jégou §IV): vectors encode
-# as PQ codes of x − centroid(cell).  The oracle replays the FULL
-# residual ADC from raw inputs + the kernel exports: probe and cell
-# assignment recomputed from the centroid export (same trust boundary
-# as the flat entry), then
-#   sim = (dot(q,c) + Σ dt) / (|q| · sqrt(|c|² + 2·Σ cs + Σ nr))
-# with dt/nr from the residual-codebook export and cs =
-# dot(c_slice_s, codeword) recomputed in SQL from centroid + codebook.
-_IVFPQ_RES_SQL = f"""
-    WITH cent AS (SELECT cell, centroid
-                  FROM read_parquet('{_IVFPQ_BASE}/centroids/*.parquet')),
-    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-          FROM embeddings WHERE vec_id = 0),
-    probe AS (SELECT cell FROM cent, q
-              ORDER BY list_inner_product(centroid, qv)
-                       / (sqrt(list_inner_product(centroid, centroid))
-                          * sqrt(list_inner_product(qv, qv))) DESC, cell
-              LIMIT 2),
-    assign AS ({{assign}}),
-    cb AS (SELECT s, j, cent
-           FROM read_parquet('{_PQ_RES_DIR}/codebooks_res/*.parquet')),
-    c AS (SELECT cl.vec_id, a.cell, cl.s, cl.code
-          FROM read_parquet('{_PQ_RES_DIR}/codes_long_res/*.parquet') cl
-          JOIN assign a ON a.vec_id = cl.vec_id
-          WHERE a.cell IN (SELECT cell FROM probe) AND cl.vec_id <> 0),
-    t AS (SELECT c.vec_id, c.cell, c.s,
-                 list_inner_product(
-                   cb.cent,
-                   list_slice(q.qv, c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
-                 ) AS dt,
-                 list_inner_product(cb.cent, cb.cent) AS nr,
-                 list_inner_product(
-                   cb.cent,
-                   list_slice(ct.centroid,
-                              c.s * {_PQ_DSUB} + 1, (c.s + 1) * {_PQ_DSUB})
-                 ) AS cs
-          FROM c JOIN cb ON cb.s = c.s AND cb.j = c.code
-                 JOIN cent ct ON ct.cell = c.cell, q),
-    agg AS (SELECT vec_id, cell,
-                   list_sum(list(dt ORDER BY s)) AS sd,
-                   list_sum(list(nr ORDER BY s)) AS sn,
-                   list_sum(list(cs ORDER BY s)) AS sc
-            FROM t GROUP BY vec_id, cell)
-    SELECT a.vec_id,
-           round((list_inner_product(q.qv, ct.centroid) + a.sd)
-                 / (sqrt(list_inner_product(q.qv, q.qv))
-                    * sqrt(list_inner_product(ct.centroid, ct.centroid)
-                           + 2.0 * a.sc + a.sn)),
-                 6) AS sim_pq
-    FROM agg a JOIN cent ct ON ct.cell = a.cell, q
-    ORDER BY sim_pq DESC, a.vec_id
-    LIMIT 10
-"""
-
-
 def _ensure_ivfpq_res_export(spark, sf_dir):
     """Residual-IVFADC exports: residual codebooks (trained against the
     kmeans8 coarse quantizer) + the residual code table, keyed on corpus
@@ -3443,35 +3448,16 @@ def _ensure_ivfpq_res_export(spark, sf_dir):
     return idx, cb, codes_dir
 
 
-@register(
-    "similarity_ivfpq_residual_topk",
-    _IVFPQ_RES_SQL.format(assign=_assign_sql("kmeans8", _IVFPQ_BASE)),
-    tags=("llm", "X-3", "pq", "ivf", "residual", "oracle-sf0.01"),
-)
-def similarity_ivfpq_residual_topk(spark, sf_dir):
-    """Residual IVFADC top-10 (operators/pq.py, by_residual=True — the
-    FAISS-default configuration, Jégou TPAMI'11 §IV): vectors stored as
-    PQ codes of x − centroid(cell), scored per probe cell with the
-    residual-codebook lookup tables PLUS the per-cell corrections
-    dot(q,c), |c|² and the query-independent cross table dot(c_s, C_s[j])
-    — all bounded driver-side scalars, so corpus-side scoring stays
-    pure-JVM lookups over partition-pruned cell scans.  The oracle
-    recomputes probe + assignment from the centroid export and replays
-    the complete residual ADC including the cross terms from SQL.
-    Measured on THIS synthetic corpus (~uniform on the sphere, residual
-    norm ratio 0.965) residual buys no recall over the global-codebook
-    entry — see SCALE.md r7; on clustered real embeddings it is the
-    higher-recall regime at identical code size, which is why both are
-    first-class."""
-    from .operators import pq as PQ
-
-    emb = _t(spark, sf_dir, "embeddings")
-    idx, cb, codes_dir = _ensure_ivfpq_res_export(spark, sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return PQ.ivfpq_search(
-        spark, idx, codes_dir, cb, qvec, topk=10, n_probe=2,
-        exclude_ids=(0,), by_residual=True,
-    )
+# RETIRED r9 (catalog growth governance, VERDICT r8 item 3):
+# ``similarity_ivfpq_residual_topk`` — identity-rotation residual
+# IVFADC is the special case of ``similarity_opq_residual_topk``
+# (same code path, rotation=None vs fitted R; bit-identity pinned in
+# tests/test_opq.py), and the plain-IVFADC mechanism keeps its own
+# entry (``similarity_ivfpq_topk``).  The operator itself
+# (pq.ivfpq_search(by_residual=True, rotation=None)) stays fully
+# unit-tested; only the redundant driver slot was reclaimed so
+# ``store_stats_manifest`` lands net-zero and the 3-round freshness
+# ceiling holds.
 
 
 # OPQ over the residual space — the MEASURED-BEST encoding on clustered
@@ -6435,6 +6421,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "point_lookup",  # flagship-core
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
+    "store_stats_manifest",  # never checked
     "approx_quantile_p90",  # newest green r5
     "similarity_ivf_kmeans",  # newest green r5
     "dedup_clusters",  # newest green r5
@@ -6478,7 +6465,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "lm_stupid_backoff",  # newest green r6
     "chunk_documents",  # newest green r6
     "dedup_winnowing",  # newest green r6
-    "store_time_travel",  # newest green r6
 ]
 
 

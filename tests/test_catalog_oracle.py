@@ -112,7 +112,6 @@ _EXPECTED_OUT_OF_WINDOW = {
     "similarity_ivf_topk",  # newest green r7
     "similarity_ivfpq_knn_join",  # newest green r7
     "similarity_ivfpq_residual_knn_join",  # newest green r7
-    "similarity_ivfpq_residual_topk",  # newest green r7
     "similarity_ivfpq_topk",  # newest green r7
     "similarity_knn_join",  # newest green r8
     "similarity_opq_residual_knn_join",  # newest green r8
@@ -125,6 +124,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "stats_lag",  # newest green r8
     "store_logs_cursor_page",  # newest green r8
     "store_projection_logs",  # newest green r7
+    "store_time_travel",  # newest green r6
     "store_topic0_dict_logs",  # newest green r8
     "store_upsert_docs",  # newest green r7
     "substring_dup",  # newest green r7

@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from rust_evm_indexer_spark.store import TableStore
-from rust_evm_indexer_spark.store.table_store import LazyManifest
+from rust_evm_indexer_spark.store.table_store import DeltaManifest, LazyManifest
 
 
 @pytest.fixture(params=["json", "parquet"])
@@ -40,7 +40,11 @@ def _mk(spark, tmp_path, fmt, n_batches=4, rows_per=30):
 def test_lifecycle_equivalent_across_formats(spark, tmp_path, fmt):
     store = _mk(spark, tmp_path, fmt)
     if fmt == "parquet":
-        assert isinstance(store.current_manifest(), LazyManifest)
+        # log-structured default: CURRENT is a delta chain whose BASE
+        # checkpoint carries the columnar fraglist
+        m = store.current_manifest()
+        base = m.__dict__["_base"] if isinstance(m, DeltaManifest) else m
+        assert isinstance(base, LazyManifest)
     # idempotent replay is a no-op in both formats
     df = spark.createDataFrame([(1, "0xdead", 100)], "id: long, addr: string, block_number: long")
     assert store.commit({"pts": df}, txn_app_id="t", txn_version=0) is False
@@ -90,13 +94,16 @@ def test_lifecycle_equivalent_across_formats(spark, tmp_path, fmt):
 
 def test_format_migration_on_reopen(spark, tmp_path):
     """Reopening with the other format converts at the next swap; reads
-    keep working across mixed-version histories."""
+    keep working across mixed-version histories.  log_commits=False:
+    this test is about the CHECKPOINT format, which only appends write
+    deltas against (delta swaps are format-agnostic by design)."""
     store = _mk(spark, tmp_path, "json", n_batches=2)
     pq_store = TableStore(
         spark,
         store.root,
         bloom_columns={"pts": ("addr",)},
         manifest_format="parquet",
+        log_commits=False,
     )
     assert not isinstance(pq_store.current_manifest(), LazyManifest)
     df = spark.createDataFrame([(7, "0xbeef", 200)], "id: long, addr: string, block_number: long")

@@ -642,3 +642,19 @@ def test_opq_residual_knn_join_stays_jvm_no_cartesian(spark):
     plan = physical_plan(df, "simple")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_store_stats_manifest_reads_no_data(spark):
+    """The manifest-tier /stats (VERDICT r8 item 5): every count comes
+    from TableStore.table_rows + the manifest-inline status row, so the
+    emitted plan must be a LocalTableScan of resolved scalars — NO file
+    scan of logs/transactions/blocks at any table size (the reference's
+    always-cheap /stats, src/api.rs:243-258)."""
+    df = CATALOG["store_stats_manifest"].fn(spark, SF)
+    plan = physical_plan(df)
+    # driver-local scalars: LocalTableScan / ExistingRDD, never a file
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    assert "FileScan" not in plan and "parquet" not in plan.lower()
+    row = df.first()
+    assert row["logs_cnt"] > 0 and row["txs_cnt"] > 0
+    assert row["blocks_cnt"] == 40 and row["ingestion_lag"] == 0

@@ -46,3 +46,27 @@ def test_freshness_ceiling_not_exceeded():
         if r is not None and newest - r > 2 and n not in in_window
     }
     assert not stale, f"entries past the staleness ceiling and NOT windowed: {stale}"
+
+
+def test_catalog_growth_governance():
+    """r9 governance decision (VERDICT r8 item 3): the catalog holds
+    NET-ZERO at <= 138 entries so the full-rotation cycle stays at 3
+    rounds (6 pinned flagships + 44 rotating slots per round).  A new
+    entry must retire or merge a redundant one — r9:
+    ``store_stats_manifest`` landed by retiring
+    ``similarity_ivfpq_residual_topk`` (its mechanism is the
+    identity-rotation special case of ``similarity_opq_residual_topk``,
+    bit-identity pinned in tests/test_opq.py) — or this ceiling must be
+    consciously renegotiated here AND in tools/rotation_plan.py, never
+    silently grown."""
+    import math
+
+    rotating = rotation_plan.WINDOW - len(rotation_plan.FLAGSHIP_CORE)
+    cycle = math.ceil(
+        (len(CATALOG) - len(rotation_plan.FLAGSHIP_CORE)) / rotating
+    )
+    assert cycle <= 3, (
+        f"catalog grew to {len(CATALOG)} entries -> {cycle}-round rotation "
+        "cycle; retire/merge a redundant entry (net-zero growth policy) or "
+        "renegotiate the documented ceiling"
+    )

@@ -272,8 +272,15 @@ def test_vacuum_grace_period_and_manifest_gc(spark, tmp_path):
     assert store.vacuum() > 0  # immediate reclaim without grace
     m = store.current_manifest()
     store.vacuum(keep_manifests=2)
-    kept = sorted((store.root / "_manifests").glob("v*.json"))
-    assert len(kept) == 2
+    kept = sorted(
+        int(p.name[1:7]) for p in (store.root / "_manifests").glob("v*.json")
+    )
+    # newest 2 versions survive; the log-structured default additionally
+    # retains each kept delta's chain (<= one checkpoint_interval extra)
+    # so every retained version stays resolvable
+    assert kept[-2:] == [m.version - 1, m.version]
+    for v in kept:
+        store.manifest_at(v)
     # CURRENT still resolves and serves the same snapshot
     assert store.current_manifest().version == m.version
     assert store.read("blocks").count() > 0

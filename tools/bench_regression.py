@@ -70,6 +70,15 @@ def main() -> int:
         print(f"baseline sf={base.get('sf')} != current sf={cur.get('sf')} "
               f"— cross-SF comparison is meaningless; gate vacuous")
         return 0
+    # steady is DEFINED as the 3rd same-session pass (ADVICE r8: a file
+    # produced under --cold/--shared was a 2nd execution mislabeled
+    # steady); files predating the pass_index field are grandfathered
+    # as protocol-3 (the only protocol bench.py ever ran for --steady)
+    bp, cp = base.get("pass_index", 3), cur.get("pass_index", 3)
+    if bp != cp:
+        print(f"baseline pass_index={bp} != current pass_index={cp} — "
+              f"non-comparable execution protocols; gate vacuous")
+        return 0
 
     bq, cq = base.get("queries", {}), cur.get("queries", {})
     regressions = []

@@ -89,12 +89,101 @@ def _bench_format(fmt: str, n_frags: int, probes: int = 20) -> dict[str, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bench_append(fmt: str, n_frags: int, chain: int = 16) -> dict[str, float]:
+    """Per-append MANIFEST cost at a store already holding n_frags
+    fragments (the data write is identical across regimes and excluded):
+
+    - ``append_full_s``: the full-manifest regime — hydrate the current
+      fragment list, append one record, rewrite the whole list
+      (O(total fragments) per commit; what every commit paid pre-r9);
+    - ``append_delta_s``: the log-structured regime — resolve the
+      (unhydrated) current version, write one O(1) delta
+      (``v{N}.delta.json``) holding just the new fragment;
+    - ``append_amortized_s``: a full checkpoint_interval-length chain of
+      delta appends PLUS the closing checkpoint, averaged — the honest
+      sustained cost including the periodic O(total)/K hydration.
+    """
+    base = _fabricate(n_frags)
+
+    def _new_frag(i: int) -> Fragment:
+        return Fragment(
+            path=f"data/logs/frag-new-{i:04x}",
+            rows=1200,
+            min_block=9_000_000 + i * BLOCKS_PER_FRAG,
+            max_block=9_000_000 + (i + 1) * BLOCKS_PER_FRAG - 1,
+        )
+
+    out: dict[str, float] = {}
+    # full-manifest regime
+    root = Path(tempfile.mkdtemp(prefix=f"manifest-append-full-{fmt}-"))
+    try:
+        store = TableStore(None, root, manifest_format=fmt, log_commits=False)
+        store._swap(Manifest(version=1, tables=base))
+        t0 = time.perf_counter()
+        m = store.current_manifest()
+        tables = {t: list(fs) for t, fs in m.tables.items()}
+        tables["logs"] = tables["logs"] + [_new_frag(0)]
+        store._swap(Manifest(version=2, txns=dict(m.txns), tables=tables))
+        out["append_full_s"] = round(time.perf_counter() - t0, 5)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # log-structured regime: one delta, then a sustained chain + checkpoint
+    root = Path(tempfile.mkdtemp(prefix=f"manifest-append-delta-{fmt}-"))
+    try:
+        store = TableStore(
+            None, root, manifest_format=fmt, checkpoint_interval=chain
+        )
+        store._swap(Manifest(version=1, tables=base))
+        t0 = time.perf_counter()
+        m = store.current_manifest()
+        store._swap_delta(
+            {
+                "version": 2,
+                "base": 1,
+                "op": "commit",
+                "txns": dict(m.txns),
+                "status": m.status,
+                "schemas": dict(m.schemas),
+                "adds": {"logs": [_new_frag(0).to_json()]},
+            }
+        )
+        out["append_delta_s"] = round(time.perf_counter() - t0, 5)
+        t0 = time.perf_counter()
+        for i in range(1, chain + 1):
+            m = store.current_manifest()
+            nxt = m.version + 1
+            if store._delta_chain_len(m) <= chain:
+                base_v = m.__dict__.get("_base_version", m.version)
+                store._swap_delta(
+                    {
+                        "version": nxt,
+                        "base": base_v,
+                        "op": "commit",
+                        "txns": dict(m.txns),
+                        "status": m.status,
+                        "schemas": dict(m.schemas),
+                        "adds": {"logs": [_new_frag(i).to_json()]},
+                    }
+                )
+            else:  # the closing checkpoint: hydrate once per K appends
+                tables = {t: list(fs) for t, fs in m.tables.items()}
+                tables["logs"] = tables["logs"] + [_new_frag(i)]
+                store._swap(Manifest(version=nxt, txns=dict(m.txns), tables=tables))
+        out["append_amortized_s"] = round(
+            (time.perf_counter() - t0) / (chain + 1), 5
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ns = [int(a) for a in sys.argv[1:]] or [1_000, 10_000, 50_000, 200_000]
     out = {"metric": "manifest_prune_bench", "results": {}}
     for n in ns:
         out["results"][str(n)] = {
-            fmt: _bench_format(fmt, n) for fmt in ("json", "parquet")
+            fmt: {**_bench_format(fmt, n), **_bench_append(fmt, n)}
+            for fmt in ("json", "parquet")
         }
     # flatness check: parquet prune time from smallest to largest N
     first, last = str(ns[0]), str(ns[-1])
@@ -109,6 +198,20 @@ def main() -> None:
     out["n_growth"] = round(ns[-1] / ns[0], 1)
     out["parquet_prune_growth"] = round(pq_growth, 2)
     out["json_prune_growth"] = round(json_growth, 2)
+    # commit-cost flatness: delta-append growth across the N sweep per
+    # format (the VERDICT r8 item-2 "near-flat COMMIT cost" check —
+    # append_full_s is the O(total) cost it replaces)
+    for fmt in ("json", "parquet"):
+        out[f"{fmt}_delta_append_growth"] = round(
+            out["results"][last][fmt]["append_delta_s"]
+            / max(out["results"][first][fmt]["append_delta_s"], 1e-9),
+            2,
+        )
+        out[f"{fmt}_full_append_growth"] = round(
+            out["results"][last][fmt]["append_full_s"]
+            / max(out["results"][first][fmt]["append_full_s"], 1e-9),
+            2,
+        )
     print(json.dumps(out))
 
 

@@ -23,10 +23,20 @@ and emits the next window as
 
 Freshness ceiling, honestly: with N catalog entries and 50 slots of
 which 6 are pinned, the full-catalog cycle is ceil((N−6)/44) rounds —
-at 137 entries that is 3 rounds, so the old 2-round ceiling is
+at 138 entries that is 3 rounds, so the old 2-round ceiling is
 arithmetically impossible to hold for every entry; stalest-first makes
 the bound tight (no entry exceeds the cycle length), and the local
 all-catalog oracle test covers every entry every session regardless.
+
+Growth governance (r9 decision, VERDICT r8 item 3): the catalog holds
+NET-ZERO at <= 138 entries so the cycle stays 3 rounds.  A new entry
+must retire or merge a redundant one — r9 retired
+``similarity_ivfpq_residual_topk`` (the identity-rotation special case
+of ``similarity_opq_residual_topk``; the operator stays unit-tested)
+to land ``store_stats_manifest``.
+``tests/test_rotation_plan.py::test_catalog_growth_governance``
+enforces the ceiling; renegotiate it THERE and HERE, never by silent
+growth.
 
 Usage:
     python tools/rotation_plan.py            # print the plan
