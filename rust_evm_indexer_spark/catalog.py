@@ -3575,8 +3575,10 @@ def _ensure_opq_res_export(spark, sf_dir):
 )
 def similarity_opq_residual_topk(spark, sf_dir):
     """OPQ-rotated residual IVFADC top-10 — the measured-best encoding
-    (SCALE.md r8: recall ≥ flat on BOTH corpus geometries, +44% over
-    flat on the clustered fixture): codes are PQ of R(x − centroid),
+    for clustered geometry (SCALE.md r9, n=128 queries: recall@10 2.64
+    vs flat 1.16 on the mixture-of-Gaussians fixture at every probed
+    width; statistically tied with flat on the isotropic worst case):
+    codes are PQ of R(x − centroid),
     scored per probe cell with rotated-query lookup tables, per-cell
     corrections dot(q,c)/|c|² in the original space, and the cross
     table over ROTATED centroid slices (R orthogonal makes
@@ -3834,7 +3836,8 @@ _OPQ_RES_KNN_SQL = f"""
 )
 def similarity_opq_residual_knn_join(spark, sf_dir):
     """Multi-query OPQ-residual IVFADC join — the measured-best
-    encoding (SCALE.md r8) through the SCALE path
+    encoding for clustered geometry (SCALE.md r9 n=128 table) through
+    the SCALE path
     (operators/pq.py::ivfpq_knn_join with by_residual=True,
     rotation=R): queries rotate JVM-side as broadcast rotation ROWS
     (one inner-product fold per output dim — never dim² plan

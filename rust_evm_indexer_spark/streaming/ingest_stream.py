@@ -24,10 +24,23 @@ from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..ingest.commit import POLL_INTERVAL_SECONDS, CycleResult, EvmIngester
+from ..store.table_store import MaintenancePolicy
 
 
 class IngestStream:
-    """Run an :class:`EvmIngester` on a Structured-Streaming trigger."""
+    """Run an :class:`EvmIngester` on a Structured-Streaming trigger.
+
+    ``maintenance_policy`` closes the store-maintenance loop ON the
+    ingest cadence (VERDICT r8 item 6): every ``maintain_every``-th
+    cycle the tick also runs :meth:`TableStore.maintain_store` —
+    compact/rebuild/refresh/vacuum per the policy — so a long-running
+    deployment bounds its own read amplification instead of relying on
+    an external timer.  Maintenance runs INSIDE the foreachBatch hook,
+    i.e. never concurrently with an ingest commit (single-writer by
+    construction, same as the reference's one ingester task); readers
+    and changefeed consumers stay concurrent and exact throughout
+    (tools/soak_store.py drives that combination).  Reports accumulate
+    in ``maintenance_reports`` for ops visibility."""
 
     def __init__(
         self,
@@ -35,15 +48,29 @@ class IngestStream:
         ingester: EvmIngester,
         *,
         poll_interval_seconds: float = POLL_INTERVAL_SECONDS,
+        maintenance_policy: MaintenancePolicy | None = None,
+        maintain_every: int = 8,
     ):
+        if maintain_every < 1:
+            raise ValueError("maintain_every must be >= 1")
         self.spark = spark
         self.ingester = ingester
         self.poll_interval_seconds = poll_interval_seconds
+        self.maintenance_policy = maintenance_policy
+        self.maintain_every = maintain_every
         self.results: list[CycleResult] = []
+        self.maintenance_reports: list[dict] = []
         self._query: StreamingQuery | None = None
 
     def _tick(self, _batch_df, _epoch_id: int) -> None:
         self.results.append(self.ingester.run_cycle())
+        if (
+            self.maintenance_policy is not None
+            and len(self.results) % self.maintain_every == 0
+        ):
+            self.maintenance_reports.append(
+                self.ingester.store.maintain_store(self.maintenance_policy)
+            )
 
     def start(self) -> StreamingQuery:
         """Begin polling at the configured cadence

@@ -179,6 +179,50 @@ def test_ingest_stream_cycles_and_idempotency(spark, tmp_path):
     assert store.read("blocks").count() == n_blocks_stored
 
 
+def test_ingest_stream_runs_maintenance_on_cadence(spark, tmp_path):
+    """VERDICT r8 item 6: the streaming wrapper runs maintain_store every
+    maintain_every cycles, so fragment count stays bounded by POLICY
+    while the stream follows the chain — no external maintenance timer.
+    Maintenance runs inside the tick (never concurrent with a commit),
+    and the data stays exact across maintenance versions."""
+    from rust_evm_indexer_spark.store import MaintenancePolicy
+
+    chain = datagen.generate_chain(n_blocks=40, seed=6)
+    client = MockRpcClient(chain)
+    store = TableStore(spark, tmp_path / "maint_stream_store")
+    ing = EvmIngester(
+        spark, client, store, start_block=datagen.START_BLOCK,
+        backoff_base=0.01,
+    )
+    pol = MaintenancePolicy(max_fragments=3, keep_manifests=6)
+    stream = IngestStream(
+        spark, ing, poll_interval_seconds=1,
+        maintenance_policy=pol, maintain_every=3,
+    )
+    stream.start()
+    try:
+        # 40 blocks / BLOCKS_PER_BATCH(5) = 8 ingest cycles to catch up;
+        # wait for 9 so the tail batch lands before the exactness check
+        results = stream.await_cycles(9, timeout_seconds=240)
+    finally:
+        stream.stop()
+    assert len(results) >= 9
+    assert len(stream.maintenance_reports) >= 2  # fired on the cadence
+    assert any(
+        "blocks" in rep["triggers"] or "logs" in rep["triggers"]
+        for rep in stream.maintenance_reports
+    )
+    # drain any post-report ingest overshoot, then the policy bound holds
+    store.maintain_store(pol)
+    st = store.stats()["tables"]
+    for table in ("blocks", "transactions", "logs"):
+        assert st[table]["fragments"] <= pol.max_fragments, (table, st[table])
+    # exactness across compaction/vacuum: every chain block present once
+    got = {r["block_number"] for r in store.read("blocks").collect()}
+    assert got == set(client._by_height)
+    assert store.read("blocks").count() == len(got)
+
+
 def test_streaming_starts_on_empty_dir(spark, tmp_path):
     """A file stream must start before any data arrives (ADVICE r2): the
     schema probe falls back to the declared events schema when the

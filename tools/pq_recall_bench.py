@@ -1,6 +1,9 @@
 #!/usr/bin/env python3
-"""Layered IVFPQ recall across encoding regimes × corpus geometry
-(VERDICT r7 items 3 + 5).
+"""Layered IVFPQ recall across encoding regimes × corpus geometry ×
+probe width (VERDICT r7 items 3 + 5; r8 item 4 tightened the
+measurement: NQ >= 128 so the numbers carry ~±0.1 sampling error
+instead of r8's ±0.4 at NQ=16, and an n_probe sweep so the default
+n_probe=2 is justified by a recall/probe-cost CURVE, not a point).
 
 Measures recall@10 (overlap with exact brute-force cosine top-10,
 averaged over NQ held-in queries, self excluded) through the SAME
@@ -11,7 +14,7 @@ IVF probe for four encodings:
     opq_flat    OPQ rotation + global ADC
     opq_resid   OPQ rotation over residuals
 
-on two corpora:
+at n_probe in (2, 4, 6), on two corpora:
 
     isotropic   the driver's sf0.01 embeddings (~uniform on the
                 sphere, residual norm ratio ≈0.965 — r7 measured that
@@ -19,11 +22,17 @@ on two corpora:
     clustered   datagen.write_clustered_embeddings — mixture of
                 Gaussians, the regime real text embeddings live in
 
-Also reports the probe-layer ceiling (recall of the exact top-10 that
-survives the n_probe cells — no encoding can beat it) and the residual
-norm ratio per corpus.  Prints one JSON line; SCALE.md records it.
+Also reports the probe-layer ceiling per n_probe (recall of the exact
+top-10 that survives the probed cells — no encoding can beat it) and
+the residual norm ratio per corpus.  Prints one JSON line; SCALE.md
+records the table.
 
-Run: ``python tools/pq_recall_bench.py`` (~3-5 min).
+NQ=128 stays tractable because everything batches through the
+multi-query JOIN paths (one Spark job per regime × n_probe instead of
+one per query): exact truth via similarity.knn_join, encodings via
+pq.ivfpq_knn_join — the same operators the catalog entries pin.
+
+Run: ``python tools/pq_recall_bench.py`` (~4-6 min).
 """
 from __future__ import annotations
 
@@ -37,9 +46,26 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 M, K, ITERS = 8, 16, 8
-N_CELLS, N_PROBE = 8, 2
-NQ, TOPK = 16, 10
+N_CELLS = 8
+N_PROBES = (2, 4, 6)
+NQ, TOPK = 128, 10
 ISO = "/root/testdata/sf0.01"
+
+
+def _topk_sets(rows, *, drop_self: bool, k: int) -> dict[int, set[int]]:
+    """(q_id, vec_id, rank)-rows -> per-query top-k id set.  Rows come
+    rank-ordered with k+1 requested, so after dropping the self match
+    the first k survivors remain — identical treatment for the exact
+    truth and every encoding."""
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+    out: dict[int, set[int]] = {}
+    for q, pairs in by_q.items():
+        pairs.sort()
+        ids = [v for _, v in pairs if not (drop_self and v == q)]
+        out[q] = set(ids[:k])
+    return out
 
 
 def main() -> int:
@@ -64,8 +90,8 @@ def main() -> int:
     }
     t0 = time.perf_counter()
     out: dict = {"bench": "pq_recall", "m": M, "k": K,
-                 "n_cells": N_CELLS, "n_probe": N_PROBE, "topk": TOPK,
-                 "nq": NQ, "corpora": {}}
+                 "n_cells": N_CELLS, "n_probes": list(N_PROBES),
+                 "topk": TOPK, "nq": NQ, "corpora": {}}
 
     for cname, path in corpora.items():
         emb = spark.read.parquet(path)
@@ -100,35 +126,53 @@ def main() -> int:
                                  rotation=cfg["rot"])
             dirs[rname], books[rname] = d, cb
 
-        qrows = emb.orderBy("vec_id").limit(NQ).collect()
-        hits = {r: 0 for r in regimes}
-        probe_ceiling = 0
+        queries = (
+            emb.orderBy("vec_id").limit(NQ)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec"))
+        )
+        qvecs = {
+            r["q_id"]: [float(x) for x in r["q_vec"]]
+            for r in queries.collect()
+        }
+        # exact truth: ONE brute-force knn join for all queries (k+1 so
+        # the self match can be dropped symmetrically)
+        exact = _topk_sets(
+            sim.knn_join(emb, queries, k=TOPK + 1).collect(),
+            drop_self=True, k=TOPK,
+        )
         cell_of = {r["vec_id"]: int(r["cell"])
                    for r in idx.vectors().select("vec_id", "cell").collect()}
-        for qr in qrows:
-            qid, qv = qr["vec_id"], [float(x) for x in qr["embedding"]]
-            exact = {r["vec_id"] for r in sim.brute_force_topk(
-                emb, qv, k=TOPK, exclude_ids=(qid,)).collect()}
-            probe = set(idx.probe_cells(qv, N_PROBE))
-            probe_ceiling += sum(1 for v in exact if cell_of[v] in probe)
-            for rname, cfg in regimes.items():
-                got = {r["vec_id"] for r in PQ.ivfpq_search(
-                    spark, idx, dirs[rname], books[rname], qv, topk=TOPK,
-                    n_probe=N_PROBE, exclude_ids=(qid,),
-                    by_residual=cfg["res"], rotation=cfg["rot"],
-                ).collect()}
-                hits[rname] += len(exact & got)
-        out["corpora"][cname] = {
+        creport = {
             "residual_norm_ratio": round(sum(ratios) / len(ratios), 3),
-            "probe_ceiling": round(probe_ceiling / NQ, 2),
-            "recall_at_10": {
-                rname: round(h / NQ, 2) for rname, h in hits.items()
-            },
+            "probe_ceiling": {},
+            "recall_at_10": {rname: {} for rname in regimes},
         }
-        print(f"{cname}: ratio="
-              f"{out['corpora'][cname]['residual_norm_ratio']} "
-              f"ceiling={out['corpora'][cname]['probe_ceiling']} "
-              f"{out['corpora'][cname]['recall_at_10']}", file=sys.stderr)
+        for n_probe in N_PROBES:
+            ceiling = 0
+            for q, truth in exact.items():
+                probe = set(idx.probe_cells(qvecs[q], n_probe))
+                ceiling += sum(1 for v in truth if cell_of[v] in probe)
+            creport["probe_ceiling"][str(n_probe)] = round(
+                ceiling / len(exact), 2
+            )
+            for rname, cfg in regimes.items():
+                got = _topk_sets(
+                    PQ.ivfpq_knn_join(
+                        spark, idx, dirs[rname], books[rname], queries,
+                        k=TOPK + 1, n_probe=n_probe,
+                        by_residual=cfg["res"], rotation=cfg["rot"],
+                    ).collect(),
+                    drop_self=True, k=TOPK,
+                )
+                hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+                creport["recall_at_10"][rname][str(n_probe)] = round(
+                    hits / len(exact), 2
+                )
+        out["corpora"][cname] = creport
+        print(f"{cname}: ratio={creport['residual_norm_ratio']} "
+              f"ceiling={creport['probe_ceiling']} "
+              f"{creport['recall_at_10']}", file=sys.stderr)
 
     out["wall_sec"] = round(time.perf_counter() - t0, 1)
     spark.stop()

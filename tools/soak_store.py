@@ -1,23 +1,39 @@
 #!/usr/bin/env python3
-"""Store-maintenance soak (VERDICT r7 item 6): continuous ingest plus
-random takedowns with ``TableStore.maintain_store(policy)`` closing the
-loop each round, asserting via ``stats()`` that read amplification
-stays BOUNDED while the workload churns:
+"""Store-maintenance soak (VERDICT r7 item 6; r8 item 6 added the
+CONCURRENCY dimension): continuous ingest plus random takedowns with
+``TableStore.maintain_store(policy)`` closing the loop each round,
+while TWO concurrent clients run against the same store the whole
+time —
+
+- a **changefeed consumer** (``changes(include_deletes=True)``) that
+  replays every insert/delete window in version order into its own
+  state and must converge EXACTLY to the live set at the end, across
+  compactions, projection refreshes, and vacuums firing mid-window;
+- a **paginating reader** that keyset-pages a version-pinned snapshot
+  (500 ids per page) and asserts every pagination run is internally
+  consistent — no duplicate, no gap, total equal to the pinned
+  manifest's metadata row count — even as maintenance rewrites and
+  vacuums the generations underneath (version pinning + vacuum grace
+  is the documented in-flight-reader contract).
+
+Bounded-amplification assertions via ``stats()``:
 
 - fragment count never exceeds ``max_fragments`` + the per-round batch
   count (ingest between passes is the only allowed overshoot, and the
   next pass drains it);
 - projection LSM lag is ≤ ``max_projection_lag`` after every pass, so
   ``read_projection``'s tail union stays O(policy), not O(history);
-- on-disk bytes track LIVE rows (vacuum reclaims superseded
-  generations): bytes/row at the end ≤ 3x the single-generation
-  baseline measured on round 1;
-- manifest metadata is pruned to ``keep_manifests``;
+- on-disk bytes track LIVE rows through the vacuum-grace window:
+  bytes/row at the end ≤ 3x the round-1 baseline (both measured under
+  the same grace retention);
+- manifest metadata is pruned to ``keep_manifests`` plus at most one
+  delta chain (``checkpoint_interval``) — the log-structured commit
+  retention contract;
 - and the data is RIGHT throughout: after every round the store's
   visible ids equal the python-side expected set (ingested minus taken
-  down), through both the base table and the maintained projection.
+  down), through the base table AND the maintained projection.
 
-Run: ``python tools/soak_store.py`` (~1-2 min). Prints one JSON line
+Run: ``python tools/soak_store.py`` (~2-4 min). Prints one JSON line
 with ``all_pass``; SCALE.md records the measured numbers.
 """
 from __future__ import annotations
@@ -27,6 +43,7 @@ import random
 import shutil
 import sys
 import tempfile
+import threading
 import time
 from pathlib import Path
 
@@ -37,9 +54,13 @@ ROUNDS = 12
 BATCHES_PER_ROUND = 3
 ROWS_PER_BATCH = 400
 TAKEDOWNS_PER_ROUND = 120
+PAGE = 500
+VACUUM_GRACE = 10.0  # > one pagination/changefeed consumption, < soak
 
 
 def main() -> int:
+    from pyspark.sql import functions as F
+
     from rust_evm_indexer_spark.session import get_spark
     from rust_evm_indexer_spark.store import MaintenancePolicy, TableStore
 
@@ -47,11 +68,11 @@ def main() -> int:
     root = Path(tempfile.mkdtemp(prefix="soak_store_"))
     store = TableStore(
         spark, root / "store", bloom_columns={"pts": ("addr",)},
-        dict_columns={},
+        dict_columns={}, checkpoint_interval=4,
     )
     pol = MaintenancePolicy(
         max_fragments=6, max_size_skew=16.0, max_projection_lag=2,
-        keep_manifests=5,
+        keep_manifests=8, vacuum_grace_seconds=VACUUM_GRACE,
     )
     rng = random.Random(8)
 
@@ -66,6 +87,86 @@ def main() -> int:
         if not cond:
             failures.append(msg)
 
+    # -- concurrent clients -------------------------------------------------
+    stop_evt = threading.Event()
+    client_errors: list[str] = []
+    feed_state: set[int] = set()
+    feed_pos = {"v": 0}
+    pagination_runs = {"n": 0}
+
+    def changefeed_consumer() -> None:
+        """Consume (feed_pos, CURRENT] with deletes, apply in version
+        order; exactness is asserted after the final drain."""
+        while not stop_evt.is_set():
+            try:
+                cur = store.current_manifest().version
+                if cur > feed_pos["v"]:
+                    rows = (
+                        store.changes(
+                            "pts", since_version=feed_pos["v"],
+                            to_version=cur, include_deletes=True,
+                        )
+                        .select("id", "_change_type", "_commit_version")
+                        .collect()
+                    )
+                    rows.sort(key=lambda r: r["_commit_version"])
+                    for r in rows:
+                        if r["_change_type"] == "insert":
+                            feed_state.add(r["id"])
+                        else:
+                            feed_state.discard(r["id"])
+                    feed_pos["v"] = cur
+            except Exception as e:  # noqa: BLE001 — soak records, not raises
+                client_errors.append(f"changefeed: {e!r:.200}")
+                return
+            time.sleep(0.2)
+
+    def paginating_reader() -> None:
+        """Keyset-page a version-pinned snapshot; each full pagination
+        must be internally exact regardless of concurrent maintenance."""
+        while not stop_evt.is_set():
+            try:
+                m = store.current_manifest()
+                if m.version == 0:  # nothing committed yet
+                    time.sleep(0.05)
+                    continue
+                expected = store.table_rows("pts", manifest=m)
+                seen: list[int] = []
+                cursor = -1
+                while True:
+                    ids = [
+                        r["id"]
+                        for r in store.read("pts", version=m.version)
+                        .filter(F.col("id") > cursor)
+                        .orderBy("id")
+                        .limit(PAGE)
+                        .select("id")
+                        .collect()
+                    ]
+                    if not ids:
+                        break
+                    seen.extend(ids)
+                    cursor = ids[-1]
+                if len(seen) != expected or len(set(seen)) != len(seen):
+                    client_errors.append(
+                        f"pagination@v{m.version}: {len(seen)} ids "
+                        f"({len(set(seen))} unique) vs metadata {expected}"
+                    )
+                    return
+                pagination_runs["n"] += 1
+            except Exception as e:  # noqa: BLE001
+                client_errors.append(f"reader: {e!r:.200}")
+                return
+            time.sleep(0.1)
+
+    threads = [
+        threading.Thread(target=changefeed_consumer, daemon=True),
+        threading.Thread(target=paginating_reader, daemon=True),
+    ]
+    for th in threads:
+        th.start()
+
+    # -- the churn loop ------------------------------------------------------
     for rnd in range(1, ROUNDS + 1):
         for _ in range(BATCHES_PER_ROUND):
             rows = [
@@ -100,7 +201,6 @@ def main() -> int:
                            f"({len(got)} vs {len(live)})")
         # route through the maintained projection per key; the routed
         # fragments are clustered, not exclusive, so filter to the key
-        from pyspark.sql import functions as F
         pgot = sum(
             store.read_projection("pts", "by_addr", key_equals=f"0xa{a}")
             .filter(F.col("addr") == f"0xa{a}").count()
@@ -109,8 +209,10 @@ def main() -> int:
         check(pgot == len(live),
               f"r{rnd}: projection rows {pgot} != {len(live)}")
         manifests = len(list((root / "store" / "_manifests").glob("v*.json")))
-        check(manifests <= pol.keep_manifests,
-              f"r{rnd}: {manifests} manifests kept > {pol.keep_manifests}")
+        m_bound = pol.keep_manifests + store.checkpoint_interval
+        check(manifests <= m_bound,
+              f"r{rnd}: {manifests} manifests kept > {m_bound} "
+              "(keep_manifests + one delta chain)")
         bpr = st["bytes"] / max(st["rows"], 1)
         if rnd == 1:
             bytes_per_row_r1 = bpr
@@ -118,23 +220,57 @@ def main() -> int:
             check(bpr <= 3 * bytes_per_row_r1,
                   f"r{rnd}: bytes/row {bpr:.0f} > 3x round-1 "
                   f"{bytes_per_row_r1:.0f} — vacuum not reclaiming")
+        check(not client_errors, f"r{rnd}: concurrent client failed")
         print(f"round {rnd}: rows={st['rows']} frags={st['fragments']} "
               f"lag={proj['lag_fragments']} bytes/row={bpr:.0f} "
+              f"manifests={manifests} pages_ok={pagination_runs['n']} "
+              f"feed@v{feed_pos['v']} "
               f"triggers={rep['triggers'].get('pts', [])} "
               f"vacuumed={rep['vacuumed']}", file=sys.stderr)
+        if client_errors:
+            break
+
+    # final drain: the consumer's replayed state must equal the live set
+    stop_evt.set()
+    for th in threads:
+        th.join(timeout=30)
+    if not client_errors:
+        cur = store.current_manifest().version
+        if cur > feed_pos["v"]:
+            rows = (
+                store.changes("pts", since_version=feed_pos["v"],
+                              to_version=cur, include_deletes=True)
+                .select("id", "_change_type", "_commit_version").collect()
+            )
+            rows.sort(key=lambda r: r["_commit_version"])
+            for r in rows:
+                if r["_change_type"] == "insert":
+                    feed_state.add(r["id"])
+                else:
+                    feed_state.discard(r["id"])
+        check(feed_state == live,
+              f"changefeed state diverged: {len(feed_state)} vs {len(live)} "
+              f"(missing {len(live - feed_state)}, "
+              f"extra {len(feed_state - live)})")
+    check(pagination_runs["n"] >= ROUNDS,
+          f"only {pagination_runs['n']} consistent pagination runs "
+          f"completed (< {ROUNDS}) — reader starved or failing")
+    failures.extend(client_errors)
 
     wall = round(time.perf_counter() - t0, 1)
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({
-        "soak": "store_maintenance",
+        "soak": "store_maintenance_concurrent",
         "rounds": ROUNDS,
         "ingested": next_id,
         "taken_down": ROUNDS * TAKEDOWNS_PER_ROUND,
         "final_rows": len(live),
+        "pagination_runs": pagination_runs["n"],
+        "changefeed_final_version": feed_pos["v"],
         "wall_sec": wall,
         "all_pass": not failures,
-        "failures": failures,
+        "failures": failures[:8],
     }, separators=(",", ":")), flush=True)
     return 0 if not failures else 1
 
