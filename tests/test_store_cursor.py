@@ -159,3 +159,75 @@ def test_cursor_walk_is_stable_under_concurrent_ingest(spark, tmp_path):
     assert len(seen) == len(set(seen))          # (a) no duplicates
     assert walk_start_rows <= set(seen)         # (b) nothing skipped
     assert seen == sorted(seen)                 # total order held
+
+
+def test_cursor_fragment_pruning_at_fragment_scale(spark, tmp_path):
+    """VERDICT r8 stretch: the O-16 claim demonstrated AT FRAGMENT
+    SCALE.  240 single-block fragments (the raw streaming-tail shape,
+    compaction off), three history sizes as manifest versions — the
+    fragment count LISTED for a page whose cursor sits 40 blocks from
+    the tip must stay FLAT (= 40) as total history grows 60 -> 240:
+    deep pagination costs O(fragments at the cursor), never O(history
+    walked past).  Fragments are fabricated pyarrow-side (this measures
+    the READ path's metadata pruning; the commit path has its own
+    suites), and the routed page stays answer-identical to the raw
+    plan on the full store."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_evm_indexer_spark.store.table_store import Fragment, Manifest
+
+    st = TableStore(spark, tmp_path / "deep_store", dict_columns={},
+                    bloom_columns={})
+    schema = pa.schema([
+        ("id", pa.int64()), ("log_index_in_tx", pa.int64()),
+        ("transaction_hash", pa.string()),
+        ("transaction_index_in_block", pa.int64()),
+        ("block_number", pa.int64()), ("block_hash", pa.string()),
+        ("contract_address", pa.string()), ("data", pa.string()),
+        ("topic0", pa.string()), ("topic1", pa.string()),
+        ("topic2", pa.string()), ("topic3", pa.string()),
+    ])
+    frags: list[Fragment] = []
+    version = 0
+    for blk in range(240):
+        rel = f"data/logs/frag-{blk:05d}"
+        fdir = st.root / rel
+        fdir.mkdir(parents=True)
+        rows = [
+            {
+                "id": blk * 2 + j, "log_index_in_tx": j,
+                "transaction_hash": f"0xtx{blk:04d}",
+                "transaction_index_in_block": j, "block_number": blk,
+                "block_hash": f"0xbh{blk:04d}",
+                "contract_address": f"0xaddr{blk % 4}", "data": "0x",
+                "topic0": f"0xsig{j}", "topic1": None, "topic2": None,
+                "topic3": None,
+            }
+            for j in range(2)
+        ]
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       fdir / "part-0.parquet")
+        frags.append(Fragment(path=rel, rows=2, min_block=blk,
+                              max_block=blk))
+        if blk + 1 in (60, 120, 240):
+            version += 1
+            st._swap(Manifest(version=version,
+                              tables={"logs": list(frags)}))
+    # the measured curve: listed fragments at (tip - 40) per history size
+    listed = {}
+    for version, total in ((1, 60), (2, 120), (3, 240)):
+        m = st.manifest_at(version)
+        cursor = total - 40
+        survivors = st.fragments_for("logs", min_block=cursor, manifest=m)
+        listed[total] = len(survivors)
+        assert all(f.max_block >= cursor for f in survivors)
+    # flat in history: 4x the fragments, identical listing cost
+    assert listed == {60: 40, 120: 40, 240: 40}, listed
+    # and through the real routed page on the full store: Spark lists
+    # exactly the at-cursor fragment files, and the answer matches the
+    # raw-table plan
+    flt = GetLogsFilter(cursor_block=200, cursor_log_id=0, page_size=50)
+    page = get_logs_from_store(st, flt)
+    assert len(page.inputFiles()) == 40
+    assert page.collect() == get_logs(st.read("logs"), flt).collect()
