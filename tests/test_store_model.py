@@ -41,12 +41,13 @@ _op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=3, max_size=10))
-def _run_sequence(spark, tmp_path_factory, ops):
+def _run_sequence(spark, tmp_path_factory, store_kw, ops):
     store = TableStore(
         spark,
         tmp_path_factory.mktemp("model") / "s",
         bloom_columns={"docs": ("text",)},
         dict_columns={},
+        **store_kw,
     )
     model: dict[int, str] = {}
     version = 0
@@ -95,8 +96,22 @@ def _run_sequence(spark, tmp_path_factory, ops):
         assert got == model, (step, op)
 
 
-def test_store_model_random_interleavings(spark, tmp_path_factory):
-    _run_sequence(spark, tmp_path_factory)
+@pytest.mark.parametrize(
+    "store_kw",
+    [
+        {},  # log-structured default (checkpoint every 16 appends)
+        {"checkpoint_interval": 2},  # checkpoint-heavy short chains
+        {"log_commits": False},  # legacy full-manifest regime
+    ],
+    ids=["log16", "log2", "full"],
+)
+def test_store_model_random_interleavings(spark, tmp_path_factory, store_kw):
+    """The same random interleavings must hold in every manifest
+    regime — the r9 log-structured write path and the legacy full
+    rewrite are REQUIRED to be observationally identical (delta
+    commits interact with upsert/delete/compact checkpoints and
+    chain-aware vacuum inside one history here)."""
+    _run_sequence(spark, tmp_path_factory, store_kw)
 
 
 def test_store_model_upsert_delete_compact_chain(spark, tmp_path):
