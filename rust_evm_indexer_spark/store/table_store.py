@@ -1481,18 +1481,42 @@ class TableStore:
         )
         if since_version > to:
             raise ValueError(f"since_version {since_version} > to_version {to}")
-        from functools import reduce
-
-        from pyspark.sql import functions as F
-
+        inserts: list[tuple[int, list[str]]] = []  # (version, new paths)
+        deletes: list[tuple[int, list[str], dict]] = []  # (v, removed, pred)
+        window = range(since_version + 1, to + 1)
+        mdir = self.root / "_manifests"
+        delta_files = [mdir / f"v{v:06d}.delta.json" for v in window]
+        if window and all(p.exists() for p in delta_files):
+            # TAIL FAST PATH — the steady state of a streaming consumer
+            # following an appending store: every window version is a
+            # log-structured delta (commit/status only — structural ops
+            # checkpoint), so the change set is exactly the union of
+            # the deltas' recorded adds.  Cost O(window), with NO
+            # hydration of the base version's fragment list — the slow
+            # path below pays O(total fragments) just to build its
+            # `seen` set, which at millions of fragments would dominate
+            # every consumption tick.  Fragment paths are uuid-fresh
+            # per commit, so the adds are new by construction (the set
+            # guard stays for defense).
+            seen_fast: set[str] = set()
+            for v, p in zip(window, delta_files):
+                d = json.loads(p.read_text())
+                v_new = [
+                    f["path"]
+                    for f in d.get("adds", {}).get(table, [])
+                    if not f.get("derived") and f["path"] not in seen_fast
+                ]
+                seen_fast.update(v_new)
+                if v_new:
+                    inserts.append((v, v_new))
+            return self._emit_changes(
+                table, to, inserts, deletes, include_deletes
+            )
         # version 0 is the implicit empty store — "consume from genesis"
         base = Manifest() if since_version == 0 else self.manifest_at(since_version)
         seen = {f.path for f in base.tables.get(table, [])}
         prev_paths = set(seen)
-        new_paths: list[str] = []
-        inserts: list[tuple[int, list[str]]] = []  # (version, new paths)
-        deletes: list[tuple[int, list[str], dict]] = []  # (v, removed, pred)
-        for v in range(since_version + 1, to + 1):
+        for v in window:
             m = self.manifest_at(v)
             if m.op == "rollback" and not allow_reorged:
                 raise RuntimeError(
@@ -1513,7 +1537,6 @@ class TableStore:
                         continue
                     seen.add(frag.path)
                     if not frag.derived:
-                        new_paths.append(frag.path)
                         v_new.append(frag.path)
                 if v_new:
                     inserts.append((v, v_new))
@@ -1539,10 +1562,26 @@ class TableStore:
                     continue
                 seen.add(frag.path)
                 if not frag.derived:
-                    new_paths.append(frag.path)
                     v_new.append(frag.path)
             if v_new:
                 inserts.append((v, v_new))
+        return self._emit_changes(table, to, inserts, deletes, include_deletes)
+
+    def _emit_changes(
+        self,
+        table: str,
+        to: int,
+        inserts: list[tuple[int, list[str]]],
+        deletes: list[tuple[int, list[str], dict]],
+        include_deletes: bool,
+    ) -> DataFrame:
+        """Shared emission tail for :meth:`changes` (both the delta-tail
+        fast path and the generic version walk land here)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        new_paths = [p for _, paths in inserts for p in paths]
         schema = self._read_schema(
             Manifest() if to == 0 else self.manifest_at(to), table
         )

@@ -240,3 +240,44 @@ def test_log_commits_off_preserves_legacy_layout(spark, tmp_path):
         "v000003.json",
     ]
     assert not list(mdir.glob("*.delta.json"))
+
+
+def test_changefeed_tail_fast_path_skips_base_hydration(
+    spark, tmp_path, monkeypatch
+):
+    """The streaming-consumer steady state: a window of pure delta
+    versions is consumed straight from the delta files — O(window),
+    never touching the base version's fragment list (the slow path's
+    `seen` set costs O(total fragments) per tick at scale).  Spied via
+    manifest_at: the only resolution allowed is the schema read at the
+    window head."""
+    store = _mk(spark, tmp_path / "s", checkpoint_interval=10)
+    _commit_n(spark, store, 5)
+    calls: list[int] = []
+    orig = TableStore.manifest_at
+    monkeypatch.setattr(
+        TableStore,
+        "manifest_at",
+        lambda self, v: (calls.append(v), orig(self, v))[1],
+    )
+    got = store.changes("pts", since_version=2, to_version=5)
+    assert got.count() == 30
+    # only the schema read at the window head (and its chain anchor) —
+    # never the since_version base, never the window versions 3/4
+    assert calls[0] == 5 and set(calls) <= {5, 1}, calls
+    # include_deletes variant rides the same fast path (no delete
+    # versions can exist in an all-delta window) with metadata columns
+    calls.clear()
+    d = store.changes(
+        "pts", since_version=2, to_version=5, include_deletes=True
+    )
+    per_v = {
+        r["_commit_version"]: r["count"]
+        for r in d.groupBy("_commit_version").count().collect()
+    }
+    assert per_v == {3: 10, 4: 10, 5: 10}
+    assert calls[0] == 5 and set(calls) <= {5, 1}, calls
+    # a checkpoint inside the window (structural op) falls back to the
+    # exact generic walk — same answer, hydration allowed
+    store.compact("pts", max_fragments=1)
+    assert store.changes("pts", since_version=2).count() == 30
