@@ -95,10 +95,15 @@ class Fragment:
     # min_block/max_block, prunable for key equality and ranges
     min_key: str | None = None
     max_key: str | None = None
+    # on-disk bytes, recorded at write time so stats()/the maintenance
+    # skew trigger are MANIFEST-only — no per-fragment filesystem stat
+    # walk at maintenance cadence (r9; None on pre-r9 manifests, which
+    # degrade to the filesystem fallback)
+    bytes: int | None = None
 
     def to_json(self) -> dict:
         d = self.__dict__.copy()
-        for opt in ("blooms", "dicts", "min_key", "max_key"):
+        for opt in ("blooms", "dicts", "min_key", "max_key", "bytes"):
             if d.get(opt) is None:
                 d.pop(opt, None)
         if not d.get("derived"):
@@ -227,6 +232,7 @@ def _fraglist_schema():
                 ("blooms_json", pa.string()),
                 ("dicts_json", pa.string()),
                 ("derived", pa.bool_()),
+                ("bytes", pa.int64()),
             ]
         )
     return _FRAGLIST_SCHEMA
@@ -253,6 +259,7 @@ def _write_fraglist(path: Path, tables: dict[str, list[Fragment]]) -> None:
                     "blooms_json": json.dumps(f.blooms) if f.blooms else None,
                     "dicts_json": json.dumps(f.dicts) if f.dicts else None,
                     "derived": f.derived,
+                    "bytes": f.bytes,
                 }
             )
     tbl = pa.Table.from_pylist(rows, schema=_fraglist_schema())
@@ -272,6 +279,8 @@ def _fragment_from_fraglist_row(r: dict) -> Fragment:
         derived=bool(r.get("derived")),
         min_key=r["min_key"],
         max_key=r["max_key"],
+        # .get: pre-r9 fraglists have no bytes column — fs fallback
+        bytes=r.get("bytes"),
     )
 
 
@@ -745,6 +754,11 @@ class TableStore:
             frag.min_block, frag.max_block = lo, hi
         self._build_fragment_blooms(table, frag)
         self._build_fragment_dicts(table, frag)
+        # recorded AFTER the sidecars so the manifest byte count equals
+        # what the old filesystem walk measured (data + index files)
+        frag.bytes = sum(
+            p.stat().st_size for p in out.rglob("*") if p.is_file()
+        )
         return frag
 
     def _maintain_fragments_batched(
@@ -1806,9 +1820,11 @@ class TableStore:
     def stats(self) -> dict:
         """Metadata-only store observability — the numbers an operator
         dashboards before deciding to compact/refresh/vacuum, computed
-        entirely from the current manifest + local file metadata (no
-        data read, no Spark job; cost O(#fragments) like any manifest
-        walk).
+        entirely from the current manifest (no data read, no Spark job,
+        and since r9 no filesystem walk either: fragment byte sizes are
+        recorded in the manifest at write time; cost O(#fragments) of
+        in-memory arithmetic, with a per-fragment stat-walk fallback
+        only for pre-r9 manifests).
 
         Per table: fragment/row counts, on-disk bytes, block bounds,
         index-tier coverage (how many fragments carry blooms / dicts).
@@ -1820,13 +1836,7 @@ class TableStore:
         m = self.current_manifest()
         out: dict = {"version": m.version, "tables": {}}
         for table, frags in m.tables.items():
-            frag_bytes: list[int] = []
-            for f in frags:
-                d = self.root / f.path
-                if d.exists():
-                    frag_bytes.append(sum(
-                        p.stat().st_size for p in d.rglob("*") if p.is_file()
-                    ))
+            frag_bytes = [b for b in map(self._frag_bytes, frags) if b > 0]
             blocks = [
                 (f.min_block, f.max_block)
                 for f in frags
@@ -2396,24 +2406,23 @@ class TableStore:
         )
         return report
 
+    def _frag_bytes(self, frag: Fragment) -> int:
+        """On-disk bytes of one fragment: the manifest-recorded value
+        when present (r9+ fragments — zero filesystem I/O), else one
+        filesystem walk (pre-r9 manifests / time-travel)."""
+        if frag.bytes is not None:
+            return frag.bytes
+        d = self.root / frag.path
+        if not d.exists():
+            return 0
+        return sum(p.stat().st_size for p in d.rglob("*") if p.is_file())
+
     def _table_size_skew(self, table: str) -> float | None:
         """Current largest/lower-median fragment-size ratio for one
         table (the maintain_store skew signal, recomputed post-compaction
         without a full :meth:`stats` pass)."""
         frags = self.current_manifest().tables.get(table, [])
-        sizes = sorted(
-            s
-            for s in (
-                sum(
-                    p.stat().st_size
-                    for p in (self.root / f.path).rglob("*")
-                    if p.is_file()
-                )
-                for f in frags
-                if (self.root / f.path).exists()
-            )
-            if s > 0
-        )
+        sizes = sorted(b for b in map(self._frag_bytes, frags) if b > 0)
         if len(sizes) < 2:
             return None
         return round(sizes[-1] / sizes[(len(sizes) - 1) // 2], 3)
@@ -2497,6 +2506,9 @@ class TableStore:
             frag.min_key, frag.max_key = lo, hi
         self._build_fragment_blooms(table, frag)
         self._build_fragment_dicts(table, frag)
+        frag.bytes = sum(
+            p.stat().st_size for p in fdir.rglob("*") if p.is_file()
+        )
         return frag
 
     def vacuum(self, *, grace_seconds: float = 0.0, keep_manifests: int = 10) -> int:

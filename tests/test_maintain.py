@@ -371,3 +371,30 @@ def test_maintain_store_safe_under_random_op_interleavings(spark, ops):
     if "pts" in store.current_manifest().tables:
         got = {r["id"]: r["addr"] for r in store.read("pts").collect()}
         assert got == model
+
+
+def test_stats_bytes_are_manifest_only(spark, tmp_path, monkeypatch):
+    """r9: fragment byte sizes are recorded in the manifest at write
+    time, so stats()/the skew trigger cost ZERO filesystem I/O — at
+    millions of fragments a per-pass stat walk would dominate the
+    maintenance loop.  Pinned by making any rglob a loud failure."""
+    import pathlib
+
+    store = _mk_store(spark, tmp_path)
+    _commit_batches(spark, store, 3)
+    m = store.current_manifest()
+    frags = m.tables["pts"]
+    assert all(f.bytes and f.bytes > 0 for f in frags)
+
+    def _no_fs_walk(self, *a, **k):
+        raise AssertionError("stats() walked the filesystem for bytes")
+
+    monkeypatch.setattr(pathlib.Path, "rglob", _no_fs_walk)
+    st = store.stats()["tables"]["pts"]
+    assert st["bytes"] == sum(f.bytes for f in frags)
+    assert st["size_skew"] is not None
+    assert store._table_size_skew("pts") == st["size_skew"]
+    # pre-r9 manifests (no recorded bytes) still degrade to the walk
+    monkeypatch.undo()
+    frags[0].bytes = None
+    assert store._frag_bytes(frags[0]) > 0
