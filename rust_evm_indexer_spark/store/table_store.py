@@ -558,7 +558,14 @@ class TableStore:
             for t, fl in dk.get("adds", {}).items():
                 adds.setdefault(t, []).extend(Fragment(**f) for f in fl)
             for t, ps in dk.get("removes", {}).items():
-                removes.setdefault(t, set()).update(ps)
+                ps_set = set(ps)
+                if t in adds:
+                    # a remove can target a path ADDED earlier in this
+                    # same chain (commit then takedown between two
+                    # checkpoints) — the base-level removes filter never
+                    # sees it, so drop it from the accumulated adds here
+                    adds[t] = [f for f in adds[t] if f.path not in ps_set]
+                removes.setdefault(t, set()).update(ps_set)
             last = dk
         dm = DeltaManifest(
             version=version,
@@ -573,11 +580,14 @@ class TableStore:
         dm.__dict__["_base_version"] = base_v
         dm.__dict__["_adds"] = adds
         dm.__dict__["_removes"] = removes
-        # this version's OWN adds (not the accumulated chain) — the
-        # changefeed's per-version fast path
+        # this version's OWN adds/removes (not the accumulated chain) —
+        # the changefeed's per-version fast path
         dm.__dict__["_last_adds"] = {
             t: [Fragment(**f) for f in fl]
             for t, fl in head.get("adds", {}).items()
+        }
+        dm.__dict__["_last_removes"] = {
+            t: set(ps) for t, ps in head.get("removes", {}).items()
         }
         return dm
 
@@ -632,12 +642,34 @@ class TableStore:
             return m.version - m.__dict__["_base_version"] + 1
         return 1  # m itself is a checkpoint (or the empty store)
 
+    def _delta_base(self, m: Manifest) -> int:
+        return (
+            m.__dict__["_base_version"]
+            if isinstance(m, DeltaManifest)
+            else m.version
+        )
+
+    def _structural_delta_ok(self, m: Manifest, table: str) -> bool:
+        """True when a delete/upsert may ride the log-structured path
+        (r9): log mode on, an anchored base (v>0), a chain slot free,
+        and NO projections on the table — a projection purge rewrites
+        projection state, which lives only in checkpoints, so those
+        operations keep the full swap."""
+        return (
+            self.log_commits
+            and m.version > 0
+            and self._delta_chain_len(m) <= self.checkpoint_interval
+            and not m.projections.get(table)
+        )
+
     def _swap_delta(self, delta: dict) -> None:
-        """Append-only manifest swap: write one O(changed)-sized delta
+        """Log-structured manifest swap: write one O(changed)-sized delta
         record then advance CURRENT — same O_EXCL optimistic-concurrency
         guard as :meth:`_swap`, extended to the checkpoint file name so
         a delta writer and a checkpoint writer racing on the same
-        version also collide loudly."""
+        version also collide loudly.  Used by commit/set_status (adds
+        only) and, since r9, by delete/upsert on projection-free tables
+        (adds + removes + the op_info the changefeed replays)."""
         mdir = self.root / "_manifests"
         version = delta["version"]
         if (mdir / f"v{version:06d}.json").exists():
@@ -1059,8 +1091,11 @@ class TableStore:
         from pyspark.sql import functions as F
 
         m = self.current_manifest()
-        frags = m.tables.get(table, [])
+        # pruned-path listing: stays unhydrated on a delta/lazy CURRENT
+        # (the checkpoint swap below hydrates only when actually taken)
+        frags = self.fragments_for(table, manifest=m)
         new_frags: list[Fragment] = []
+        rewritten_frags: list[Fragment] = []
         replaced: dict[str, str | None] = {}  # old base path -> new (None = emptied)
         stats = {
             "candidates": 0,
@@ -1096,8 +1131,30 @@ class TableStore:
             if rewritten is not None:
                 rewritten.derived = True  # rewrite: no first-seen rows
                 new_frags.append(rewritten)
+                rewritten_frags.append(rewritten)
         if stats["rewritten"] == 0:
             return stats  # nothing changed — don't burn a version
+        if self._structural_delta_ok(m, table):
+            # log-structured takedown (r9): the delete knows exactly
+            # which fragments it replaced, so the manifest write is
+            # O(touched) — removed paths + rewritten survivors in one
+            # delta record; op/op_info ride along for changefeed replay
+            self._swap_delta(
+                {
+                    "version": m.version + 1,
+                    "base": self._delta_base(m),
+                    "op": "delete",
+                    "op_info": op_info,
+                    "txns": dict(m.txns),
+                    "status": m.status,
+                    "schemas": dict(m.schemas),
+                    "adds": {
+                        table: [f.to_json() for f in rewritten_frags]
+                    },
+                    "removes": {table: sorted(replaced)},
+                }
+            )
+            return stats
         new = Manifest(
             version=m.version + 1,
             txns=dict(m.txns),
@@ -1269,8 +1326,9 @@ class TableStore:
         # skip straight to scanning (parquet pushdown still applies)
         prune = len(keys) <= 2048
         new_frags: list[Fragment] = []
+        rewritten_frags: list[Fragment] = []
         replaced: dict[str, str | None] = {}
-        frags = m.tables.get(table, [])
+        frags = self.fragments_for(table, manifest=m)
         # ONE list-probe per fragment (the dict/bloom tiers take IN-list
         # probes natively: "keep if ANY key might be present") — probing
         # per key re-read the bloom sidecar keys× times per fragment
@@ -1298,11 +1356,40 @@ class TableStore:
             if rewritten is not None:
                 rewritten.derived = True
                 new_frags.append(rewritten)
+                rewritten_frags.append(rewritten)
         batch_frag = self._write_fragment(table, df)
         if batch_frag is not None:
             new_frags.append(batch_frag)
         elif stats["rewritten"] == 0:
             return stats  # empty batch, nothing matched: don't burn a version
+        if self._structural_delta_ok(m, table):
+            # log-structured MERGE (r9): superseded fragment paths out,
+            # rewritten survivors + the batch fragment in — O(touched)
+            # manifest write; schema evolution rides the delta like a
+            # commit's
+            schemas = dict(m.schemas)
+            schemas[table] = _evolve_schema(
+                self._read_schema(m, table), df.schema
+            ).jsonValue()
+            delta_adds = list(rewritten_frags)
+            if batch_frag is not None:
+                delta_adds.append(batch_frag)
+            self._swap_delta(
+                {
+                    "version": m.version + 1,
+                    "base": self._delta_base(m),
+                    "op": "upsert",
+                    "op_info": {
+                        "table": table, "column": key_col, "values": keys
+                    },
+                    "txns": dict(m.txns),
+                    "status": m.status,
+                    "schemas": schemas,
+                    "adds": {table: [f.to_json() for f in delta_adds]},
+                    "removes": {table: sorted(replaced)},
+                }
+            )
+            return stats
         new = Manifest(
             version=m.version + 1,
             txns=dict(m.txns),
@@ -1503,18 +1590,28 @@ class TableStore:
         if window and all(p.exists() for p in delta_files):
             # TAIL FAST PATH — the steady state of a streaming consumer
             # following an appending store: every window version is a
-            # log-structured delta (commit/status only — structural ops
-            # checkpoint), so the change set is exactly the union of
-            # the deltas' recorded adds.  Cost O(window), with NO
+            # log-structured delta, so the change set is exactly the
+            # union of the deltas' recorded adds (plus, for
+            # include_deletes, the delete/upsert deltas' recorded
+            # removed paths + predicate).  Cost O(window), with NO
             # hydration of the base version's fragment list — the slow
             # path below pays O(total fragments) just to build its
             # `seen` set, which at millions of fragments would dominate
             # every consumption tick.  Fragment paths are uuid-fresh
             # per commit, so the adds are new by construction (the set
-            # guard stays for defense).
+            # guard stays for defense).  A rollback is always a
+            # checkpoint, so the reorg guard can't be bypassed here.
             seen_fast: set[str] = set()
             for v, p in zip(window, delta_files):
                 d = json.loads(p.read_text())
+                if (
+                    include_deletes
+                    and d.get("op") in ("delete", "upsert")
+                    and (d.get("op_info") or {}).get("table") == table
+                ):
+                    removed = sorted(d.get("removes", {}).get(table, []))
+                    if removed:
+                        deletes.append((v, removed, d["op_info"]))
                 v_new = [
                     f["path"]
                     for f in d.get("adds", {}).get(table, [])
@@ -1540,10 +1637,24 @@ class TableStore:
                     "to consume at-least-once"
                 )
             if isinstance(m, DeltaManifest) and m.__dict__.get("_hydrated") is None:
-                # log-structured version: its adds ARE the change set —
-                # no per-version fragment-list hydration (a delta never
-                # removes, so prev_paths only grows; delete/upsert ops
-                # are checkpoints and take the full branch below)
+                # log-structured version: its recorded adds/removes ARE
+                # the change set — no per-version fragment-list
+                # hydration.  delete/upsert deltas (r9) carry their
+                # replaced paths explicitly, so the replay needs no
+                # before/after path-set diff.
+                last_removes = m.__dict__.get("_last_removes", {}).get(
+                    table, set()
+                )
+                if (
+                    include_deletes
+                    and m.op in ("delete", "upsert")
+                    and m.op_info is not None
+                    and m.op_info.get("table") == table
+                ):
+                    removed = sorted(p for p in last_removes if p in prev_paths)
+                    if removed:
+                        deletes.append((v, removed, m.op_info))
+                prev_paths -= last_removes
                 v_new = []
                 for frag in m.__dict__["_last_adds"].get(table, []):
                     prev_paths.add(frag.path)

@@ -281,3 +281,78 @@ def test_changefeed_tail_fast_path_skips_base_hydration(
     # exact generic walk — same answer, hydration allowed
     store.compact("pts", max_fragments=1)
     assert store.changes("pts", since_version=2).count() == 30
+
+
+def test_delete_and_upsert_ride_deltas_without_projections(spark, tmp_path):
+    """r9: takedowns and MERGEs on projection-free tables write
+    O(touched) delta records (removed paths + rewritten survivors),
+    never a full manifest — and every read surface agrees: snapshot,
+    pruning, table_rows, time travel, changefeed with delete replay."""
+    store = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    _commit_n(spark, store, 4)  # v1 ckpt + v2-4 deltas, ids b*100+i
+    mdir = store.root / "_manifests"
+
+    # delete one row committed INSIDE the chain (batch 2, id 205)
+    stats = store.delete_equals("pts", "id", 205)
+    assert stats["rewritten"] == 1 and stats["deleted_rows"] == 1
+    d5 = json.loads((mdir / "v000005.delta.json").read_text())
+    assert not (mdir / "v000005.json").exists()
+    assert d5["op"] == "delete" and d5["op_info"]["value"] == 205
+    assert len(d5["removes"]["pts"]) == 1
+    assert all(f["derived"] for f in d5["adds"]["pts"])
+    assert store.read("pts").count() == 39
+    assert store.read("pts").filter(F.col("id") == 205).count() == 0
+    # the chain-internal remove is dropped from the accumulated adds
+    # (the base checkpoint never contained the removed path)
+    assert store.read("pts", version=4).count() == 40  # time travel
+
+    # upsert: replace one key + insert one new, as a delta
+    batch = spark.createDataFrame([(301, "0xNEW", 900), (999, "0xQQ", 901)], SCHEMA)
+    up = store.upsert("pts", batch, "id")
+    assert up["rewritten"] == 1 and up["replaced_rows"] == 1
+    d6 = json.loads((mdir / "v000006.delta.json").read_text())
+    assert d6["op"] == "upsert" and set(d6["op_info"]["values"]) == {301, 999}
+    got = {r["id"]: r["addr"] for r in store.read("pts").collect()}
+    assert got[301] == "0xNEW" and got[999] == "0xQQ" and len(got) == 40
+    # table_rows falls back to the hydrated sum when removes exist
+    assert store.table_rows("pts") == 40
+
+    # changefeed with deletes across the all-delta window (fast path):
+    # version-ordered replay converges to the live set
+    feed = store.changes("pts", since_version=1, include_deletes=True)
+    rows = sorted(
+        feed.select("id", "addr", "_change_type", "_commit_version").collect(),
+        # the documented replay order: deletes before inserts WITHIN a
+        # version (an upsert emits both at one _commit_version)
+        key=lambda r: (r["_commit_version"], r["_change_type"] != "delete"),
+    )
+    state = {r["id"]: r["addr"] for r in store.read("pts", version=1).collect()}
+    for r in rows:
+        if r["_change_type"] == "insert":
+            state[r["id"]] = r["addr"]
+        else:
+            state.pop(r["id"], None)
+    assert state == got
+    # and the delete rows themselves are exactly the removed versions
+    dels = {(r["id"], r["_commit_version"]) for r in rows
+            if r["_change_type"] == "delete"}
+    assert dels == {(205, 5), (301, 6)}
+
+
+def test_structural_delta_gated_off_by_projections(spark, tmp_path):
+    """A table WITH projections keeps checkpoint semantics for
+    delete/upsert (the projection purge rewrites projection state,
+    which lives only in checkpoints) — the compliance contract is
+    unchanged."""
+    store = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    _commit_n(spark, store, 3)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
+    v = store.current_manifest().version
+    store.delete_equals("pts", "id", 105)
+    mdir = store.root / "_manifests"
+    assert (mdir / f"v{v + 1:06d}.json").exists()  # checkpoint, not delta
+    assert not (mdir / f"v{v + 1:06d}.delta.json").exists()
+    # the purge reached the projection in the same swap
+    proj = store.read_projection("pts", "by_addr", key_equals="0x0105")
+    assert proj.filter(F.col("id") == 105).count() == 0
+    assert store.read("pts").count() == 29
