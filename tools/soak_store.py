@@ -55,7 +55,9 @@ BATCHES_PER_ROUND = 3
 ROWS_PER_BATCH = 400
 TAKEDOWNS_PER_ROUND = 120
 PAGE = 500
-VACUUM_GRACE = 10.0  # > one pagination/changefeed consumption, < soak
+VACUUM_GRACE = 30.0  # > max consumer lag behind CURRENT (the delete
+# feed reads REPLACED pre-delete fragments, so retention must cover a
+# consumer a few rounds behind, not just one in-flight read)
 
 
 def main() -> int:
@@ -77,7 +79,10 @@ def main() -> int:
     rng = random.Random(8)
 
     live: set[int] = set()
+    docs_live: set[int] = set()
     next_id = 0
+    next_doc = 0
+    delta_deletes_seen = 0
     block = 0
     failures: list[str] = []
     bytes_per_row_r1 = None
@@ -91,30 +96,39 @@ def main() -> int:
     stop_evt = threading.Event()
     client_errors: list[str] = []
     feed_state: set[int] = set()
+    docs_feed_state: set[int] = set()
     feed_pos = {"v": 0}
     pagination_runs = {"n": 0}
 
+    def _consume(table: str, state: set[int], to: int, pos: int) -> None:
+        df = store.changes(
+            table, since_version=pos, to_version=to, include_deletes=True
+        )
+        if "id" not in df.columns:
+            return  # window predates the table's first write (no schema)
+        rows = df.select("id", "_change_type", "_commit_version").collect()
+        # documented replay order: version-ordered, deletes before
+        # inserts within a version (an upsert emits both at one)
+        rows.sort(
+            key=lambda r: (r["_commit_version"], r["_change_type"] != "delete")
+        )
+        for r in rows:
+            if r["_change_type"] == "insert":
+                state.add(r["id"])
+            else:
+                state.discard(r["id"])
+
     def changefeed_consumer() -> None:
-        """Consume (feed_pos, CURRENT] with deletes, apply in version
-        order; exactness is asserted after the final drain."""
+        """Consume (feed_pos, CURRENT] with deletes for BOTH tables —
+        pts (projection-gated checkpoint deletes) and docs (r9
+        log-structured delta deletes) — applying in version order;
+        exactness is asserted after the final drain."""
         while not stop_evt.is_set():
             try:
                 cur = store.current_manifest().version
                 if cur > feed_pos["v"]:
-                    rows = (
-                        store.changes(
-                            "pts", since_version=feed_pos["v"],
-                            to_version=cur, include_deletes=True,
-                        )
-                        .select("id", "_change_type", "_commit_version")
-                        .collect()
-                    )
-                    rows.sort(key=lambda r: r["_commit_version"])
-                    for r in rows:
-                        if r["_change_type"] == "insert":
-                            feed_state.add(r["id"])
-                        else:
-                            feed_state.discard(r["id"])
+                    _consume("pts", feed_state, cur, feed_pos["v"])
+                    _consume("docs", docs_feed_state, cur, feed_pos["v"])
                     feed_pos["v"] = cur
             except Exception as e:  # noqa: BLE001 — soak records, not raises
                 client_errors.append(f"changefeed: {e!r:.200}")
@@ -185,6 +199,25 @@ def main() -> int:
         store.delete_in("pts", "id", gone)
         live.difference_update(gone)
 
+        # second table, NO projection: its takedowns ride the r9
+        # log-structured path (delete_in writes an O(touched) delta) —
+        # the concurrency case the projection-gated pts table can't
+        # exercise; the changefeed consumer replays both
+        drows = [(next_doc + i, block) for i in range(100)]
+        store.commit({"docs": spark.createDataFrame(
+            drows, "id: long, block_number: long")})
+        docs_live.update(i for i, _ in drows)
+        next_doc += 100
+        dgone = rng.sample(sorted(docs_live), 30)
+        store.delete_in("docs", "id", dgone)
+        docs_live.difference_update(dgone)
+        mv = store.current_manifest().version
+        if (root / "store" / "_manifests" / f"v{mv:06d}.delta.json").exists():
+            delta_deletes_seen += 1
+        check(store.read("docs").count() == len(docs_live)
+              and {r["id"] for r in store.read("docs").collect()} == docs_live,
+              f"r{rnd}: docs table diverged after delta takedown")
+
         rep = store.maintain_store(pol)
         st = store.stats()["tables"]["pts"]
 
@@ -237,21 +270,18 @@ def main() -> int:
     if not client_errors:
         cur = store.current_manifest().version
         if cur > feed_pos["v"]:
-            rows = (
-                store.changes("pts", since_version=feed_pos["v"],
-                              to_version=cur, include_deletes=True)
-                .select("id", "_change_type", "_commit_version").collect()
-            )
-            rows.sort(key=lambda r: r["_commit_version"])
-            for r in rows:
-                if r["_change_type"] == "insert":
-                    feed_state.add(r["id"])
-                else:
-                    feed_state.discard(r["id"])
+            _consume("pts", feed_state, cur, feed_pos["v"])
+            _consume("docs", docs_feed_state, cur, feed_pos["v"])
         check(feed_state == live,
               f"changefeed state diverged: {len(feed_state)} vs {len(live)} "
               f"(missing {len(live - feed_state)}, "
               f"extra {len(feed_state - live)})")
+        check(docs_feed_state == docs_live,
+              f"docs changefeed diverged across delta takedowns: "
+              f"{len(docs_feed_state)} vs {len(docs_live)}")
+        check(delta_deletes_seen >= ROUNDS // 2,
+              f"only {delta_deletes_seen} docs takedowns rode the delta "
+              "path — the log-structured delete gate regressed")
     check(pagination_runs["n"] >= ROUNDS,
           f"only {pagination_runs['n']} consistent pagination runs "
           f"completed (< {ROUNDS}) — reader starved or failing")
@@ -266,6 +296,8 @@ def main() -> int:
         "ingested": next_id,
         "taken_down": ROUNDS * TAKEDOWNS_PER_ROUND,
         "final_rows": len(live),
+        "docs_rows": len(docs_live),
+        "delta_takedowns": delta_deletes_seen,
         "pagination_runs": pagination_runs["n"],
         "changefeed_final_version": feed_pos["v"],
         "wall_sec": wall,
