@@ -251,7 +251,9 @@ class IncrementalDeduper:
         # as a schemaless empty frame — skip the join entirely)
         new_bands = self._signature_rows(within).persist()
         has_state = bool(
-            self.store.current_manifest().tables.get(self.bands_table)
+            # fragments_for keeps a delta/lazy CURRENT unhydrated (the
+            # existence probe shouldn't pay O(total fragments))
+            self.store.fragments_for(self.bands_table)
         )
         if has_state:
             n_sig_rows = (
