@@ -6424,50 +6424,50 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "point_lookup",  # flagship-core
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
-    "store_stats_manifest",  # never checked
-    "approx_quantile_p90",  # newest green r5
-    "similarity_ivf_kmeans",  # newest green r5
-    "dedup_clusters",  # newest green r5
-    "pii_redact",  # newest green r5
-    "sample_stratified",  # newest green r5
-    "store_compacted_logs",  # newest green r6
-    "store_tx_bloom_lookup",  # newest green r6
-    "store_zorder_logs",  # newest green r6
-    "store_changefeed_deletes",  # newest green r6
-    "events_sliding_rollup",  # newest green r6
-    "similarity_ivf_knn_join",  # newest green r6
-    "lang_id",  # newest green r6
-    "quality_score",  # newest green r6
-    "doc_fingerprint",  # newest green r6
-    "multimodal_resize",  # newest green r6
-    "multimodal_frames",  # newest green r6
-    "window_topk_per_group",  # newest green r6
-    "events_sessionize",  # newest green r6
-    "rollup_orders",  # newest green r6
-    "cube_lineitem",  # newest green r6
-    "distinct_agg",  # newest green r6
-    "set_ops_customers",  # newest green r6
-    "semi_join_exists",  # newest green r6
-    "anti_join_not_exists",  # newest green r6
-    "asof_join_events",  # newest green r6
-    "range_join_events",  # newest green r6
-    "median_per_type",  # newest green r6
-    "orders_monthly",  # newest green r6
-    "dedup_survivors",  # newest green r6
-    "json_extract_props",  # newest green r6
-    "json_agg_by_key",  # newest green r6
-    "gopher_quality",  # newest green r6
-    "pack_sequences",  # newest green r6
-    "decontaminate_ngram",  # newest green r6
-    "evm_address_activity",  # newest green r6
-    "evm_block_activity",  # newest green r6
-    "unigram_nll",  # newest green r6
-    "quality_classifier_scores",  # newest green r6
-    "embedding_pca_whiten",  # newest green r6
-    "dedup_spans_global",  # newest green r6
-    "lm_stupid_backoff",  # newest green r6
-    "chunk_documents",  # newest green r6
-    "dedup_winnowing",  # newest green r6
+    "store_time_travel",  # newest green r6
+    "store_projection_logs",  # newest green r7
+    "graph_triangle_count",  # newest green r7
+    "q1_pricing_summary",  # newest green r7
+    "q3_shipping_priority",  # newest green r7
+    "q5_local_supplier",  # newest green r7
+    "q10_returned_items",  # newest green r7
+    "q17_small_qty_avg",  # newest green r7
+    "q6_forecast_revenue",  # newest green r7
+    "q7_nation_volume",  # newest green r7
+    "q8_market_share",  # newest green r7
+    "q18_large_orders",  # newest green r7
+    "q4_priority_check",  # newest green r7
+    "q9_product_profit",  # newest green r7
+    "q12_late_shipments",  # newest green r7
+    "q20_excess_sellers",  # newest green r7
+    "events_gapfill_locf",  # newest green r7
+    "dedup_ngram_jaccard",  # newest green r7
+    "dedup_minhash_lsh",  # newest green r7
+    "dedup_embedding_cosine",  # newest green r7
+    "dedup_embedding_lsh",  # newest green r7
+    "semantic_dedup",  # newest green r7
+    "dedup_simhash",  # newest green r7
+    "similarity_ivf_topk",  # newest green r7
+    "similarity_ivfpq_topk",  # newest green r7
+    "similarity_ivfpq_knn_join",  # newest green r7
+    "similarity_ivfpq_residual_knn_join",  # newest green r7
+    "semantic_admit_delta",  # newest green r7
+    "multimodal_meta",  # newest green r7
+    "window_running_sum",  # newest green r7
+    "window_lag_delta",  # newest green r7
+    "skew_salted_topk",  # newest green r7
+    "pivot_order_status",  # newest green r7
+    "approx_distinct_users",  # newest green r7
+    "repetition_signals",  # newest green r7
+    "substring_dup",  # newest green r7
+    "source_mix_weights",  # newest green r7
+    "bm25_search",  # newest green r7
+    "lm_stupid_backoff_tri",  # newest green r7
+    "lm_stupid_backoff_quad",  # newest green r7
+    "corpus_zipf_slope",  # newest green r7
+    "corpus_length_histogram",  # newest green r7
+    "corpus_shuffle_shards",  # newest green r7
+    "store_upsert_docs",  # newest green r7
 ]
 
 
