@@ -548,6 +548,14 @@ class TableStore:
         base = Manifest() if base_v == 0 else self.manifest_at(base_v)
         adds: dict[str, list[Fragment]] = {}
         removes: dict[str, set] = {}
+        # metadata-only row accounting for removing deltas (ADVICE r9):
+        # rows removed from the BASE checkpoint, accumulated from the
+        # per-delta `removes_rows` map, so table_rows stays O(tail)
+        # even when the chain contains takedowns.  A pre-r10 removing
+        # delta lacks the map — flag the table incomplete and fall back
+        # to hydration there only.
+        base_removed_rows: dict[str, int] = {}
+        removed_rows_ok: dict[str, bool] = {}
         last = head
         for k in range(base_v + 1, version + 1):
             dk = (
@@ -559,13 +567,22 @@ class TableStore:
                 adds.setdefault(t, []).extend(Fragment(**f) for f in fl)
             for t, ps in dk.get("removes", {}).items():
                 ps_set = set(ps)
+                netted: set = set()
                 if t in adds:
                     # a remove can target a path ADDED earlier in this
                     # same chain (commit then takedown between two
                     # checkpoints) — the base-level removes filter never
                     # sees it, so drop it from the accumulated adds here
+                    netted = {f.path for f in adds[t] if f.path in ps_set}
                     adds[t] = [f for f in adds[t] if f.path not in ps_set]
                 removes.setdefault(t, set()).update(ps_set)
+                dr = dk.get("removes_rows", {}).get(t, {})
+                for p in ps_set - netted:  # removals that hit the base
+                    if p in dr:
+                        base_removed_rows[t] = base_removed_rows.get(t, 0) + dr[p]
+                    else:
+                        removed_rows_ok[t] = False
+                removed_rows_ok.setdefault(t, True)
             last = dk
         dm = DeltaManifest(
             version=version,
@@ -580,6 +597,8 @@ class TableStore:
         dm.__dict__["_base_version"] = base_v
         dm.__dict__["_adds"] = adds
         dm.__dict__["_removes"] = removes
+        dm.__dict__["_base_removed_rows"] = base_removed_rows
+        dm.__dict__["_removed_rows_ok"] = removed_rows_ok
         # this version's OWN adds/removes (not the accumulated chain) —
         # the changefeed's per-version fast path
         dm.__dict__["_last_adds"] = {
@@ -591,24 +610,65 @@ class TableStore:
         }
         return dm
 
+    def _put_if_absent(self, path: Path, content: str) -> None:
+        """Create ``path`` with ``content`` iff it does not already exist.
+
+        POSIX implementation: ``open(..., "x")`` (O_CREAT|O_EXCL).  On an
+        object store, override this one method with the backend's
+        conditional PUT (S3 ``If-None-Match: *``, GCS
+        ``ifGenerationMatch=0``, Azure ``If-None-Match``) — every
+        optimistic-concurrency decision in the store funnels through
+        here, so swapping the backend swaps the whole commit protocol.
+        Raises :class:`FileExistsError` when another writer won."""
+        with open(path, "x") as f:
+            f.write(content)
+
+    def _claim_version(self, version: int, fmt: str) -> None:
+        """Serialize version claims through a SINGLE per-version file.
+
+        The r9 guard O_EXCL-created the format-specific manifest file and
+        cross-checked the *other* format's name first — a check-then-create
+        across two filenames, so a delta writer and a checkpoint writer
+        racing on the same version could both pass their existence checks
+        and both create their (different) files; ``manifest_at`` prefers
+        ``v{N}.json``, silently dropping the delta commit's fragments
+        (lost update — ADVICE r9).  Both swap paths now claim
+        ``v{N}.claim`` through one conditional-put before writing either
+        format, so exactly one writer per version wins regardless of
+        which format each side is writing."""
+        mdir = self.root / "_manifests"
+        try:
+            self._put_if_absent(mdir / f"v{version:06d}.claim", fmt)
+        except FileExistsError as exc:
+            raise RuntimeError(
+                f"concurrent commit detected: manifest version {version} "
+                "already claimed by another writer (lost-update guard)"
+            ) from exc
+
     def _swap(self, manifest: Manifest) -> None:
         """Write the manifest then atomically advance the CURRENT pointer
         (POSIX rename; conditional-put on an object store).
 
-        Optimistic concurrency: the manifest file for this version is
-        created with O_EXCL — if another writer already claimed the same
-        version number, the create fails and the commit raises instead of
-        silently dropping the other writer's fragments (lost update).
-        The engine's design is single-writer ingest (like the reference's
-        one ingester task); this guard turns an accidental second writer
-        into a loud error, mirroring a conditional-put conflict."""
+        Optimistic concurrency: the version is claimed via
+        :meth:`_claim_version` (one shared claim file for BOTH the
+        checkpoint and delta formats) — if another writer already claimed
+        the same version number, the claim fails and the commit raises
+        instead of silently dropping the other writer's fragments (lost
+        update).  The engine's design is single-writer ingest (like the
+        reference's one ingester task); this guard turns an accidental
+        second writer into a loud error, mirroring a conditional-put
+        conflict."""
         mdir = self.root / "_manifests"
         mpath = mdir / f"v{manifest.version:06d}.json"
+        # belt: a format file written OUTSIDE the claim protocol (crash
+        # leftover from the pre-claim layout, manual surgery) still
+        # collides loudly before we claim
         if (mdir / f"v{manifest.version:06d}.delta.json").exists():
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{manifest.version} "
                 "already exists as a delta (another writer advanced the store)"
             )
+        self._claim_version(manifest.version, "checkpoint")
         d = manifest.to_json()
         fmt = self.manifest_format
         if fmt == "auto":
@@ -624,8 +684,7 @@ class TableStore:
             d["tables"] = {}
             d["tables_pq"] = pq_rel
         try:
-            with open(mpath, "x") as f:
-                f.write(json.dumps(d, indent=1))
+            self._put_if_absent(mpath, json.dumps(d, indent=1))
         except FileExistsError as exc:
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{manifest.version} "
@@ -664,23 +723,25 @@ class TableStore:
 
     def _swap_delta(self, delta: dict) -> None:
         """Log-structured manifest swap: write one O(changed)-sized delta
-        record then advance CURRENT — same O_EXCL optimistic-concurrency
-        guard as :meth:`_swap`, extended to the checkpoint file name so
-        a delta writer and a checkpoint writer racing on the same
-        version also collide loudly.  Used by commit/set_status (adds
-        only) and, since r9, by delete/upsert on projection-free tables
-        (adds + removes + the op_info the changefeed replays)."""
+        record then advance CURRENT — the same :meth:`_claim_version`
+        conditional-put guard as :meth:`_swap` (one shared per-version
+        claim file), so a delta writer and a checkpoint writer racing on
+        the same version collide loudly instead of both landing (ADVICE
+        r9 lost-update fix).  Used by commit/set_status (adds only) and,
+        since r9, by delete/upsert on projection-free tables (adds +
+        removes + the op_info the changefeed replays)."""
         mdir = self.root / "_manifests"
         version = delta["version"]
+        # belt: files written outside the claim protocol still collide
         if (mdir / f"v{version:06d}.json").exists():
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{version} already "
                 "exists as a checkpoint (another writer advanced the store)"
             )
+        self._claim_version(version, "delta")
         dpath = mdir / f"v{version:06d}.delta.json"
         try:
-            with open(dpath, "x") as f:
-                f.write(json.dumps(delta, indent=1))
+            self._put_if_absent(dpath, json.dumps(delta, indent=1))
         except FileExistsError as exc:
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{version} "
@@ -1097,6 +1158,7 @@ class TableStore:
         new_frags: list[Fragment] = []
         rewritten_frags: list[Fragment] = []
         replaced: dict[str, str | None] = {}  # old base path -> new (None = emptied)
+        removed_rows: dict[str, int] = {}  # old path -> its manifest row count
         stats = {
             "candidates": 0,
             "rewritten": 0,
@@ -1128,6 +1190,7 @@ class TableStore:
             stats["deleted_rows"] += hits[frag.path]
             rewritten = new_by_old[frag.path]
             replaced[frag.path] = rewritten.path if rewritten is not None else None
+            removed_rows[frag.path] = frag.rows
             if rewritten is not None:
                 rewritten.derived = True  # rewrite: no first-seen rows
                 new_frags.append(rewritten)
@@ -1152,6 +1215,7 @@ class TableStore:
                         table: [f.to_json() for f in rewritten_frags]
                     },
                     "removes": {table: sorted(replaced)},
+                    "removes_rows": {table: removed_rows},
                 }
             )
             return stats
@@ -1328,6 +1392,7 @@ class TableStore:
         new_frags: list[Fragment] = []
         rewritten_frags: list[Fragment] = []
         replaced: dict[str, str | None] = {}
+        removed_rows: dict[str, int] = {}
         frags = self.fragments_for(table, manifest=m)
         # ONE list-probe per fragment (the dict/bloom tiers take IN-list
         # probes natively: "keep if ANY key might be present") — probing
@@ -1353,6 +1418,7 @@ class TableStore:
             stats["replaced_rows"] += hits[frag.path]
             rewritten = new_by_old[frag.path]
             replaced[frag.path] = rewritten.path if rewritten is not None else None
+            removed_rows[frag.path] = frag.rows
             if rewritten is not None:
                 rewritten.derived = True
                 new_frags.append(rewritten)
@@ -1387,6 +1453,7 @@ class TableStore:
                     "schemas": schemas,
                     "adds": {table: [f.to_json() for f in delta_adds]},
                     "removes": {table: sorted(replaced)},
+                    "removes_rows": {table: removed_rows},
                 }
             )
             return stats
@@ -1912,13 +1979,21 @@ class TableStore:
         if (
             isinstance(m, DeltaManifest)
             and m.__dict__.get("_hydrated") is None
-            and not m.__dict__["_removes"].get(table)
+            and (
+                not m.__dict__["_removes"].get(table)
+                or m.__dict__["_removed_rows_ok"].get(table, True)
+            )
         ):
-            # base checkpoint count (columnar when lazy) + delta adds;
-            # a removing delta (none exist today — structural ops
-            # checkpoint) would fall through to the hydrated sum
-            return self.table_rows(table, manifest=m.__dict__["_base"]) + sum(
-                f.rows for f in m.__dict__["_adds"].get(table, [])
+            # base checkpoint count (columnar when lazy) + delta adds −
+            # delta-recorded removed rows: removing deltas (delete/
+            # upsert since r9) carry each removed fragment's row count
+            # in `removes_rows`, so the /stats fast path stays O(tail)
+            # through takedowns (ADVICE r9).  Only a pre-r10 removing
+            # delta without the map falls through to the hydrated sum.
+            return (
+                self.table_rows(table, manifest=m.__dict__["_base"])
+                + sum(f.rows for f in m.__dict__["_adds"].get(table, []))
+                - m.__dict__["_base_removed_rows"].get(table, 0)
             )
         if isinstance(m, LazyManifest) and m.__dict__.get("_hydrated") is None:
             import pyarrow.compute as pc
@@ -2637,8 +2712,16 @@ class TableStore:
         ``keep_manifests`` bounds metadata growth: every commit writes a
         new manifest version; all but the newest N (and CURRENT) are
         deleted.  Old versions exist only for debugging/time-travel —
-        correctness needs just CURRENT."""
+        correctness needs just CURRENT, which is why ``keep_manifests``
+        must be >= 1: 0 would delete CURRENT's own manifest and brick
+        the store (ADVICE r9)."""
         import time as _time
+
+        if keep_manifests < 1:
+            raise ValueError(
+                f"keep_manifests must be >= 1 (got {keep_manifests}): "
+                "retaining fewer would delete the CURRENT manifest"
+            )
 
         m = self.current_manifest()
         live = {f.path for frags in m.tables.values() for f in frags}
@@ -2675,7 +2758,7 @@ class TableStore:
                 continue
             files.setdefault(ver, []).append(p)
         order = sorted(files)
-        keep = set(order[-keep_manifests:]) if keep_manifests > 0 else set()
+        keep = set(order[-keep_manifests:])
         # a retained log-structured version resolves as checkpoint +
         # delta tail, so its whole chain must outlive it: pull each kept
         # delta's base checkpoint and intermediate deltas into the keep
@@ -2694,10 +2777,15 @@ class TableStore:
             if v not in keep:
                 for p in paths:
                     p.unlink(missing_ok=True)
-        # parquet fraglist sidecars live and die with their JSON version
-        # (also reclaims orphans from a lost concurrent-commit race)
+        # parquet fraglist sidecars and per-version claim files live and
+        # die with their JSON version (also reclaims orphans from a lost
+        # concurrent-commit race)
         kept = {p.stem for p in mdir.glob("v*.json")}
+        kept_plain = {s.split(".")[0] for s in kept}
         for fp in mdir.glob("frags-v*.parquet"):
             if fp.name[len("frags-"):-len(".parquet")] not in kept:
                 fp.unlink(missing_ok=True)
+        for cp in mdir.glob("v*.claim"):
+            if cp.stem not in kept_plain:
+                cp.unlink(missing_ok=True)
         return removed

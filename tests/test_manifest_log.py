@@ -198,9 +198,94 @@ def test_concurrent_writers_collide_loudly(spark, tmp_path):
     (mdir / f"v{v_next:06d}.delta.json").write_text("{}")
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store._swap(Manifest(version=v_next))
-    # and a delta-delta race collides on O_EXCL
+    # and a delta-delta race collides on the claim
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store.commit({"pts": _batch(spark, 5)})
+
+
+def test_two_writer_race_serialized_by_claim(spark, tmp_path):
+    """ADVICE r9 (medium): the old guard was check-then-create across
+    TWO filenames — a delta writer and a checkpoint writer racing on the
+    same version could both pass their existence checks and both
+    O_EXCL-create their (different) files; manifest_at prefers
+    v{N}.json, so the delta commit's fragments were silently lost.  The
+    claim file serializes both paths: this test drives the exact
+    interleaving (both existence checks pass, then both writers reach
+    the conditional put) and asserts exactly one winner, a loud error
+    for the loser, and no orphan format file from the loser."""
+    store_a = _mk(spark, tmp_path / "s", checkpoint_interval=100)
+    _commit_n(spark, store_a, 2)  # v1 ckpt, v2 delta — next is v3 delta
+    store_b = TableStore(spark, tmp_path / "s", bloom_columns={},
+                         dict_columns={}, checkpoint_interval=100)
+    v_next = store_a.current_manifest().version + 1
+    mdir = store_a.root / "_manifests"
+
+    # interleave: writer B (a full-checkpoint swap) performs its claim
+    # *between* writer A's existence check and A's claim, by hooking
+    # A's _put_if_absent.  Under the pre-claim protocol both writers
+    # would land (A's .delta.json never collides with B's .json).
+    real_put = TableStore._put_if_absent
+    fired = []
+
+    def hooked(self, path, content):
+        if not fired and path.suffix == ".claim":
+            fired.append(True)
+            # B sneaks in first with a checkpoint at the same version
+            store_b._swap(Manifest(
+                version=v_next,
+                tables=store_b.current_manifest().tables,
+                txns=dict(store_b.current_manifest().txns),
+                schemas=dict(store_b.current_manifest().schemas),
+                projections=dict(store_b.current_manifest().projections),
+            ))
+        return real_put(self, path, content)
+
+    store_a._put_if_absent = hooked.__get__(store_a)
+    with pytest.raises(RuntimeError, match="claimed by another writer"):
+        store_a.commit({"pts": _batch(spark, 7)})
+    # exactly one format file exists for v_next: B's checkpoint
+    assert (mdir / f"v{v_next:06d}.json").exists()
+    assert not (mdir / f"v{v_next:06d}.delta.json").exists()
+    # the winning commit is the one readers resolve — no silent loss
+    assert store_a.manifest_at(v_next).version == v_next
+    # the mirror race (checkpoint loser, delta winner) also errs loudly
+    fired.clear()
+
+    def hooked2(self, path, content):
+        if not fired and path.suffix == ".claim":
+            fired.append(True)
+            store_b.set_status({"racer": 1})  # delta swap claims v_next+1
+        return real_put(self, path, content)
+
+    store_a._put_if_absent = hooked2.__get__(store_a)
+    with pytest.raises(RuntimeError, match="claimed by another writer"):
+        store_a._swap(Manifest(version=v_next + 1))
+    assert (mdir / f"v{v_next + 1:06d}.delta.json").exists()
+    assert not (mdir / f"v{v_next + 1:06d}.json").exists()
+
+
+def test_vacuum_rejects_zero_keep_manifests(spark, tmp_path):
+    """ADVICE r9: keep_manifests=0 used to compute keep=set() and delete
+    every manifest including CURRENT's, bricking the store."""
+    store = _mk(spark, tmp_path / "s")
+    _commit_n(spark, store, 2)
+    with pytest.raises(ValueError, match="keep_manifests must be >= 1"):
+        store.vacuum(keep_manifests=0)
+    with pytest.raises(ValueError, match="keep_manifests must be >= 1"):
+        store.vacuum(keep_manifests=-3)
+    # the store is untouched and still readable
+    assert store.read("pts").count() == 20
+
+
+def test_vacuum_reclaims_claim_files_with_versions(spark, tmp_path):
+    store = _mk(spark, tmp_path / "s", checkpoint_interval=2)
+    _commit_n(spark, store, 6)
+    mdir = store.root / "_manifests"
+    assert (mdir / "v000002.claim").exists()
+    store.vacuum(keep_manifests=2)
+    kept_json = {int(p.name[1:7]) for p in mdir.glob("v*.json")}
+    kept_claims = {int(p.name[1:7]) for p in mdir.glob("v*.claim")}
+    assert kept_claims == kept_json  # claims live and die with versions
 
 
 def test_set_status_writes_o1_delta(spark, tmp_path):
@@ -314,7 +399,8 @@ def test_delete_and_upsert_ride_deltas_without_projections(spark, tmp_path):
     assert d6["op"] == "upsert" and set(d6["op_info"]["values"]) == {301, 999}
     got = {r["id"]: r["addr"] for r in store.read("pts").collect()}
     assert got[301] == "0xNEW" and got[999] == "0xQQ" and len(got) == 40
-    # table_rows falls back to the hydrated sum when removes exist
+    # table_rows stays metadata-only through the removing tail (the
+    # deltas carry removes_rows since r10 — ADVICE r9)
     assert store.table_rows("pts") == 40
 
     # changefeed with deletes across the all-delta window (fast path):
@@ -337,6 +423,43 @@ def test_delete_and_upsert_ride_deltas_without_projections(spark, tmp_path):
     dels = {(r["id"], r["_commit_version"]) for r in rows
             if r["_change_type"] == "delete"}
     assert dels == {(205, 5), (301, 6)}
+
+
+def test_table_rows_stays_unhydrated_through_removing_tail(spark, tmp_path):
+    """ADVICE r9: table_rows used to hydrate the full fragment list
+    O(total fragments) whenever the delta tail contained a takedown,
+    undermining the /stats manifest-only fast path.  Removing deltas
+    now record each removed fragment's row count (`removes_rows`), so
+    the count is base + adds − removed — O(tail) arithmetic, never
+    touching the base fragment list."""
+    store = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    _commit_n(spark, store, 4)
+    # removals against BASE fragments (batch 0 rows) and chain adds
+    store.delete_equals("pts", "id", 3)          # base frag rewrite
+    batch = spark.createDataFrame([(205, "0xUP", 900)], SCHEMA)
+    store.upsert("pts", batch, "id")              # chain frag rewrite
+    m = store.current_manifest()
+    assert isinstance(m, DeltaManifest)
+    assert m.__dict__["_removes"].get("pts")      # tail has takedowns
+    assert store.table_rows("pts", manifest=m) == 39
+    # the count never hydrated the DeltaManifest's merged table list
+    assert m.__dict__.get("_hydrated") is None
+    # a pre-r10 removing delta (no removes_rows) falls back, correctly
+    # — strip the map from the DELETE delta (v5), whose removal hits
+    # the base (the upsert's removal is chain-internal and netted from
+    # the accumulated adds, so it never needs the map)
+    mdir = store.root / "_manifests"
+    v = m.version
+    d = json.loads((mdir / f"v{v - 1:06d}.delta.json").read_text())
+    assert d["op"] == "delete"
+    del d["removes_rows"]
+    (mdir / f"v{v - 1:06d}.delta.json").write_text(json.dumps(d))
+    m2 = store.manifest_at(v)
+    assert m2.__dict__["_removed_rows_ok"].get("pts") is False
+    assert store.table_rows("pts", manifest=m2) == 39  # hydrated sum
+    # exactness after vacuum-and-reopen too (pure file-state protocol)
+    reopened = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    assert reopened.table_rows("pts") == 39
 
 
 def test_structural_delta_gated_off_by_projections(spark, tmp_path):
