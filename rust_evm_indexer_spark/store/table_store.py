@@ -349,6 +349,43 @@ class DeltaManifest(Manifest):
         self.__dict__["_hydrated"] = v if v else None
 
 
+def _apply_projection_updates(proj_state: dict, updates: dict) -> dict:
+    """Apply O(touched) projection updates to one table's projection
+    dict (pure): rename/drop covered base paths via ``covers_map`` and
+    swap rewritten projection fragments.  Shared by the checkpoint
+    materialization and the delta-chain resolution in ``manifest_at``,
+    so both swap formats produce the same projection state by
+    construction (VERDICT r9 item 2)."""
+    new_state = dict(proj_state)
+    for name, ch in updates.items():
+        proj = new_state[name]
+        cm = ch["covers_map"]
+        rm = set(ch["pfrags_remove"])
+        new_state[name] = {
+            "cluster_by": list(proj["cluster_by"]),
+            "layout": proj.get("layout", "range"),
+            "covers": [
+                cm.get(p, p) for p in proj["covers"]
+                if cm.get(p, p) is not None
+            ],
+            "fragments": [f for f in proj["fragments"] if f.path not in rm]
+            + list(ch["pfrags_add"]),
+        }
+    return new_state
+
+
+def _proj_updates_to_json(updates: dict) -> dict:
+    """Serialize one table's projection updates into a delta record."""
+    return {
+        name: {
+            "covers_map": ch["covers_map"],
+            "pfrags_remove": ch["pfrags_remove"],
+            "pfrags_add": [f.to_json() for f in ch["pfrags_add"]],
+        }
+        for name, ch in updates.items()
+    }
+
+
 def _evolve_schema(old: "T.StructType | None", new: "T.StructType") -> "T.StructType":
     """Additive schema evolution (the Delta ``mergeSchema`` contract):
     new columns append as NULLABLE; a type change on an existing column
@@ -556,6 +593,9 @@ class TableStore:
         # to hydration there only.
         base_removed_rows: dict[str, int] = {}
         removed_rows_ok: dict[str, bool] = {}
+        # projection updates carried by takedown deltas (r10): applied
+        # IN ORDER over the base checkpoint's projection state below
+        proj_updates: list[tuple[str, dict]] = []
         last = head
         for k in range(base_v + 1, version + 1):
             dk = (
@@ -583,7 +623,32 @@ class TableStore:
                     else:
                         removed_rows_ok[t] = False
                 removed_rows_ok.setdefault(t, True)
+            for t, per_proj in dk.get("projections_delta", {}).items():
+                proj_updates.append((
+                    t,
+                    {
+                        name: {
+                            "covers_map": ch["covers_map"],
+                            "pfrags_remove": ch["pfrags_remove"],
+                            "pfrags_add": [
+                                Fragment(**fj) for fj in ch["pfrags_add"]
+                            ],
+                        }
+                        for name, ch in per_proj.items()
+                    },
+                ))
             last = dk
+        projections = base.projections
+        if proj_updates:
+            # copy-on-write resolution of the chain's projection deltas
+            # (in commit order) — the manifest WRITE stayed O(touched);
+            # this in-memory application is O(projection state), paid
+            # only at resolution and only when takedowns touched one
+            projections = {t: dict(ps) for t, ps in base.projections.items()}
+            for t, updates in proj_updates:
+                projections[t] = _apply_projection_updates(
+                    projections.get(t, {}), updates
+                )
         dm = DeltaManifest(
             version=version,
             txns=dict(last.get("txns", {})),
@@ -591,7 +656,7 @@ class TableStore:
             op=last.get("op"),
             op_info=last.get("op_info"),
             schemas=dict(last.get("schemas", {})),
-            projections=base.projections,
+            projections=projections,
         )
         dm.__dict__["_base"] = base
         dm.__dict__["_base_version"] = base_v
@@ -710,15 +775,17 @@ class TableStore:
 
     def _structural_delta_ok(self, m: Manifest, table: str) -> bool:
         """True when a delete/upsert may ride the log-structured path
-        (r9): log mode on, an anchored base (v>0), a chain slot free,
-        and NO projections on the table — a projection purge rewrites
-        projection state, which lives only in checkpoints, so those
-        operations keep the full swap."""
+        (r9): log mode on, an anchored base (v>0), and a chain slot
+        free.  Since r10 projections no longer gate this off — takedown
+        deltas carry the projection fragment-set changes in
+        ``projections_delta`` (O(touched)), so the one table shape
+        you'd index heavily (logs + address projection) keeps O(batch)
+        manifest writes on its compliance path too (VERDICT r9
+        item 2)."""
         return (
             self.log_commits
             and m.version > 0
             and self._delta_chain_len(m) <= self.checkpoint_interval
-            and not m.projections.get(table)
         )
 
     def _swap_delta(self, delta: dict) -> None:
@@ -1197,27 +1264,38 @@ class TableStore:
                 rewritten_frags.append(rewritten)
         if stats["rewritten"] == 0:
             return stats  # nothing changed — don't burn a version
+        # projection replicas rewrite BEFORE the swap decision — both
+        # formats consume the same O(touched) update records
+        proj_updates = self._takedown_projection_updates(
+            m, table, replaced, pred,
+            {column: probe} if prune else None, stats,
+        )
         if self._structural_delta_ok(m, table):
             # log-structured takedown (r9): the delete knows exactly
             # which fragments it replaced, so the manifest write is
             # O(touched) — removed paths + rewritten survivors in one
-            # delta record; op/op_info ride along for changefeed replay
-            self._swap_delta(
-                {
-                    "version": m.version + 1,
-                    "base": self._delta_base(m),
-                    "op": "delete",
-                    "op_info": op_info,
-                    "txns": dict(m.txns),
-                    "status": m.status,
-                    "schemas": dict(m.schemas),
-                    "adds": {
-                        table: [f.to_json() for f in rewritten_frags]
-                    },
-                    "removes": {table: sorted(replaced)},
-                    "removes_rows": {table: removed_rows},
+            # delta record; op/op_info ride along for changefeed
+            # replay; since r10 projection fragment-set changes ride
+            # the same record
+            delta = {
+                "version": m.version + 1,
+                "base": self._delta_base(m),
+                "op": "delete",
+                "op_info": op_info,
+                "txns": dict(m.txns),
+                "status": m.status,
+                "schemas": dict(m.schemas),
+                "adds": {
+                    table: [f.to_json() for f in rewritten_frags]
+                },
+                "removes": {table: sorted(replaced)},
+                "removes_rows": {table: removed_rows},
+            }
+            if proj_updates:
+                delta["projections_delta"] = {
+                    table: _proj_updates_to_json(proj_updates)
                 }
-            )
+            self._swap_delta(delta)
             return stats
         new = Manifest(
             version=m.version + 1,
@@ -1230,38 +1308,63 @@ class TableStore:
             projections={t: dict(ps) for t, ps in m.projections.items()},
         )
         new.tables[table] = new_frags
-        for name, proj in dict(new.projections.get(table, {})).items():
+        if proj_updates:
+            new.projections[table] = _apply_projection_updates(
+                new.projections.get(table, {}), proj_updates
+            )
+        self._swap(new)
+        return stats
+
+    def _takedown_projection_updates(
+        self,
+        m: Manifest,
+        table: str,
+        replaced: dict[str, str | None],
+        pred,
+        prune_probe: dict[str, Any] | None,
+        stats: dict,
+    ) -> dict[str, dict]:
+        """Rewrite the projection fragments a delete/upsert touches and
+        return O(touched) update records: per touched projection, the
+        covered-path renames (``covers_map`` = ``replaced`` restricted
+        to its coverage) and the projection-fragment swaps.  Both swap
+        formats consume this — the checkpoint path materializes the new
+        projection entry via :func:`_apply_projection_updates`, the
+        delta path serializes the updates into ``projections_delta``
+        (r10: projected tables ride the log too)."""
+        from pyspark.sql import functions as F
+
+        out: dict[str, dict] = {}
+        for name, proj in (m.projections.get(table) or {}).items():
             if not any(p in replaced for p in proj["covers"]):
                 continue  # projection covers only untouched fragments
-            new_covers = [
-                replaced.get(p, p) for p in proj["covers"]
-                if replaced.get(p, p) is not None
-            ]
-            new_pfrags: list[Fragment] = []
+            covers_map = {
+                p: replaced[p] for p in proj["covers"] if p in replaced
+            }
+            pfrags_remove: list[str] = []
+            pfrags_add: list[Fragment] = []
             for pf in proj["fragments"]:
-                if prune and not self._frag_keeps(pf, {column: probe}):
-                    new_pfrags.append(pf)
-                    continue
+                if prune_probe is not None and not self._frag_keeps(
+                    pf, prune_probe
+                ):
+                    continue  # index tiers prove this tile clean
                 pdf = self.spark.read.parquet(str(self.root / pf.path))
                 if pdf.filter(pred).count() == 0:
-                    new_pfrags.append(pf)
                     continue
                 stats["projection_fragments_rewritten"] += 1
                 pkept = self._rewrite_projection_fragment(
                     table, name, proj["cluster_by"][0],
                     pdf.filter(~F.coalesce(pred, F.lit(False))),
                 )
+                pfrags_remove.append(pf.path)
                 if pkept is not None:
-                    new_pfrags.append(pkept)
-            new.projections[table] = dict(new.projections[table])
-            new.projections[table][name] = {
-                "cluster_by": list(proj["cluster_by"]),
-                "layout": proj.get("layout", "range"),
-                "covers": new_covers,
-                "fragments": new_pfrags,
+                    pfrags_add.append(pkept)
+            out[name] = {
+                "covers_map": covers_map,
+                "pfrags_remove": pfrags_remove,
+                "pfrags_add": pfrags_add,
             }
-        self._swap(new)
-        return stats
+        return out
 
     def _rewrite_projection_fragment(
         self, table: str, name: str, key_column: str, df: DataFrame
@@ -1428,11 +1531,19 @@ class TableStore:
             new_frags.append(batch_frag)
         elif stats["rewritten"] == 0:
             return stats  # empty batch, nothing matched: don't burn a version
+        # projection replicas rewrite BEFORE the swap decision — both
+        # formats consume the same O(touched) update records (the new
+        # batch fragment is NOT covered: it lands as projection lag,
+        # drained by refresh_projection, same as a commit's)
+        proj_updates = self._takedown_projection_updates(
+            m, table, replaced, pred,
+            {key_col: keys} if prune else None, stats,
+        )
         if self._structural_delta_ok(m, table):
             # log-structured MERGE (r9): superseded fragment paths out,
             # rewritten survivors + the batch fragment in — O(touched)
             # manifest write; schema evolution rides the delta like a
-            # commit's
+            # commit's; since r10 projection changes ride it too
             schemas = dict(m.schemas)
             schemas[table] = _evolve_schema(
                 self._read_schema(m, table), df.schema
@@ -1440,22 +1551,25 @@ class TableStore:
             delta_adds = list(rewritten_frags)
             if batch_frag is not None:
                 delta_adds.append(batch_frag)
-            self._swap_delta(
-                {
-                    "version": m.version + 1,
-                    "base": self._delta_base(m),
-                    "op": "upsert",
-                    "op_info": {
-                        "table": table, "column": key_col, "values": keys
-                    },
-                    "txns": dict(m.txns),
-                    "status": m.status,
-                    "schemas": schemas,
-                    "adds": {table: [f.to_json() for f in delta_adds]},
-                    "removes": {table: sorted(replaced)},
-                    "removes_rows": {table: removed_rows},
+            delta = {
+                "version": m.version + 1,
+                "base": self._delta_base(m),
+                "op": "upsert",
+                "op_info": {
+                    "table": table, "column": key_col, "values": keys
+                },
+                "txns": dict(m.txns),
+                "status": m.status,
+                "schemas": schemas,
+                "adds": {table: [f.to_json() for f in delta_adds]},
+                "removes": {table: sorted(replaced)},
+                "removes_rows": {table: removed_rows},
+            }
+            if proj_updates:
+                delta["projections_delta"] = {
+                    table: _proj_updates_to_json(proj_updates)
                 }
-            )
+            self._swap_delta(delta)
             return stats
         new = Manifest(
             version=m.version + 1,
@@ -1470,36 +1584,10 @@ class TableStore:
         evolved = _evolve_schema(self._read_schema(m, table), df.schema)
         new.schemas[table] = evolved.jsonValue()
         new.tables[table] = new_frags
-        for name, proj in dict(new.projections.get(table, {})).items():
-            if not any(p in replaced for p in proj["covers"]):
-                continue
-            new_covers = [
-                replaced.get(p, p) for p in proj["covers"]
-                if replaced.get(p, p) is not None
-            ]
-            new_pfrags: list[Fragment] = []
-            for pf in proj["fragments"]:
-                if prune and not self._frag_keeps(pf, {key_col: keys}):
-                    new_pfrags.append(pf)
-                    continue
-                pdf = self.spark.read.parquet(str(self.root / pf.path))
-                if pdf.filter(pred).count() == 0:
-                    new_pfrags.append(pf)
-                    continue
-                stats["projection_fragments_rewritten"] += 1
-                pkept = self._rewrite_projection_fragment(
-                    table, name, proj["cluster_by"][0],
-                    pdf.filter(~F.coalesce(pred, F.lit(False))),
-                )
-                if pkept is not None:
-                    new_pfrags.append(pkept)
-            new.projections[table] = dict(new.projections[table])
-            new.projections[table][name] = {
-                "cluster_by": list(proj["cluster_by"]),
-                "layout": proj.get("layout", "range"),
-                "covers": new_covers,
-                "fragments": new_pfrags,
-            }
+        if proj_updates:
+            new.projections[table] = _apply_projection_updates(
+                new.projections.get(table, {}), proj_updates
+            )
         self._swap(new)
         return stats
 

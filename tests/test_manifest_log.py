@@ -462,20 +462,63 @@ def test_table_rows_stays_unhydrated_through_removing_tail(spark, tmp_path):
     assert reopened.table_rows("pts") == 39
 
 
-def test_structural_delta_gated_off_by_projections(spark, tmp_path):
-    """A table WITH projections keeps checkpoint semantics for
-    delete/upsert (the projection purge rewrites projection state,
-    which lives only in checkpoints) — the compliance contract is
-    unchanged."""
+def test_delete_and_upsert_ride_deltas_WITH_projections(spark, tmp_path):
+    """VERDICT r9 item 2 (replaces the r9 projection-gate test): a
+    table WITH projections now rides the log-structured path for
+    delete/upsert — the delta record carries the projection
+    fragment-set changes (``projections_delta``), so the one table
+    shape you'd index heavily keeps O(touched) manifest writes on its
+    compliance path.  The purge must reach the projection through the
+    resolved chain: snapshot, projection read, covers renames, time
+    travel, and a checkpoint re-anchoring all agree."""
     store = _mk(spark, tmp_path / "s", checkpoint_interval=20)
     _commit_n(spark, store, 3)
     store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
-    v = store.current_manifest().version
+    v = store.current_manifest().version  # checkpoint (build_projection)
     store.delete_equals("pts", "id", 105)
     mdir = store.root / "_manifests"
-    assert (mdir / f"v{v + 1:06d}.json").exists()  # checkpoint, not delta
-    assert not (mdir / f"v{v + 1:06d}.delta.json").exists()
-    # the purge reached the projection in the same swap
+    # delta, NOT a checkpoint
+    d = json.loads((mdir / f"v{v + 1:06d}.delta.json").read_text())
+    assert not (mdir / f"v{v + 1:06d}.json").exists()
+    assert d["op"] == "delete"
+    pd_ = d["projections_delta"]["pts"]["by_addr"]
+    assert len(pd_["pfrags_remove"]) >= 1  # the purged replica tile
+    assert len(pd_["covers_map"]) == 1     # one covered base path renamed
+    # the purge reached the projection through the resolved chain
     proj = store.read_projection("pts", "by_addr", key_equals="0x0105")
     assert proj.filter(F.col("id") == 105).count() == 0
     assert store.read("pts").count() == 29
+    # projection state is exact: covers renamed to the rewritten base
+    # path, no stale flag, zero lag
+    st = store.stats()["tables"]["pts"]["projections"]["by_addr"]
+    assert st["stale"] is False and st["lag_fragments"] == 0
+    # an upsert delta on the same projected table stacks on the chain
+    batch = spark.createDataFrame([(106, "0xUP", 900)], SCHEMA)
+    store.upsert("pts", batch, "id")
+    d2 = json.loads((mdir / f"v{v + 2:06d}.delta.json").read_text())
+    assert d2["op"] == "upsert" and "projections_delta" in d2
+    got = {r["id"]: r["addr"] for r in store.read("pts").collect()}
+    assert got[106] == "0xUP" and 105 not in got
+    # projection read agrees after BOTH stacked projection deltas
+    assert store.read_projection(
+        "pts", "by_addr", key_equals="0xup"
+    ).count() == 1
+    # time travel to mid-chain resolves the INTERMEDIATE projection
+    # state: v+1 has only the delete's covers rename applied
+    mid = store.manifest_at(v + 1).projections["pts"]["by_addr"]
+    end = store.manifest_at(v + 2).projections["pts"]["by_addr"]
+    assert set(mid["covers"]) != set(end["covers"])
+    base_state = store.manifest_at(v).projections["pts"]["by_addr"]
+    assert set(base_state["covers"]) != set(mid["covers"])
+    # reopen from files alone (pure file-state protocol)
+    reopened = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    assert reopened.read("pts").count() == 29
+    assert reopened.read_projection(
+        "pts", "by_addr", key_equals="0xup"
+    ).count() == 1
+    # a later checkpoint (compact/build) re-anchors with the SAME state
+    reopened.build_projection("pts", "by_addr2", ("addr",), max_fragments=1)
+    assert isinstance(reopened.current_manifest(), Manifest)
+    assert reopened.read_projection(
+        "pts", "by_addr", key_equals="0xup"
+    ).count() == 1

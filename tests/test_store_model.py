@@ -41,7 +41,7 @@ _op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=3, max_size=10))
-def _run_sequence(spark, tmp_path_factory, store_kw, ops):
+def _run_sequence(spark, tmp_path_factory, store_kw, projected, ops):
     store = TableStore(
         spark,
         tmp_path_factory.mktemp("model") / "s",
@@ -51,6 +51,7 @@ def _run_sequence(spark, tmp_path_factory, store_kw, ops):
     )
     model: dict[int, str] = {}
     version = 0
+    proj_built = False
 
     def rows(ids, ver):
         return [(i, f"text-{i}-v{ver}", i) for i in ids]
@@ -88,12 +89,33 @@ def _run_sequence(spark, tmp_path_factory, store_kw, ops):
         elif kind == "compact":
             if model:
                 store.compact("docs", max_fragments=2)
+                if proj_built:
+                    # compaction removes covered fragments → the
+                    # projection goes stale; rebuild it, same as the
+                    # background maintenance job class does
+                    store.build_projection(
+                        "docs", "by_text", ("text",), max_fragments=2
+                    )
         elif kind == "vacuum":
             store.vacuum(keep_manifests=3)
+        if projected and not proj_built and model:
+            store.build_projection(
+                "docs", "by_text", ("text",), max_fragments=2
+            )
+            proj_built = True
         got = {
             r["doc_id"]: r["text"] for r in store.read("docs").collect()
         } if store.current_manifest().tables.get("docs") else {}
         assert got == model, (step, op)
+        if proj_built:
+            # the clustered replica must agree with the model at every
+            # step: delete/upsert purge it IN the same (delta or
+            # checkpoint) swap, commits land as lag the read unions in
+            got_proj = {
+                r["doc_id"]: r["text"]
+                for r in store.read_projection("docs", "by_text").collect()
+            }
+            assert got_proj == model, (step, op, "projection")
 
 
 @pytest.mark.parametrize(
@@ -111,7 +133,27 @@ def test_store_model_random_interleavings(spark, tmp_path_factory, store_kw):
     rewrite are REQUIRED to be observationally identical (delta
     commits interact with upsert/delete/compact checkpoints and
     chain-aware vacuum inside one history here)."""
-    _run_sequence(spark, tmp_path_factory, store_kw)
+    _run_sequence(spark, tmp_path_factory, store_kw, False)
+
+
+@pytest.mark.parametrize(
+    "store_kw",
+    [
+        {},  # delta takedowns carry projections_delta (r10)
+        {"checkpoint_interval": 2},  # chains re-anchor mid-history
+        {"log_commits": False},  # checkpoint-materialized projections
+    ],
+    ids=["log16", "log2", "full"],
+)
+def test_store_model_random_interleavings_projected(
+    spark, tmp_path_factory, store_kw
+):
+    """The same interleavings with a clustered projection on the table
+    (VERDICT r9 item 2): every delete/upsert must purge the replica in
+    the SAME swap — via projections_delta on the log path, via the
+    materialized checkpoint on the full path — and the projection read
+    must agree with the model at every step in all three regimes."""
+    _run_sequence(spark, tmp_path_factory, store_kw, True)
 
 
 def test_store_model_upsert_delete_compact_chain(spark, tmp_path):
