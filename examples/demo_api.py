@@ -49,13 +49,9 @@ def main() -> None:
         spark, client, store, start_block=datagen.START_BLOCK, backoff_base=0.05
     ).run_until_caught_up()
 
-    status_df = spark.createDataFrame(
-        [store.read_status()],
-        "indexer_name string, last_processed_block long, chain_head_at_last_poll long",
-    )
-    api = EvmApi(
-        store.read("blocks"), store.read("transactions"), store.read("logs"), status_df
-    )
+    # store-backed surface (r10): /stats serves from the manifest tier —
+    # exact counts + the inline status row, zero Spark jobs at any size
+    api = EvmApi.from_store(store)
     app = create_app(api)
     threading.Thread(
         target=lambda: app.run(port=PORT, debug=False, use_reloader=False),

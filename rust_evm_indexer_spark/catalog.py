@@ -592,7 +592,8 @@ _COMPACT_DIR = FIXTURE_CACHE / "compact"
 # serve an old layout to both engines (ADVICE r3: param-keyed markers)
 _COMPACT_FIXTURE_KEY = (
     "seed=123 n_blocks=40 max_fragments=2 layout=per-range-fragment "
-    "blooms=v1 txs_snapshot=v1 projection=v1 dicts=v1 zproj=v1"
+    "blooms=v1 txs_snapshot=v1 projection=v1 dicts=v1 zproj=v1 "
+    "blocks_snapshot=v1 status_export=v1"
 )
 
 
@@ -629,6 +630,18 @@ def _ensure_compact_fixture(spark: SparkSession) -> Path:
         # shape the bloom point-lookup entry prunes against
         store.read("transactions").write.mode("overwrite").parquet(
             str(_COMPACT_DIR / "txs_snapshot")
+        )
+        # blocks snapshot + the status row the ingest actually wrote —
+        # the store_stats_manifest oracle recounts/derives ALL five
+        # columns from these exports instead of replaying seeded
+        # geometry as literals (VERDICT r9 item 5)
+        store.read("blocks").write.mode("overwrite").parquet(
+            str(_COMPACT_DIR / "blocks_snapshot")
+        )
+        import json as _json
+
+        (_COMPACT_DIR / "status_export.json").write_text(
+            _json.dumps(store.read_status() or {})
         )
         n_before = store.compact(
             "logs", max_fragments=2, sort_within=("contract_address", "topic0")
@@ -877,15 +890,21 @@ _STORE_STATS_SQL = f"""
        FROM read_parquet('{_COMPACT_DIR}/logs_snapshot/*.parquet')) AS logs_cnt,
       (SELECT COUNT(*)
        FROM read_parquet('{_COMPACT_DIR}/txs_snapshot/*.parquet')) AS txs_cnt,
-      CAST(40 AS BIGINT) AS blocks_cnt,
-      CAST(1000039 AS BIGINT) AS last_processed_block,
-      CAST(0 AS BIGINT) AS ingestion_lag
+      (SELECT COUNT(*)
+       FROM read_parquet('{_COMPACT_DIR}/blocks_snapshot/*.parquet')) AS blocks_cnt,
+      (SELECT CAST(last_processed_block AS BIGINT)
+       FROM read_json_auto('{_COMPACT_DIR}/status_export.json'))
+        AS last_processed_block,
+      (SELECT CAST(chain_head_at_last_poll - last_processed_block AS BIGINT)
+       FROM read_json_auto('{_COMPACT_DIR}/status_export.json'))
+        AS ingestion_lag
 """
-# blocks_cnt / last_processed_block / ingestion_lag are the seeded
-# fixture's known geometry (40 blocks from START_BLOCK=1_000_000,
-# ingested to head): deterministic replay constants like
-# _STORE_CURSOR_BLOCK, while logs_cnt/txs_cnt are genuinely recounted
-# from the snapshots.
+# all five columns are VERIFIED, none replayed: logs/txs/blocks are
+# recounted from snapshots written before compaction, and the
+# checkpoint + lag fields derive from the status row the ingest
+# actually wrote (exported by the fixture like its other artifacts) —
+# a drifted fixture now shifts both engines on every column
+# (VERDICT r9 item 5).
 
 
 @register(
@@ -4188,24 +4207,101 @@ def multimodal_features(spark, sf_dir):
 
 # DuckDB replay of the fake nearest-neighbor byte resampler (ASCII
 # payloads ⇒ byte j == character j+1): identical md5 of identical bytes.
-_MM_RESIZE_SQL = """
-    WITH b AS (SELECT doc_id, text, length(text) AS len FROM documents)
-    SELECT doc_id AS asset_id, 'image/fake' AS media_type,
-           8 AS width, 8 AS height,
-           md5(array_to_string(list_transform(range(0, 64),
-               i -> text[CAST((i * len) // 64 AS INTEGER) + 1]), '')) AS resized_md5
-    FROM b
+def _bilinear_ref_scalar(payload: bytes, src_w: int, tw: int, th: int) -> bytes:
+    """INDEPENDENT scalar pure-Python bilinear resample — the oracle
+    side of ``mm.bilinear_resize_bytes`` (r10 real-resize kernel).  Same
+    half-pixel-centers convention and the same expression structure per
+    tap, so the float64 math agrees bit-for-bit with the vectorized
+    numpy kernel; no numpy, no shared code path."""
+    import math
+
+    b = payload or b"\x00"
+    w = max(1, min(src_w, len(b)))
+    h = max(1, len(b) // w)
+
+    def px(y: int, x: int) -> float:
+        return float(b[y * w + x])
+
+    out = bytearray()
+    for i in range(th):
+        y = min(max((i + 0.5) * (h / th) - 0.5, 0.0), h - 1.0)
+        y0 = int(math.floor(y))
+        y1 = min(y0 + 1, h - 1)
+        fy = y - y0
+        for j in range(tw):
+            x = min(max((j + 0.5) * (w / tw) - 0.5, 0.0), w - 1.0)
+            x0 = int(math.floor(x))
+            x1 = min(x0 + 1, w - 1)
+            fx = x - x0
+            top = px(y0, x0) * (1.0 - fx) + px(y0, x1) * fx
+            bot = px(y1, x0) * (1.0 - fx) + px(y1, x1) * fx
+            v = top * (1.0 - fy) + bot * fy
+            out.append(min(255, max(0, int(math.floor(v + 0.5)))))
+    return bytes(out)
+
+
+_MM_RESIZE_DIR = f"{FIXTURE_CACHE}/bilinear_resize"
+_MM_RESIZE_SQL = f"""
+    SELECT asset_id, 'image/fake' AS media_type,
+           8 AS width, 8 AS height, resized_md5, pixel_sum
+    FROM read_parquet('{_MM_RESIZE_DIR}_sf0.01/oracle.parquet')
 """
 
 
-@register("multimodal_resize", _MM_RESIZE_SQL, tags=("llm", "X-5", "pandas-udf"))
+@register(
+    "multimodal_resize",
+    _MM_RESIZE_SQL,
+    tags=("llm", "X-5", "pandas-udf", "oracle-sf0.01"),
+)
 def multimodal_resize(spark, sf_dir):
-    """Arrow-batched image resize (stub kernel: nearest-neighbor byte
-    resample to 8×8) — binary in/binary out executor-parallel plumbing;
-    catalog output carries the content hash, not the binary."""
+    """Arrow-batched REAL bilinear image resize to 8×8 (r10: pure-numpy
+    kernel inside mapInPandas, payload as 64-wide grayscale) — binary
+    in/binary out executor-parallel plumbing; catalog output carries
+    the content hash + pixel sum, not the binary.  The oracle is an
+    INDEPENDENT scalar pure-Python bilinear over the same documents
+    (no numpy, no Spark), exported per-asset like the simhash
+    signatures — md5 + pixel-sum equality verifies the vectorized
+    kernel tap-for-tap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    src = Path(sf_dir) / "documents.parquet"
+    st = src.stat()
+    src_key = f"{src}:{st.st_size}:{st.st_mtime_ns}|w=64,tw=8,th=8,conv=halfpx-v1"
+    out = Path(f"{_MM_RESIZE_DIR}_{Path(sf_dir).name}")
+    marker = out / "_EXPORTED_FROM"
+    if not (marker.exists() and marker.read_text() == src_key):
+        import hashlib
+
+        tbl = pq_.read_table(src, columns=["doc_id", "text"])
+        ids, md5s, sums = [], [], []
+        for doc_id, text in zip(
+            tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+        ):
+            pix = _bilinear_ref_scalar((text or "").encode("utf-8"), 64, 8, 8)
+            ids.append(doc_id)
+            md5s.append(hashlib.md5(pix).hexdigest())
+            sums.append(sum(pix))
+        out.mkdir(parents=True, exist_ok=True)
+        pq_.write_table(
+            pa.table(
+                {"asset_id": ids, "resized_md5": md5s, "pixel_sum": sums},
+                schema=pa.schema(
+                    [
+                        ("asset_id", pa.int64()),
+                        ("resized_md5", pa.string()),
+                        ("pixel_sum", pa.int64()),
+                    ]
+                ),
+            ),
+            out / "oracle.parquet",
+        )
+        marker.write_text(src_key)
     return mm.resize_images(
         mm.documents_as_assets(_t(spark, sf_dir, "documents")), 8, 8
-    ).select("asset_id", "media_type", "width", "height", "resized_md5")
+    ).select(
+        "asset_id", "media_type", "width", "height", "resized_md5", "pixel_sum"
+    )
 
 
 _MM_FRAMES_SQL = """
@@ -6424,6 +6520,8 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "point_lookup",  # flagship-core
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
+    "store_stats_manifest",  # DIRTY
+    "multimodal_resize",  # DIRTY
     "store_time_travel",  # newest green r6
     "store_projection_logs",  # newest green r7
     "graph_triangle_count",  # newest green r7
@@ -6466,8 +6564,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "lm_stupid_backoff_quad",  # newest green r7
     "corpus_zipf_slope",  # newest green r7
     "corpus_length_histogram",  # newest green r7
-    "corpus_shuffle_shards",  # newest green r7
-    "store_upsert_docs",  # newest green r7
 ]
 
 

@@ -133,8 +133,48 @@ def extract_features(
 
 _RESIZE_OUT_SCHEMA = (
     "asset_id long, media_type string, width int, height int, "
-    "payload binary, resized_md5 string"
+    "payload binary, resized_md5 string, pixel_sum long"
 )
+
+
+def bilinear_resize_bytes(
+    payload: bytes, src_w: int, target_w: int, target_h: int
+) -> bytes:
+    """REAL bilinear resample of a payload treated as an 8-bit grayscale
+    image (r10, replaces the nearest-neighbor stub): row-major ``src_w``
+    pixels wide, height = what the byte length fills (tail partial row
+    truncated; empty payload → one black pixel).  Pure numpy float64
+    with the half-pixel-centers convention (the PIL/OpenCV default,
+    align_corners=False): output pixel (i, j) samples source coordinate
+    ((i+0.5)·h/th − 0.5, (j+0.5)·w/tw − 0.5), clamped, 4-tap
+    interpolated, floor(v + 0.5) to uint8.  The catalog oracle replays
+    this with an INDEPENDENT scalar pure-Python implementation (same
+    expression structure, so IEEE doubles agree bit-for-bit) and
+    compares md5 + pixel sums per asset."""
+    import numpy as np
+
+    b = payload or b"\x00"
+    w = max(1, min(src_w, len(b)))
+    h = max(1, len(b) // w)
+    img = (
+        np.frombuffer(b[: w * h], dtype=np.uint8)
+        .reshape(h, w)
+        .astype(np.float64)
+    )
+    ys = np.clip((np.arange(target_h) + 0.5) * (h / target_h) - 0.5, 0.0, h - 1.0)
+    xs = np.clip((np.arange(target_w) + 0.5) * (w / target_w) - 0.5, 0.0, w - 1.0)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    top = img[y0][:, x0] * (1.0 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1.0 - fx) + img[y1][:, x1] * fx
+    out = top * (1.0 - fy) + bot * fy
+    return (
+        np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8).tobytes()
+    )
 
 
 def resize_images(
@@ -143,31 +183,38 @@ def resize_images(
     target_h: int,
     *,
     deterministic_fake: bool = True,
+    default_src_w: int = 64,
 ) -> DataFrame:
     """Executor-parallel image resize over Arrow batches (mapInPandas).
 
-    Real deployments plug PIL's ``Image.resize`` into the kernel; this
-    container has no codec, so the deterministic fake 'resizes' by
-    nearest-neighbor sampling the payload BYTES to ``target_w*target_h``
-    length — wrong pixels, right plumbing: binary in/binary out, metadata
-    struct updated, batch-shaped, and verifiable via content hash.
+    The kernel is a REAL pure-numpy bilinear resample over the payload
+    as grayscale (``bilinear_resize_bytes``) — source width from the
+    asset's ``meta.width`` (falling back to ``default_src_w``).  A real
+    deployment swaps the grayscale interpretation for a decoded RGB
+    array at the same seam (``decode_image_stub`` is the loud codec
+    boundary); the Spark plumbing — binary in/binary out, metadata
+    struct updated, Arrow batch shape, content-hash verification — is
+    production-real either way.
     """
     from ..util import ensure_package_shipped
 
     ensure_package_shipped(assets.sparkSession)
+    has_meta = "meta" in assets.columns
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        n_out = target_w * target_h
         for pdf in batches:
             outs = []
-            for p in pdf["payload"]:
+            metas = pdf["meta"] if has_meta else [None] * len(pdf)
+            for p, m in zip(pdf["payload"], metas):
                 if not deterministic_fake:
                     decode_image_stub(bytes(p), deterministic_fake=False)
-                b = bytes(p) or b"\x00"
+                src_w = default_src_w
+                if m is not None and m.get("width"):
+                    src_w = int(m["width"])
                 outs.append(
-                    bytes(b[(i * len(b)) // n_out] for i in range(n_out))
+                    bilinear_resize_bytes(bytes(p), src_w, target_w, target_h)
                 )
             yield pd.DataFrame(
                 {
@@ -177,6 +224,7 @@ def resize_images(
                     "height": target_h,
                     "payload": outs,
                     "resized_md5": [hashlib.md5(o).hexdigest() for o in outs],
+                    "pixel_sum": [sum(o) for o in outs],
                 }
             )
 

@@ -100,3 +100,74 @@ def test_docs_page_renders_full_surface(client):
     # air-gap discipline: nothing fetched from a CDN
     assert "http://" not in html and "https://" not in html
     assert "/openapi.json" in html
+
+
+@pytest.fixture(scope="module")
+def store_api(spark, evm, tmp_path_factory):
+    """A TableStore holding the same fixture tables, and the API over it."""
+    from rust_evm_indexer_spark.api import EvmApi
+    from rust_evm_indexer_spark.store import TableStore
+
+    root = tmp_path_factory.mktemp("api_store")
+    store = TableStore(spark, root, bloom_columns={}, dict_columns={})
+    store.commit({
+        "blocks": evm["blocks"],
+        "transactions": evm["transactions"],
+        "logs": evm["logs"],
+    })
+    srow = evm["indexer_status"].first()
+    store.set_status({
+        "indexer_name": srow["indexer_name"],
+        "last_processed_block": srow["last_processed_block"],
+        "chain_head_at_last_poll": srow["chain_head_at_last_poll"],
+    })
+    return EvmApi.from_store(store), store
+
+
+def test_store_backed_stats_launches_no_spark_job(store_api, monkeypatch):
+    """VERDICT r9 item 3: with a TableStore behind the session, /stats
+    must be served ENTIRELY from the manifest tier — table_rows sums +
+    the manifest-inline status row, no DataFrame action of any kind
+    (the reference's always-cheap /stats, src/api.rs:243-258).  Pinned
+    the same way test_plan_hygiene pins the catalog entry: every Spark
+    action entry point is booby-trapped for the duration of the call."""
+    from pyspark.sql import DataFrame
+
+    api, _ = store_api
+
+    def boom(*a, **k):
+        raise AssertionError("store-backed /stats launched a Spark job")
+
+    for action in ("count", "collect", "first", "take", "toPandas", "head"):
+        monkeypatch.setattr(DataFrame, action, boom)
+    body = api.get_stats()
+    assert body["totalLogs"] > 0 and body["totalBlocks"] > 0
+    assert body["ingestionLag"] == body["chainHead"] - body["lastProcessedBlock"]
+
+
+def test_store_backed_stats_shape_matches_scan_path(store_api, evm):
+    """Same response dict — keys AND values — as the scan-path API over
+    the same tables."""
+    from rust_evm_indexer_spark.api import EvmApi
+
+    api, _ = store_api
+    scan_api = EvmApi(
+        evm["blocks"], evm["transactions"], evm["logs"], evm["indexer_status"]
+    )
+    assert api.get_stats() == scan_api.get_stats()
+
+
+def test_store_backed_api_serves_all_endpoints(store_api):
+    """from_store wires the other three endpoints over the store's
+    snapshot frames — full surface parity, not just /stats."""
+    from rust_evm_indexer_spark.api import create_app
+
+    api, _ = store_api
+    app = create_app(api)
+    app.testing = True
+    c = app.test_client()
+    body = c.post("/logs", json={"pageSize": 5}).get_json()
+    assert len(body["logs"]) == 5
+    blk = c.get("/block/1000005")
+    assert blk.status_code == 200
+    assert c.get("/stats").get_json()["totalBlocks"] > 0

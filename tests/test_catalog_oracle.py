@@ -53,6 +53,7 @@ _EXPECTED_OUT_OF_WINDOW = {
     "chunk_documents",  # newest green r9
     "cms_user_frequency",  # newest green r8
     "corpus_report",  # newest green r8
+    "corpus_shuffle_shards",  # newest green r7
     "cube_lineitem",  # newest green r9
     "decontaminate_ngram",  # newest green r9
     "dedup_clusters",  # newest green r9
@@ -88,7 +89,6 @@ _EXPECTED_OUT_OF_WINDOW = {
     "median_per_type",  # newest green r9
     "multimodal_features",  # newest green r8
     "multimodal_frames",  # newest green r9
-    "multimodal_resize",  # newest green r9
     "orders_having",  # newest green r8
     "orders_monthly",  # newest green r9
     "pack_sequences",  # newest green r9
@@ -124,9 +124,9 @@ _EXPECTED_OUT_OF_WINDOW = {
     "store_changefeed_deletes",  # newest green r9
     "store_compacted_logs",  # newest green r9
     "store_logs_cursor_page",  # newest green r8
-    "store_stats_manifest",  # newest green r9
     "store_topic0_dict_logs",  # newest green r8
     "store_tx_bloom_lookup",  # newest green r9
+    "store_upsert_docs",  # newest green r7
     "store_zorder_logs",  # newest green r9
     "text_stats",  # newest green r8
     "token_counts",  # newest green r8

@@ -203,8 +203,54 @@ def test_multimodal_resize_shape_and_determinism(docs):
     for r in out:
         assert len(bytes(r["payload"])) == 64
         assert (r["width"], r["height"]) == (8, 8)
+        assert r["pixel_sum"] == sum(bytes(r["payload"]))
     again = mm.resize_images(assets, 8, 8).collect()
     assert {r["resized_md5"] for r in out} == {r["resized_md5"] for r in again}
+
+
+def test_bilinear_resize_fidelity_hand_computed():
+    """r10 real-resize kernel vs a hand-computed 4×4 → 2×2 case.
+
+    Source (4 wide, 4 tall, row-major):
+        0  10  20  30
+       40  50  60  70
+       80  90 100 110
+      120 130 140 150
+    Half-pixel-centers downscale by 2: output pixel (i, j) samples
+    source coordinate ((i+0.5)·2 − 0.5, (j+0.5)·2 − 0.5) = (0.5, 0.5),
+    (0.5, 2.5), (2.5, 0.5), (2.5, 2.5) — each the exact mean of a 2×2
+    block: (0+10+40+50)/4=25, (20+30+60+70)/4=45, (80+90+120+130)/4=105,
+    (100+110+140+150)/4=125."""
+    src = bytes([0, 10, 20, 30, 40, 50, 60, 70,
+                 80, 90, 100, 110, 120, 130, 140, 150])
+    assert mm.bilinear_resize_bytes(src, 4, 2, 2) == bytes([25, 45, 105, 125])
+    # upscale 2×2 -> 4×4: corners replicate under edge clamping, the
+    # interior interpolates at quarter weights
+    up = mm.bilinear_resize_bytes(bytes([0, 100, 200, 40]), 2, 4, 4)
+    # row 0: x coords clamp to 0, .25, .75, 1 -> 0, 25, 75, 100
+    assert up[:4] == bytes([0, 25, 75, 100])
+    assert up[-4:] == bytes([200, 160, 80, 40])
+    # degenerate inputs keep the contract: empty -> all-black target
+    assert mm.bilinear_resize_bytes(b"", 64, 2, 2) == bytes(4)
+    # identity resize of a single row is the row itself
+    assert mm.bilinear_resize_bytes(bytes([7, 9]), 2, 2, 1) == bytes([7, 9])
+
+
+def test_bilinear_kernel_matches_independent_scalar_reference():
+    """The vectorized numpy kernel and the catalog oracle's scalar
+    pure-Python implementation agree byte-for-byte on arbitrary
+    payload shapes (the float64 expressions are structured
+    identically, so IEEE rounding matches)."""
+    from rust_evm_indexer_spark.catalog import _bilinear_ref_scalar
+
+    import random
+
+    rng = random.Random(10)
+    for n in (0, 1, 7, 63, 64, 65, 257, 4096):
+        payload = bytes(rng.randrange(256) for _ in range(n))
+        for (tw, th) in ((8, 8), (3, 5), (1, 1)):
+            assert mm.bilinear_resize_bytes(payload, 64, tw, th) == \
+                _bilinear_ref_scalar(payload, 64, tw, th), (n, tw, th)
 
 
 def test_multimodal_frame_sampling_explodes_rows(docs):
