@@ -49,3 +49,87 @@ def test_cross_sf_comparison_is_vacuous(tmp_path):
     # a smoke run at another SF must never masquerade as a regression
     rc, out = _run(tmp_path, {"a": 2.0}, {"a": 9.0}, base_sf=0.001)
     assert rc == 0 and "cross-SF" in out
+
+
+def _run_args(tmp_path, base_q, cur_q, *extra):
+    base = tmp_path / "base.json"
+    cur = tmp_path / "cur.json"
+    base.write_text(json.dumps({"sf": 0.1, "queries": base_q}))
+    cur.write_text(json.dumps({"sf": 0.1, "queries": cur_q}))
+    p = subprocess.run(
+        [sys.executable, str(TOOL), "--baseline", str(base),
+         "--current", str(cur), *extra],
+        capture_output=True, text=True,
+    )
+    return p.returncode, p.stdout
+
+
+def _r9_scenario():
+    """The recorded r9 shape: 13 flags at a uniform 1.3-1.5x across
+    disjoint untouched entries, with the rest of the run drifted the
+    same direction (median well above 1.1x)."""
+    import random
+
+    rng = random.Random(9)
+    base, cur = {}, {}
+    for i in range(13):  # the 13 uniform flags
+        t0 = 2.0 + i * 0.5
+        base[f"flag{i}"] = t0
+        cur[f"flag{i}"] = t0 * rng.uniform(1.32, 1.48)
+    for i in range(23):  # the rest: same-direction drift, below 1.3x
+        t0 = 1.5 + i * 0.3
+        base[f"ok{i}"] = t0
+        cur[f"ok{i}"] = t0 * rng.uniform(1.10, 1.28)
+    return base, cur
+
+
+def test_r9_uniform_shift_classified_environmental(tmp_path):
+    """VERDICT r9 item 4: the hand-made adjudication, replayed through
+    the tool — 13 uniform flags + whole-run drift = host-throughput
+    shift.  Exit 3 (not 2) without the explicit acceptance flag."""
+    base, cur = _r9_scenario()
+    rc, out = _run_args(tmp_path, base, cur)
+    assert rc == 3 and "ENVIRONMENTAL SHIFT" in out
+    assert "--accept-environmental" in out
+
+
+def test_environmental_acceptance_passes_gate(tmp_path):
+    base, cur = _r9_scenario()
+    rc, out = _run_args(tmp_path, base, cur, "--accept-environmental")
+    assert rc == 0 and "refreshed baseline" in out
+
+
+def test_single_entry_flag_still_fails_as_regression(tmp_path):
+    """One 1.4x flag on an otherwise-flat run is a real regression —
+    never waved as environmental."""
+    base = {f"ok{i}": 2.0 + i for i in range(20)}
+    cur = {k: v * 1.02 for k, v in base.items()}
+    base["hot"] = 5.0
+    cur["hot"] = 7.0  # 1.4x
+    rc, out = _run_args(tmp_path, base, cur)
+    assert rc == 2 and "STEADY REGRESSIONS" in out and "hot" in out
+    # and acceptance must NOT wave a per-entry regression through
+    rc2, _ = _run_args(tmp_path, base, cur, "--accept-environmental")
+    assert rc2 == 2
+
+
+def test_nonuniform_mass_flags_stay_per_entry(tmp_path):
+    """Many flags whose ratios span widely (1.3x next to 3x) are NOT a
+    uniform host shift — each needs a named cause."""
+    base = {f"e{i}": 3.0 for i in range(10)}
+    cur = {f"e{i}": 3.0 * (1.31 + 0.2 * i) for i in range(10)}
+    rc, out = _run_args(tmp_path, base, cur)
+    assert rc == 2 and "STEADY REGRESSIONS" in out
+
+
+def test_uniform_flags_without_global_drift_stay_per_entry(tmp_path):
+    """Six uniform flags while the other 30 entries are flat: that is a
+    correlated code regression (e.g. one shared operator slowed), not
+    the host — the median-drift corroboration blocks the wave."""
+    base = {f"ok{i}": 2.0 + i * 0.2 for i in range(30)}
+    cur = {k: v * 1.01 for k, v in base.items()}
+    for i in range(6):
+        base[f"flag{i}"] = 4.0
+        cur[f"flag{i}"] = 4.0 * 1.4
+    rc, out = _run_args(tmp_path, base, cur)
+    assert rc == 2 and "STEADY REGRESSIONS" in out

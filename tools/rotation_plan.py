@@ -89,7 +89,18 @@ FLAGSHIP_CORE = [
 # (tests/test_catalog_oracle.py parametrizes the whole CATALOG), and
 # (c) DIRTY slots would displace the r5-stale cohort this window
 # exists to drain.  If either pin had been behavioral, DIRTY wins.
-DIRTY: set[str] = set()
+#
+# Round-10 review: two entries changed BEHAVIORALLY since their r9
+# green and must re-enter the window — multimodal_resize (the
+# nearest-neighbor stub became a real bilinear kernel with a new
+# export-based oracle: both sides changed, the r9 green certifies
+# neither) and store_stats_manifest (the oracle de-constanted per
+# VERDICT r9 item 5: blocks/checkpoint/lag now recounted from fixture
+# exports — the verification itself is new).  The r10 store work
+# (claim-file swap serialization, removes_rows counts, projection
+# deltas) is NOT marked dirty: it changes no catalog entry's query or
+# oracle; its coverage is the manifest-log/model/projection suites.
+DIRTY: set[str] = {"multimodal_resize", "store_stats_manifest"}
 
 
 def _green(rec: dict) -> bool:
