@@ -367,7 +367,10 @@ def _apply_projection_updates(proj_state: dict, updates: dict) -> dict:
             "covers": [
                 cm.get(p, p) for p in proj["covers"]
                 if cm.get(p, p) is not None
-            ],
+            ]
+            # covers_add: a refresh extends coverage over the drained
+            # delta tail (no renames) — absent in takedown records
+            + list(ch.get("covers_add", ())),
             "fragments": [f for f in proj["fragments"] if f.path not in rm]
             + list(ch["pfrags_add"]),
         }
@@ -379,6 +382,7 @@ def _proj_updates_to_json(updates: dict) -> dict:
     return {
         name: {
             "covers_map": ch["covers_map"],
+            "covers_add": list(ch.get("covers_add", ())),
             "pfrags_remove": ch["pfrags_remove"],
             "pfrags_add": [f.to_json() for f in ch["pfrags_add"]],
         }
@@ -629,6 +633,7 @@ class TableStore:
                     {
                         name: {
                             "covers_map": ch["covers_map"],
+                            "covers_add": ch.get("covers_add", []),
                             "pfrags_remove": ch["pfrags_remove"],
                             "pfrags_add": [
                                 Fragment(**fj) for fj in ch["pfrags_add"]
@@ -2383,7 +2388,9 @@ class TableStore:
         proj = m.projections.get(table, {}).get(name)
         if proj is None:
             raise ValueError(f"no projection {table}/{name}")
-        current = m.tables.get(table, [])
+        # per-table listing (columnar prune on a lazy base, tail applied
+        # in memory) — never hydrates the other tables' fragment lists
+        current = self.fragments_for(table, manifest=m)
         covered = set(proj["covers"])
         missing = covered - {f.path for f in current}
         if missing:
@@ -2403,6 +2410,35 @@ class TableStore:
             table, name, df, proj["cluster_by"], max_fragments,
             layout=proj.get("layout", "range"),
         )
+        update = {
+            name: {
+                "covers_map": {},
+                "covers_add": [f.path for f in delta],
+                "pfrags_remove": [],
+                "pfrags_add": frags,
+            }
+        }
+        if self._structural_delta_ok(m, table):
+            # the refresh is the LSM maintenance step that runs on the
+            # ingest cadence (maintain_store), so since r10 it rides
+            # the delta log like the takedowns: one O(drained tail)
+            # record — coverage extension + the new clustered
+            # generation — instead of a full checkpoint per tick
+            self._swap_delta(
+                {
+                    "version": m.version + 1,
+                    "base": self._delta_base(m),
+                    "op": "projection_refresh",
+                    "txns": dict(m.txns),
+                    "status": m.status,
+                    "schemas": dict(m.schemas),
+                    "adds": {},
+                    "projections_delta": {
+                        table: _proj_updates_to_json(update)
+                    },
+                }
+            )
+            return len(frags)
         new = Manifest(
             version=m.version + 1,
             txns=dict(m.txns),
@@ -2412,13 +2448,9 @@ class TableStore:
             schemas=dict(m.schemas),
             projections={t: dict(ps) for t, ps in m.projections.items()},
         )
-        new.projections[table] = dict(new.projections[table])
-        new.projections[table][name] = {
-            "cluster_by": list(proj["cluster_by"]),
-            "layout": proj.get("layout", "range"),
-            "covers": list(proj["covers"]) + [f.path for f in delta],
-            "fragments": list(proj["fragments"]) + frags,
-        }
+        new.projections[table] = _apply_projection_updates(
+            new.projections.get(table, {}), update
+        )
         self._swap(new)
         return len(frags)
 

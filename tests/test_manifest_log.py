@@ -425,6 +425,45 @@ def test_delete_and_upsert_ride_deltas_without_projections(spark, tmp_path):
     assert dels == {(205, 5), (301, 6)}
 
 
+def test_projection_refresh_rides_deltas(spark, tmp_path):
+    """r10: the LSM maintenance step (refresh_projection, run on the
+    ingest cadence by maintain_store) writes one O(drained tail) delta
+    — coverage extension + the new clustered generation — instead of a
+    full checkpoint per tick."""
+    store = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    _commit_n(spark, store, 2)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
+    v = store.current_manifest().version  # build = checkpoint
+    _commit_n(spark, store, 2, start=10)  # lag: 2 uncovered fragments
+    n = store.refresh_projection("pts", "by_addr")
+    assert n >= 1
+    mdir = store.root / "_manifests"
+    d = json.loads((mdir / f"v{v + 3:06d}.delta.json").read_text())
+    assert not (mdir / f"v{v + 3:06d}.json").exists()
+    assert d["op"] == "projection_refresh" and d["adds"] == {}
+    ch = d["projections_delta"]["pts"]["by_addr"]
+    assert len(ch["covers_add"]) == 2 and not ch["covers_map"]
+    assert not ch["pfrags_remove"] and len(ch["pfrags_add"]) == n
+    # resolved state: fully covered, zero lag, reads agree
+    st = store.stats()["tables"]["pts"]["projections"]["by_addr"]
+    assert st["lag_fragments"] == 0 and st["stale"] is False
+    got = sorted(r["id"] for r in
+                 store.read_projection("pts", "by_addr").collect())
+    assert got == sorted(r["id"] for r in store.read("pts").collect())
+    # a second refresh with no lag is a no-op (no version burned)
+    assert store.refresh_projection("pts", "by_addr") == 0
+    assert store.current_manifest().version == v + 3
+    # a takedown delta stacks on the refresh delta in one chain
+    store.delete_equals("pts", "id", 1003)
+    assert (mdir / f"v{v + 4:06d}.delta.json").exists()
+    assert store.read_projection("pts", "by_addr").filter(
+        F.col("id") == 1003
+    ).count() == 0
+    # pure file-state reopen
+    reopened = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    assert reopened.read_projection("pts", "by_addr").count() == 39
+
+
 def test_table_rows_stays_unhydrated_through_removing_tail(spark, tmp_path):
     """ADVICE r9: table_rows used to hydrate the full fragment list
     O(total fragments) whenever the delta tail contained a takedown,
