@@ -2906,6 +2906,19 @@ class TableStore:
             if fp.name[len("frags-"):-len(".parquet")] not in kept:
                 fp.unlink(missing_ok=True)
         for cp in mdir.glob("v*.claim"):
-            if cp.stem not in kept_plain:
-                cp.unlink(missing_ok=True)
+            if cp.stem in kept_plain:
+                continue
+            # an orphan claim (no surviving manifest) is either a
+            # pruned version's leftover or a crashed writer's half
+            # commit — but a LIVE writer sits between claim and
+            # manifest for a moment, so respect the same grace the
+            # fragment reclaim gives in-flight work before freeing the
+            # version for re-claim
+            if grace_seconds > 0:
+                try:
+                    if now - cp.stat().st_mtime < grace_seconds:
+                        continue
+                except OSError:
+                    continue
+            cp.unlink(missing_ok=True)
         return removed

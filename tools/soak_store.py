@@ -83,6 +83,7 @@ def main() -> int:
     next_id = 0
     next_doc = 0
     delta_deletes_seen = 0
+    pts_delta_deletes = 0
     block = 0
     failures: list[str] = []
     bytes_per_row_r1 = None
@@ -120,9 +121,10 @@ def main() -> int:
 
     def changefeed_consumer() -> None:
         """Consume (feed_pos, CURRENT] with deletes for BOTH tables —
-        pts (projection-gated checkpoint deletes) and docs (r9
-        log-structured delta deletes) — applying in version order;
-        exactness is asserted after the final drain."""
+        pts (PROJECTED: takedown deltas carry projections_delta since
+        r10) and docs (projection-free delta deletes, r9) — applying
+        in version order; exactness is asserted after the final
+        drain."""
         while not stop_evt.is_set():
             try:
                 cur = store.current_manifest().version
@@ -198,11 +200,17 @@ def main() -> int:
         gone = rng.sample(sorted(live), TAKEDOWNS_PER_ROUND)
         store.delete_in("pts", "id", gone)
         live.difference_update(gone)
+        # r10: the PROJECTED table's takedowns ride the delta log too
+        # (projections_delta carries the replica purge) whenever a
+        # chain slot is free — count them so the soak proves the new
+        # path runs under concurrent consumers, not just in unit tests
+        mv = store.current_manifest().version
+        if (root / "store" / "_manifests" / f"v{mv:06d}.delta.json").exists():
+            pts_delta_deletes += 1
 
-        # second table, NO projection: its takedowns ride the r9
-        # log-structured path (delete_in writes an O(touched) delta) —
-        # the concurrency case the projection-gated pts table can't
-        # exercise; the changefeed consumer replays both
+        # second table, NO projection: its takedowns rode the delta
+        # path first (r9); kept as the projection-free contrast case —
+        # the changefeed consumer replays both
         drows = [(next_doc + i, block) for i in range(100)]
         store.commit({"docs": spark.createDataFrame(
             drows, "id: long, block_number: long")})
@@ -282,6 +290,9 @@ def main() -> int:
         check(delta_deletes_seen >= ROUNDS // 2,
               f"only {delta_deletes_seen} docs takedowns rode the delta "
               "path — the log-structured delete gate regressed")
+        check(pts_delta_deletes >= ROUNDS // 2,
+              f"only {pts_delta_deletes} PROJECTED-table takedowns rode "
+              "the delta path — the r10 projections_delta gate regressed")
     check(pagination_runs["n"] >= ROUNDS,
           f"only {pagination_runs['n']} consistent pagination runs "
           f"completed (< {ROUNDS}) — reader starved or failing")
@@ -298,6 +309,7 @@ def main() -> int:
         "final_rows": len(live),
         "docs_rows": len(docs_live),
         "delta_takedowns": delta_deletes_seen,
+        "projected_delta_takedowns": pts_delta_deletes,
         "pagination_runs": pagination_runs["n"],
         "changefeed_final_version": feed_pos["v"],
         "wall_sec": wall,
