@@ -177,12 +177,107 @@ def _bench_append(fmt: str, n_frags: int, chain: int = 16) -> dict[str, float]:
     return out
 
 
+def _bench_projected_takedown(fmt: str, n_frags: int) -> dict[str, float]:
+    """Per-takedown MANIFEST cost on a table WITH a projection (the
+    r10 projections_delta path vs the checkpoint it replaced).  Data
+    rewrite cost is identical across regimes and excluded — this
+    isolates what the compliance path pays in metadata when one
+    fragment is purged from a heavily-indexed table:
+
+    - ``takedown_ckpt_s``: hydrate every table's fragment list, apply
+      the replace, rewrite the FULL manifest including the projection
+      state — O(total fragments) per purge (pre-r10 behavior for
+      projected tables);
+    - ``takedown_delta_s``: one O(touched) delta record — removed path
+      + rewritten survivor + removes_rows + the projection's
+      covers_map/pfrag swap (r10)."""
+    from rust_evm_indexer_spark.store.table_store import (
+        _apply_projection_updates,
+        _proj_updates_to_json,
+    )
+
+    base = _fabricate(n_frags)
+    projections = {
+        "logs": {
+            "by_addr": {
+                "cluster_by": ["contract_address"],
+                "layout": "range",
+                "covers": [f.path for f in base["logs"]],
+                "fragments": [
+                    Fragment(path=f"data/logs__proj__by_addr/p-{i:04x}",
+                             rows=(n_frags * 1200) // 2)
+                    for i in range(2)
+                ],
+            }
+        }
+    }
+    rewritten = Fragment(path="data/logs/frag-rw", rows=1199, derived=True)
+    pfrag_new = Fragment(path="data/logs__proj__by_addr/p-rw", rows=599,
+                         derived=True)
+    victim = base["logs"][n_frags // 2]
+    update = {
+        "by_addr": {
+            "covers_map": {victim.path: rewritten.path},
+            "pfrags_remove": [projections["logs"]["by_addr"]["fragments"][0].path],
+            "pfrags_add": [pfrag_new],
+        }
+    }
+    out: dict[str, float] = {}
+    # checkpoint regime (what projected tables paid pre-r10)
+    root = Path(tempfile.mkdtemp(prefix=f"manifest-td-ckpt-{fmt}-"))
+    try:
+        store = TableStore(None, root, manifest_format=fmt, log_commits=False)
+        store._swap(Manifest(version=1, tables=base, projections=projections))
+        t0 = time.perf_counter()
+        m = store.current_manifest()
+        tables = {t: list(fs) for t, fs in m.tables.items()}
+        tables["logs"] = [
+            rewritten if f.path == victim.path else f for f in tables["logs"]
+        ]
+        projs = {t: dict(ps) for t, ps in m.projections.items()}
+        projs["logs"] = _apply_projection_updates(projs["logs"], update)
+        store._swap(Manifest(version=2, tables=tables, projections=projs))
+        out["takedown_ckpt_s"] = round(time.perf_counter() - t0, 5)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # delta regime (r10)
+    root = Path(tempfile.mkdtemp(prefix=f"manifest-td-delta-{fmt}-"))
+    try:
+        store = TableStore(None, root, manifest_format=fmt)
+        store._swap(Manifest(version=1, tables=base, projections=projections))
+        t0 = time.perf_counter()
+        m = store.current_manifest()
+        store._swap_delta(
+            {
+                "version": 2,
+                "base": 1,
+                "op": "delete",
+                "op_info": {"table": "logs", "column": "id", "value": 1},
+                "txns": dict(m.txns),
+                "status": m.status,
+                "schemas": dict(m.schemas),
+                "adds": {"logs": [rewritten.to_json()]},
+                "removes": {"logs": [victim.path]},
+                "removes_rows": {"logs": {victim.path: victim.rows}},
+                "projections_delta": {"logs": _proj_updates_to_json(update)},
+            }
+        )
+        out["takedown_delta_s"] = round(time.perf_counter() - t0, 5)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ns = [int(a) for a in sys.argv[1:]] or [1_000, 10_000, 50_000, 200_000]
     out = {"metric": "manifest_prune_bench", "results": {}}
     for n in ns:
         out["results"][str(n)] = {
-            fmt: {**_bench_format(fmt, n), **_bench_append(fmt, n)}
+            fmt: {
+                **_bench_format(fmt, n),
+                **_bench_append(fmt, n),
+                **_bench_projected_takedown(fmt, n),
+            }
             for fmt in ("json", "parquet")
         }
     # flatness check: parquet prune time from smallest to largest N
