@@ -310,6 +310,32 @@ class LazyManifest(Manifest):
         # lazy state; any real assignment counts as hydration
         self.__dict__["_hydrated"] = v if v else None
 
+    @property
+    def projections(self) -> dict[str, dict]:
+        """Projection state with ``covers`` hydrated from the columnar
+        sidecar on first access (r10): the envelope keeps only the
+        O(1) geometry, so manifest parses — and every operation that
+        never touches projections — stay O(envelope) no matter how
+        many base fragments the projections cover."""
+        d = self.__dict__.get("_proj_field") or {}
+        cov_path = self.__dict__.get("_covers_path")
+        if cov_path is not None and not self.__dict__.get("_covers_loaded"):
+            by_proj: dict[tuple[str, str], list[str]] = {}
+            ds = pa_ds.dataset(str(cov_path), format="parquet")
+            for r in ds.to_table().to_pylist():
+                by_proj.setdefault((r["table"], r["proj"]), []).append(
+                    r["path"]
+                )
+            for (t, name), paths in by_proj.items():
+                if t in d and name in d[t]:
+                    d[t][name]["covers"] = paths
+            self.__dict__["_covers_loaded"] = True
+        return d
+
+    @projections.setter
+    def projections(self, v) -> None:
+        self.__dict__["_proj_field"] = v
+
 
 class DeltaManifest(Manifest):
     """A manifest version whose fragment list is (checkpoint ± deltas).
@@ -347,6 +373,34 @@ class DeltaManifest(Manifest):
     @tables.setter
     def tables(self, v) -> None:
         self.__dict__["_hydrated"] = v if v else None
+
+    @property
+    def projections(self) -> dict[str, dict]:
+        """Chain projection state, resolved lazily (r10): commits and
+        bounded reads never touch projections, so resolution must not
+        force the base checkpoint's covers hydration — the chain's
+        ``projections_delta`` records apply copy-on-write on FIRST
+        access instead."""
+        cached = self.__dict__.get("_proj_resolved")
+        if cached is None:
+            base_p = self.__dict__["_base"].projections
+            ups = self.__dict__.get("_proj_updates") or []
+            if ups:
+                cached = {t: dict(ps) for t, ps in base_p.items()}
+                for t, upd in ups:
+                    cached[t] = _apply_projection_updates(
+                        cached.get(t, {}), upd
+                    )
+            else:
+                cached = base_p
+            self.__dict__["_proj_resolved"] = cached
+        return cached
+
+    @projections.setter
+    def projections(self, v) -> None:
+        # the dataclass __init__ assigns the empty placeholder — keep
+        # the lazy state; a real assignment counts as resolved
+        self.__dict__["_proj_resolved"] = v if v else None
 
 
 def _apply_projection_updates(proj_state: dict, updates: dict) -> dict:
@@ -573,6 +627,8 @@ class TableStore:
             if "tables_pq" in d:  # parquet fragment list: load lazily
                 m = LazyManifest.from_json(d)
                 m.__dict__["_pq_path"] = mdir / d["tables_pq"]
+                if "covers_pq" in d:  # covers sidecar: hydrate lazily
+                    m.__dict__["_covers_path"] = mdir / d["covers_pq"]
                 return m
             return Manifest.from_json(d)
         dpath = mdir / f"v{version:06d}.delta.json"
@@ -643,17 +699,6 @@ class TableStore:
                     },
                 ))
             last = dk
-        projections = base.projections
-        if proj_updates:
-            # copy-on-write resolution of the chain's projection deltas
-            # (in commit order) — the manifest WRITE stayed O(touched);
-            # this in-memory application is O(projection state), paid
-            # only at resolution and only when takedowns touched one
-            projections = {t: dict(ps) for t, ps in base.projections.items()}
-            for t, updates in proj_updates:
-                projections[t] = _apply_projection_updates(
-                    projections.get(t, {}), updates
-                )
         dm = DeltaManifest(
             version=version,
             txns=dict(last.get("txns", {})),
@@ -661,8 +706,13 @@ class TableStore:
             op=last.get("op"),
             op_info=last.get("op_info"),
             schemas=dict(last.get("schemas", {})),
-            projections=projections,
+            # projections resolve LAZILY (the .projections property
+            # applies the chain's projection deltas copy-on-write over
+            # the base on first access) — commits and bounded reads
+            # never pay the base's covers hydration
+            projections={},
         )
+        dm.__dict__["_proj_updates"] = proj_updates
         dm.__dict__["_base"] = base
         dm.__dict__["_base_version"] = base_v
         dm.__dict__["_adds"] = adds
@@ -748,11 +798,44 @@ class TableStore:
             # fragment list to a columnar sidecar FIRST (an orphaned
             # sidecar from a lost race is reclaimed with its version by
             # vacuum's manifest pruning); the JSON keeps everything else
-            # (txns/status/schemas/projections — all O(1)-ish) inline
+            # (txns/status/schemas/projection geometry — all O(1)-ish)
+            # inline
             pq_rel = f"frags-v{manifest.version:06d}.parquet"
             _write_fraglist(mdir / pq_rel, manifest.tables)
             d["tables"] = {}
             d["tables_pq"] = pq_rel
+            # projection ``covers`` lists are the other O(big) payload:
+            # they grow with the COVERED BASE fragment count, so at
+            # millions of fragments an inline-JSON covers list makes
+            # every envelope parse O(covered) (measured in
+            # tools/manifest_bench.py, named in SCALE.md r10).  Move
+            # them to a columnar sidecar with the same lifecycle; the
+            # envelope keeps only the projection geometry and
+            # LazyManifest hydrates covers on first .projections access
+            cov_rows = [
+                (t, name, p)
+                for t, projs in manifest.projections.items()
+                for name, pr in projs.items()
+                for p in pr["covers"]
+            ]
+            if cov_rows:
+                import pyarrow as pa
+
+                cov_rel = f"covers-v{manifest.version:06d}.parquet"
+                pq.write_table(
+                    pa.table(
+                        {
+                            "table": [r[0] for r in cov_rows],
+                            "proj": [r[1] for r in cov_rows],
+                            "path": [r[2] for r in cov_rows],
+                        }
+                    ),
+                    mdir / cov_rel,
+                )
+                for t, projs in d["projections"].items():
+                    for name in projs:
+                        projs[name]["covers"] = []
+                d["covers_pq"] = cov_rel
         try:
             self._put_if_absent(mpath, json.dumps(d, indent=1))
         except FileExistsError as exc:
@@ -2904,6 +2987,9 @@ class TableStore:
         kept_plain = {s.split(".")[0] for s in kept}
         for fp in mdir.glob("frags-v*.parquet"):
             if fp.name[len("frags-"):-len(".parquet")] not in kept:
+                fp.unlink(missing_ok=True)
+        for fp in mdir.glob("covers-v*.parquet"):
+            if fp.name[len("covers-"):-len(".parquet")] not in kept:
                 fp.unlink(missing_ok=True)
         for cp in mdir.glob("v*.claim"):
             if cp.stem in kept_plain:

@@ -164,3 +164,55 @@ def test_auto_format_switches_at_fragment_threshold(spark, tmp_path):
     forced.commit({"pts": df})
     dj = _json.loads((forced.root / "_manifests" / "v000001.json").read_text())
     assert "tables_pq" not in dj
+
+
+def test_parquet_covers_sidecar_keeps_envelope_small(spark, tmp_path):
+    """r10: projection ``covers`` move into a columnar sidecar under
+    the parquet manifest format, so the envelope parse — and every
+    operation that never touches projections — stays O(envelope)
+    regardless of how many base fragments the projections cover.
+    Contract under test: envelope covers empty + covers_pq present,
+    lazy hydration on first .projections access only, identical reads,
+    delta takedowns/refreshes stacking on top, vacuum reclaiming the
+    sidecars with their versions."""
+    import json as _json
+
+    store = _mk(spark, tmp_path, "parquet", n_batches=3)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
+    mdir = store.root / "_manifests"
+    v = store.current_manifest().version
+    d = _json.loads((mdir / f"v{v:06d}.json").read_text())
+    assert d["covers_pq"] == f"covers-v{v:06d}.parquet"
+    assert d["projections"]["pts"]["by_addr"]["covers"] == []
+    assert (mdir / d["covers_pq"]).exists()
+
+    # resolution does NOT load covers until projections are accessed
+    m = store.manifest_at(v)
+    assert isinstance(m, LazyManifest)
+    assert not m.__dict__.get("_covers_loaded")
+    covers = m.projections["pts"]["by_addr"]["covers"]
+    assert len(covers) == 3 and m.__dict__.get("_covers_loaded")
+
+    # a commit + takedown on the chain never touches projection state
+    store.commit({"pts": spark.createDataFrame(
+        [(9001, "0xffff", 200)], "id: long, addr: string, block_number: long")})
+    dm = store.current_manifest()
+    assert isinstance(dm, DeltaManifest)
+    assert dm.__dict__.get("_proj_resolved") is None  # still lazy
+    # the projected read resolves through the sidecar + delta chain
+    assert store.delete_equals("pts", "id", 1)["deleted_rows"] == 1
+    got = store.read_projection("pts", "by_addr").count()
+    assert got == store.read("pts").count() == 90
+    # refresh drains the lag via a projections_delta, covers grow
+    assert store.refresh_projection("pts", "by_addr") >= 1
+    cur = store.current_manifest()
+    assert len(cur.projections["pts"]["by_addr"]["covers"]) == 4
+    # reopen from files alone and vacuum: old covers sidecars die with
+    # their versions, the kept chain stays resolvable
+    reopened = TableStore(spark, tmp_path / "store_parquet",
+                          bloom_columns={}, manifest_format="parquet")
+    reopened.vacuum(keep_manifests=2)
+    kept_json = {p.name[1:7] for p in mdir.glob("v*.json")}
+    for cp in mdir.glob("covers-v*.parquet"):
+        assert cp.name[len("covers-v"):-len(".parquet")] in kept_json
+    assert reopened.read_projection("pts", "by_addr").count() == 90
