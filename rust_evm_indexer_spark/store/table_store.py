@@ -861,15 +861,15 @@ class TableStore:
             else m.version
         )
 
-    def _structural_delta_ok(self, m: Manifest, table: str) -> bool:
-        """True when a delete/upsert may ride the log-structured path
-        (r9): log mode on, an anchored base (v>0), and a chain slot
-        free.  Since r10 projections no longer gate this off — takedown
-        deltas carry the projection fragment-set changes in
-        ``projections_delta`` (O(touched)), so the one table shape
-        you'd index heavily (logs + address projection) keeps O(batch)
-        manifest writes on its compliance path too (VERDICT r9
-        item 2)."""
+    def _structural_delta_ok(self, m: Manifest) -> bool:
+        """True when a structural op (delete/upsert/projection refresh/
+        status) may ride the log-structured path: log mode on, an
+        anchored base (v>0), and a chain slot free.  Since r10
+        projections no longer gate this off — takedown deltas carry
+        the projection fragment-set changes in ``projections_delta``
+        (O(touched)), so the one table shape you'd index heavily
+        (logs + address projection) keeps O(batch) manifest writes on
+        its compliance path too (VERDICT r9 item 2)."""
         return (
             self.log_commits
             and m.version > 0
@@ -1143,21 +1143,15 @@ class TableStore:
                 evolved = _evolve_schema(self._read_schema(m, table), df.schema)
                 schemas[table] = evolved.jsonValue()
         new_status = status if status is not None else m.status
-        if (
-            self.log_commits
-            and m.version > 0  # first-ever swap checkpoints: a v1 full
-            # manifest is O(batch) anyway and anchors every chain
-            and self._delta_chain_len(m) <= self.checkpoint_interval
-        ):
+        # first-ever swap checkpoints (the v>0 term of the shared
+        # gate): a v1 full manifest is O(batch) anyway and anchors
+        # every chain
+        if self._structural_delta_ok(m):
             # log-structured append: O(batch) manifest write.  None of
             # the fields below touches m.tables, so a LazyManifest /
             # DeltaManifest current version stays unhydrated — the hot
             # ingest path never reads the fragment list at all.
-            base_v = (
-                m.__dict__["_base_version"]
-                if isinstance(m, DeltaManifest)
-                else m.version
-            )
+            base_v = self._delta_base(m)
             self._swap_delta(
                 {
                     "version": m.version + 1,
@@ -1358,7 +1352,7 @@ class TableStore:
             m, table, replaced, pred,
             {column: probe} if prune else None, stats,
         )
-        if self._structural_delta_ok(m, table):
+        if self._structural_delta_ok(m):
             # log-structured takedown (r9): the delete knows exactly
             # which fragments it replaced, so the manifest write is
             # O(touched) — removed paths + rewritten survivors in one
@@ -1627,7 +1621,7 @@ class TableStore:
             m, table, replaced, pred,
             {key_col: keys} if prune else None, stats,
         )
-        if self._structural_delta_ok(m, table):
+        if self._structural_delta_ok(m):
             # log-structured MERGE (r9): superseded fragment paths out,
             # rewritten survivors + the batch fragment in — O(touched)
             # manifest write; schema evolution rides the delta like a
@@ -1682,21 +1676,12 @@ class TableStore:
     def set_status(self, status: dict) -> None:
         """Checkpoint-only upsert (O-9) when no data moved."""
         m = self.current_manifest()
-        if (
-            self.log_commits
-            and m.version > 0
-            and self._delta_chain_len(m) <= self.checkpoint_interval
-        ):
+        if self._structural_delta_ok(m):
             # a status-only swap moves zero fragments — the O(1) delta
-            base_v = (
-                m.__dict__["_base_version"]
-                if isinstance(m, DeltaManifest)
-                else m.version
-            )
             self._swap_delta(
                 {
                     "version": m.version + 1,
-                    "base": base_v,
+                    "base": self._delta_base(m),
                     "op": "status",
                     "txns": dict(m.txns),
                     "status": status,
@@ -2501,7 +2486,7 @@ class TableStore:
                 "pfrags_add": frags,
             }
         }
-        if self._structural_delta_ok(m, table):
+        if self._structural_delta_ok(m):
             # the refresh is the LSM maintenance step that runs on the
             # ingest cadence (maintain_store), so since r10 it rides
             # the delta log like the takedowns: one O(drained tail)
