@@ -264,6 +264,55 @@ def test_two_writer_race_serialized_by_claim(spark, tmp_path):
     assert not (mdir / f"v{v_next + 1:06d}.json").exists()
 
 
+def test_put_if_absent_is_the_whole_commit_protocol(spark, tmp_path):
+    """The object-store seam contract: overriding _put_if_absent alone
+    swaps the optimistic-concurrency backend — no swap path O_EXCLs a
+    file behind the seam's back.  A subclass emulating a conditional
+    PUT (atomicity decided by its OWN key registry, the file write a
+    plain side effect) runs the full lifecycle — commits, delta
+    takedown, projection build/refresh, status, vacuum, reopen — and
+    every conditional create is observed through the override."""
+    from pathlib import Path as _P
+
+    registry: set[str] = set()
+    puts: list[str] = []
+
+    class ObjectStoreTableStore(TableStore):
+        def _put_if_absent(self, path: _P, content: str) -> None:
+            key = str(path)
+            if key in registry:  # the backend's If-None-Match: * reply
+                raise FileExistsError(key)
+            registry.add(key)
+            puts.append(path.name)
+            path.write_text(content)  # plain PUT after the claim
+
+    store = ObjectStoreTableStore(
+        spark, tmp_path / "s", bloom_columns={}, dict_columns={},
+        checkpoint_interval=10,
+    )
+    _commit_n(spark, store, 3)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
+    store.delete_equals("pts", "id", 105)
+    store.set_status({"mark": 1})
+    _commit_n(spark, store, 1, start=5)
+    store.refresh_projection("pts", "by_addr")
+    assert store.read("pts").count() == 39
+    assert store.read_projection("pts", "by_addr").count() == 39
+    # every version claim and every manifest file went through the seam
+    claims = [p for p in puts if p.endswith(".claim")]
+    files = [p for p in puts if not p.endswith(".claim")]
+    assert len(claims) == store.current_manifest().version
+    assert len(files) == len(claims)  # one manifest per claim
+    # and a stale registry entry surfaces as the loud conflict
+    v_next = store.current_manifest().version + 1
+    registry.add(str(store.root / "_manifests" / f"v{v_next:06d}.claim"))
+    with pytest.raises(RuntimeError, match="claimed by another writer"):
+        store.set_status({"mark": 2})
+    # plain TableStore reopen reads the object-store-written state
+    reopened = _mk(spark, tmp_path / "s", checkpoint_interval=10)
+    assert reopened.read("pts").count() == 39
+
+
 def test_vacuum_rejects_zero_keep_manifests(spark, tmp_path):
     """ADVICE r9: keep_manifests=0 used to compute keep=set() and delete
     every manifest including CURRENT's, bricking the store."""
