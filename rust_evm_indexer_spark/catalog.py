@@ -924,9 +924,13 @@ def store_stats_manifest(spark, sf_dir):
     scalars: test_plan_hygiene pins that NO file scan appears anywhere
     in the plan, which is the 100 TB posture (the sibling
     ``stats_counts`` keeps the parquet-footer COUNT shape for raw
-    directories that have no store).  The oracle recounts the log/tx
-    snapshots the slow way and replays the seeded chain geometry for
-    the checkpoint fields."""
+    directories that have no store).  The oracle (``_STORE_STATS_SQL``)
+    derives ALL five columns from the fixture's exported artifacts —
+    it recounts logs/transactions/blocks the slow way from the exported
+    snapshot parquet and reads the checkpoint + lag fields from the
+    exported status row — so nothing in the verification is a seeded
+    literal (VERDICT r9 item 5 / ADVICE r10): a drifted fixture shifts
+    both engines on every column."""
     from .store import TableStore
 
     root = _ensure_compact_fixture(spark)
@@ -6520,50 +6524,50 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "point_lookup",  # flagship-core
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
-    "store_stats_manifest",  # DIRTY
-    "multimodal_resize",  # DIRTY
-    "store_time_travel",  # newest green r6
-    "store_projection_logs",  # newest green r7
-    "graph_triangle_count",  # newest green r7
-    "q1_pricing_summary",  # newest green r7
-    "q3_shipping_priority",  # newest green r7
-    "q5_local_supplier",  # newest green r7
-    "q10_returned_items",  # newest green r7
-    "q17_small_qty_avg",  # newest green r7
-    "q6_forecast_revenue",  # newest green r7
-    "q7_nation_volume",  # newest green r7
-    "q8_market_share",  # newest green r7
-    "q18_large_orders",  # newest green r7
-    "q4_priority_check",  # newest green r7
-    "q9_product_profit",  # newest green r7
-    "q12_late_shipments",  # newest green r7
-    "q20_excess_sellers",  # newest green r7
-    "events_gapfill_locf",  # newest green r7
-    "dedup_ngram_jaccard",  # newest green r7
-    "dedup_minhash_lsh",  # newest green r7
-    "dedup_embedding_cosine",  # newest green r7
-    "dedup_embedding_lsh",  # newest green r7
-    "semantic_dedup",  # newest green r7
-    "dedup_simhash",  # newest green r7
-    "similarity_ivf_topk",  # newest green r7
-    "similarity_ivfpq_topk",  # newest green r7
-    "similarity_ivfpq_knn_join",  # newest green r7
-    "similarity_ivfpq_residual_knn_join",  # newest green r7
-    "semantic_admit_delta",  # newest green r7
-    "multimodal_meta",  # newest green r7
-    "window_running_sum",  # newest green r7
-    "window_lag_delta",  # newest green r7
-    "skew_salted_topk",  # newest green r7
-    "pivot_order_status",  # newest green r7
-    "approx_distinct_users",  # newest green r7
-    "repetition_signals",  # newest green r7
-    "substring_dup",  # newest green r7
-    "source_mix_weights",  # newest green r7
-    "bm25_search",  # newest green r7
-    "lm_stupid_backoff_tri",  # newest green r7
-    "lm_stupid_backoff_quad",  # newest green r7
-    "corpus_zipf_slope",  # newest green r7
-    "corpus_length_histogram",  # newest green r7
+    "corpus_shuffle_shards",  # newest green r7
+    "store_upsert_docs",  # newest green r7
+    "jsonl_ingest",  # newest green r8
+    "logs_filter_conj",  # newest green r8
+    "logs_keyset_page",  # newest green r8
+    "logs_offset_page",  # newest green r8
+    "top1_latest",  # newest green r8
+    "stats_lag",  # newest green r8
+    "evm_logs_address_range",  # newest green r8
+    "evm_logs_cursor_page",  # newest green r8
+    "evm_logs_blockhash_override",  # newest green r8
+    "reorg_rollup_exact",  # newest green r8
+    "store_topic0_dict_logs",  # newest green r8
+    "store_logs_cursor_page",  # newest green r8
+    "evm_join_enriched",  # newest green r8
+    "evm_transfer_volume",  # newest green r8
+    "evm_wei_sum_exact",  # newest green r8
+    "orders_having",  # newest green r8
+    "q14_promo_revenue",  # newest green r8
+    "q19_disjunctive",  # newest green r8
+    "q21_sole_supplier",  # newest green r8
+    "q22_idle_customers",  # newest green r8
+    "q2_min_cost_supplier",  # newest green r8
+    "q11_important_parts",  # newest green r8
+    "q13_order_distribution",  # newest green r8
+    "q15_top_supplier",  # newest green r8
+    "q16_supplier_counts",  # newest green r8
+    "events_hourly_rollup",  # newest green r8
+    "dedup_exact",  # newest green r8
+    "similarity_topk",  # newest green r8
+    "similarity_knn_join",  # newest green r8
+    "similarity_pq_topk",  # newest green r8
+    "similarity_opq_topk",  # newest green r8
+    "similarity_opq_residual_topk",  # newest green r8
+    "similarity_opq_residual_knn_join",  # newest green r8
+    "text_stats",  # newest green r8
+    "token_counts",  # newest green r8
+    "bpe_token_counts",  # newest green r8
+    "multimodal_features",  # newest green r8
+    "funnel_conversion",  # newest green r8
+    "retention_cohorts",  # newest green r8
+    "sample_weighted",  # newest green r8
+    "unpivot_part_metrics",  # newest green r8
+    "interval_join_events",  # newest green r8
 ]
 
 

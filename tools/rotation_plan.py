@@ -100,7 +100,15 @@ FLAGSHIP_CORE = [
 # (claim-file swap serialization, removes_rows counts, projection
 # deltas) is NOT marked dirty: it changes no catalog entry's query or
 # oracle; its coverage is the manifest-log/model/projection suites.
-DIRTY: set[str] = {"multimodal_resize", "store_stats_manifest"}
+#
+# Round-11 review: both r10 DIRTY names re-greened in CORRECTNESS_r10
+# → cleared.  The r11 work so far (live store-backed API reads, object
+# -store backend behind _put_if_absent, claim-grace floor, bench-gate
+# baselines, scaling measurements) touches no catalog entry's query or
+# oracle — coverage is test_api / test_manifest_log / the bench tools.
+# store_stats_manifest's DOCSTRING was corrected (ADVICE r10 low) but
+# its query and _STORE_STATS_SQL are byte-identical — not behavioral.
+DIRTY: set[str] = set()
 
 
 def _green(rec: dict) -> bool:
