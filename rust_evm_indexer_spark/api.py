@@ -24,7 +24,11 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-from .operators.logs import GetLogsFilter, run_get_logs
+from .operators.logs import (
+    GetLogsFilter,
+    run_get_logs,
+    run_get_logs_from_store,
+)
 from .operators.lookups import get_block, get_stats, get_transaction
 
 
@@ -57,31 +61,73 @@ class EvmApi:
 
     def __init__(
         self,
-        blocks: DataFrame,
-        transactions: DataFrame,
-        logs: DataFrame,
+        blocks: DataFrame | None,
+        transactions: DataFrame | None,
+        logs: DataFrame | None,
         status: DataFrame | None,
         store=None,
     ):
-        self.blocks = blocks
-        self.transactions = transactions
-        self.logs = logs
+        self._blocks = blocks
+        self._transactions = transactions
+        self._logs = logs
         self.status = status
         self.store = store
+        # store-backed: frames resolve lazily against the CURRENT
+        # manifest, cached by version (see _store_frame)
+        self._frame_version: int | None = None
+        self._frames: dict[str, DataFrame] = {}
         if status is None and store is None:
             raise ValueError("EvmApi needs a status DataFrame or a store")
+        if store is None and (
+            blocks is None or transactions is None or logs is None
+        ):
+            raise ValueError("EvmApi without a store needs all three frames")
 
     @classmethod
     def from_store(cls, store) -> "EvmApi":
-        """All four endpoints over a :class:`TableStore`: point lookups
-        and log search read the store's pruned snapshot frames; /stats
-        never leaves the manifest."""
+        """All four endpoints over a :class:`TableStore`, reading LIVE
+        state: every request re-resolves against the CURRENT manifest
+        (the reference serves each request from a fresh pool query,
+        src/api.rs:184), so a commit after construction is visible on
+        /logs, /block and /transaction, /stats always agrees with them,
+        and a vacuum can never strand a request on deleted fragments of
+        a stale snapshot.  /stats never leaves the manifest tier, and
+        POST /logs routes through ``get_logs_from_store`` — projection
+        routing, cursor-derived fragment pruning, bloom/dictionary
+        hints — instead of the base snapshot frame."""
         return cls(
-            blocks=store.read("blocks"),
-            transactions=store.read("transactions"),
-            logs=store.read("logs"),
-            status=None,
-            store=store,
+            blocks=None, transactions=None, logs=None, status=None, store=store
+        )
+
+    def _store_frame(self, table: str) -> DataFrame:
+        """Manifest-version-cached live frame: one tiny CURRENT read per
+        request; frames rebuild only when the version advances (a plan
+        rebuild, not a data copy — Spark frames are lazy)."""
+        v = self.store.current_version()
+        if v != self._frame_version:
+            self._frames = {}
+            self._frame_version = v
+        if table not in self._frames:
+            self._frames[table] = self.store.read(table)
+        return self._frames[table]
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self._store_frame("blocks") if self.store is not None and self._blocks is None else self._blocks
+
+    @property
+    def transactions(self) -> DataFrame:
+        return self._store_frame("transactions") if self.store is not None and self._transactions is None else self._transactions
+
+    @property
+    def logs(self) -> DataFrame:
+        return self._store_frame("logs") if self.store is not None and self._logs is None else self._logs
+
+    def get_root(self) -> str:
+        """GET / — the reference's welcome handler (src/api.rs:92-94)."""
+        return (
+            "<h1>Hello, EVM Indexer API!</h1>"
+            "<p>Welcome to your PySpark-powered API.</p>"
         )
 
     def post_logs(self, body: dict[str, Any]) -> dict[str, Any]:
@@ -107,7 +153,12 @@ class EvmApi:
             )
         except (TypeError, ValueError) as exc:
             raise ApiError(400, f"invalid filter: {exc}") from exc
-        page = run_get_logs(self.logs, flt)
+        if self.store is not None and self._logs is None:
+            # store-backed: per-request source routing (projection /
+            # bloom / dict / cursor pruning) over the CURRENT manifest
+            page = run_get_logs_from_store(self.store, flt)
+        else:
+            page = run_get_logs(self.logs, flt)
         return {
             "logs": [to_camel_json(r) for r in page.logs],
             "nextCursorBlock": page.next_cursor_block,
@@ -188,6 +239,11 @@ def create_app(api: EvmApi):
             jsonify({"error": {"code": 500, "message": f"internal: {exc}"}}),
             500,
         )
+
+    @app.get("/")
+    def root():
+        # the reference's welcome/liveness handler (src/api.rs:393)
+        return api.get_root(), 200, {"Content-Type": "text/html; charset=utf-8"}
 
     @app.post("/logs")
     def post_logs():
@@ -283,6 +339,12 @@ OPENAPI_SPEC = {
         "PySpark engine (parity with rust-evm-indexer's REST surface).",
     },
     "paths": {
+        "/": {
+            "get": {
+                "summary": "Welcome message (liveness probe)",
+                "responses": {"200": {"description": "HTML greeting"}},
+            }
+        },
         "/logs": {
             "post": {
                 "summary": "Filtered + paginated event-log search",

@@ -17,4 +17,5 @@ from .logs import (  # noqa: F401
     get_logs,
     get_logs_from_store,
     run_get_logs,
+    run_get_logs_from_store,
 )

@@ -218,11 +218,26 @@ def get_logs_from_store(store, flt: GetLogsFilter) -> DataFrame:
     return get_logs(df, flt)
 
 
-def run_get_logs(logs: DataFrame, flt: GetLogsFilter) -> LogsPage:
-    """Execute and derive the next cursor from the LAST returned row
-    (O-20, src/api.rs:186-195).  Collect is bounded by MAX_PAGE_SIZE."""
-    rows = [r.asDict() for r in get_logs(logs, flt).collect()]
+def _collect_page(df: DataFrame) -> LogsPage:
+    """Execute a prepared page plan and derive the next cursor from the
+    LAST returned row (O-20, src/api.rs:186-195).  Collect is bounded
+    by MAX_PAGE_SIZE."""
+    rows = [r.asDict() for r in df.collect()]
     if rows:
         tail = rows[-1]
         return LogsPage(rows, tail["block_number"], tail["id"])
     return LogsPage(rows, None, None)
+
+
+def run_get_logs(logs: DataFrame, flt: GetLogsFilter) -> LogsPage:
+    return _collect_page(get_logs(logs, flt))
+
+
+def run_get_logs_from_store(store, flt: GetLogsFilter) -> LogsPage:
+    """Store-routed page execution: per-request source routing through
+    :func:`get_logs_from_store` (projection pick + manifest min/max /
+    bloom / dictionary pruning + cursor-derived fragment pruning), so a
+    REST ``POST /logs`` gets the same physical access path the catalog
+    entries pin — and reads the CURRENT manifest on every call, like
+    the reference's per-request pool query (src/api.rs:184)."""
+    return _collect_page(get_logs_from_store(store, flt))

@@ -608,11 +608,18 @@ class TableStore:
 
     # -- manifest plumbing -------------------------------------------------
 
-    def current_manifest(self) -> Manifest:
+    def current_version(self) -> int:
+        """The committed manifest version (0 = empty store) — one small
+        file read, no manifest parse.  Cheap enough to call per API
+        request as a staleness probe (``EvmApi`` refreshes its cached
+        frames only when this advances)."""
         cur = self.root / "_manifests" / _CURRENT
-        if not cur.exists():
+        return int(cur.read_text()) if cur.exists() else 0
+
+    def current_manifest(self) -> Manifest:
+        version = self.current_version()
+        if version == 0:
             return Manifest()
-        version = int(cur.read_text())
         return self.manifest_at(version)
 
     def manifest_at(self, version: int) -> Manifest:

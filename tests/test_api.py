@@ -80,7 +80,7 @@ def test_openapi_spec(client):
     body = client.get("/openapi.json").get_json()
     assert body["openapi"].startswith("3.")
     assert set(body["paths"]) == {
-        "/logs", "/block/{identifier}", "/transaction/{txHash}", "/stats"
+        "/", "/logs", "/block/{identifier}", "/transaction/{txHash}", "/stats"
     }
 
 
@@ -171,3 +171,108 @@ def test_store_backed_api_serves_all_endpoints(store_api):
     blk = c.get("/block/1000005")
     assert blk.status_code == 200
     assert c.get("/stats").get_json()["totalBlocks"] > 0
+
+
+def test_root_greeting(client):
+    """GET / — route-table parity with the reference (src/api.rs:393):
+    an HTML welcome that doubles as a liveness probe."""
+    r = client.get("/")
+    assert r.status_code == 200
+    assert r.content_type.startswith("text/html")
+    html = r.get_data(as_text=True)
+    assert "EVM Indexer API" in html and "<h1>" in html
+
+
+def test_store_backed_api_reads_live(spark, evm, tmp_path):
+    """ADVICE r10 / VERDICT r10 item 2: from_store serves LIVE state —
+    a commit made AFTER construction is visible on /logs and /block,
+    and /stats agrees with what the lookup endpoints can see (the
+    reference reads each request from a fresh pool query,
+    src/api.rs:184)."""
+    from rust_evm_indexer_spark.api import EvmApi, create_app
+    from rust_evm_indexer_spark.store import TableStore
+
+    blocks, txs, logs = evm["blocks"], evm["transactions"], evm["logs"]
+    nums = sorted(r[0] for r in blocks.select("block_number").collect())
+    cut = nums[len(nums) // 2]
+    late_block = nums[-1]
+
+    store = TableStore(spark, tmp_path / "livestore", bloom_columns={}, dict_columns={})
+    store.commit({
+        "blocks": blocks.filter(f"block_number < {cut}"),
+        "transactions": txs.filter(f"block_number < {cut}"),
+        "logs": logs.filter(f"block_number < {cut}"),
+    })
+    store.set_status({
+        "indexer_name": "live", "last_processed_block": cut - 1,
+        "chain_head_at_last_poll": late_block,
+    })
+    app = create_app(EvmApi.from_store(store))
+    app.testing = True
+    c = app.test_client()
+
+    # before the second commit: the late half is invisible, consistently
+    assert c.get(f"/block/{late_block}").status_code == 404
+    assert c.post("/logs", json={"fromBlock": cut, "pageSize": 5}).get_json()["logs"] == []
+    stats1 = c.get("/stats").get_json()
+    assert stats1["totalBlocks"] == blocks.filter(f"block_number < {cut}").count()
+
+    store.commit({
+        "blocks": blocks.filter(f"block_number >= {cut}"),
+        "transactions": txs.filter(f"block_number >= {cut}"),
+        "logs": logs.filter(f"block_number >= {cut}"),
+    })
+    store.set_status({
+        "indexer_name": "live", "last_processed_block": late_block,
+        "chain_head_at_last_poll": late_block,
+    })
+
+    # after: the SAME client sees the new rows on every endpoint
+    assert c.get(f"/block/{late_block}").status_code == 200
+    assert len(c.post("/logs", json={"fromBlock": cut, "pageSize": 5}).get_json()["logs"]) > 0
+    stats2 = c.get("/stats").get_json()
+    assert stats2["totalBlocks"] == blocks.count()
+    assert stats2["totalLogs"] == logs.count()
+    assert stats2["lastProcessedBlock"] == late_block
+
+
+def test_store_backed_logs_routes_through_projection(spark, evm, tmp_path, monkeypatch):
+    """Plan pin (VERDICT r10 item 2): an address-filtered POST /logs on
+    a store-backed API goes through get_logs_from_store's source
+    routing and reads ONLY projection fragments — the REST surface gets
+    the same physical access path the catalog pins, not the base
+    snapshot frame."""
+    from rust_evm_indexer_spark.api import EvmApi, create_app
+    from rust_evm_indexer_spark.operators import logs as logs_mod
+    from rust_evm_indexer_spark.store import TableStore
+
+    store = TableStore(spark, tmp_path / "projstore", bloom_columns={}, dict_columns={})
+    store.commit({
+        "blocks": evm["blocks"],
+        "transactions": evm["transactions"],
+        "logs": evm["logs"],
+    })
+    store.set_status({
+        "indexer_name": "p", "last_processed_block": 1,
+        "chain_head_at_last_poll": 1,
+    })
+    store.build_projection("logs", "by_address", ("contract_address",), max_fragments=64)
+    addr = evm["logs"].select("contract_address").first()[0]
+
+    captured: list = []
+    orig = logs_mod._collect_page
+
+    def spy(df):
+        captured.append(df)
+        return orig(df)
+
+    monkeypatch.setattr(logs_mod, "_collect_page", spy)
+    app = create_app(EvmApi.from_store(store))
+    app.testing = True
+    body = app.test_client().post(
+        "/logs", json={"address": addr, "pageSize": 100}
+    ).get_json()
+    assert len(body["logs"]) > 0
+    assert len(captured) == 1
+    files = captured[0].inputFiles()
+    assert files and all("__proj__" in f for f in files)
