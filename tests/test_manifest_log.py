@@ -1,4 +1,5 @@
-"""Log-structured manifest commits (VERDICT r8 item 2).
+"""Log-structured manifest commits (VERDICT r8 item 2), parametrized
+over BOTH manifest-tier backends (VERDICT r10 item 3).
 
 Every append-shaped swap (commit / set_status) writes an
 O(changed)-sized ``v{N}.delta.json`` instead of rewriting the full
@@ -8,6 +9,13 @@ reads, pruning, time travel, changefeed, idempotent replay, vacuum,
 concurrency conflicts — with the commit hot path never hydrating the
 fragment list (the Delta-log write-cost shape; tools/manifest_bench.py
 measures commit cost near-flat in total fragments).
+
+The ``mk`` fixture runs every test twice: once on the POSIX backend
+(files + O_EXCL + rename) and once on :class:`InMemoryObjectStoreIO`,
+the S3-semantics fake (conditional PUT, NO rename, strong
+read-after-write) — proving the commit protocol never leans on a POSIX
+crutch.  All manifest-state assertions go through the backend seam
+(``_get``/``_exists``/``_names``) so they hold on both.
 """
 
 from __future__ import annotations
@@ -18,13 +26,44 @@ import pytest
 from pyspark.sql import functions as F
 
 from rust_evm_indexer_spark.store import TableStore
+from rust_evm_indexer_spark.store.manifest_io import InMemoryObjectStoreIO
 from rust_evm_indexer_spark.store.table_store import DeltaManifest, Manifest
 
 SCHEMA = "id: long, addr: string, block_number: long"
 
 
-def _mk(spark, root, **kw):
-    return TableStore(spark, root, bloom_columns={}, dict_columns={}, **kw)
+@pytest.fixture(params=["posix", "objectstore"])
+def mk(request, spark):
+    """TableStore factory bound to one backend.  Reopening the same
+    root returns a fresh handle over the SAME backing state (a new
+    LocalManifestIO over the same dir, or the same shared in-memory
+    fake), which is exactly what crash/restart recovery tests need."""
+    fakes: dict[str, InMemoryObjectStoreIO] = {}
+
+    def _make(root, **kw):
+        if request.param == "objectstore":
+            kw.setdefault(
+                "manifest_io", fakes.setdefault(str(root), InMemoryObjectStoreIO())
+            )
+        # tests exercise claim reclamation right after commits — use a
+        # zero liveness floor unless the test overrides it
+        kw.setdefault("claim_grace_seconds", 0.0)
+        return TableStore(spark, root, bloom_columns={}, dict_columns={}, **kw)
+
+    _make.backend = request.param
+    return _make
+
+
+def _get(store, name: str) -> dict:
+    return json.loads(store._mio.get_text(name))
+
+
+def _exists(store, name: str) -> bool:
+    return store._mio.exists(name)
+
+
+def _names(store) -> list[str]:
+    return store._mio.list()
 
 
 def _batch(spark, b, rows=10):
@@ -39,19 +78,18 @@ def _commit_n(spark, store, n, start=0):
         store.commit({"pts": _batch(spark, b)}, txn_app_id="t", txn_version=b)
 
 
-def test_commits_write_deltas_and_checkpoint_on_interval(spark, tmp_path):
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=3)
+def test_commits_write_deltas_and_checkpoint_on_interval(spark, tmp_path, mk):
+    store = mk(tmp_path / "s", checkpoint_interval=3)
     _commit_n(spark, store, 6)
-    mdir = store.root / "_manifests"
     # v1 anchors as a checkpoint; v2..v4 are the first delta chain
     # (3 deltas per interval); v5 re-checkpoints; v6 starts a new chain
-    assert (mdir / "v000001.json").exists()
+    assert _exists(store, "v000001.json")
     for v in (2, 3, 4, 6):
-        assert (mdir / f"v{v:06d}.delta.json").exists(), v
-        assert not (mdir / f"v{v:06d}.json").exists(), v
-    assert (mdir / "v000005.json").exists()
+        assert _exists(store, f"v{v:06d}.delta.json"), v
+        assert not _exists(store, f"v{v:06d}.json"), v
+    assert _exists(store, "v000005.json")
     # deltas are O(batch): one fragment record each
-    d = json.loads((mdir / "v000004.delta.json").read_text())
+    d = _get(store, "v000004.delta.json")
     assert d["base"] == 1 and d["op"] == "commit"
     assert len(d["adds"]["pts"]) == 1
     # resolved reads see all rows with exact counts
@@ -59,11 +97,11 @@ def test_commits_write_deltas_and_checkpoint_on_interval(spark, tmp_path):
     assert store.table_rows("pts") == 60
 
 
-def test_delta_resolution_matches_full_regime(spark, tmp_path):
+def test_delta_resolution_matches_full_regime(spark, tmp_path, mk):
     """The same op sequence under log_commits True/False produces
     identical query results, version numbers, and statuses."""
-    a = _mk(spark, tmp_path / "log", checkpoint_interval=4)
-    b = _mk(spark, tmp_path / "full", log_commits=False)
+    a = mk(tmp_path / "log", checkpoint_interval=4)
+    b = mk(tmp_path / "full", log_commits=False)
     for store in (a, b):
         _commit_n(spark, store, 7)
         store.set_status({"last": 106})
@@ -80,11 +118,11 @@ def test_delta_resolution_matches_full_regime(spark, tmp_path):
     assert a.table_rows("pts") == b.table_rows("pts")
 
 
-def test_commit_hot_path_never_hydrates(spark, tmp_path):
+def test_commit_hot_path_never_hydrates(spark, tmp_path, mk):
     """The O(changed) claim, asserted structurally: a delta commit
     resolves the current manifest without materializing the fragment
     list (the write cost a 100x store cares about)."""
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=100)
+    store = mk(tmp_path / "s", checkpoint_interval=100)
     _commit_n(spark, store, 3)
     m = store.current_manifest()
     assert isinstance(m, DeltaManifest)
@@ -101,8 +139,8 @@ def test_commit_hot_path_never_hydrates(spark, tmp_path):
     assert m2.__dict__.get("_hydrated") is None
 
 
-def test_block_pruning_spans_checkpoint_and_tail(spark, tmp_path):
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=3)
+def test_block_pruning_spans_checkpoint_and_tail(spark, tmp_path, mk):
+    store = mk(tmp_path / "s", checkpoint_interval=3)
     _commit_n(spark, store, 6)  # blocks 100..105 across ckpt+deltas
     for blk in range(100, 106):
         got = store.read("pts", min_block=blk, max_block=blk)
@@ -111,8 +149,8 @@ def test_block_pruning_spans_checkpoint_and_tail(spark, tmp_path):
         assert len(store.fragments_for("pts", min_block=blk, max_block=blk)) == 1
 
 
-def test_time_travel_into_delta_chain(spark, tmp_path):
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=10)
+def test_time_travel_into_delta_chain(spark, tmp_path, mk):
+    store = mk(tmp_path / "s", checkpoint_interval=10)
     _commit_n(spark, store, 5)
     # version v holds exactly the first v batches
     for v in range(1, 6):
@@ -121,8 +159,8 @@ def test_time_travel_into_delta_chain(spark, tmp_path):
     assert m3.op == "commit" and m3.txns["t"] == 2
 
 
-def test_changefeed_exactly_once_across_deltas(spark, tmp_path):
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=3)
+def test_changefeed_exactly_once_across_deltas(spark, tmp_path, mk):
+    store = mk(tmp_path / "s", checkpoint_interval=3)
     _commit_n(spark, store, 6)
     # full window == full table; disjoint windows partition the rows
     assert store.changes("pts", since_version=0).count() == 60
@@ -136,74 +174,76 @@ def test_changefeed_exactly_once_across_deltas(spark, tmp_path):
     assert store.changes("pts", since_version=v_mid).count() == 30
 
 
-def test_idempotent_replay_and_reopen_continue_chain(spark, tmp_path):
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=5)
+def test_idempotent_replay_and_reopen_continue_chain(spark, tmp_path, mk):
+    store = mk(tmp_path / "s", checkpoint_interval=5)
     _commit_n(spark, store, 3)
     # replayed txn version is a no-op even when the watermark lives in a delta
     assert store.commit({"pts": _batch(spark, 1)}, txn_app_id="t", txn_version=1) is False
-    # a fresh handle (crash/restart) continues the same chain from disk
-    reopened = _mk(spark, tmp_path / "s", checkpoint_interval=5)
+    # a fresh handle (crash/restart) continues the same chain from
+    # the backend's durable state
+    reopened = mk(tmp_path / "s", checkpoint_interval=5)
     assert reopened.commit({"pts": _batch(spark, 7)}, txn_app_id="t", txn_version=7)
     m = reopened.current_manifest()
     assert isinstance(m, DeltaManifest) and m.version == 4
     assert reopened.read("pts").count() == 40
 
 
-def test_structural_ops_checkpoint_midchain(spark, tmp_path):
+def test_structural_ops_checkpoint_midchain(spark, tmp_path, mk):
     """rollback / delete / compact write full checkpoints; the next
     commit starts a fresh chain based on them."""
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=10)
+    store = mk(tmp_path / "s", checkpoint_interval=10)
     _commit_n(spark, store, 4)
     store.rollback_from(102)  # drops batches 2,3
-    mdir = store.root / "_manifests"
-    assert (mdir / "v000005.json").exists()
+    assert _exists(store, "v000005.json")
     assert store.read("pts").count() == 20
     store.commit({"pts": _batch(spark, 8)})
-    d = json.loads((mdir / "v000006.delta.json").read_text())
+    d = _get(store, "v000006.delta.json")
     assert d["base"] == 5
     assert store.read("pts").count() == 30
     # pre-rollback snapshot still resolves through its own chain
     assert store.read("pts", version=4).count() == 40
 
 
-def test_vacuum_preserves_kept_chains(spark, tmp_path):
+def test_vacuum_preserves_kept_chains(spark, tmp_path, mk):
     # interval 2: v1 ckpt, v2-v3 deltas(base 1), v4 ckpt, v5-v6 deltas(base 4)
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=2)
+    store = mk(tmp_path / "s", checkpoint_interval=2)
     _commit_n(spark, store, 6)
     m = store.current_manifest()
     store.vacuum(keep_manifests=2)
-    mdir = store.root / "_manifests"
     # newest 2 versions kept PLUS their chain back to the base
     # checkpoint — CURRENT must stay resolvable; the older chain goes
     assert store.current_manifest().version == m.version
     assert store.read("pts").count() == 60
-    kept_versions = sorted(int(p.name[1:7]) for p in mdir.glob("v*.json"))
+    kept_versions = sorted(
+        int(n[1:7])
+        for n in _names(store)
+        if n.startswith("v") and n.endswith(".json")
+    )
     assert kept_versions == [4, 5, 6]
     assert store.read("pts", version=5).count() == 50
     with pytest.raises(ValueError, match="not found"):
         store.manifest_at(2)
 
 
-def test_concurrent_writers_collide_loudly(spark, tmp_path):
-    store = _mk(spark, tmp_path / "s")
+def test_concurrent_writers_collide_loudly(spark, tmp_path, mk):
+    store = mk(tmp_path / "s")
     _commit_n(spark, store, 2)
     v_next = store.current_manifest().version + 1
-    mdir = store.root / "_manifests"
     # racer wrote a checkpoint at our next version -> delta commit raises
-    (mdir / f"v{v_next:06d}.json").write_text("{}")
+    store._mio.put_text(f"v{v_next:06d}.json", "{}")
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store.commit({"pts": _batch(spark, 5)})
-    (mdir / f"v{v_next:06d}.json").unlink()
+    store._mio.delete(f"v{v_next:06d}.json")
     # racer wrote a delta at our next version -> checkpoint swap raises
-    (mdir / f"v{v_next:06d}.delta.json").write_text("{}")
+    store._mio.put_text(f"v{v_next:06d}.delta.json", "{}")
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store._swap(Manifest(version=v_next))
-    # and a delta-delta race collides on the claim
+    # and a delta-delta race collides on the manifest put
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store.commit({"pts": _batch(spark, 5)})
 
 
-def test_two_writer_race_serialized_by_claim(spark, tmp_path):
+def test_two_writer_race_serialized_by_claim(spark, tmp_path, mk):
     """ADVICE r9 (medium): the old guard was check-then-create across
     TWO filenames — a delta writer and a checkpoint writer racing on the
     same version could both pass their existence checks and both
@@ -212,13 +252,13 @@ def test_two_writer_race_serialized_by_claim(spark, tmp_path):
     claim file serializes both paths: this test drives the exact
     interleaving (both existence checks pass, then both writers reach
     the conditional put) and asserts exactly one winner, a loud error
-    for the loser, and no orphan format file from the loser."""
-    store_a = _mk(spark, tmp_path / "s", checkpoint_interval=100)
+    for the loser, and no orphan format file from the loser.  Runs on
+    both backends — on the object-store fake the claim is a conditional
+    PUT, exactly the S3 primitive the protocol was designed around."""
+    store_a = mk(tmp_path / "s", checkpoint_interval=100)
     _commit_n(spark, store_a, 2)  # v1 ckpt, v2 delta — next is v3 delta
-    store_b = TableStore(spark, tmp_path / "s", bloom_columns={},
-                         dict_columns={}, checkpoint_interval=100)
+    store_b = mk(tmp_path / "s", checkpoint_interval=100)
     v_next = store_a.current_manifest().version + 1
-    mdir = store_a.root / "_manifests"
 
     # interleave: writer B (a full-checkpoint swap) performs its claim
     # *between* writer A's existence check and A's claim, by hooking
@@ -227,8 +267,8 @@ def test_two_writer_race_serialized_by_claim(spark, tmp_path):
     real_put = TableStore._put_if_absent
     fired = []
 
-    def hooked(self, path, content):
-        if not fired and path.suffix == ".claim":
+    def hooked(self, name, content):
+        if not fired and name.endswith(".claim"):
             fired.append(True)
             # B sneaks in first with a checkpoint at the same version
             store_b._swap(Manifest(
@@ -238,53 +278,50 @@ def test_two_writer_race_serialized_by_claim(spark, tmp_path):
                 schemas=dict(store_b.current_manifest().schemas),
                 projections=dict(store_b.current_manifest().projections),
             ))
-        return real_put(self, path, content)
+        return real_put(self, name, content)
 
     store_a._put_if_absent = hooked.__get__(store_a)
     with pytest.raises(RuntimeError, match="claimed by another writer"):
         store_a.commit({"pts": _batch(spark, 7)})
     # exactly one format file exists for v_next: B's checkpoint
-    assert (mdir / f"v{v_next:06d}.json").exists()
-    assert not (mdir / f"v{v_next:06d}.delta.json").exists()
+    assert _exists(store_a, f"v{v_next:06d}.json")
+    assert not _exists(store_a, f"v{v_next:06d}.delta.json")
     # the winning commit is the one readers resolve — no silent loss
     assert store_a.manifest_at(v_next).version == v_next
     # the mirror race (checkpoint loser, delta winner) also errs loudly
     fired.clear()
 
-    def hooked2(self, path, content):
-        if not fired and path.suffix == ".claim":
+    def hooked2(self, name, content):
+        if not fired and name.endswith(".claim"):
             fired.append(True)
             store_b.set_status({"racer": 1})  # delta swap claims v_next+1
-        return real_put(self, path, content)
+        return real_put(self, name, content)
 
     store_a._put_if_absent = hooked2.__get__(store_a)
     with pytest.raises(RuntimeError, match="claimed by another writer"):
         store_a._swap(Manifest(version=v_next + 1))
-    assert (mdir / f"v{v_next + 1:06d}.delta.json").exists()
-    assert not (mdir / f"v{v_next + 1:06d}.json").exists()
+    assert _exists(store_a, f"v{v_next + 1:06d}.delta.json")
+    assert not _exists(store_a, f"v{v_next + 1:06d}.json")
 
 
 def test_put_if_absent_is_the_whole_commit_protocol(spark, tmp_path):
     """The object-store seam contract: overriding _put_if_absent alone
     swaps the optimistic-concurrency backend — no swap path O_EXCLs a
     file behind the seam's back.  A subclass emulating a conditional
-    PUT (atomicity decided by its OWN key registry, the file write a
-    plain side effect) runs the full lifecycle — commits, delta
+    PUT (atomicity decided by its OWN key registry, the write a plain
+    unconditional PUT) runs the full lifecycle — commits, delta
     takedown, projection build/refresh, status, vacuum, reopen — and
     every conditional create is observed through the override."""
-    from pathlib import Path as _P
-
     registry: set[str] = set()
     puts: list[str] = []
 
     class ObjectStoreTableStore(TableStore):
-        def _put_if_absent(self, path: _P, content: str) -> None:
-            key = str(path)
-            if key in registry:  # the backend's If-None-Match: * reply
-                raise FileExistsError(key)
-            registry.add(key)
-            puts.append(path.name)
-            path.write_text(content)  # plain PUT after the claim
+        def _put_if_absent(self, name: str, content: str) -> None:
+            if name in registry:  # the backend's If-None-Match: * reply
+                raise FileExistsError(name)
+            registry.add(name)
+            puts.append(name)
+            self._mio.put_text(name, content)  # plain PUT after winning
 
     store = ObjectStoreTableStore(
         spark, tmp_path / "s", bloom_columns={}, dict_columns={},
@@ -303,20 +340,25 @@ def test_put_if_absent_is_the_whole_commit_protocol(spark, tmp_path):
     files = [p for p in puts if not p.endswith(".claim")]
     assert len(claims) == store.current_manifest().version
     assert len(files) == len(claims)  # one manifest per claim
-    # and a stale registry entry surfaces as the loud conflict
+    # and a stale registry entry surfaces as the loud conflict (no
+    # object backs it, so the self-heal's orphan probe finds no claim
+    # mtime and correctly refuses to free the version)
     v_next = store.current_manifest().version + 1
-    registry.add(str(store.root / "_manifests" / f"v{v_next:06d}.claim"))
+    registry.add(f"v{v_next:06d}.claim")
     with pytest.raises(RuntimeError, match="claimed by another writer"):
         store.set_status({"mark": 2})
     # plain TableStore reopen reads the object-store-written state
-    reopened = _mk(spark, tmp_path / "s", checkpoint_interval=10)
+    reopened = TableStore(
+        spark, tmp_path / "s", bloom_columns={}, dict_columns={},
+        checkpoint_interval=10,
+    )
     assert reopened.read("pts").count() == 39
 
 
-def test_vacuum_rejects_zero_keep_manifests(spark, tmp_path):
+def test_vacuum_rejects_zero_keep_manifests(spark, tmp_path, mk):
     """ADVICE r9: keep_manifests=0 used to compute keep=set() and delete
     every manifest including CURRENT's, bricking the store."""
-    store = _mk(spark, tmp_path / "s")
+    store = mk(tmp_path / "s")
     _commit_n(spark, store, 2)
     with pytest.raises(ValueError, match="keep_manifests must be >= 1"):
         store.vacuum(keep_manifests=0)
@@ -326,30 +368,36 @@ def test_vacuum_rejects_zero_keep_manifests(spark, tmp_path):
     assert store.read("pts").count() == 20
 
 
-def test_vacuum_reclaims_claim_files_with_versions(spark, tmp_path):
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=2)
+def test_vacuum_reclaims_claim_files_with_versions(spark, tmp_path, mk):
+    store = mk(tmp_path / "s", checkpoint_interval=2)
     _commit_n(spark, store, 6)
-    mdir = store.root / "_manifests"
-    assert (mdir / "v000002.claim").exists()
+    assert _exists(store, "v000002.claim")
     store.vacuum(keep_manifests=2)
-    kept_json = {int(p.name[1:7]) for p in mdir.glob("v*.json")}
-    kept_claims = {int(p.name[1:7]) for p in mdir.glob("v*.claim")}
+    kept_json = {
+        int(n[1:7])
+        for n in _names(store)
+        if n.startswith("v") and n.endswith(".json")
+    }
+    kept_claims = {
+        int(n[1:7])
+        for n in _names(store)
+        if n.startswith("v") and n.endswith(".claim")
+    }
     assert kept_claims == kept_json  # claims live and die with versions
 
 
-def test_set_status_writes_o1_delta(spark, tmp_path):
-    store = _mk(spark, tmp_path / "s")
+def test_set_status_writes_o1_delta(spark, tmp_path, mk):
+    store = mk(tmp_path / "s")
     _commit_n(spark, store, 2)
     store.set_status({"last_processed_block": 101})
-    mdir = store.root / "_manifests"
-    d = json.loads((mdir / "v000003.delta.json").read_text())
+    d = _get(store, "v000003.delta.json")
     assert d["op"] == "status" and d["adds"] == {}
     assert store.read_status() == {"last_processed_block": 101}
     assert store.read("pts").count() == 20
 
 
-def test_schema_evolution_rides_deltas(spark, tmp_path):
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=10)
+def test_schema_evolution_rides_deltas(spark, tmp_path, mk):
+    store = mk(tmp_path / "s", checkpoint_interval=10)
     _commit_n(spark, store, 2)
     evolved = spark.createDataFrame(
         [(999, "0xff", 200, "tagged")],
@@ -364,20 +412,17 @@ def test_schema_evolution_rides_deltas(spark, tmp_path):
     assert "tag" not in store.read("pts", version=2).columns
 
 
-def test_log_commits_off_preserves_legacy_layout(spark, tmp_path):
-    store = _mk(spark, tmp_path / "s", log_commits=False)
+def test_log_commits_off_preserves_legacy_layout(spark, tmp_path, mk):
+    store = mk(tmp_path / "s", log_commits=False)
     _commit_n(spark, store, 3)
-    mdir = store.root / "_manifests"
-    assert sorted(p.name for p in mdir.glob("v*.json")) == [
-        "v000001.json",
-        "v000002.json",
-        "v000003.json",
-    ]
-    assert not list(mdir.glob("*.delta.json"))
+    jsons = sorted(
+        n for n in _names(store) if n.startswith("v") and n.endswith(".json")
+    )
+    assert jsons == ["v000001.json", "v000002.json", "v000003.json"]
 
 
 def test_changefeed_tail_fast_path_skips_base_hydration(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, mk, monkeypatch
 ):
     """The streaming-consumer steady state: a window of pure delta
     versions is consumed straight from the delta files — O(window),
@@ -385,7 +430,7 @@ def test_changefeed_tail_fast_path_skips_base_hydration(
     `seen` set costs O(total fragments) per tick at scale).  Spied via
     manifest_at: the only resolution allowed is the schema read at the
     window head."""
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=10)
+    store = mk(tmp_path / "s", checkpoint_interval=10)
     _commit_n(spark, store, 5)
     calls: list[int] = []
     orig = TableStore.manifest_at
@@ -417,20 +462,19 @@ def test_changefeed_tail_fast_path_skips_base_hydration(
     assert store.changes("pts", since_version=2).count() == 30
 
 
-def test_delete_and_upsert_ride_deltas_without_projections(spark, tmp_path):
+def test_delete_and_upsert_ride_deltas_without_projections(spark, tmp_path, mk):
     """r9: takedowns and MERGEs on projection-free tables write
     O(touched) delta records (removed paths + rewritten survivors),
     never a full manifest — and every read surface agrees: snapshot,
     pruning, table_rows, time travel, changefeed with delete replay."""
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    store = mk(tmp_path / "s", checkpoint_interval=20)
     _commit_n(spark, store, 4)  # v1 ckpt + v2-4 deltas, ids b*100+i
-    mdir = store.root / "_manifests"
 
     # delete one row committed INSIDE the chain (batch 2, id 205)
     stats = store.delete_equals("pts", "id", 205)
     assert stats["rewritten"] == 1 and stats["deleted_rows"] == 1
-    d5 = json.loads((mdir / "v000005.delta.json").read_text())
-    assert not (mdir / "v000005.json").exists()
+    d5 = _get(store, "v000005.delta.json")
+    assert not _exists(store, "v000005.json")
     assert d5["op"] == "delete" and d5["op_info"]["value"] == 205
     assert len(d5["removes"]["pts"]) == 1
     assert all(f["derived"] for f in d5["adds"]["pts"])
@@ -444,7 +488,7 @@ def test_delete_and_upsert_ride_deltas_without_projections(spark, tmp_path):
     batch = spark.createDataFrame([(301, "0xNEW", 900), (999, "0xQQ", 901)], SCHEMA)
     up = store.upsert("pts", batch, "id")
     assert up["rewritten"] == 1 and up["replaced_rows"] == 1
-    d6 = json.loads((mdir / "v000006.delta.json").read_text())
+    d6 = _get(store, "v000006.delta.json")
     assert d6["op"] == "upsert" and set(d6["op_info"]["values"]) == {301, 999}
     got = {r["id"]: r["addr"] for r in store.read("pts").collect()}
     assert got[301] == "0xNEW" and got[999] == "0xQQ" and len(got) == 40
@@ -474,21 +518,20 @@ def test_delete_and_upsert_ride_deltas_without_projections(spark, tmp_path):
     assert dels == {(205, 5), (301, 6)}
 
 
-def test_projection_refresh_rides_deltas(spark, tmp_path):
+def test_projection_refresh_rides_deltas(spark, tmp_path, mk):
     """r10: the LSM maintenance step (refresh_projection, run on the
     ingest cadence by maintain_store) writes one O(drained tail) delta
     — coverage extension + the new clustered generation — instead of a
     full checkpoint per tick."""
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    store = mk(tmp_path / "s", checkpoint_interval=20)
     _commit_n(spark, store, 2)
     store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
     v = store.current_manifest().version  # build = checkpoint
     _commit_n(spark, store, 2, start=10)  # lag: 2 uncovered fragments
     n = store.refresh_projection("pts", "by_addr")
     assert n >= 1
-    mdir = store.root / "_manifests"
-    d = json.loads((mdir / f"v{v + 3:06d}.delta.json").read_text())
-    assert not (mdir / f"v{v + 3:06d}.json").exists()
+    d = _get(store, f"v{v + 3:06d}.delta.json")
+    assert not _exists(store, f"v{v + 3:06d}.json")
     assert d["op"] == "projection_refresh" and d["adds"] == {}
     ch = d["projections_delta"]["pts"]["by_addr"]
     assert len(ch["covers_add"]) == 2 and not ch["covers_map"]
@@ -504,23 +547,23 @@ def test_projection_refresh_rides_deltas(spark, tmp_path):
     assert store.current_manifest().version == v + 3
     # a takedown delta stacks on the refresh delta in one chain
     store.delete_equals("pts", "id", 1003)
-    assert (mdir / f"v{v + 4:06d}.delta.json").exists()
+    assert _exists(store, f"v{v + 4:06d}.delta.json")
     assert store.read_projection("pts", "by_addr").filter(
         F.col("id") == 1003
     ).count() == 0
     # pure file-state reopen
-    reopened = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    reopened = mk(tmp_path / "s", checkpoint_interval=20)
     assert reopened.read_projection("pts", "by_addr").count() == 39
 
 
-def test_table_rows_stays_unhydrated_through_removing_tail(spark, tmp_path):
+def test_table_rows_stays_unhydrated_through_removing_tail(spark, tmp_path, mk):
     """ADVICE r9: table_rows used to hydrate the full fragment list
     O(total fragments) whenever the delta tail contained a takedown,
     undermining the /stats manifest-only fast path.  Removing deltas
     now record each removed fragment's row count (`removes_rows`), so
     the count is base + adds − removed — O(tail) arithmetic, never
     touching the base fragment list."""
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    store = mk(tmp_path / "s", checkpoint_interval=20)
     _commit_n(spark, store, 4)
     # removals against BASE fragments (batch 0 rows) and chain adds
     store.delete_equals("pts", "id", 3)          # base frag rewrite
@@ -536,21 +579,20 @@ def test_table_rows_stays_unhydrated_through_removing_tail(spark, tmp_path):
     # — strip the map from the DELETE delta (v5), whose removal hits
     # the base (the upsert's removal is chain-internal and netted from
     # the accumulated adds, so it never needs the map)
-    mdir = store.root / "_manifests"
     v = m.version
-    d = json.loads((mdir / f"v{v - 1:06d}.delta.json").read_text())
+    d = _get(store, f"v{v - 1:06d}.delta.json")
     assert d["op"] == "delete"
     del d["removes_rows"]
-    (mdir / f"v{v - 1:06d}.delta.json").write_text(json.dumps(d))
+    store._mio.put_text(f"v{v - 1:06d}.delta.json", json.dumps(d))
     m2 = store.manifest_at(v)
     assert m2.__dict__["_removed_rows_ok"].get("pts") is False
     assert store.table_rows("pts", manifest=m2) == 39  # hydrated sum
     # exactness after vacuum-and-reopen too (pure file-state protocol)
-    reopened = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    reopened = mk(tmp_path / "s", checkpoint_interval=20)
     assert reopened.table_rows("pts") == 39
 
 
-def test_delete_and_upsert_ride_deltas_WITH_projections(spark, tmp_path):
+def test_delete_and_upsert_ride_deltas_WITH_projections(spark, tmp_path, mk):
     """VERDICT r9 item 2 (replaces the r9 projection-gate test): a
     table WITH projections now rides the log-structured path for
     delete/upsert — the delta record carries the projection
@@ -559,15 +601,14 @@ def test_delete_and_upsert_ride_deltas_WITH_projections(spark, tmp_path):
     compliance path.  The purge must reach the projection through the
     resolved chain: snapshot, projection read, covers renames, time
     travel, and a checkpoint re-anchoring all agree."""
-    store = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    store = mk(tmp_path / "s", checkpoint_interval=20)
     _commit_n(spark, store, 3)
     store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
     v = store.current_manifest().version  # checkpoint (build_projection)
     store.delete_equals("pts", "id", 105)
-    mdir = store.root / "_manifests"
     # delta, NOT a checkpoint
-    d = json.loads((mdir / f"v{v + 1:06d}.delta.json").read_text())
-    assert not (mdir / f"v{v + 1:06d}.json").exists()
+    d = _get(store, f"v{v + 1:06d}.delta.json")
+    assert not _exists(store, f"v{v + 1:06d}.json")
     assert d["op"] == "delete"
     pd_ = d["projections_delta"]["pts"]["by_addr"]
     assert len(pd_["pfrags_remove"]) >= 1  # the purged replica tile
@@ -583,7 +624,7 @@ def test_delete_and_upsert_ride_deltas_WITH_projections(spark, tmp_path):
     # an upsert delta on the same projected table stacks on the chain
     batch = spark.createDataFrame([(106, "0xUP", 900)], SCHEMA)
     store.upsert("pts", batch, "id")
-    d2 = json.loads((mdir / f"v{v + 2:06d}.delta.json").read_text())
+    d2 = _get(store, f"v{v + 2:06d}.delta.json")
     assert d2["op"] == "upsert" and "projections_delta" in d2
     got = {r["id"]: r["addr"] for r in store.read("pts").collect()}
     assert got[106] == "0xUP" and 105 not in got
@@ -599,7 +640,7 @@ def test_delete_and_upsert_ride_deltas_WITH_projections(spark, tmp_path):
     base_state = store.manifest_at(v).projections["pts"]["by_addr"]
     assert set(base_state["covers"]) != set(mid["covers"])
     # reopen from files alone (pure file-state protocol)
-    reopened = _mk(spark, tmp_path / "s", checkpoint_interval=20)
+    reopened = mk(tmp_path / "s", checkpoint_interval=20)
     assert reopened.read("pts").count() == 29
     assert reopened.read_projection(
         "pts", "by_addr", key_equals="0xup"
