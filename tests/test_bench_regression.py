@@ -30,8 +30,27 @@ def test_no_regression_passes(tmp_path):
 
 
 def test_regression_flagged(tmp_path):
-    rc, out = _run(tmp_path, {"a": 2.0}, {"a": 3.0})
+    # a genuine 1.5x regression on a 5s entry exits 2 (VERDICT r10
+    # item 4's negative control: the small-entry band must not have
+    # loosened the gate where the signal is real)
+    rc, out = _run(tmp_path, {"a": 5.0}, {"a": 7.5})
     assert rc == 2 and "a" in out and "1.50x" in out
+
+
+def test_small_band_favorable_outlier_no_longer_flags(tmp_path):
+    """VERDICT r10 item 4: a 1-3s committed baseline that was a
+    favorable cold-pass outlier (-30% of the true median) must not flag
+    on a merely-typical re-run (the q2 r8 / q17+q20 r10 flapping).
+    1.4s -> 2.2s is 1.57x — noise arithmetic at this scale, green."""
+    rc, out = _run(tmp_path, {"q17": 1.4, "b": 6.0}, {"q17": 2.2, "b": 6.1})
+    assert rc == 0 and "OK" in out
+
+
+def test_small_band_still_flags_beyond_noise_envelope(tmp_path):
+    # 2.0s -> 4.0s (2.0x) exceeds even outlier-vs-outlier noise
+    # (1.3/0.7 ≈ 1.86) — a real plan change, still gated
+    rc, out = _run(tmp_path, {"a": 2.0}, {"a": 4.0})
+    assert rc == 2 and "2.00x" in out
 
 
 def test_subsecond_baseline_ignored(tmp_path):

@@ -50,6 +50,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STEADY = os.path.join(REPO, "bench_result_steady.json")
 THRESHOLD = 1.3
 FLOOR_SEC = 1.0
+# Small-entry band (VERDICT r10 item 4): at the 1-3s scale the
+# documented cold/steady noise is ±30%, so a FAVORABLE-OUTLIER baseline
+# (-30%) against a merely-typical re-run is already 1/0.7 ≈ 1.43x —
+# over the 1.3x gate with zero real regression.  Three rounds produced
+# three manual outlier adjudications exactly here (q2 r8, q17/q20 r10).
+# The band's threshold starts where even outlier-vs-outlier noise
+# (0.7x -> 1.3x of the true median) cannot explain the ratio:
+# 1.3/0.7 ≈ 1.86, rounded up.  The cost is acknowledged: a real <1.9x
+# regression on a 1-3s entry is an absolute delta under ~2s — below
+# this protocol's resolution; suspicions in that band are adjudicated
+# with tools/isolated_entry_bench.py (median of cache-cleared runs),
+# not with single steady samples.  Entries >= 3s keep the tight gate.
+SMALL_BAND_SEC = 3.0
+SMALL_BAND_THRESHOLD = 1.9
 # environmental-shift classification (SCALE.md r9 calibration protocol)
 ENV_MIN_FLAGS = 6        # r9 had 13; single-digit flag counts below this
                          # are adjudicated per-entry, never waved
@@ -114,7 +128,8 @@ def classify(base: dict, cur: dict, explained: dict[str, str] | None = None) -> 
         if t1 is None or t0 < FLOOR_SEC:
             continue
         ratios[name] = t1 / t0
-        if t1 > t0 * THRESHOLD and name not in explained:
+        thr = THRESHOLD if t0 >= SMALL_BAND_SEC else SMALL_BAND_THRESHOLD
+        if t1 > t0 * thr and name not in explained:
             regressions.append((name, t0, t1))
     new = sorted(set(cq) - set(bq))
     srt = sorted(ratios.values())
