@@ -5697,6 +5697,70 @@ def bm25_search(spark, sf_dir):
     return tx.bm25_topk(_t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20)
 
 
+_BM25_RERANK_SQL = f"""
+    WITH w AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+               FROM documents),
+    w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w2 GROUP BY 1),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w2
+           WHERE word IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    s AS (SELECT t.doc_id,
+                 ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * (1.2 + 1.0))
+                 / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / st.avgdl))
+                 AS ps
+          FROM tf t JOIN dfreq d USING (word) JOIN dl l USING (doc_id), stats st),
+    bm AS (SELECT doc_id,
+                  round(CAST(sum(CAST(ps AS DECIMAL(27,15))) AS DOUBLE), 6)
+                  AS bm25_score
+           FROM s GROUP BY doc_id
+           ORDER BY bm25_score DESC, doc_id LIMIT 20),
+    nv AS (SELECT count(*) AS n FROM embeddings),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    cand AS (SELECT bm.doc_id, bm.bm25_score,
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM bm CROSS JOIN nv
+             JOIN embeddings e ON e.vec_id = bm.doc_id % nv.n)
+    SELECT c.doc_id, c.bm25_score,
+           round(list_inner_product(c.v, q.qv) /
+                 (sqrt(list_inner_product(c.v, c.v))
+                  * sqrt(list_inner_product(q.qv, q.qv))), 6) AS rerank_cos
+    FROM cand c CROSS JOIN q
+    ORDER BY rerank_cos DESC, c.doc_id LIMIT 10
+"""
+
+
+@register(
+    "bm25_rerank",
+    _BM25_RERANK_SQL,
+    tags=("llm", "X-4", "bm25", "search", "rerank"),
+)
+def bm25_rerank_q(spark, sf_dir):
+    """Two-stage retrieval (VERDICT r10 item 8): the BM25 top-20 recall
+    stage rescored exactly against the embeddings table — lexical
+    recall, semantic precision, the standard curation-pipeline shape
+    (operators/textops.py:bm25_rerank).  Candidates link to vectors by
+    the corpus's deterministic ``doc_id % n_vecs`` mapping and are
+    BROADCAST into the embeddings scan (BroadcastHashJoin — the
+    embedding table never shuffles, plan-pinned in test_plan_hygiene);
+    the query vector (vec_id 0) enters as a literal double array, so
+    the rescore is one zip_with/aggregate fold per candidate.  Both
+    stages replay in the oracle from the raw tables — no exports."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    n_vecs = emb.count()
+    return tx.bm25_rerank(
+        docs, emb, list(_BM25_TERMS), query_vec=qv, n_vecs=n_vecs,
+        k_first=20, k=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # round 6b: learned quality classifier + C4 span-level corpus dedup
 # ---------------------------------------------------------------------------
@@ -5893,64 +5957,14 @@ def dedup_spans_global_q(spark, sf_dir):
 # driver entry for store time travel
 # ---------------------------------------------------------------------------
 
-_SB_SQL = f"""
-    WITH norm AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS ws
-                  FROM documents),
-    d AS (SELECT doc_id, lang, ws FROM norm
-          WHERE len(ws) > 0 AND ws[1] <> ''),
-    m AS (SELECT ws FROM d WHERE lang = 'en'),
-    uni AS (SELECT word, count(*) AS c1
-            FROM (SELECT unnest(ws) AS word FROM m) GROUP BY 1),
-    tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
-    bi AS (SELECT w1, w2, count(*) AS c2
-           FROM (SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS w1,
-                        unnest(list_slice(ws, 2, len(ws))) AS w2
-                 FROM m WHERE len(ws) >= 2) GROUP BY 1, 2),
-    pairs AS (SELECT doc_id,
-                     unnest(list_slice(ws, 1, len(ws) - 1)) AS w1,
-                     unnest(list_slice(ws, 2, len(ws))) AS w2
-              FROM d WHERE len(ws) >= 2),
-    pnll AS (SELECT p.doc_id,
-                    CAST(-ln(CASE WHEN b.c2 IS NOT NULL
-                                  THEN CAST(b.c2 AS DOUBLE) / u1.c1
-                                  ELSE 0.4 * COALESCE(CAST(u2.c1 AS DOUBLE),
-                                                      0.4) / t.t END)
-                         AS DECIMAL(27,15)) AS nll
-             FROM pairs p
-             LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
-             LEFT JOIN uni u1 ON p.w1 = u1.word
-             LEFT JOIN uni u2 ON p.w2 = u2.word, tot t),
-    psum AS (SELECT doc_id, sum(nll) AS s FROM pnll GROUP BY 1),
-    base AS (SELECT d.doc_id, len(d.ws) AS n_words,
-                    CAST(-ln(COALESCE(CAST(u.c1 AS DOUBLE), 0.4) / t.t)
-                         AS DECIMAL(27,15)) AS nll0
-             FROM d LEFT JOIN uni u ON d.ws[1] = u.word, tot t)
-    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
-           round(CAST(b.nll0 + COALESCE(p.s, 0) AS DOUBLE) / b.n_words, 6)
-             AS avg_nll
-    FROM base b LEFT JOIN psum p USING (doc_id)
-    """
-
-
-@register(
-    "lm_stupid_backoff",
-    _SB_SQL,
-    tags=("llm", "X-4", "perplexity", "stupid-backoff"),
-)
-def lm_stupid_backoff_q(spark, sf_dir):
-    """Bigram-LM quality score with Stupid Backoff (Brants et al. 2007 —
-    the count-only n-gram LM designed for MapReduce scale), fit on the
-    lang='en' slice and scoring EVERY document, so non-English docs
-    exercise the backoff path for real
-    (operators/textops.py:stupid_backoff_nll).  Unigram vocab
-    broadcasts (Heaps-bounded); the bigram table — NOT broadcast-
-    bounded — joins by key-partitioned equi-join; adjacency comes from
-    in-array pair extraction, never a window shuffle.  DECIMAL(27,15)
-    per-term accumulation keeps both engines bit-identical."""
-    docs = _t(spark, sf_dir, "documents")
-    return tx.stupid_backoff_nll(
-        docs, model_df=docs.where(F.col("lang") == "en"), alpha=0.4
-    )
+# RETIRED (r11 net-zero growth): ``lm_stupid_backoff`` — the bigram
+# (n=2) special case of ``lm_stupid_backoff_quad``'s general operator
+# (operators/textops.py:stupid_backoff_ngram_nll; bit-identity at n=2
+# pinned in tests/test_llm_ops.py::
+# test_stupid_backoff_ngram_generalizes_dedicated_orders).  The
+# dedicated bigram operator stays unit-tested and plan-pinned; the
+# catalog slot funded ``bm25_rerank`` (VERDICT r10 item 8), following
+# the r9 ``similarity_ivfpq_residual_topk`` precedent.
 
 
 _SB3_SQL = f"""
@@ -6524,6 +6538,7 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "point_lookup",  # flagship-core
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
+    "bm25_rerank",  # never checked
     "corpus_shuffle_shards",  # newest green r7
     "store_upsert_docs",  # newest green r7
     "jsonl_ingest",  # newest green r8
@@ -6567,7 +6582,6 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "retention_cohorts",  # newest green r8
     "sample_weighted",  # newest green r8
     "unpivot_part_metrics",  # newest green r8
-    "interval_join_events",  # newest green r8
 ]
 
 

@@ -217,6 +217,73 @@ def bm25_topk(
     )
 
 
+def bm25_rerank(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    *,
+    query_vec: list[float],
+    n_vecs: int,
+    k_first: int = 20,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-stage retrieval (VERDICT r10 item 8): BM25 recall stage →
+    exact embedding-cosine rescoring of the top-``k_first`` candidates
+    — the standard retrieval-pipeline shape (lexical recall, semantic
+    precision) a training-data curation stack runs next after
+    :func:`bm25_topk`.
+
+    The candidate set (``k_first`` rows, a TakeOrderedAndProject
+    output) is BROADCAST into the embeddings scan and equi-joined on
+    vector id (``doc_id % n_vecs`` — the corpus's deterministic
+    doc→vector linkage), so the rescoring stage is one
+    BroadcastHashJoin probe per embedding partition: no shuffle of the
+    embedding table, no cartesian, and the expensive side scales only
+    with the corpus scan.  The query vector enters as a LITERAL double
+    array (no 1-row nested-loop join), and the cosine is one
+    zip_with/aggregate fold per candidate — whole-stage codegen, no
+    Python.
+
+    Cross-engine determinism: dot/norm folds run in array order as
+    IEEE doubles on both engines (Spark ``aggregate``, DuckDB
+    ``list_inner_product``); the final cosine rounds to 6dp and ranks
+    with doc_id tiebreak, the same policy as the first stage's score.
+
+    ``query_vec``/``n_vecs`` are passed resolved (one 1-row lookup +
+    one metadata count by the caller) so this stays a pure plan
+    builder."""
+    cands = bm25_topk(
+        docs, query_terms, k=k_first, k1=k1, b=b, text_col=text_col
+    ).withColumnRenamed("score", "bm25_score")
+    cands = cands.withColumn(
+        "vec_id", (F.col("doc_id") % F.lit(int(n_vecs))).cast("long")
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def _fold(arr):
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    dot = _fold(F.zip_with(v, qarr, lambda a, q: a * q))
+    vv = _fold(F.zip_with(v, v, lambda a, c: a * c))
+    qq = _fold(F.zip_with(qarr, qarr, lambda a, c: a * c))
+    return (
+        emb.join(F.broadcast(cands), "vec_id")
+        .select(
+            "doc_id",
+            "bm25_score",
+            F.round(dot / (F.sqrt(vv) * F.sqrt(qq)), 6).alias("rerank_cos"),
+        )
+        .orderBy(F.desc("rerank_cos"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def unigram_nll(df: DataFrame, text_col: str = "text") -> DataFrame:
     """CCNet-style language-model quality score: per-document mean
     negative log-likelihood under a unigram model fit on the corpus

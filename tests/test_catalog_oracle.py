@@ -77,10 +77,10 @@ _EXPECTED_OUT_OF_WINDOW = {
     "evm_block_activity",  # newest green r9
     "gopher_quality",  # newest green r9
     "graph_triangle_count",  # newest green r10
+    "interval_join_events",  # newest green r8
     "json_agg_by_key",  # newest green r9
     "json_extract_props",  # newest green r9
     "lang_id",  # newest green r9
-    "lm_stupid_backoff",  # newest green r9
     "lm_stupid_backoff_quad",  # newest green r10
     "lm_stupid_backoff_tri",  # newest green r10
     "median_per_type",  # newest green r9

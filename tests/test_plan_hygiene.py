@@ -337,6 +337,28 @@ def test_semantic_dedup_and_bm25_plans(spark):
     assert broadcast_hint_count(bm) == 2
 
 
+def test_bm25_rerank_broadcasts_candidates_no_cartesian(spark):
+    """VERDICT r10 item 8 plan pin: the rescoring stage joins the
+    20-row BM25 candidate set into the embeddings scan as a BROADCAST
+    hash join (the embedding table never shuffles for the rerank), the
+    query vector is a literal array (no 1-row nested-loop join against
+    the embeddings side), and there is no cartesian anywhere."""
+    df = CATALOG["bm25_rerank"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # bounded-side broadcasts: bm25's df + stats, plus the candidate set
+    assert broadcast_hint_count(df) == 3, broadcast_hint_count(df)
+    # the final rerank order is a distributed top-k, not a global sort
+    assert_takes_ordered_topk(df)
+    import re
+
+    # no shuffle keyed on anything from the EMBEDDINGS side: the only
+    # exchanges belong to the bm25 recall stage (doc_id/word keyed)
+    shuffles = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert "vec_id" not in shuffles and "embedding" not in shuffles, plan
+
+
 def test_bucketed_tx_log_join_no_shuffle(spark, evm):
     """The at-rest bucketing layout SCALE.md promises: transactions and
     logs written bucketed by the tx-hash join key (same bucket count) →
@@ -544,8 +566,17 @@ def test_chunk_documents_is_one_narrow_projection(spark):
 def test_stupid_backoff_join_posture(spark):
     """Unigram vocab + 1-row total broadcast; the bigram table — NOT
     broadcast-bounded at scale — joins by key-partitioned equi-join;
-    no cartesian product, no Python anywhere."""
-    df = CATALOG["lm_stupid_backoff"].fn(spark, SF)
+    no cartesian product, no Python anywhere.  (The catalog slot
+    retired in r11 — bigram is the n=2 case of the general ngram
+    operator — but the dedicated operator keeps its plan pin.)"""
+    from pyspark.sql import functions as F
+
+    from rust_evm_indexer_spark.operators import textops as tx
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = tx.stupid_backoff_nll(
+        docs, model_df=docs.where(F.col("lang") == "en"), alpha=0.4
+    )
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
