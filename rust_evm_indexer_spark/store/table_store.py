@@ -627,6 +627,17 @@ class TableStore:
         #: forfeits the version (ADVICE r10 medium — without a floor, a
         #: vacuum racing a live writer could free a just-taken claim
         #: and reintroduce the lost update the claim exists to prevent).
+        #: Zero would make every LIVE claim instantly "orphaned" to the
+        #: self-heal — i.e. turn the guard itself into the race — so it
+        #: is rejected; tests backdate claim mtimes to expire the
+        #: envelope instead of disabling it.
+        if claim_grace_seconds <= 0:
+            raise ValueError(
+                "claim_grace_seconds must be > 0: a zero liveness "
+                "envelope lets a racing writer self-heal (steal) a LIVE "
+                "claim, which is the lost update the claim protocol "
+                "exists to prevent"
+            )
         self.claim_grace_seconds = claim_grace_seconds
         (self.root / "data").mkdir(parents=True, exist_ok=True)
 

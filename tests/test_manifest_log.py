@@ -45,9 +45,6 @@ def mk(request, spark):
             kw.setdefault(
                 "manifest_io", fakes.setdefault(str(root), InMemoryObjectStoreIO())
             )
-        # tests exercise claim reclamation right after commits — use a
-        # zero liveness floor unless the test overrides it
-        kw.setdefault("claim_grace_seconds", 0.0)
         return TableStore(spark, root, bloom_columns={}, dict_columns={}, **kw)
 
     _make.backend = request.param
