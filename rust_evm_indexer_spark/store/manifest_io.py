@@ -66,7 +66,23 @@ class ManifestIO:
 
     def put_if_absent(self, name: str, content: str) -> None:
         """Create iff absent; raise :class:`FileExistsError` when
-        another writer won.  The store's single concurrency primitive."""
+        another writer won.  The store's primary concurrency
+        primitive."""
+        raise NotImplementedError
+
+    def advance_monotonic(self, name: str, version: int) -> bool:
+        """Atomically set integer-valued object ``name`` to ``version``
+        iff it is currently absent or holds a SMALLER integer; return
+        whether the write happened.  Used only for the CURRENT pointer,
+        whose invariant is monotonicity — a stalled writer or a stale
+        roll-forward must never move it backwards.
+
+        Implementations: POSIX uses an flock-serialized
+        read-compare-write (single-host correctness); an object-store
+        adapter maps this to compare-and-swap on the object (S3
+        ``If-Match`` ETag conditional PUT, GCS ``ifGenerationMatch``),
+        retrying on precondition failure until the stored value is
+        >= ``version``."""
         raise NotImplementedError
 
     def put_bytes(self, name: str, data: bytes) -> None:
@@ -111,6 +127,28 @@ class LocalManifestIO(ManifestIO):
     def put_if_absent(self, name: str, content: str) -> None:
         with open(self.root / name, "x") as f:
             f.write(content)
+
+    def advance_monotonic(self, name: str, version: int) -> bool:
+        import fcntl
+
+        lock_path = self.root / f".{name}.lock"
+        with open(lock_path, "a") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                target = self.root / name
+                if target.exists():
+                    try:
+                        cur = int(target.read_text())
+                    except ValueError:
+                        cur = -1
+                    if cur >= version:
+                        return False
+                tmp = self.root / f".tmp.{uuid.uuid4().hex}"
+                tmp.write_text(str(version))
+                os.replace(tmp, target)
+                return True
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
 
     def put_bytes(self, name: str, data: bytes) -> None:
         tmp = self.root / f".tmp.{uuid.uuid4().hex}"
@@ -159,11 +197,17 @@ class InMemoryObjectStoreIO(ManifestIO):
     """
 
     def __init__(self, *, eventual_list: bool = False):
+        import threading
+
         self._objects: dict[str, tuple[bytes, float]] = {}
         self.eventual_list = eventual_list
         self._listed: set[str] = set()  # listing snapshot when eventual
         self._crash_points: list[tuple[str, str]] = []
         self.ops: list[tuple[str, str]] = []  # audit trail for tests
+        # the documented atomicity ('exactly one winner') must hold when
+        # tests drive the fake from concurrent threads — an
+        # unsynchronized check-then-set would itself race
+        self._lock = threading.RLock()
 
     # -- fault injection ---------------------------------------------------
 
@@ -186,28 +230,47 @@ class InMemoryObjectStoreIO(ManifestIO):
     # -- ManifestIO --------------------------------------------------------
 
     def get_text(self, name: str) -> str:
-        if name not in self._objects:
-            raise FileNotFoundError(name)
-        return self._objects[name][0].decode()
+        with self._lock:
+            if name not in self._objects:
+                raise FileNotFoundError(name)
+            return self._objects[name][0].decode()
 
     def put_text(self, name: str, content: str) -> None:
-        self._objects[name] = (content.encode(), time.time())
-        if not self.eventual_list:
-            self._listed.add(name)
+        with self._lock:
+            self._objects[name] = (content.encode(), time.time())
+            if not self.eventual_list:
+                self._listed.add(name)
         self._tick("put", name)
 
     def put_if_absent(self, name: str, content: str) -> None:
-        if name in self._objects:
-            raise FileExistsError(name)
-        self._objects[name] = (content.encode(), time.time())
-        if not self.eventual_list:
-            self._listed.add(name)
+        with self._lock:
+            if name in self._objects:
+                raise FileExistsError(name)
+            self._objects[name] = (content.encode(), time.time())
+            if not self.eventual_list:
+                self._listed.add(name)
         self._tick("put_if_absent", name)
 
+    def advance_monotonic(self, name: str, version: int) -> bool:
+        with self._lock:
+            if name in self._objects:
+                try:
+                    cur = int(self._objects[name][0].decode())
+                except ValueError:
+                    cur = -1
+                if cur >= version:
+                    return False
+            self._objects[name] = (str(version).encode(), time.time())
+            if not self.eventual_list:
+                self._listed.add(name)
+        self._tick("put", name)
+        return True
+
     def put_bytes(self, name: str, data: bytes) -> None:
-        self._objects[name] = (data, time.time())
-        if not self.eventual_list:
-            self._listed.add(name)
+        with self._lock:
+            self._objects[name] = (data, time.time())
+            if not self.eventual_list:
+                self._listed.add(name)
         self._tick("put", name)
 
     def parquet_dataset(self, name: str):
@@ -215,40 +278,51 @@ class InMemoryObjectStoreIO(ManifestIO):
         import pyarrow.dataset as pa_ds
         import pyarrow.parquet as pq
 
-        if name not in self._objects:
-            raise FileNotFoundError(name)
-        return pa_ds.dataset(pq.read_table(pa.BufferReader(self._objects[name][0])))
+        with self._lock:
+            if name not in self._objects:
+                raise FileNotFoundError(name)
+            data = self._objects[name][0]
+        return pa_ds.dataset(pq.read_table(pa.BufferReader(data)))
 
     def exists(self, name: str) -> bool:
-        return name in self._objects
+        with self._lock:
+            return name in self._objects
 
     def list(self) -> list[str]:
-        if self.eventual_list:
-            # stale snapshot: late writes missing, deletes lingering
-            return sorted(self._listed)
-        return sorted(self._objects)
+        with self._lock:
+            if self.eventual_list:
+                # stale snapshot: late writes missing, deletes lingering
+                return sorted(self._listed)
+            return sorted(self._objects)
 
     def delete(self, name: str) -> None:
-        self._objects.pop(name, None)
-        if not self.eventual_list:
-            self._listed.discard(name)
+        with self._lock:
+            self._objects.pop(name, None)
+            if not self.eventual_list:
+                self._listed.discard(name)
         self._tick("delete", name)
 
     def mtime(self, name: str) -> float:
-        if name not in self._objects:
-            raise FileNotFoundError(name)
-        return self._objects[name][1]
+        with self._lock:
+            if name not in self._objects:
+                raise FileNotFoundError(name)
+            return self._objects[name][1]
 
     # -- test helpers --------------------------------------------------
 
     def age(self, name: str, seconds: float) -> None:
         """Backdate an object's mtime (tests: expire a grace window
         without sleeping)."""
-        data, mt = self._objects[name]
-        self._objects[name] = (data, mt - seconds)
+        with self._lock:
+            data, mt = self._objects[name]
+            self._objects[name] = (data, mt - seconds)
 
     def dump(self) -> dict[str, str]:
-        return {k: v[0].decode("utf-8", "replace") for k, v in self._objects.items()}
+        with self._lock:
+            return {
+                k: v[0].decode("utf-8", "replace")
+                for k, v in self._objects.items()
+            }
 
 
 __all__ = [

@@ -814,7 +814,7 @@ class TableStore:
             and self.current_version() < version
         )
 
-    def _claim_version(self, version: int, fmt: str) -> None:
+    def _claim_version(self, version: int, fmt: str) -> str:
         """Serialize version claims through a SINGLE per-version file.
 
         The r9 guard O_EXCL-created the format-specific manifest file and
@@ -835,23 +835,33 @@ class TableStore:
         orphan conditions (:meth:`_claim_is_orphan`: no manifest in
         either format, CURRENT below the version, claim older than
         ``claim_grace_seconds``) and SELF-HEALS — deletes the stale
-        claim and retries the conditional put once; if two healers
-        race, the conditional put still picks exactly one winner.  A
-        claim that is merely young stays untouchable and commits fail
-        loudly with the recovery steps named: wait out the grace, or
-        run :meth:`vacuum` (which reclaims grace-expired orphan claims
-        with their versions)."""
+        claim and retries the conditional put once.  A claim that is
+        merely young stays untouchable and commits fail loudly with
+        the recovery steps named: wait out the grace, or run
+        :meth:`vacuum` (which reclaims grace-expired orphan claims
+        with their versions).
+
+        Ownership is FENCED, not assumed (r11 review): the claim's
+        content carries a per-writer token, returned here; the swap
+        paths re-verify the token right before their manifest put
+        (:meth:`_assert_claim_owned`), so a writer whose 'orphaned'
+        claim was actually stolen — it was alive, just slower than the
+        envelope — aborts WITHOUT writing a manifest instead of
+        landing a second format file for the version.  Racing healers
+        are likewise safe: whoever's token survives in the claim is
+        the one writer whose fence passes."""
+        token = uuid.uuid4().hex
         name = f"v{version:06d}.claim"
         try:
-            self._put_if_absent(name, fmt)
-            return
+            self._put_if_absent(name, f"{fmt}:{token}")
+            return token
         except FileExistsError:
             pass
         if self._claim_is_orphan(version):
             self._mio.delete(name)
             try:
-                self._put_if_absent(name, fmt)
-                return
+                self._put_if_absent(name, f"{fmt}:{token}")
+                return token
             except FileExistsError:
                 pass  # another healer won the re-claim: fall through
         # the OTHER crash point: the claiming writer died AFTER its
@@ -871,7 +881,9 @@ class TableStore:
             except FileNotFoundError:
                 age = self.claim_grace_seconds
             if age >= self.claim_grace_seconds:
-                self._mio.put_text(_CURRENT, str(version))
+                # monotonic: a stale healer can never move the pointer
+                # BACKWARDS past commits that landed since its checks
+                self._mio.advance_monotonic(_CURRENT, version)
                 raise RuntimeError(
                     f"concurrent commit detected: manifest v{version} was "
                     "already committed by a writer that crashed before "
@@ -886,6 +898,47 @@ class TableStore:
             "(claim_grace_seconds), or run vacuum() to reclaim it "
             "explicitly once the grace has elapsed."
         )
+
+    def _assert_claim_owned(self, version: int, token: str) -> None:
+        """The forfeit, ENFORCED (r11 review): re-read the claim right
+        before the manifest put and verify it still carries OUR token.
+        A writer that outlived the liveness envelope and had its claim
+        self-healed away (stolen) by another writer aborts here —
+        BEFORE writing a manifest — instead of landing a second format
+        file for the version.  Its already-written sidecars become
+        orphans that vacuum reclaims."""
+        name = f"v{version:06d}.claim"
+        try:
+            content = self._mio.get_text(name)
+        except FileNotFoundError:
+            content = ""
+        if not content.endswith(f":{token}"):
+            raise RuntimeError(
+                f"commit forfeited: the claim on manifest version "
+                f"{version} was reclaimed by another writer (this writer "
+                f"exceeded the {self.claim_grace_seconds:.0f}s "
+                "claim-to-manifest liveness envelope).  No manifest was "
+                "written; retry the commit against the current state."
+            )
+
+    def _cross_format_loser_check(self, version: int, own: str, other: str) -> None:
+        """Post-put detection for the one interleaving the fence can't
+        see: our fence passed, then a steal landed the OTHER format for
+        the same version before our put.  The later putter always sees
+        the earlier one's file, so at least one racer runs this branch:
+        it deletes its OWN manifest (never the other's) and raises,
+        leaving exactly one — or, under a perfectly symmetric race,
+        zero, which is a loud both-abort, never a silent lost update.
+        Runs BEFORE the CURRENT advance, so an aborted commit is never
+        referenced by the pointer."""
+        if self._mio.exists(other):
+            self._mio.delete(own)
+            raise RuntimeError(
+                f"commit forfeited: manifest v{version} was concurrently "
+                "committed in the other format by a writer that reclaimed "
+                "this writer's grace-expired claim; this commit's file was "
+                "withdrawn — retry against the current state."
+            )
 
     def _swap(self, manifest: Manifest) -> None:
         """Write the manifest then atomically advance the CURRENT pointer
@@ -909,7 +962,7 @@ class TableStore:
                 f"concurrent commit detected: manifest v{manifest.version} "
                 "already exists as a delta (another writer advanced the store)"
             )
-        self._claim_version(manifest.version, "checkpoint")
+        token = self._claim_version(manifest.version, "checkpoint")
         d = manifest.to_json()
         fmt = self.manifest_format
         if fmt == "auto":
@@ -961,6 +1014,9 @@ class TableStore:
                     for name in projs:
                         projs[name]["covers"] = []
                 d["covers_pq"] = cov_rel
+        # fence: the sidecar writes above may have outlived the liveness
+        # envelope — verify we still own the claim BEFORE the put
+        self._assert_claim_owned(manifest.version, token)
         try:
             self._put_if_absent(mname, json.dumps(d, indent=1))
         except FileExistsError as exc:
@@ -968,13 +1024,16 @@ class TableStore:
                 f"concurrent commit detected: manifest v{manifest.version} "
                 "already exists (another writer advanced the store)"
             ) from exc
-        # CURRENT advance: an unconditional small-object PUT.  Safe
-        # without compare-and-swap because version creation serialized
-        # upstream (the claim): any writer that targets version N+1 must
-        # FIRST have read CURRENT=N, which happens only after this PUT —
-        # so CURRENT writes are naturally ordered.  POSIX backend makes
-        # the PUT atomic via rename; object stores are atomic per PUT.
-        self._mio.put_text(_CURRENT, str(manifest.version))
+        self._cross_format_loser_check(
+            manifest.version, mname, f"v{manifest.version:06d}.delta.json"
+        )
+        # CURRENT advance: a MONOTONIC small-object write.  Version
+        # creation is serialized upstream (claim + fence + loser check),
+        # and monotonicity guarantees a stalled writer or a stale
+        # roll-forward can never move the pointer backwards past
+        # commits that landed meanwhile.  POSIX: flock-serialized
+        # read-compare-rename; object stores: If-Match CAS.
+        self._mio.advance_monotonic(_CURRENT, manifest.version)
 
     def _delta_chain_len(self, m: Manifest) -> int:
         """How many deltas the NEXT version would stack on its base —
@@ -1021,7 +1080,8 @@ class TableStore:
                 f"concurrent commit detected: manifest v{version} already "
                 "exists as a checkpoint (another writer advanced the store)"
             )
-        self._claim_version(version, "delta")
+        token = self._claim_version(version, "delta")
+        self._assert_claim_owned(version, token)  # see _swap on the fence
         try:
             self._put_if_absent(
                 f"v{version:06d}.delta.json", json.dumps(delta, indent=1)
@@ -1031,7 +1091,10 @@ class TableStore:
                 f"concurrent commit detected: manifest v{version} "
                 "already exists (another writer advanced the store)"
             ) from exc
-        self._mio.put_text(_CURRENT, str(version))  # see _swap on safety
+        self._cross_format_loser_check(
+            version, f"v{version:06d}.delta.json", f"v{version:06d}.json"
+        )
+        self._mio.advance_monotonic(_CURRENT, version)  # see _swap
 
     # -- writes ------------------------------------------------------------
 
@@ -1941,7 +2004,14 @@ class TableStore:
         deletes: list[tuple[int, list[str], dict]] = []  # (v, removed, pred)
         window = range(since_version + 1, to + 1)
         delta_names = [f"v{v:06d}.delta.json" for v in window]
-        if window and all(self._mio.exists(n) for n in delta_names):
+        # a window version is delta-format iff the delta exists AND no
+        # checkpoint shadows it: a cross-format race loser's withdrawn
+        # (or crash-orphaned) delta must never feed the fast path while
+        # manifest_at resolves the version from the winning checkpoint
+        if window and all(
+            self._mio.exists(n) and not self._mio.exists(f"v{v:06d}.json")
+            for v, n in zip(window, delta_names)
+        ):
             # TAIL FAST PATH — the steady state of a streaming consumer
             # following an appending store: every window version is a
             # log-structured delta, so the change set is exactly the
@@ -3096,17 +3166,42 @@ class TableStore:
             if v not in keep:
                 for n in names:
                     self._mio.delete(n)
+        claim_grace = max(grace_seconds, self.claim_grace_seconds)
         # parquet fraglist / covers sidecars live and die with their
         # version.  Liveness is re-checked through STRONG exists() per
         # candidate, never through the (possibly stale) listing — a
         # fresh sidecar whose manifest the listing hasn't surfaced yet
-        # must not be reclaimed.
+        # must not be reclaimed.  A LIVE writer writes its sidecars
+        # AFTER its claim and BEFORE its manifest (r11 review): an
+        # existing claim therefore marks the version in-flight and
+        # protects its sidecars too (a crashed writer's orphan sidecars
+        # are reclaimed on the vacuum AFTER the one that frees the
+        # claim), with the claim-grace age gate as defense in depth.
+        cur_v = self.current_version()
         for name in listing:
             for prefix in ("frags-", "covers-"):
                 if name.startswith(prefix) and name.endswith(".parquet"):
                     stem = name[len(prefix):-len(".parquet")]
-                    if not self._mio.exists(f"{stem}.json"):
-                        self._mio.delete(name)
+                    if self._mio.exists(f"{stem}.json"):
+                        continue
+                    try:
+                        ver = int(stem[1:7])
+                    except ValueError:
+                        continue
+                    if ver > cur_v:
+                        # potentially an IN-FLIGHT writer's sidecar (its
+                        # claim precedes it, its manifest follows):
+                        # protected while the claim stands or young
+                        if self._mio.exists(f"{stem}.claim"):
+                            continue
+                        try:
+                            if now - self._mio.mtime(name) < claim_grace:
+                                continue
+                        except FileNotFoundError:
+                            continue
+                    # ver <= CURRENT with no manifest: the version's fate
+                    # is decided (pruned, or lost a race) — reclaim now
+                    self._mio.delete(name)
         # claim files: reclaimed with their version once pruned, and a
         # CRASHED writer's orphan (claim, no manifest in either format)
         # is freed so its version number becomes claimable again.
@@ -3118,9 +3213,8 @@ class TableStore:
         # the exact lost update the claim protocol prevents).  The floor
         # is the store's claim_grace_seconds (the same liveness envelope
         # _claim_version's self-heal uses); grace_seconds can only
-        # RAISE it.
-        claim_grace = max(grace_seconds, self.claim_grace_seconds)
-        cur_v = self.current_version()
+        # RAISE it.  (claim_grace and cur_v computed above, shared with
+        # the sidecar guard.)
         for name in listing:
             if not (name.startswith("v") and name.endswith(".claim")):
                 continue

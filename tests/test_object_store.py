@@ -383,3 +383,163 @@ def test_racing_writers_exactly_one_winner_per_version(spark, tmp_path):
     # nothing — 12 attempts over a shared CURRENT read make that
     # astronomically unlikely, but fail loudly rather than silently)
     assert len(wins) < n_writers * per_writer, outcomes
+
+
+def test_slow_writer_forfeits_after_claim_steal(spark, tmp_path):
+    """r11 review (fence): a writer that outlives the liveness envelope
+    between claim and manifest put does NOT land a second manifest —
+    the pre-put ownership fence sees the stolen claim's foreign token
+    and aborts with no manifest written.  The stealing writer's commit
+    is the single winner."""
+    fake = InMemoryObjectStoreIO()
+    store_a = _mk(spark, tmp_path / "s", fake)
+    store_a.commit({"pts": _batch(spark, 0)})
+    v_next = store_a.current_version() + 1
+    store_b = _mk(spark, tmp_path / "s", fake)
+
+    real_put = TableStore._put_if_absent
+    fired = []
+
+    def hooked(self, name, content):
+        real_put(self, name, content)
+        if not fired and name.endswith(".claim"):
+            fired.append(True)
+            # A "stalls" past the envelope: age its claim, then B
+            # self-heals the 'orphan' and commits the same version
+            fake.age(name, self.claim_grace_seconds + 1)
+            assert store_b.commit({"pts": _batch(spark, 7)})
+
+    store_a._put_if_absent = hooked.__get__(store_a)
+    with pytest.raises(RuntimeError, match="forfeited"):
+        store_a.commit({"pts": _batch(spark, 1)})
+    # exactly one manifest for v_next (B's), A wrote nothing
+    assert fake.exists(f"v{v_next:06d}.delta.json") != fake.exists(
+        f"v{v_next:06d}.json"
+    )
+    final = _mk(spark, tmp_path / "s", fake)
+    assert final.current_version() == v_next
+    ids = {r["id"] for r in final.read("pts").collect()}
+    assert 700 in ids and 100 not in ids  # B's batch in, A's out
+
+
+def test_racing_healers_resolve_to_one_winner(spark, tmp_path):
+    """r11 review (healer TOCTOU): healer B deletes the orphan claim,
+    and healer A slips its ENTIRE commit in before B's re-claim.  B's
+    re-claim then collides with A's fresh claim and B aborts loudly at
+    the claim — never reaching a manifest write."""
+    fake = InMemoryObjectStoreIO()
+    seed = _mk(spark, tmp_path / "s", fake)
+    seed.commit({"pts": _batch(spark, 0)})
+    v_next = seed.current_version() + 1
+    # crashed writer's aged orphan claim
+    fake.put_if_absent(f"v{v_next:06d}.claim", "delta:deadbeef")
+    fake.age(f"v{v_next:06d}.claim", seed.claim_grace_seconds + 1)
+
+    store_a = _mk(spark, tmp_path / "s", fake)
+    store_b = _mk(spark, tmp_path / "s", fake)
+    real_put = TableStore._put_if_absent
+    real_delete = fake.delete
+    fired = []
+
+    def delete_hook(name):
+        real_delete(name)
+        if not fired and name.endswith(".claim"):
+            fired.append(True)
+            # A commits completely inside B's delete->re-claim window
+            assert store_a.commit({"pts": _batch(spark, 5)})
+
+    fake.delete = delete_hook
+    with pytest.raises(RuntimeError, match="claimed by another writer"):
+        store_b.commit({"pts": _batch(spark, 6)})
+    fake.delete = real_delete
+    # A's commit is the single winner
+    assert fake.exists(f"v{v_next:06d}.delta.json")
+    assert not fake.exists(f"v{v_next:06d}.json")
+    final = _mk(spark, tmp_path / "s", fake)
+    assert final.current_version() == v_next
+    assert {r["id"] for r in final.read("pts").collect()} >= {500}
+    assert TableStore._put_if_absent is real_put  # hook never installed
+
+
+def test_cross_format_loser_withdraws_its_manifest(spark, tmp_path):
+    """r11 review (post-put detection): in the interleaving the fence
+    cannot see — a checkpoint lands for the version AFTER this writer's
+    fence passed but before/while its delta put — the later putter
+    detects the other format, deletes its OWN file and raises; the
+    version resolves solely from the winner and CURRENT never points at
+    the withdrawn commit."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake)
+    store.commit({"pts": _batch(spark, 0)})
+    v_prev = store.current_version()
+    v_next = v_prev + 1
+
+    real_put = TableStore._put_if_absent
+    fired = []
+
+    def hooked(self, name, content):
+        if not fired and name.endswith(".delta.json"):
+            fired.append(True)
+            # the stolen-claim tail race: a checkpoint for v_next lands
+            # between this writer's fence and its delta put
+            m = json.loads(json.dumps({
+                "version": v_next, "txns": {}, "status": None, "op": "commit",
+                "schemas": {}, "projections": {}, "tables": {},
+            }))
+            fake.put_text(f"v{v_next:06d}.json", json.dumps(m))
+        real_put(self, name, content)
+
+    store._put_if_absent = hooked.__get__(store)
+    with pytest.raises(RuntimeError, match="forfeited"):
+        store.commit({"pts": _batch(spark, 1)})
+    assert fake.exists(f"v{v_next:06d}.json")
+    assert not fake.exists(f"v{v_next:06d}.delta.json")  # withdrawn
+    # CURRENT was never advanced by the withdrawn commit
+    assert int(fake.get_text("CURRENT")) == v_prev
+
+
+def test_current_pointer_is_monotonic(tmp_path):
+    """advance_monotonic on both backends: regressions are no-ops."""
+    from rust_evm_indexer_spark.store.manifest_io import LocalManifestIO
+
+    for io in (InMemoryObjectStoreIO(), LocalManifestIO(tmp_path / "m")):
+        assert io.advance_monotonic("CURRENT", 5) is True
+        assert io.advance_monotonic("CURRENT", 3) is False  # stale healer
+        assert io.get_text("CURRENT") == "5"
+        assert io.advance_monotonic("CURRENT", 5) is False  # idempotent
+        assert io.advance_monotonic("CURRENT", 6) is True
+        assert io.get_text("CURRENT") == "6"
+
+
+def test_vacuum_protects_inflight_sidecars(spark, tmp_path):
+    """r11 review (sidecar reclaim): a live writer's fraglist/covers
+    sidecars sit between its claim and its manifest put — vacuum must
+    not reclaim them while the claim stands (or while young), else the
+    writer commits a manifest referencing deleted objects and bricks
+    the store at its own version."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake, manifest_format="parquet",
+                log_commits=False)
+    store.commit({"pts": _batch(spark, 0)})
+    v_next = store.current_version() + 1
+    # crash after the fraglist sidecar write: claim + sidecar, no manifest
+    fake.crash_after("put", "frags-")
+    with pytest.raises(SimulatedCrash):
+        store.commit({"pts": _batch(spark, 1)})
+    sidecar = f"frags-v{v_next:06d}.parquet"
+    claim = f"v{v_next:06d}.claim"
+    assert fake.exists(sidecar) and fake.exists(claim)
+
+    # while the claim stands (in-flight / young): sidecar untouchable
+    store.vacuum(grace_seconds=0)
+    assert fake.exists(sidecar)
+    # grace elapses: the claim frees first, the sidecar on the NEXT pass
+    fake.age(claim, store.claim_grace_seconds + 1)
+    fake.age(sidecar, store.claim_grace_seconds + 1)
+    store.vacuum(grace_seconds=0)
+    assert not fake.exists(claim)
+    store.vacuum(grace_seconds=0)
+    assert not fake.exists(sidecar)
+    # and the store still commits + reads cleanly at the freed version
+    assert store.commit({"pts": _batch(spark, 2)})
+    assert store.read("pts").count() == 20
