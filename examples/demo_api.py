@@ -43,7 +43,12 @@ def req(method: str, path: str, body: dict | None = None):
 def main() -> None:
     spark = get_spark("demo_api", cpus=8, shuffle_partitions=8)
     workdir = tempfile.mkdtemp(prefix="evmapi-")
-    client = MockRpcClient(datagen.generate_chain(n_blocks=20, seed=21))
+    # generate 25 blocks but expose only 20: the demo's live-read step
+    # advances the visible head by 5 AFTER the API server is running
+    client = MockRpcClient(
+        datagen.generate_chain(n_blocks=25, seed=21),
+        head=datagen.START_BLOCK + 19,
+    )
     store = TableStore(spark, Path(workdir) / "store")
     EvmIngester(
         spark, client, store, start_block=datagen.START_BLOCK, backoff_base=0.05
@@ -99,6 +104,22 @@ def main() -> None:
         code, body = req("GET", path)
         print(f"GET {path} -> {code} ({body['error']['message'][:40]})")
         assert code == want, (path, code, want)
+
+    # LIVE reads (r11): the chain advances and the SAME server sees the
+    # new blocks on every endpoint — no restart, no new EvmApi
+    code, stats = req("GET", "/stats")  # live baseline before the advance
+    tip_before = stats["lastProcessedBlock"]
+    client.advance_head(5)
+    EvmIngester(
+        spark, client, store, start_block=datagen.START_BLOCK, backoff_base=0.05
+    ).run_until_caught_up()
+    code, stats2 = req("GET", "/stats")
+    print(f"GET /stats after +5 blocks -> {code}: "
+          f"lastProcessedBlock {tip_before} -> {stats2['lastProcessedBlock']}")
+    assert stats2["lastProcessedBlock"] == tip_before + 5
+    code, blk3 = req("GET", f"/block/{tip_before + 5}")
+    print(f"GET /block/{tip_before + 5} (post-construction commit) -> {code}")
+    assert code == 200 and blk3["blockNumber"] == tip_before + 5
 
     print("OK")
     spark.stop()
