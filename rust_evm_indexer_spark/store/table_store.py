@@ -40,10 +40,19 @@ prune within fragments.  For hash-like point lookups (address, tx hash)
 where min/max prunes nothing, per-fragment **bloom sidecars** restore
 the reference's index tier (``store/bloom.py``; probed via
 ``read(..., equals=...)``).  Reads hand Spark a list of paths — Catalyst
-treats it as one scan with full pushdown.  On an object store the
-CURRENT-pointer rename becomes a conditional put; nothing else changes.
-Rollback cost is proportional to the fork depth (tail fragments only),
-never to table size.
+treats it as one scan with full pushdown.  Rollback cost is
+proportional to the fork depth (tail fragments only), never to table
+size.
+
+Manifest-tier storage is pluggable (``store/manifest_io.py``, r11): the
+commit protocol needs exactly conditional PUT + strong GET + a
+monotonic pointer write, all behind :class:`ManifestIO` — POSIX files
+by default, an object store (S3 ``If-None-Match`` / ``If-Match``) by
+adapter; an in-memory S3-semantics fake with crash injection proves the
+protocol (claim tokens, ownership fence, cross-format withdrawal,
+monotonic CURRENT, grace-enveloped self-heal and roll-forward) holds
+where POSIX crutches are absent.  The DATA tier (fragment directories)
+stays on whatever filesystem Spark writes to (file://, s3a://).
 """
 
 from __future__ import annotations
