@@ -1,15 +1,16 @@
 """Manifest-tier storage backends for :class:`TableStore`.
 
-The store's commit protocol needs exactly one concurrency primitive —
-conditional PUT ("create iff absent") — plus small-object get/put/list/
-delete.  This module makes that contract explicit so the SAME protocol
-code runs against a POSIX directory (dev, tests, single box) or an
-object store (S3 / GCS / Azure at fleet scale):
+The store's commit protocol needs exactly two concurrency primitives —
+conditional PUT ("create iff absent") for claims and manifests, and a
+MONOTONIC integer write (:meth:`ManifestIO.advance_monotonic`) for the
+CURRENT pointer — plus small-object get/put/list/delete.  This module
+makes that contract explicit so the SAME protocol code runs against a
+POSIX directory (dev, tests, single box) or an object store (S3 / GCS /
+Azure at fleet scale):
 
 - :class:`LocalManifestIO` — files under ``<root>/_manifests``.
-  ``put_if_absent`` is ``open(..., "x")`` (O_CREAT|O_EXCL) and the
-  unconditional ``put_text`` (the CURRENT pointer) is write-temp +
-  ``os.replace`` so readers never observe a torn pointer.
+  ``put_if_absent`` is ``open(..., "x")`` (O_CREAT|O_EXCL);
+  ``advance_monotonic`` is an flock-serialized read-compare-rename.
 
 - :class:`InMemoryObjectStoreIO` — an in-memory fake with OBJECT-STORE
   semantics, used to prove the protocol holds where POSIX crutches are
@@ -59,9 +60,10 @@ class ManifestIO:
         raise NotImplementedError
 
     def put_text(self, name: str, content: str) -> None:
-        """Unconditional PUT (last writer wins) — used ONLY for the
-        CURRENT pointer, whose writes are serialized by the per-version
-        claim upstream."""
+        """Unconditional small-object PUT (last writer wins).  NOT used
+        for the CURRENT pointer — that goes through
+        :meth:`advance_monotonic` — nor for anything contended; kept on
+        the contract for tools/tests and non-protocol writes."""
         raise NotImplementedError
 
     def put_if_absent(self, name: str, content: str) -> None:

@@ -677,6 +677,16 @@ class TableStore:
             d = json.loads(self._mio.get_text(f"v{version:06d}.json"))
         except FileNotFoundError:
             d = None
+        if d is not None and self._mio.exists(f"v{version:06d}.delta.json"):
+            # BOTH formats exist: a cross-format race loser crashed in
+            # its put→withdraw window.  The CLAIM is the arbiter — its
+            # content records the format of the writer that owned the
+            # version last (the arbitrated winner); resolving the loser
+            # instead would silently lose the winner's commit (r11
+            # review).  Claim already vacuumed → prefer the checkpoint
+            # (matches vacuum's healing rule).
+            if self._claim_fmt(version) == "delta":
+                d = None
         if d is not None:
             if "tables_pq" in d:  # parquet fragment list: load lazily
                 m = LazyManifest.from_json(d)
@@ -804,6 +814,16 @@ class TableStore:
         Raises :class:`FileExistsError` when another writer won."""
         self._mio.put_if_absent(name, content)
 
+    def _claim_fmt(self, version: int) -> str:
+        """The format recorded in ``v{N}.claim`` ("checkpoint"/"delta")
+        — the arbitration key when both format files exist for one
+        version.  "checkpoint" when the claim is gone (vacuumed long
+        after the fact)."""
+        try:
+            return self._mio.get_text(f"v{version:06d}.claim").split(":")[0]
+        except FileNotFoundError:
+            return "checkpoint"
+
     def _claim_is_orphan(self, version: int) -> bool:
         """True when ``v{N}.claim`` is a CRASHED writer's leftover: the
         claim exists, neither manifest format for N was ever written,
@@ -930,24 +950,46 @@ class TableStore:
                 "written; retry the commit against the current state."
             )
 
-    def _cross_format_loser_check(self, version: int, own: str, other: str) -> None:
+    def _cross_format_loser_check(
+        self, version: int, own: str, other: str, token: str
+    ) -> None:
         """Post-put detection for the one interleaving the fence can't
         see: our fence passed, then a steal landed the OTHER format for
-        the same version before our put.  The later putter always sees
-        the earlier one's file, so at least one racer runs this branch:
-        it deletes its OWN manifest (never the other's) and raises,
-        leaving exactly one — or, under a perfectly symmetric race,
-        zero, which is a loud both-abort, never a silent lost update.
-        Runs BEFORE the CURRENT advance, so an aborted commit is never
-        referenced by the pointer."""
-        if self._mio.exists(other):
-            self._mio.delete(own)
-            raise RuntimeError(
-                f"commit forfeited: manifest v{version} was concurrently "
-                "committed in the other format by a writer that reclaimed "
-                "this writer's grace-expired claim; this commit's file was "
-                "withdrawn — retry against the current state."
-            )
+        the same version around our put.  The later putter always sees
+        the earlier one's file, so at least one racer runs this branch.
+        Arbitration is BY CLAIM OWNERSHIP (r11 review): exactly one
+        racer's token sits in the claim file at any moment —
+
+        - claim is OURS: we are the arbitrated winner; the other file
+          is a stalled/crashed loser's leftover — remove it (its writer
+          either already aborted at its fence, or its own loser check
+          will find nothing to withdraw and it proceeds... it cannot:
+          it lost the claim, so ITS loser check takes the withdraw
+          branch).  Also heals the reader-facing shadow immediately.
+        - claim is NOT ours (or gone): withdraw our OWN file and raise
+          — and never touch the winner's.
+
+        Ownership decides, so a symmetric race resolves to exactly ONE
+        winner (the claim holder), never both-land and never both-
+        withdraw; the loser's failure is loud.  Runs BEFORE the CURRENT
+        advance, so a withdrawn commit is never referenced by the
+        pointer."""
+        if not self._mio.exists(other):
+            return
+        try:
+            claim = self._mio.get_text(f"v{version:06d}.claim")
+        except FileNotFoundError:
+            claim = ""
+        if claim.endswith(f":{token}"):
+            self._mio.delete(other)
+            return
+        self._mio.delete(own)
+        raise RuntimeError(
+            f"commit forfeited: manifest v{version} was concurrently "
+            "committed in the other format by a writer that reclaimed "
+            "this writer's grace-expired claim; this commit's file was "
+            "withdrawn — retry against the current state."
+        )
 
     def _swap(self, manifest: Manifest) -> None:
         """Write the manifest then atomically advance the CURRENT pointer
@@ -983,7 +1025,11 @@ class TableStore:
             # vacuum's manifest pruning); the JSON keeps everything else
             # (txns/status/schemas/projection geometry — all O(1)-ish)
             # inline
-            pq_rel = f"frags-v{manifest.version:06d}.parquet"
+            # writer-unique name: a stalled loser whose claim was
+            # stolen must never overwrite the winner's LIVE sidecar
+            # with an unconditional put — the envelope records the
+            # exact name, so uniqueness is free (r11 review)
+            pq_rel = f"frags-v{manifest.version:06d}-{token[:8]}.parquet"
             buf = _io_mod.BytesIO()
             _write_fraglist(buf, manifest.tables)
             self._mio.put_bytes(pq_rel, buf.getvalue())
@@ -1006,7 +1052,7 @@ class TableStore:
             if cov_rows:
                 import pyarrow as pa
 
-                cov_rel = f"covers-v{manifest.version:06d}.parquet"
+                cov_rel = f"covers-v{manifest.version:06d}-{token[:8]}.parquet"
                 cbuf = _io_mod.BytesIO()
                 pq.write_table(
                     pa.table(
@@ -1034,7 +1080,8 @@ class TableStore:
                 "already exists (another writer advanced the store)"
             ) from exc
         self._cross_format_loser_check(
-            manifest.version, mname, f"v{manifest.version:06d}.delta.json"
+            manifest.version, mname,
+            f"v{manifest.version:06d}.delta.json", token,
         )
         # CURRENT advance: a MONOTONIC small-object write.  Version
         # creation is serialized upstream (claim + fence + loser check),
@@ -1090,7 +1137,10 @@ class TableStore:
                 "exists as a checkpoint (another writer advanced the store)"
             )
         token = self._claim_version(version, "delta")
-        self._assert_claim_owned(version, token)  # see _swap on the fence
+        # no fence here (unlike _swap): zero work separates the claim's
+        # conditional PUT from the manifest put, so a re-read could
+        # never observe a foreign token — steals in that instant are
+        # caught by the manifest conditional put + the loser check
         try:
             self._put_if_absent(
                 f"v{version:06d}.delta.json", json.dumps(delta, indent=1)
@@ -1101,7 +1151,8 @@ class TableStore:
                 "already exists (another writer advanced the store)"
             ) from exc
         self._cross_format_loser_check(
-            version, f"v{version:06d}.delta.json", f"v{version:06d}.json"
+            version, f"v{version:06d}.delta.json", f"v{version:06d}.json",
+            token,
         )
         self._mio.advance_monotonic(_CURRENT, version)  # see _swap
 
@@ -3176,41 +3227,65 @@ class TableStore:
                 for n in names:
                     self._mio.delete(n)
         claim_grace = max(grace_seconds, self.claim_grace_seconds)
-        # parquet fraglist / covers sidecars live and die with their
-        # version.  Liveness is re-checked through STRONG exists() per
-        # candidate, never through the (possibly stale) listing — a
-        # fresh sidecar whose manifest the listing hasn't surfaced yet
-        # must not be reclaimed.  A LIVE writer writes its sidecars
-        # AFTER its claim and BEFORE its manifest (r11 review): an
-        # existing claim therefore marks the version in-flight and
-        # protects its sidecars too (a crashed writer's orphan sidecars
-        # are reclaimed on the vacuum AFTER the one that frees the
-        # claim), with the claim-grace age gate as defense in depth.
         cur_v = self.current_version()
+        # heal crash-orphaned cross-format shadows (r11 review): a race
+        # loser that died between its manifest put and its withdrawal
+        # leaves BOTH format files for one version; readers arbitrate by
+        # claim (manifest_at), and vacuum makes the healing durable by
+        # deleting the loser's file.  In-flight versions (above CURRENT,
+        # young claim) are left to the writers' own loser checks.
         for name in listing:
-            for prefix in ("frags-", "covers-"):
-                if name.startswith(prefix) and name.endswith(".parquet"):
-                    stem = name[len(prefix):-len(".parquet")]
-                    if self._mio.exists(f"{stem}.json"):
+            if not (name.startswith("v") and name.endswith(".delta.json")):
+                continue
+            stem = name[:-len(".delta.json")]
+            try:
+                ver = int(stem[1:7])
+            except ValueError:
+                continue
+            if not (self._mio.exists(name) and self._mio.exists(f"{stem}.json")):
+                continue
+            if ver > cur_v:
+                try:
+                    if now - self._mio.mtime(f"{stem}.claim") < claim_grace:
+                        continue  # race still resolving
+                except FileNotFoundError:
+                    pass
+            loser = name if self._claim_fmt(ver) == "checkpoint" else f"{stem}.json"
+            self._mio.delete(loser)
+        # parquet fraglist / covers sidecars live and die with the
+        # manifest ENVELOPE that names them (names are writer-unique —
+        # tables_pq/covers_pq in v{N}.json is the reference).  Liveness
+        # is re-checked through STRONG reads per candidate, never
+        # through the (possibly stale) listing.  A LIVE writer writes
+        # its sidecars AFTER its claim and BEFORE its manifest (r11
+        # review): an existing claim marks a version above CURRENT
+        # in-flight and protects its sidecars too (a crashed writer's
+        # orphans are reclaimed on the vacuum AFTER the one that frees
+        # the claim), with the claim-grace age gate as defense in depth.
+        sidecar_re = re.compile(
+            r"^(?:frags|covers)-v(\d{6})(?:-[0-9a-f]{8})?\.parquet$"
+        )
+        for name in listing:
+            m_sc = sidecar_re.match(name)
+            if not m_sc:
+                continue
+            ver = int(m_sc.group(1))
+            try:
+                env = json.loads(self._mio.get_text(f"v{ver:06d}.json"))
+                if name in (env.get("tables_pq"), env.get("covers_pq")):
+                    continue  # referenced by the surviving envelope
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+            if ver > cur_v:
+                if self._mio.exists(f"v{ver:06d}.claim"):
+                    continue
+                try:
+                    if now - self._mio.mtime(name) < claim_grace:
                         continue
-                    try:
-                        ver = int(stem[1:7])
-                    except ValueError:
-                        continue
-                    if ver > cur_v:
-                        # potentially an IN-FLIGHT writer's sidecar (its
-                        # claim precedes it, its manifest follows):
-                        # protected while the claim stands or young
-                        if self._mio.exists(f"{stem}.claim"):
-                            continue
-                        try:
-                            if now - self._mio.mtime(name) < claim_grace:
-                                continue
-                        except FileNotFoundError:
-                            continue
-                    # ver <= CURRENT with no manifest: the version's fate
-                    # is decided (pruned, or lost a race) — reclaim now
-                    self._mio.delete(name)
+                except FileNotFoundError:
+                    continue
+            # version at/below CURRENT, or a decided orphan: reclaim
+            self._mio.delete(name)
         # claim files: reclaimed with their version once pruned, and a
         # CRASHED writer's orphan (claim, no manifest in either format)
         # is freed so its version number becomes claimable again.

@@ -86,9 +86,18 @@ def test_lifecycle_equivalent_across_formats(spark, tmp_path, fmt):
     assert removed > 0
     mdir = store.root / "_manifests"
     if fmt == "parquet":
-        jsons = {p.stem for p in mdir.glob("v*.json")}
+        # sidecar names are writer-unique (frags-vNNNNNN-<token8>); each
+        # survivor must belong to a kept version AND be the exact name
+        # its envelope references
+        import json as _json
+        import re as _re
+
+        kept = {int(p.name[1:7]) for p in mdir.glob("v*.json")}
         for fp in mdir.glob("frags-v*.parquet"):
-            assert fp.name[len("frags-"):-len(".parquet")] in jsons
+            ver = int(_re.match(r"frags-v(\d{6})", fp.name).group(1))
+            assert ver in kept
+            env = _json.loads((mdir / f"v{ver:06d}.json").read_text())
+            assert env["tables_pq"] == fp.name
     assert store.read("pts").count() == 90  # current snapshot intact
 
 
@@ -182,7 +191,7 @@ def test_parquet_covers_sidecar_keeps_envelope_small(spark, tmp_path):
     mdir = store.root / "_manifests"
     v = store.current_manifest().version
     d = _json.loads((mdir / f"v{v:06d}.json").read_text())
-    assert d["covers_pq"] == f"covers-v{v:06d}.parquet"
+    assert d["covers_pq"].startswith(f"covers-v{v:06d}")  # writer-unique name
     assert d["projections"]["pts"]["by_addr"]["covers"] == []
     assert (mdir / d["covers_pq"]).exists()
 
@@ -214,5 +223,6 @@ def test_parquet_covers_sidecar_keeps_envelope_small(spark, tmp_path):
     reopened.vacuum(keep_manifests=2)
     kept_json = {p.name[1:7] for p in mdir.glob("v*.json")}
     for cp in mdir.glob("covers-v*.parquet"):
-        assert cp.name[len("covers-v"):-len(".parquet")] in kept_json
+        # names are writer-unique: covers-vNNNNNN-<token8>.parquet
+        assert cp.name[len("covers-v"):len("covers-v") + 6] in kept_json
     assert reopened.read_projection("pts", "by_addr").count() == 90

@@ -385,17 +385,21 @@ def test_racing_writers_exactly_one_winner_per_version(spark, tmp_path):
     assert len(wins) < n_writers * per_writer, outcomes
 
 
-def test_slow_writer_forfeits_after_claim_steal(spark, tmp_path):
+@pytest.mark.parametrize("same_format", [True, False])
+def test_slow_writer_forfeits_after_claim_steal(spark, tmp_path, same_format):
     """r11 review (fence): a writer that outlives the liveness envelope
-    between claim and manifest put does NOT land a second manifest —
-    the pre-put ownership fence sees the stolen claim's foreign token
-    and aborts with no manifest written.  The stealing writer's commit
-    is the single winner."""
+    between claim and manifest put does NOT land a second manifest.
+    Same-format steal: the loser dies on the manifest conditional put.
+    Cross-format steal (checkpoint writer A, delta thief B): A's
+    pre-put ownership fence sees the foreign token in the claim and
+    aborts with no manifest written.  Either way the stealing writer's
+    commit is the single winner."""
     fake = InMemoryObjectStoreIO()
-    store_a = _mk(spark, tmp_path / "s", fake)
+    kw = {} if same_format else {"log_commits": False}
+    store_a = _mk(spark, tmp_path / "s", fake, **({} if same_format else kw))
     store_a.commit({"pts": _batch(spark, 0)})
     v_next = store_a.current_version() + 1
-    store_b = _mk(spark, tmp_path / "s", fake)
+    store_b = _mk(spark, tmp_path / "s", fake)  # delta thief
 
     real_put = TableStore._put_if_absent
     fired = []
@@ -410,12 +414,12 @@ def test_slow_writer_forfeits_after_claim_steal(spark, tmp_path):
             assert store_b.commit({"pts": _batch(spark, 7)})
 
     store_a._put_if_absent = hooked.__get__(store_a)
-    with pytest.raises(RuntimeError, match="forfeited"):
+    pattern = "concurrent commit|forfeited" if same_format else "forfeited"
+    with pytest.raises(RuntimeError, match=pattern):
         store_a.commit({"pts": _batch(spark, 1)})
-    # exactly one manifest for v_next (B's), A wrote nothing
-    assert fake.exists(f"v{v_next:06d}.delta.json") != fake.exists(
-        f"v{v_next:06d}.json"
-    )
+    # exactly one manifest for v_next (B's delta), A wrote nothing
+    assert fake.exists(f"v{v_next:06d}.delta.json")
+    assert not fake.exists(f"v{v_next:06d}.json")
     final = _mk(spark, tmp_path / "s", fake)
     assert final.current_version() == v_next
     ids = {r["id"] for r in final.read("pts").collect()}
@@ -480,8 +484,10 @@ def test_cross_format_loser_withdraws_its_manifest(spark, tmp_path):
     def hooked(self, name, content):
         if not fired and name.endswith(".delta.json"):
             fired.append(True)
-            # the stolen-claim tail race: a checkpoint for v_next lands
-            # between this writer's fence and its delta put
+            # the stolen-claim tail race: a thief re-claims (foreign
+            # token) and lands a checkpoint for v_next between this
+            # writer's claim and its delta put
+            fake.put_text(f"v{v_next:06d}.claim", "checkpoint:feedface")
             m = json.loads(json.dumps({
                 "version": v_next, "txns": {}, "status": None, "op": "commit",
                 "schemas": {}, "projections": {}, "tables": {},
@@ -526,7 +532,8 @@ def test_vacuum_protects_inflight_sidecars(spark, tmp_path):
     fake.crash_after("put", "frags-")
     with pytest.raises(SimulatedCrash):
         store.commit({"pts": _batch(spark, 1)})
-    sidecar = f"frags-v{v_next:06d}.parquet"
+    sidecar = next(n for n in fake.dump()
+                   if n.startswith(f"frags-v{v_next:06d}"))
     claim = f"v{v_next:06d}.claim"
     assert fake.exists(sidecar) and fake.exists(claim)
 
@@ -593,3 +600,60 @@ def test_full_ingest_lifecycle_on_object_store_backend(spark, tmp_path):
                      if l["block_hash"] in canonical])
     assert store2.read("logs").count() == want_logs
     assert store2.table_rows("logs") == want_logs
+
+
+def test_claim_owner_wins_cross_format_race_and_heals(spark, tmp_path):
+    """Arbitration is by claim ownership: when the OTHER format file
+    exists but the claim still carries OUR token, this writer is the
+    winner — it removes the stalled loser's leftover file and its
+    commit SUCCEEDS (no both-abort wedge, no lingering shadow)."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake)
+    store.commit({"pts": _batch(spark, 0)})
+    v_next = store.current_version() + 1
+
+    real_put = TableStore._put_if_absent
+    fired = []
+
+    def hooked(self, name, content):
+        if not fired and name.endswith(".delta.json"):
+            fired.append(True)
+            # a crashed loser's checkpoint leftover appears — but the
+            # claim still holds THIS writer's token
+            fake.put_text(f"v{v_next:06d}.json", "{}")
+        real_put(self, name, content)
+
+    store._put_if_absent = hooked.__get__(store)
+    assert store.commit({"pts": _batch(spark, 1)})  # succeeds
+    assert fake.exists(f"v{v_next:06d}.delta.json")
+    assert not fake.exists(f"v{v_next:06d}.json")  # loser file removed
+    assert store.read("pts").count() == 20
+
+
+def test_orphaned_loser_checkpoint_never_shadows_winner_delta(spark, tmp_path):
+    """r11 review: a cross-format loser that CRASHES between its
+    manifest put and its withdrawal leaves both files.  Readers must
+    arbitrate by claim — the winner's delta, not the json that
+    manifest_at would naively prefer — and vacuum makes the healing
+    durable by deleting the loser's file."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake)
+    store.commit({"pts": _batch(spark, 0)})
+    store.commit({"pts": _batch(spark, 1)})  # v2 = winner's delta
+    v = store.current_version()
+    assert fake.exists(f"v{v:06d}.delta.json")
+    # the crashed loser's checkpoint appears for the SAME version
+    fake.put_text(f"v{v:06d}.json", json.dumps({
+        "version": v, "txns": {}, "status": None, "op": "commit",
+        "schemas": {}, "projections": {}, "tables": {},
+    }))
+
+    # reads arbitrate by claim: v resolves to the winner's delta chain
+    fresh = _mk(spark, tmp_path / "s", fake)
+    assert fresh.read("pts").count() == 20  # loser's empty json ignored
+    assert fresh.table_rows("pts") == 20
+    # vacuum heals durably: the loser's file is deleted
+    fresh.vacuum()
+    assert not fake.exists(f"v{v:06d}.json")
+    assert fake.exists(f"v{v:06d}.delta.json")
+    assert fresh.read("pts").count() == 20
