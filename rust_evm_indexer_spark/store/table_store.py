@@ -352,8 +352,9 @@ class DeltaManifest(Manifest):
     """A manifest version whose fragment list is (checkpoint ± deltas).
 
     The log-structured commit path (SCALE.md "manifest write cost"):
-    an append-shaped swap writes ONLY its own adds to
-    ``v{N}.delta.json`` — O(changed fragments), not O(total) — and a
+    an append-shaped swap writes ONLY its own adds as an
+    O(changed)-sized delta record (at the single ``v{N}.json`` name,
+    distinguished from checkpoints by its ``base`` field) — and a
     reader resolves the version as the newest checkpoint at or below it
     plus the delta tail (the Delta-log transaction pattern).  The chain
     is bounded by ``checkpoint_interval``: every K-th append re-writes
@@ -591,7 +592,7 @@ class TableStore:
         self.manifest_format = manifest_format
         #: log-structured manifest commits (the Delta-log shape): when
         #: True, append-shaped swaps (:meth:`commit`, :meth:`set_status`)
-        #: write an O(changed)-sized ``v{N}.delta.json`` instead of
+        #: write an O(changed)-sized delta record instead of
         #: rewriting the full fragment list — at millions of fragments
         #: the append hot path pays O(batch), not O(table history).
         #: Structural ops (rollback/delete/upsert/compact/projections)
@@ -673,21 +674,12 @@ class TableStore:
         :meth:`vacuum`'s ``keep_manifests`` retention (the Delta
         ``versionAsOf`` analog; every commit/rollback/compaction is a
         version, so this reads the store as of any retained point)."""
-        try:
-            d = json.loads(self._mio.get_text(f"v{version:06d}.json"))
-        except FileNotFoundError:
-            d = None
-        if d is not None and self._mio.exists(f"v{version:06d}.delta.json"):
-            # BOTH formats exist: a cross-format race loser crashed in
-            # its put→withdraw window.  The CLAIM is the arbiter — its
-            # content records the format of the writer that owned the
-            # version last (the arbitrated winner); resolving the loser
-            # instead would silently lose the winner's commit (r11
-            # review).  Claim already vacuumed → prefer the checkpoint
-            # (matches vacuum's healing rule).
-            if self._claim_fmt(version) == "delta":
-                d = None
-        if d is not None:
+        d = self._read_version_record(version)
+        if d is None:
+            raise ValueError(
+                f"manifest v{version} not found (vacuumed or never written)"
+            )
+        if "base" not in d:  # checkpoint record
             if "tables_pq" in d:  # parquet fragment list: load lazily
                 m = LazyManifest.from_json(d)
                 m.__dict__["_pq_ds"] = (
@@ -699,17 +691,11 @@ class TableStore:
                     )
                 return m
             return Manifest.from_json(d)
-        try:
-            head_text = self._mio.get_text(f"v{version:06d}.delta.json")
-        except FileNotFoundError:
-            raise ValueError(
-                f"manifest v{version} not found (vacuumed or never written)"
-            ) from None
         # log-structured version: resolve checkpoint + delta tail.  The
         # newest delta names its base checkpoint, so resolution reads
         # exactly (1 checkpoint envelope + tail) small files — the tail
         # is bounded by checkpoint_interval, never by history length.
-        head = json.loads(head_text)
+        head = d
         base_v = head["base"]
         base = Manifest() if base_v == 0 else self.manifest_at(base_v)
         adds: dict[str, list[Fragment]] = {}
@@ -727,11 +713,7 @@ class TableStore:
         proj_updates: list[tuple[str, dict]] = []
         last = head
         for k in range(base_v + 1, version + 1):
-            dk = (
-                head
-                if k == version
-                else json.loads(self._mio.get_text(f"v{k:06d}.delta.json"))
-            )
+            dk = head if k == version else self._read_version_record(k)
             for t, fl in dk.get("adds", {}).items():
                 adds.setdefault(t, []).extend(Fragment(**f) for f in fl)
             for t, ps in dk.get("removes", {}).items():
@@ -814,15 +796,31 @@ class TableStore:
         Raises :class:`FileExistsError` when another writer won."""
         self._mio.put_if_absent(name, content)
 
-    def _claim_fmt(self, version: int) -> str:
-        """The format recorded in ``v{N}.claim`` ("checkpoint"/"delta")
-        — the arbitration key when both format files exist for one
-        version.  "checkpoint" when the claim is gone (vacuumed long
-        after the fact)."""
+    def _read_version_record(self, version: int) -> dict | None:
+        """The raw JSON record for one version, or None.  EVERY version
+        lives at the single name ``v{N}.json`` — checkpoint and
+        log-structured delta alike, distinguished by content (a delta
+        carries ``base``) — so the conditional PUT on that one name is
+        the per-version arbiter and no cross-format race can exist (r11
+        review: with two names, no secondary arbiter — claim, mtime,
+        format preference — can reliably identify the acknowledged
+        winner).  Reads fall back to the pre-r11 ``v{N}.delta.json``
+        name so existing stores keep resolving."""
         try:
-            return self._mio.get_text(f"v{version:06d}.claim").split(":")[0]
+            return json.loads(self._mio.get_text(f"v{version:06d}.json"))
         except FileNotFoundError:
-            return "checkpoint"
+            pass
+        try:
+            return json.loads(
+                self._mio.get_text(f"v{version:06d}.delta.json")
+            )
+        except FileNotFoundError:
+            return None
+
+    def _version_record_exists(self, version: int) -> bool:
+        return self._mio.exists(f"v{version:06d}.json") or self._mio.exists(
+            f"v{version:06d}.delta.json"
+        )
 
     def _claim_is_orphan(self, version: int) -> bool:
         """True when ``v{N}.claim`` is a CRASHED writer's leftover: the
@@ -838,8 +836,7 @@ class TableStore:
             return False
         return (
             age >= self.claim_grace_seconds
-            and not self._mio.exists(f"v{version:06d}.json")
-            and not self._mio.exists(f"v{version:06d}.delta.json")
+            and not self._version_record_exists(version)
             and self.current_version() < version
         )
 
@@ -901,9 +898,8 @@ class TableStore:
         # pre-roll-forward state and must be rebuilt by the caller.
         # Grace-gated like the orphan heal: a LIVE writer is normally
         # inside this window for only the one CURRENT put.
-        if self.current_version() < version and (
-            self._mio.exists(f"v{version:06d}.json")
-            or self._mio.exists(f"v{version:06d}.delta.json")
+        if self.current_version() < version and self._version_record_exists(
+            version
         ):
             try:
                 age = _time_mod.time() - self._mio.mtime(name)
@@ -933,9 +929,10 @@ class TableStore:
         before the manifest put and verify it still carries OUR token.
         A writer that outlived the liveness envelope and had its claim
         self-healed away (stolen) by another writer aborts here —
-        BEFORE writing a manifest — instead of landing a second format
-        file for the version.  Its already-written sidecars become
-        orphans that vacuum reclaims."""
+        BEFORE writing a manifest — saving the doomed conditional put
+        (the single v{N}.json name would reject it anyway once the
+        thief lands).  Its already-written sidecars become orphans that
+        vacuum reclaims."""
         name = f"v{version:06d}.claim"
         try:
             content = self._mio.get_text(name)
@@ -949,47 +946,6 @@ class TableStore:
                 "claim-to-manifest liveness envelope).  No manifest was "
                 "written; retry the commit against the current state."
             )
-
-    def _cross_format_loser_check(
-        self, version: int, own: str, other: str, token: str
-    ) -> None:
-        """Post-put detection for the one interleaving the fence can't
-        see: our fence passed, then a steal landed the OTHER format for
-        the same version around our put.  The later putter always sees
-        the earlier one's file, so at least one racer runs this branch.
-        Arbitration is BY CLAIM OWNERSHIP (r11 review): exactly one
-        racer's token sits in the claim file at any moment —
-
-        - claim is OURS: we are the arbitrated winner; the other file
-          is a stalled/crashed loser's leftover — remove it (its writer
-          either already aborted at its fence, or its own loser check
-          will find nothing to withdraw and it proceeds... it cannot:
-          it lost the claim, so ITS loser check takes the withdraw
-          branch).  Also heals the reader-facing shadow immediately.
-        - claim is NOT ours (or gone): withdraw our OWN file and raise
-          — and never touch the winner's.
-
-        Ownership decides, so a symmetric race resolves to exactly ONE
-        winner (the claim holder), never both-land and never both-
-        withdraw; the loser's failure is loud.  Runs BEFORE the CURRENT
-        advance, so a withdrawn commit is never referenced by the
-        pointer."""
-        if not self._mio.exists(other):
-            return
-        try:
-            claim = self._mio.get_text(f"v{version:06d}.claim")
-        except FileNotFoundError:
-            claim = ""
-        if claim.endswith(f":{token}"):
-            self._mio.delete(other)
-            return
-        self._mio.delete(own)
-        raise RuntimeError(
-            f"commit forfeited: manifest v{version} was concurrently "
-            "committed in the other format by a writer that reclaimed "
-            "this writer's grace-expired claim; this commit's file was "
-            "withdrawn — retry against the current state."
-        )
 
     def _swap(self, manifest: Manifest) -> None:
         """Write the manifest then atomically advance the CURRENT pointer
@@ -1005,9 +961,9 @@ class TableStore:
         second writer into a loud error, mirroring a conditional-put
         conflict."""
         mname = f"v{manifest.version:06d}.json"
-        # belt: a format file written OUTSIDE the claim protocol (crash
-        # leftover from the pre-claim layout, manual surgery) still
-        # collides loudly before we claim
+        # legacy-layout belt: a pre-r11 store's delta at this version
+        # lives under the old v{N}.delta.json name — a new checkpoint at
+        # the single name would SHADOW it, so collide loudly instead
         if self._mio.exists(f"v{manifest.version:06d}.delta.json"):
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{manifest.version} "
@@ -1079,12 +1035,9 @@ class TableStore:
                 f"concurrent commit detected: manifest v{manifest.version} "
                 "already exists (another writer advanced the store)"
             ) from exc
-        self._cross_format_loser_check(
-            manifest.version, mname,
-            f"v{manifest.version:06d}.delta.json", token,
-        )
         # CURRENT advance: a MONOTONIC small-object write.  Version
-        # creation is serialized upstream (claim + fence + loser check),
+        # creation is serialized upstream (ONE conditional put per
+        # version — checkpoint and delta share the v{N}.json name),
         # and monotonicity guarantees a stalled writer or a stale
         # roll-forward can never move the pointer backwards past
         # commits that landed meanwhile.  POSIX: flock-serialized
@@ -1130,30 +1083,27 @@ class TableStore:
         since r9, by delete/upsert on projection-free tables (adds +
         removes + the op_info the changefeed replays)."""
         version = delta["version"]
-        # belt: files written outside the claim protocol still collide
-        if self._mio.exists(f"v{version:06d}.json"):
+        # legacy-layout belt: see _swap — never shadow a pre-r11 delta
+        if self._mio.exists(f"v{version:06d}.delta.json"):
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{version} already "
-                "exists as a checkpoint (another writer advanced the store)"
+                "exists as a legacy-named delta (another writer advanced "
+                "the store)"
             )
-        token = self._claim_version(version, "delta")
-        # no fence here (unlike _swap): zero work separates the claim's
-        # conditional PUT from the manifest put, so a re-read could
-        # never observe a foreign token — steals in that instant are
-        # caught by the manifest conditional put + the loser check
+        self._claim_version(version, "delta")
+        # no fence here (unlike _swap): only the record serialization
+        # separates the claim's conditional PUT from the manifest put,
+        # and the SINGLE per-version name makes the manifest put itself
+        # the arbiter — a steal in that window dies right here, loudly
         try:
             self._put_if_absent(
-                f"v{version:06d}.delta.json", json.dumps(delta, indent=1)
+                f"v{version:06d}.json", json.dumps(delta, indent=1)
             )
         except FileExistsError as exc:
             raise RuntimeError(
                 f"concurrent commit detected: manifest v{version} "
                 "already exists (another writer advanced the store)"
             ) from exc
-        self._cross_format_loser_check(
-            version, f"v{version:06d}.delta.json", f"v{version:06d}.json",
-            token,
-        )
         self._mio.advance_monotonic(_CURRENT, version)  # see _swap
 
     # -- writes ------------------------------------------------------------
@@ -2063,15 +2013,18 @@ class TableStore:
         inserts: list[tuple[int, list[str]]] = []  # (version, new paths)
         deletes: list[tuple[int, list[str], dict]] = []  # (v, removed, pred)
         window = range(since_version + 1, to + 1)
-        delta_names = [f"v{v:06d}.delta.json" for v in window]
-        # a window version is delta-format iff the delta exists AND no
-        # checkpoint shadows it: a cross-format race loser's withdrawn
-        # (or crash-orphaned) delta must never feed the fast path while
-        # manifest_at resolves the version from the winning checkpoint
-        if window and all(
-            self._mio.exists(n) and not self._mio.exists(f"v{v:06d}.json")
-            for v, n in zip(window, delta_names)
-        ):
+        # read each window version's record once (small JSON): the fast
+        # path applies iff every one is a log-structured delta ("base"
+        # in the record) — content, not filename, decides, matching
+        # manifest_at's single-name dispatch
+        recs: list[dict] = []
+        for v in window:
+            dv = self._read_version_record(v)
+            if dv is None or "base" not in dv:
+                recs = []
+                break
+            recs.append(dv)
+        if window and recs:
             # TAIL FAST PATH — the steady state of a streaming consumer
             # following an appending store: every window version is a
             # log-structured delta, so the change set is exactly the
@@ -2086,8 +2039,7 @@ class TableStore:
             # guard stays for defense).  A rollback is always a
             # checkpoint, so the reorg guard can't be bypassed here.
             seen_fast: set[str] = set()
-            for v, n in zip(window, delta_names):
-                d = json.loads(self._mio.get_text(n))
+            for v, d in zip(window, recs):
                 if (
                     include_deletes
                     and d.get("op") in ("delete", "upsert")
@@ -3216,42 +3168,21 @@ class TableStore:
         # retention by at most one interval)
         for v in sorted(keep):
             try:
-                base_v = json.loads(
-                    self._mio.get_text(f"v{v:06d}.delta.json")
-                ).get("base", 0)
-            except (FileNotFoundError, OSError, json.JSONDecodeError):
+                rec = self._read_version_record(v)
+            except (OSError, json.JSONDecodeError):
                 continue
-            keep.update(range(base_v, v))
+            if rec is None or "base" not in rec:
+                continue  # checkpoint (or already vacuumed): no chain
+            keep.update(range(rec["base"], v))
         for v, names in files.items():
             if v not in keep:
                 for n in names:
                     self._mio.delete(n)
         claim_grace = max(grace_seconds, self.claim_grace_seconds)
         cur_v = self.current_version()
-        # heal crash-orphaned cross-format shadows (r11 review): a race
-        # loser that died between its manifest put and its withdrawal
-        # leaves BOTH format files for one version; readers arbitrate by
-        # claim (manifest_at), and vacuum makes the healing durable by
-        # deleting the loser's file.  In-flight versions (above CURRENT,
-        # young claim) are left to the writers' own loser checks.
-        for name in listing:
-            if not (name.startswith("v") and name.endswith(".delta.json")):
-                continue
-            stem = name[:-len(".delta.json")]
-            try:
-                ver = int(stem[1:7])
-            except ValueError:
-                continue
-            if not (self._mio.exists(name) and self._mio.exists(f"{stem}.json")):
-                continue
-            if ver > cur_v:
-                try:
-                    if now - self._mio.mtime(f"{stem}.claim") < claim_grace:
-                        continue  # race still resolving
-                except FileNotFoundError:
-                    pass
-            loser = name if self._claim_fmt(ver) == "checkpoint" else f"{stem}.json"
-            self._mio.delete(loser)
+        # (no cross-format healing needed: every version lives at the
+        # single v{N}.json name, so "both formats for one version" is
+        # structurally impossible — r11 review, second pass)
         # parquet fraglist / covers sidecars live and die with the
         # manifest ENVELOPE that names them (names are writer-unique —
         # tables_pq/covers_pq in v{N}.json is the reference).  Liveness
@@ -3265,17 +3196,22 @@ class TableStore:
         sidecar_re = re.compile(
             r"^(?:frags|covers)-v(\d{6})(?:-[0-9a-f]{8})?\.parquet$"
         )
+        env_cache: dict[int, dict] = {}
         for name in listing:
             m_sc = sidecar_re.match(name)
             if not m_sc:
                 continue
             ver = int(m_sc.group(1))
-            try:
-                env = json.loads(self._mio.get_text(f"v{ver:06d}.json"))
-                if name in (env.get("tables_pq"), env.get("covers_pq")):
-                    continue  # referenced by the surviving envelope
-            except (FileNotFoundError, json.JSONDecodeError):
-                pass
+            if ver not in env_cache:
+                try:
+                    env_cache[ver] = json.loads(
+                        self._mio.get_text(f"v{ver:06d}.json")
+                    )
+                except (FileNotFoundError, json.JSONDecodeError):
+                    env_cache[ver] = {}
+            env = env_cache[ver]
+            if name in (env.get("tables_pq"), env.get("covers_pq")):
+                continue  # referenced by the surviving envelope
             if ver > cur_v:
                 if self._mio.exists(f"v{ver:06d}.claim"):
                     continue
@@ -3303,15 +3239,14 @@ class TableStore:
             if not (name.startswith("v") and name.endswith(".claim")):
                 continue
             stem = name[:-len(".claim")]
-            if self._mio.exists(f"{stem}.json") or self._mio.exists(
-                f"{stem}.delta.json"
-            ):
-                # manifest still present: claim lives with its version
-                continue
             try:
-                ver = int(stem[1:7])
+                ver_c = int(stem[1:7])
             except ValueError:
                 continue
+            if self._version_record_exists(ver_c):
+                # manifest still present: claim lives with its version
+                continue
+            ver = ver_c
             if ver > cur_v:
                 # possibly a LIVE writer between claim and manifest put
                 # (the version is still claimable territory) — only a

@@ -2,7 +2,7 @@
 over BOTH manifest-tier backends (VERDICT r10 item 3).
 
 Every append-shaped swap (commit / set_status) writes an
-O(changed)-sized ``v{N}.delta.json`` instead of rewriting the full
+O(changed)-sized delta record instead of rewriting the full
 fragment list; readers resolve checkpoint + delta tail.  The contract
 under test: IDENTICAL store semantics to the full-manifest regime —
 reads, pruning, time travel, changefeed, idempotent replay, vacuum,
@@ -59,6 +59,22 @@ def _exists(store, name: str) -> bool:
     return store._mio.exists(name)
 
 
+def _is_delta(store, ver: int) -> bool:
+    """Every version lives at v{N}.json; content decides the format
+    (a delta record carries ``base``)."""
+    try:
+        return "base" in _get(store, f"v{ver:06d}.json")
+    except FileNotFoundError:
+        return False
+
+
+def _is_ckpt(store, ver: int) -> bool:
+    try:
+        return "base" not in _get(store, f"v{ver:06d}.json")
+    except FileNotFoundError:
+        return False
+
+
 def _names(store) -> list[str]:
     return store._mio.list()
 
@@ -80,13 +96,12 @@ def test_commits_write_deltas_and_checkpoint_on_interval(spark, tmp_path, mk):
     _commit_n(spark, store, 6)
     # v1 anchors as a checkpoint; v2..v4 are the first delta chain
     # (3 deltas per interval); v5 re-checkpoints; v6 starts a new chain
-    assert _exists(store, "v000001.json")
+    assert _is_ckpt(store, 1)
     for v in (2, 3, 4, 6):
-        assert _exists(store, f"v{v:06d}.delta.json"), v
-        assert not _exists(store, f"v{v:06d}.json"), v
-    assert _exists(store, "v000005.json")
+        assert _is_delta(store, v), v
+    assert _is_ckpt(store, 5)
     # deltas are O(batch): one fragment record each
-    d = _get(store, "v000004.delta.json")
+    d = _get(store, "v000004.json")
     assert d["base"] == 1 and d["op"] == "commit"
     assert len(d["adds"]["pts"]) == 1
     # resolved reads see all rows with exact counts
@@ -191,10 +206,10 @@ def test_structural_ops_checkpoint_midchain(spark, tmp_path, mk):
     store = mk(tmp_path / "s", checkpoint_interval=10)
     _commit_n(spark, store, 4)
     store.rollback_from(102)  # drops batches 2,3
-    assert _exists(store, "v000005.json")
+    assert _is_ckpt(store, 5)
     assert store.read("pts").count() == 20
     store.commit({"pts": _batch(spark, 8)})
-    d = _get(store, "v000006.delta.json")
+    d = _get(store, "v000006.json")
     assert d["base"] == 5
     assert store.read("pts").count() == 30
     # pre-rollback snapshot still resolves through its own chain
@@ -226,16 +241,19 @@ def test_concurrent_writers_collide_loudly(spark, tmp_path, mk):
     store = mk(tmp_path / "s")
     _commit_n(spark, store, 2)
     v_next = store.current_manifest().version + 1
-    # racer wrote a checkpoint at our next version -> delta commit raises
+    # racer landed ANY record at our next version -> the single-name
+    # conditional put collides loudly for both swap paths
     store._mio.put_text(f"v{v_next:06d}.json", "{}")
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store.commit({"pts": _batch(spark, 5)})
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        store._swap(Manifest(version=v_next))
     store._mio.delete(f"v{v_next:06d}.json")
-    # racer wrote a delta at our next version -> checkpoint swap raises
+    # a LEGACY-layout delta (pre-r11 v{N}.delta.json name) is never
+    # shadowed: both swap paths collide on the legacy belt
     store._mio.put_text(f"v{v_next:06d}.delta.json", "{}")
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store._swap(Manifest(version=v_next))
-    # and a delta-delta race collides on the manifest put
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store.commit({"pts": _batch(spark, 5)})
 
@@ -280,9 +298,8 @@ def test_two_writer_race_serialized_by_claim(spark, tmp_path, mk):
     store_a._put_if_absent = hooked.__get__(store_a)
     with pytest.raises(RuntimeError, match="claimed by another writer"):
         store_a.commit({"pts": _batch(spark, 7)})
-    # exactly one format file exists for v_next: B's checkpoint
-    assert _exists(store_a, f"v{v_next:06d}.json")
-    assert not _exists(store_a, f"v{v_next:06d}.delta.json")
+    # exactly one record exists for v_next: B's checkpoint
+    assert _is_ckpt(store_a, v_next)
     # the winning commit is the one readers resolve — no silent loss
     assert store_a.manifest_at(v_next).version == v_next
     # the mirror race (checkpoint loser, delta winner) also errs loudly
@@ -297,8 +314,7 @@ def test_two_writer_race_serialized_by_claim(spark, tmp_path, mk):
     store_a._put_if_absent = hooked2.__get__(store_a)
     with pytest.raises(RuntimeError, match="claimed by another writer"):
         store_a._swap(Manifest(version=v_next + 1))
-    assert _exists(store_a, f"v{v_next + 1:06d}.delta.json")
-    assert not _exists(store_a, f"v{v_next + 1:06d}.json")
+    assert _is_delta(store_a, v_next + 1)
 
 
 def test_put_if_absent_is_the_whole_commit_protocol(spark, tmp_path):
@@ -387,7 +403,8 @@ def test_set_status_writes_o1_delta(spark, tmp_path, mk):
     store = mk(tmp_path / "s")
     _commit_n(spark, store, 2)
     store.set_status({"last_processed_block": 101})
-    d = _get(store, "v000003.delta.json")
+    d = _get(store, "v000003.json")
+    assert "base" in d  # a delta record, not a checkpoint
     assert d["op"] == "status" and d["adds"] == {}
     assert store.read_status() == {"last_processed_block": 101}
     assert store.read("pts").count() == 20
@@ -470,8 +487,8 @@ def test_delete_and_upsert_ride_deltas_without_projections(spark, tmp_path, mk):
     # delete one row committed INSIDE the chain (batch 2, id 205)
     stats = store.delete_equals("pts", "id", 205)
     assert stats["rewritten"] == 1 and stats["deleted_rows"] == 1
-    d5 = _get(store, "v000005.delta.json")
-    assert not _exists(store, "v000005.json")
+    d5 = _get(store, "v000005.json")
+    assert "base" in d5  # delta record, not a checkpoint
     assert d5["op"] == "delete" and d5["op_info"]["value"] == 205
     assert len(d5["removes"]["pts"]) == 1
     assert all(f["derived"] for f in d5["adds"]["pts"])
@@ -485,7 +502,7 @@ def test_delete_and_upsert_ride_deltas_without_projections(spark, tmp_path, mk):
     batch = spark.createDataFrame([(301, "0xNEW", 900), (999, "0xQQ", 901)], SCHEMA)
     up = store.upsert("pts", batch, "id")
     assert up["rewritten"] == 1 and up["replaced_rows"] == 1
-    d6 = _get(store, "v000006.delta.json")
+    d6 = _get(store, "v000006.json")
     assert d6["op"] == "upsert" and set(d6["op_info"]["values"]) == {301, 999}
     got = {r["id"]: r["addr"] for r in store.read("pts").collect()}
     assert got[301] == "0xNEW" and got[999] == "0xQQ" and len(got) == 40
@@ -527,8 +544,8 @@ def test_projection_refresh_rides_deltas(spark, tmp_path, mk):
     _commit_n(spark, store, 2, start=10)  # lag: 2 uncovered fragments
     n = store.refresh_projection("pts", "by_addr")
     assert n >= 1
-    d = _get(store, f"v{v + 3:06d}.delta.json")
-    assert not _exists(store, f"v{v + 3:06d}.json")
+    d = _get(store, f"v{v + 3:06d}.json")
+    assert "base" in d  # delta record
     assert d["op"] == "projection_refresh" and d["adds"] == {}
     ch = d["projections_delta"]["pts"]["by_addr"]
     assert len(ch["covers_add"]) == 2 and not ch["covers_map"]
@@ -544,7 +561,7 @@ def test_projection_refresh_rides_deltas(spark, tmp_path, mk):
     assert store.current_manifest().version == v + 3
     # a takedown delta stacks on the refresh delta in one chain
     store.delete_equals("pts", "id", 1003)
-    assert _exists(store, f"v{v + 4:06d}.delta.json")
+    assert _is_delta(store, v + 4)
     assert store.read_projection("pts", "by_addr").filter(
         F.col("id") == 1003
     ).count() == 0
@@ -577,10 +594,10 @@ def test_table_rows_stays_unhydrated_through_removing_tail(spark, tmp_path, mk):
     # the base (the upsert's removal is chain-internal and netted from
     # the accumulated adds, so it never needs the map)
     v = m.version
-    d = _get(store, f"v{v - 1:06d}.delta.json")
+    d = _get(store, f"v{v - 1:06d}.json")
     assert d["op"] == "delete"
     del d["removes_rows"]
-    store._mio.put_text(f"v{v - 1:06d}.delta.json", json.dumps(d))
+    store._mio.put_text(f"v{v - 1:06d}.json", json.dumps(d))
     m2 = store.manifest_at(v)
     assert m2.__dict__["_removed_rows_ok"].get("pts") is False
     assert store.table_rows("pts", manifest=m2) == 39  # hydrated sum
@@ -604,8 +621,8 @@ def test_delete_and_upsert_ride_deltas_WITH_projections(spark, tmp_path, mk):
     v = store.current_manifest().version  # checkpoint (build_projection)
     store.delete_equals("pts", "id", 105)
     # delta, NOT a checkpoint
-    d = _get(store, f"v{v + 1:06d}.delta.json")
-    assert not _exists(store, f"v{v + 1:06d}.json")
+    d = _get(store, f"v{v + 1:06d}.json")
+    assert "base" in d  # delta record
     assert d["op"] == "delete"
     pd_ = d["projections_delta"]["pts"]["by_addr"]
     assert len(pd_["pfrags_remove"]) >= 1  # the purged replica tile
@@ -621,7 +638,7 @@ def test_delete_and_upsert_ride_deltas_WITH_projections(spark, tmp_path, mk):
     # an upsert delta on the same projected table stacks on the chain
     batch = spark.createDataFrame([(106, "0xUP", 900)], SCHEMA)
     store.upsert("pts", batch, "id")
-    d2 = _get(store, f"v{v + 2:06d}.delta.json")
+    d2 = _get(store, f"v{v + 2:06d}.json")
     assert d2["op"] == "upsert" and "projections_delta" in d2
     got = {r["id"]: r["addr"] for r in store.read("pts").collect()}
     assert got[106] == "0xUP" and 105 not in got

@@ -2,7 +2,9 @@
 (VERDICT r10 items 3 & 6, ADVICE r10 medium + low).
 
 The commit sequence is: conditional-put ``v{N}.claim`` → write sidecars
-→ conditional-put the manifest (``v{N}.json`` or ``v{N}.delta.json``)
+→ conditional-put the manifest (the SINGLE ``v{N}.json`` name for both
+checkpoint and delta records — a delta carries ``base``; the one name
+makes this put the per-version arbiter)
 → plain-put ``CURRENT``.  A writer can die between any two steps.
 These tests use :class:`InMemoryObjectStoreIO`'s fault injection to
 crash at each point and assert the recovery story:
@@ -49,6 +51,13 @@ def _batch(spark, b, rows=10):
     )
 
 
+def _is_delta(fake, ver: int) -> bool:
+    try:
+        return "base" in json.loads(fake.get_text(f"v{ver:06d}.json"))
+    except FileNotFoundError:
+        return False
+
+
 def _mk(spark, root, fake=None, **kw):
     if fake is not None:
         kw["manifest_io"] = fake
@@ -70,7 +79,7 @@ def test_crash_after_claim_fails_loudly_then_self_heals(spark, tmp_path):
         store.commit({"pts": _batch(spark, 1)})
     # aftermath: orphan claim, no manifest, CURRENT unmoved, reads fine
     assert fake.exists(f"v{v + 1:06d}.claim")
-    assert not fake.exists(f"v{v + 1:06d}.delta.json")
+    assert not fake.exists(f"v{v + 1:06d}.json")
     assert store.current_version() == v
     assert store.read("pts").count() == 10
 
@@ -149,10 +158,10 @@ def test_crash_after_manifest_before_current_rolls_forward(spark, tmp_path):
     store.commit({"pts": _batch(spark, 0)}, txn_app_id="t", txn_version=0)
     v = store.current_version()
 
-    fake.crash_after("put_if_absent", ".delta.json")
+    fake.crash_after("put_if_absent", f"v{v + 1:06d}.json")
     with pytest.raises(SimulatedCrash):
         store.commit({"pts": _batch(spark, 1)}, txn_app_id="t", txn_version=1)
-    assert fake.exists(f"v{v + 1:06d}.delta.json")
+    assert _is_delta(fake, v + 1)
     assert store.current_version() == v  # pointer is behind truth
 
     writer2 = _mk(spark, tmp_path / "s", fake)
@@ -230,8 +239,7 @@ def test_vacuum_claim_floor_protects_live_writer_race(spark, tmp_path):
     assert store_a.commit({"pts": _batch(spark, 1)})
     store_a._put_if_absent = real_put.__get__(store_a)
     # exactly one manifest for v_next, and it is A's
-    assert fake.exists(f"v{v_next:06d}.delta.json")
-    assert not fake.exists(f"v{v_next:06d}.json")
+    assert _is_delta(fake, v_next)
     assert store_a.read("pts").count() == 20
 
 
@@ -261,10 +269,9 @@ def test_eventual_list_vacuum_never_deletes_live_state(spark, tmp_path):
     m = store.current_manifest()
     assert m.version == 6
     # old chain (v1..v3) is gone; CURRENT's chain (v4 ckpt + v5/v6) kept
-    assert not fake.exists("v000002.delta.json")
-    assert fake.exists("v000004.json")
-    assert fake.exists("v000005.delta.json")
-    assert fake.exists("v000006.delta.json")
+    assert not fake.exists("v000002.json")
+    assert fake.exists("v000004.json")  # kept chain's base checkpoint
+    assert _is_delta(fake, 5) and _is_delta(fake, 6)
 
 
 def test_fake_backend_full_lifecycle_matches_posix(spark, tmp_path):
@@ -377,9 +384,11 @@ def test_racing_writers_exactly_one_winner_per_version(spark, tmp_path):
     # chain is contiguous and version count == 1 seed + wins
     assert v_final == 1 + len(wins)
     for v in range(1, v_final + 1):
-        has_json = fake.exists(f"v{v:06d}.json")
-        has_delta = fake.exists(f"v{v:06d}.delta.json")
-        assert has_json != has_delta, f"v{v}: both formats landed"  # xor
+        # every version lives at the single v{N}.json name — the
+        # conditional put there is the per-version arbiter, so exactly
+        # one record per version regardless of format mixing
+        assert fake.exists(f"v{v:06d}.json"), v
+        assert not fake.exists(f"v{v:06d}.delta.json"), v
     # the data equals seed + exactly the winning batches
     assert final.read("pts").count() == 10 + 5 * len(wins)
     # at least SOME contention actually happened under 4 racing writers
@@ -421,9 +430,8 @@ def test_slow_writer_forfeits_after_claim_steal(spark, tmp_path, same_format):
     pattern = "concurrent commit|forfeited" if same_format else "forfeited"
     with pytest.raises(RuntimeError, match=pattern):
         store_a.commit({"pts": _batch(spark, 1)})
-    # exactly one manifest for v_next (B's delta), A wrote nothing
-    assert fake.exists(f"v{v_next:06d}.delta.json")
-    assert not fake.exists(f"v{v_next:06d}.json")
+    # exactly one record for v_next (B's delta), A wrote nothing
+    assert _is_delta(fake, v_next)
     final = _mk(spark, tmp_path / "s", fake)
     assert final.current_version() == v_next
     ids = {r["id"] for r in final.read("pts").collect()}
@@ -461,51 +469,50 @@ def test_racing_healers_resolve_to_one_winner(spark, tmp_path):
         store_b.commit({"pts": _batch(spark, 6)})
     fake.delete = real_delete
     # A's commit is the single winner
-    assert fake.exists(f"v{v_next:06d}.delta.json")
-    assert not fake.exists(f"v{v_next:06d}.json")
+    assert _is_delta(fake, v_next)
     final = _mk(spark, tmp_path / "s", fake)
     assert final.current_version() == v_next
     assert {r["id"] for r in final.read("pts").collect()} >= {500}
     assert TableStore._put_if_absent is real_put  # hook never installed
 
 
-def test_cross_format_loser_withdraws_its_manifest(spark, tmp_path):
-    """r11 review (post-put detection): in the interleaving the fence
-    cannot see — a checkpoint lands for the version AFTER this writer's
-    fence passed but before/while its delta put — the later putter
-    detects the other format, deletes its OWN file and raises; the
-    version resolves solely from the winner and CURRENT never points at
-    the withdrawn commit."""
+def test_acknowledged_winner_never_deleted_by_stalled_loser(spark, tmp_path):
+    """r11 review, third pass — the trace that killed the claim-based
+    arbitration: a thief steals the claim AFTER the slow writer's fence
+    passed, fully commits and is ACKNOWLEDGED; the slow writer's later
+    manifest put must fail loudly WITHOUT touching the winner's record
+    (the single v{N}.json name makes its conditional put the arbiter —
+    there is no cross-format window in which the loser could land or
+    destructively "arbitrate")."""
     fake = InMemoryObjectStoreIO()
-    store = _mk(spark, tmp_path / "s", fake)
-    store.commit({"pts": _batch(spark, 0)})
-    v_prev = store.current_version()
-    v_next = v_prev + 1
+    store_a = _mk(spark, tmp_path / "s", fake, log_commits=False)
+    store_a.commit({"pts": _batch(spark, 0)})
+    v_next = store_a.current_version() + 1
+    store_b = _mk(spark, tmp_path / "s", fake)  # delta thief
 
     real_put = TableStore._put_if_absent
     fired = []
 
     def hooked(self, name, content):
-        if not fired and name.endswith(".delta.json"):
+        if not fired and name == f"v{v_next:06d}.json":
+            # A's fence already PASSED; it is one instant from its put.
+            # The thief steals the grace-expired claim and fully
+            # commits + acknowledges the version.
             fired.append(True)
-            # the stolen-claim tail race: a thief re-claims (foreign
-            # token) and lands a checkpoint for v_next between this
-            # writer's claim and its delta put
-            fake.put_text(f"v{v_next:06d}.claim", "checkpoint:feedface")
-            m = json.loads(json.dumps({
-                "version": v_next, "txns": {}, "status": None, "op": "commit",
-                "schemas": {}, "projections": {}, "tables": {},
-            }))
-            fake.put_text(f"v{v_next:06d}.json", json.dumps(m))
+            fake.age(f"v{v_next:06d}.claim", self.claim_grace_seconds + 1)
+            assert store_b.commit({"pts": _batch(spark, 7)})
+            assert store_b.current_version() == v_next  # acknowledged
         real_put(self, name, content)
 
-    store._put_if_absent = hooked.__get__(store)
-    with pytest.raises(RuntimeError, match="forfeited"):
-        store.commit({"pts": _batch(spark, 1)})
-    assert fake.exists(f"v{v_next:06d}.json")
-    assert not fake.exists(f"v{v_next:06d}.delta.json")  # withdrawn
-    # CURRENT was never advanced by the withdrawn commit
-    assert int(fake.get_text("CURRENT")) == v_prev
+    store_a._put_if_absent = hooked.__get__(store_a)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        store_a.commit({"pts": _batch(spark, 1)})
+    # the acknowledged winner's record and rows are fully intact
+    assert _is_delta(fake, v_next)
+    final = _mk(spark, tmp_path / "s", fake)
+    assert final.current_version() == v_next
+    ids = {r["id"] for r in final.read("pts").collect()}
+    assert 700 in ids and 100 not in ids
 
 
 def test_current_pointer_is_monotonic(tmp_path):
@@ -606,58 +613,31 @@ def test_full_ingest_lifecycle_on_object_store_backend(spark, tmp_path):
     assert store2.table_rows("logs") == want_logs
 
 
-def test_claim_owner_wins_cross_format_race_and_heals(spark, tmp_path):
-    """Arbitration is by claim ownership: when the OTHER format file
-    exists but the claim still carries OUR token, this writer is the
-    winner — it removes the stalled loser's leftover file and its
-    commit SUCCEEDS (no both-abort wedge, no lingering shadow)."""
+def test_legacy_delta_layout_still_resolves(spark, tmp_path):
+    """Pre-r11 stores named delta records ``v{N}.delta.json``; reads
+    fall back to that name, time travel and the changefeed fast path
+    keep working across a mixed-name history, and a new commit
+    continues the chain at the single-name layout."""
     fake = InMemoryObjectStoreIO()
-    store = _mk(spark, tmp_path / "s", fake)
-    store.commit({"pts": _batch(spark, 0)})
-    v_next = store.current_version() + 1
+    store = _mk(spark, tmp_path / "s", fake, checkpoint_interval=10)
+    for b in range(3):
+        store.commit({"pts": _batch(spark, b)})
+    # rewrite v2/v3 into the legacy layout (record content unchanged)
+    for v in (2, 3):
+        rec = fake.get_text(f"v{v:06d}.json")
+        fake.put_text(f"v{v:06d}.delta.json", rec)
+        fake.delete(f"v{v:06d}.json")
 
-    real_put = TableStore._put_if_absent
-    fired = []
-
-    def hooked(self, name, content):
-        if not fired and name.endswith(".delta.json"):
-            fired.append(True)
-            # a crashed loser's checkpoint leftover appears — but the
-            # claim still holds THIS writer's token
-            fake.put_text(f"v{v_next:06d}.json", "{}")
-        real_put(self, name, content)
-
-    store._put_if_absent = hooked.__get__(store)
-    assert store.commit({"pts": _batch(spark, 1)})  # succeeds
-    assert fake.exists(f"v{v_next:06d}.delta.json")
-    assert not fake.exists(f"v{v_next:06d}.json")  # loser file removed
-    assert store.read("pts").count() == 20
-
-
-def test_orphaned_loser_checkpoint_never_shadows_winner_delta(spark, tmp_path):
-    """r11 review: a cross-format loser that CRASHES between its
-    manifest put and its withdrawal leaves both files.  Readers must
-    arbitrate by claim — the winner's delta, not the json that
-    manifest_at would naively prefer — and vacuum makes the healing
-    durable by deleting the loser's file."""
-    fake = InMemoryObjectStoreIO()
-    store = _mk(spark, tmp_path / "s", fake)
-    store.commit({"pts": _batch(spark, 0)})
-    store.commit({"pts": _batch(spark, 1)})  # v2 = winner's delta
-    v = store.current_version()
-    assert fake.exists(f"v{v:06d}.delta.json")
-    # the crashed loser's checkpoint appears for the SAME version
-    fake.put_text(f"v{v:06d}.json", json.dumps({
-        "version": v, "txns": {}, "status": None, "op": "commit",
-        "schemas": {}, "projections": {}, "tables": {},
-    }))
-
-    # reads arbitrate by claim: v resolves to the winner's delta chain
-    fresh = _mk(spark, tmp_path / "s", fake)
-    assert fresh.read("pts").count() == 20  # loser's empty json ignored
-    assert fresh.table_rows("pts") == 20
-    # vacuum heals durably: the loser's file is deleted
-    fresh.vacuum()
-    assert not fake.exists(f"v{v:06d}.json")
-    assert fake.exists(f"v{v:06d}.delta.json")
-    assert fresh.read("pts").count() == 20
+    fresh = _mk(spark, tmp_path / "s", fake, checkpoint_interval=10)
+    assert fresh.read("pts").count() == 30
+    assert fresh.table_rows("pts") == 30
+    assert fresh.read("pts", version=2).count() == 20  # time travel
+    assert fresh.changes("pts", since_version=1).count() == 20  # fast path
+    # new commits continue the chain at the single-name layout, and the
+    # legacy belt prevents shadowing an existing legacy record
+    assert fresh.commit({"pts": _batch(spark, 9)})
+    assert _is_delta(fake, 4)
+    assert fresh.read("pts").count() == 40
+    # vacuum keeps the mixed-name chain resolvable
+    fresh.vacuum(keep_manifests=2)
+    assert fresh.read("pts").count() == 40

@@ -98,7 +98,7 @@ def _bench_append(fmt: str, n_frags: int, chain: int = 16) -> dict[str, float]:
       (O(total fragments) per commit; what every commit paid pre-r9);
     - ``append_delta_s``: the log-structured regime — resolve the
       (unhydrated) current version, write one O(1) delta
-      (``v{N}.delta.json``) holding just the new fragment;
+      (a ``base``-bearing record at ``v{N}.json``) holding just the new fragment;
     - ``append_amortized_s``: a full checkpoint_interval-length chain of
       delta appends PLUS the closing checkpoint, averaged — the honest
       sustained cost including the periodic O(total)/K hydration.

@@ -205,7 +205,7 @@ def main() -> int:
         # chain slot is free — count them so the soak proves the new
         # path runs under concurrent consumers, not just in unit tests
         mv = store.current_manifest().version
-        if (root / "store" / "_manifests" / f"v{mv:06d}.delta.json").exists():
+        if "base" in store._read_version_record(mv):  # delta record
             pts_delta_deletes += 1
 
         # second table, NO projection: its takedowns rode the delta
@@ -220,7 +220,7 @@ def main() -> int:
         store.delete_in("docs", "id", dgone)
         docs_live.difference_update(dgone)
         mv = store.current_manifest().version
-        if (root / "store" / "_manifests" / f"v{mv:06d}.delta.json").exists():
+        if "base" in store._read_version_record(mv):  # delta record
             delta_deletes_seen += 1
         check(store.read("docs").count() == len(docs_live)
               and {r["id"] for r in store.read("docs").collect()} == docs_live,
