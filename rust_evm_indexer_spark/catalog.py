@@ -6538,50 +6538,50 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "point_lookup",  # flagship-core
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
-    "bm25_rerank",  # never checked
-    "corpus_shuffle_shards",  # newest green r7
-    "store_upsert_docs",  # newest green r7
-    "jsonl_ingest",  # newest green r8
-    "logs_filter_conj",  # newest green r8
-    "logs_keyset_page",  # newest green r8
-    "logs_offset_page",  # newest green r8
-    "top1_latest",  # newest green r8
-    "stats_lag",  # newest green r8
-    "evm_logs_address_range",  # newest green r8
-    "evm_logs_cursor_page",  # newest green r8
-    "evm_logs_blockhash_override",  # newest green r8
-    "reorg_rollup_exact",  # newest green r8
-    "store_topic0_dict_logs",  # newest green r8
-    "store_logs_cursor_page",  # newest green r8
-    "evm_join_enriched",  # newest green r8
-    "evm_transfer_volume",  # newest green r8
-    "evm_wei_sum_exact",  # newest green r8
-    "orders_having",  # newest green r8
-    "q14_promo_revenue",  # newest green r8
-    "q19_disjunctive",  # newest green r8
-    "q21_sole_supplier",  # newest green r8
-    "q22_idle_customers",  # newest green r8
-    "q2_min_cost_supplier",  # newest green r8
-    "q11_important_parts",  # newest green r8
-    "q13_order_distribution",  # newest green r8
-    "q15_top_supplier",  # newest green r8
-    "q16_supplier_counts",  # newest green r8
-    "events_hourly_rollup",  # newest green r8
-    "dedup_exact",  # newest green r8
-    "similarity_topk",  # newest green r8
-    "similarity_knn_join",  # newest green r8
-    "similarity_pq_topk",  # newest green r8
-    "similarity_opq_topk",  # newest green r8
-    "similarity_opq_residual_topk",  # newest green r8
-    "similarity_opq_residual_knn_join",  # newest green r8
-    "text_stats",  # newest green r8
-    "token_counts",  # newest green r8
-    "bpe_token_counts",  # newest green r8
-    "multimodal_features",  # newest green r8
-    "funnel_conversion",  # newest green r8
-    "retention_cohorts",  # newest green r8
-    "sample_weighted",  # newest green r8
-    "unpivot_part_metrics",  # newest green r8
+    "interval_join_events",  # newest green r8
+    "cms_user_frequency",  # newest green r8
+    "corpus_report",  # newest green r8
+    "store_compacted_logs",  # newest green r9
+    "store_tx_bloom_lookup",  # newest green r9
+    "store_zorder_logs",  # newest green r9
+    "store_changefeed_deletes",  # newest green r9
+    "events_sliding_rollup",  # newest green r9
+    "similarity_ivf_knn_join",  # newest green r9
+    "lang_id",  # newest green r9
+    "quality_score",  # newest green r9
+    "doc_fingerprint",  # newest green r9
+    "multimodal_frames",  # newest green r9
+    "window_topk_per_group",  # newest green r9
+    "events_sessionize",  # newest green r9
+    "rollup_orders",  # newest green r9
+    "cube_lineitem",  # newest green r9
+    "distinct_agg",  # newest green r9
+    "set_ops_customers",  # newest green r9
+    "semi_join_exists",  # newest green r9
+    "anti_join_not_exists",  # newest green r9
+    "asof_join_events",  # newest green r9
+    "range_join_events",  # newest green r9
+    "median_per_type",  # newest green r9
+    "orders_monthly",  # newest green r9
+    "dedup_survivors",  # newest green r9
+    "json_extract_props",  # newest green r9
+    "json_agg_by_key",  # newest green r9
+    "approx_quantile_p90",  # newest green r9
+    "similarity_ivf_kmeans",  # newest green r9
+    "dedup_clusters",  # newest green r9
+    "gopher_quality",  # newest green r9
+    "pii_redact",  # newest green r9
+    "sample_stratified",  # newest green r9
+    "pack_sequences",  # newest green r9
+    "decontaminate_ngram",  # newest green r9
+    "evm_address_activity",  # newest green r9
+    "evm_block_activity",  # newest green r9
+    "unigram_nll",  # newest green r9
+    "quality_classifier_scores",  # newest green r9
+    "embedding_pca_whiten",  # newest green r9
+    "dedup_spans_global",  # newest green r9
+    "chunk_documents",  # newest green r9
+    "dedup_winnowing",  # newest green r9
 ]
 
 

@@ -108,6 +108,17 @@ FLAGSHIP_CORE = [
 # oracle — coverage is test_api / test_manifest_log / the bench tools.
 # store_stats_manifest's DOCSTRING was corrected (ADVICE r10 low) but
 # its query and _STORE_STATS_SQL are byte-identical — not behavioral.
+#
+# Round-12 review: DIRTY was already empty (no r11 carryover).  The
+# r12 work — bm25_rerank linkage generalization (the catalog entry
+# keeps the modular mapping as its explicit argument, so its output is
+# bit-identical; a dedicated unit test covers the non-modular path),
+# commit retry-with-rebase, fsspec ManifestIO adapter, data-tier seam,
+# API latency bench — changes no catalog entry's query or oracle.
+# Coverage for each lives in its own suite (test_textops / test_object
+# _store / test_manifest_log / tools).  If bm25_rerank's default had
+# changed behaviorally it would be DIRTY; it did not (precedent: the
+# round-8 non-behavioral-pin note above).
 DIRTY: set[str] = set()
 
 
