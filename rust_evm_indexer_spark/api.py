@@ -20,6 +20,7 @@ for concurrent endpoints on a busy deployment).
 
 from __future__ import annotations
 
+import threading
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -73,9 +74,14 @@ class EvmApi:
         self.status = status
         self.store = store
         # store-backed: frames resolve lazily against the CURRENT
-        # manifest, cached by version (see _store_frame)
-        self._frame_version: int | None = None
-        self._frames: dict[str, DataFrame] = {}
+        # manifest, cached by (version, table) — version-keyed so a
+        # slow request that read an older CURRENT can only ever insert
+        # under its OWN version's key, never poison a newer version's
+        # slot (the r11 single-version cache had exactly that race
+        # under a threaded WSGI server).  Reads/inserts are plain
+        # GIL-atomic dict ops; the lock only guards pruning.
+        self._frames: dict[tuple[int, str], DataFrame] = {}
+        self._frames_lock = threading.Lock()
         if status is None and store is None:
             raise ValueError("EvmApi needs a status DataFrame or a store")
         if store is None and (
@@ -102,14 +108,30 @@ class EvmApi:
     def _store_frame(self, table: str) -> DataFrame:
         """Manifest-version-cached live frame: one tiny CURRENT read per
         request; frames rebuild only when the version advances (a plan
-        rebuild, not a data copy — Spark frames are lazy)."""
+        rebuild, not a data copy — Spark frames are lazy).
+
+        Thread-safety: the cache key includes the version this request
+        observed, so two concurrent requests that read different CURRENT
+        versions populate different slots — a slow older request can
+        never publish a stale frame under the newer version's identity.
+        The frame build happens OUTSIDE the lock (it is a lazy plan
+        construction; serializing it would add latency for nothing);
+        the lock only guards the prune of superseded-version entries.
+        """
         v = self.store.current_version()
-        if v != self._frame_version:
-            self._frames = {}
-            self._frame_version = v
-        if table not in self._frames:
-            self._frames[table] = self.store.read(table)
-        return self._frames[table]
+        key = (v, table)
+        frame = self._frames.get(key)
+        if frame is None:
+            frame = self.store.read(table)
+            self._frames[key] = frame
+            with self._frames_lock:
+                # Drop entries for versions older than any cached key's
+                # max — bounds the cache at ~one version's tables plus
+                # whatever in-flight older requests just inserted.
+                newest = max(k[0] for k in self._frames)
+                for k in [k for k in self._frames if k[0] < newest]:
+                    self._frames.pop(k, None)
+        return frame
 
     @property
     def blocks(self) -> DataFrame:

@@ -107,7 +107,25 @@ class ManifestIO:
 
     def mtime(self, name: str) -> float:
         """Last-modified epoch seconds (object stores return this on
-        HEAD).  Raises FileNotFoundError if absent."""
+        HEAD).  Raises FileNotFoundError if absent.
+
+        CLOCK-SKEW CONTRACT (ADVICE r11): liveness decisions (orphan
+        self-heal, roll-forward gating, vacuum's claim grace) compare
+        LOCAL ``time.time()`` against this value, which on a remote
+        backend is the SERVER's Last-Modified.  Skew between the two
+        clocks eats into the liveness envelope: a healer whose clock
+        runs ``s`` seconds fast sees every claim ``s`` seconds older
+        than it is, so the effective grace shrinks to
+        ``claim_grace_seconds - s``.  SAFETY does not depend on this —
+        the fence token and single-name conditional put keep every
+        version single-winner even when a live writer's claim is stolen
+        — but the stolen writer's commit fails needlessly.  Deployments
+        on remote backends must therefore size the store's
+        ``claim_grace_seconds`` with a skew margin:
+        grace >> max expected |skew| (NTP-disciplined fleets see
+        sub-second skew; the conservative rule is grace >= 60s local,
+        >= 300s remote/multi-host — see TableStore's
+        ``claim_grace_seconds`` doc)."""
         raise NotImplementedError
 
 

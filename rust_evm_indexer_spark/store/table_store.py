@@ -641,6 +641,17 @@ class TableStore:
         #: self-heal — i.e. turn the guard itself into the race — so it
         #: is rejected; tests backdate claim mtimes to expire the
         #: envelope instead of disabling it.
+        #:
+        #: SIZING ON REMOTE BACKENDS (ADVICE r11): liveness compares
+        #: local time.time() against backend-reported mtimes, so clock
+        #: skew between this host and the object store (or between
+        #: hosts sharing a store) shrinks the effective envelope by the
+        #: skew.  Safety holds regardless (fence + single-name put),
+        #: but a live writer whose claim is prematurely judged orphan
+        #: fails its commit needlessly — size grace >> max expected
+        #: |skew| (default 60s suits a local/NTP-disciplined setup;
+        #: use >= 300s for multi-host deployments on S3/GCS; see
+        #: ManifestIO.mtime's contract note).
         if claim_grace_seconds <= 0:
             raise ValueError(
                 "claim_grace_seconds must be > 0: a zero liveness "
@@ -714,6 +725,13 @@ class TableStore:
         last = head
         for k in range(base_v + 1, version + 1):
             dk = head if k == version else self._read_version_record(k)
+            if dk is None:
+                # an intermediate delta was vacuumed or lost — fail the
+                # same way the head lookup does, not with AttributeError
+                # on dk.get (ADVICE r11 low)
+                raise ValueError(
+                    f"manifest v{k} not found (vacuumed or never written)"
+                )
             for t, fl in dk.get("adds", {}).items():
                 adds.setdefault(t, []).extend(Fragment(**f) for f in fl)
             for t, ps in dk.get("removes", {}).items():
@@ -829,16 +847,54 @@ class TableStore:
         protocol's liveness envelope (``claim_grace_seconds``) — i.e.
         no live writer can still be between its claim and its manifest
         put."""
+        return self._claim_orphan_snapshot(version) is not None
+
+    def _claim_orphan_snapshot(self, version: int) -> tuple[str, float] | None:
+        """:meth:`_claim_is_orphan`, but returning the exact
+        ``(content, mtime)`` the orphan judgment was made against (or
+        ``None`` when the claim is live/absent), so the healer can
+        condition its delete on the claim being UNCHANGED since this
+        check (TOCTOU guard, ADVICE r11 low)."""
         name = f"v{version:06d}.claim"
         try:
-            age = _time_mod.time() - self._mio.mtime(name)
+            content = self._mio.get_text(name)
+            mtime = self._mio.mtime(name)
         except FileNotFoundError:
-            return False
-        return (
+            return None
+        age = _time_mod.time() - mtime
+        if (
             age >= self.claim_grace_seconds
             and not self._version_record_exists(version)
             and self.current_version() < version
-        )
+        ):
+            return (content, mtime)
+        return None
+
+    def _delete_claim_if_unchanged(
+        self, name: str, content: str, mtime: float
+    ) -> bool:
+        """Best-effort conditioned delete: re-read the claim IMMEDIATELY
+        before deleting and skip when it changed since the orphan check
+        — between that check and this delete another healer may already
+        have freed and re-claimed the name, and an unconditional delete
+        would forfeit that healer's fresh LIVE claim (ADVICE r11 low).
+        On backends with a real conditional delete (S3 If-Match / GCS
+        ``ifGenerationMatch``) an adapter can override this with the
+        generation-conditioned call; here the window narrows to one
+        read-to-delete round trip.  Safety never depended on this —
+        the fence token + single-name manifest put keep every version
+        single-winner regardless — this only stops a live writer being
+        forfeited needlessly.  Returns True when the delete happened."""
+        try:
+            if (
+                self._mio.get_text(name) != content
+                or self._mio.mtime(name) != mtime
+            ):
+                return False
+            self._mio.delete(name)
+            return True
+        except FileNotFoundError:
+            return False
 
     def _claim_version(self, version: int, fmt: str) -> str:
         """Serialize version claims through a SINGLE per-version file.
@@ -883,8 +939,8 @@ class TableStore:
             return token
         except FileExistsError:
             pass
-        if self._claim_is_orphan(version):
-            self._mio.delete(name)
+        snap = self._claim_orphan_snapshot(version)
+        if snap is not None and self._delete_claim_if_unchanged(name, *snap):
             try:
                 self._put_if_absent(name, f"{fmt}:{token}")
                 return token
@@ -3250,12 +3306,19 @@ class TableStore:
             if ver > cur_v:
                 # possibly a LIVE writer between claim and manifest put
                 # (the version is still claimable territory) — only a
-                # grace-expired claim is a crashed writer's orphan
+                # grace-expired claim is a crashed writer's orphan, and
+                # the delete is conditioned on the claim being unchanged
+                # since this check so a freed-and-re-claimed name is
+                # never forfeited (same TOCTOU guard as the self-heal)
                 try:
-                    if now - self._mio.mtime(name) < claim_grace:
-                        continue
+                    content = self._mio.get_text(name)
+                    mtime = self._mio.mtime(name)
                 except FileNotFoundError:
                     continue
+                if now - mtime < claim_grace:
+                    continue
+                self._delete_claim_if_unchanged(name, content, mtime)
+                continue
             # ver <= CURRENT: its manifest landed (and was pruned above)
             # — the version can never be re-claimed (writers target
             # CURRENT+1), so the claim is reclaimable without grace

@@ -236,6 +236,56 @@ def test_store_backed_api_reads_live(spark, evm, tmp_path):
     assert stats2["lastProcessedBlock"] == late_block
 
 
+def test_store_frame_cache_is_version_keyed_under_races(spark, evm, tmp_path, monkeypatch):
+    """ADVICE r11 medium: under a threaded WSGI server, a slow request
+    that observed an older CURRENT version must not publish its stale
+    frame where newer requests look.  Simulated deterministically: a
+    request pinned to v1 runs _store_frame's full insert path AFTER the
+    store advanced to v2 and a fast request warmed the v2 slot — the
+    stale insert lands under its own (v1, table) key and the next
+    request still serves v2 data."""
+    from rust_evm_indexer_spark.api import EvmApi
+    from rust_evm_indexer_spark.store import TableStore
+
+    blocks, txs, logs = evm["blocks"], evm["transactions"], evm["logs"]
+    nums = sorted(r[0] for r in blocks.select("block_number").collect())
+    cut = nums[len(nums) // 2]
+
+    store = TableStore(spark, tmp_path / "racestore", bloom_columns={}, dict_columns={})
+    store.commit({
+        "blocks": blocks.filter(f"block_number < {cut}"),
+        "transactions": txs.filter(f"block_number < {cut}"),
+        "logs": logs.filter(f"block_number < {cut}"),
+    })
+    api = EvmApi.from_store(store)
+    v1 = store.current_version()
+    n1 = api._store_frame("blocks").count()
+
+    store.commit({
+        "blocks": blocks.filter(f"block_number >= {cut}"),
+        "transactions": txs.filter(f"block_number >= {cut}"),
+        "logs": logs.filter(f"block_number >= {cut}"),
+    })
+    v2 = store.current_version()
+    assert v2 != v1
+    api._frames.clear()  # fresh slate: the fast v2 request warms first
+    n2 = api._store_frame("blocks").count()
+    assert n2 == blocks.count() and n2 > n1
+
+    # The slow request: it already read CURRENT=v1 before the commit;
+    # pin its whole store view to v1 and let it run the real insert
+    # path now (after the v2 slot is warm).
+    monkeypatch.setattr(store, "current_version", lambda: v1)
+    monkeypatch.setattr(store, "current_manifest", lambda: store.manifest_at(v1))
+    stale = api._store_frame("blocks")
+    # It gets a self-consistent answer for the version IT observed...
+    assert stale.count() == n1
+    monkeypatch.undo()
+    # ...and never poisons the newer version's slot.
+    assert api._store_frame("blocks").count() == n2
+    assert all(k[0] == v2 for k in api._frames), api._frames.keys()
+
+
 def test_store_backed_logs_routes_through_projection(spark, evm, tmp_path, monkeypatch):
     """Plan pin (VERDICT r10 item 2): an address-filtered POST /logs on
     a store-backed API goes through get_logs_from_store's source

@@ -152,3 +152,55 @@ def test_uniform_flags_without_global_drift_stay_per_entry(tmp_path):
         cur[f"flag{i}"] = 4.0 * 1.4
     rc, out = _run_args(tmp_path, base, cur)
     assert rc == 2 and "STEADY REGRESSIONS" in out
+
+
+def test_small_band_borderline_warns_but_passes(tmp_path):
+    """ADVICE r11 low: a 1.3-1.9x ratio on a 1-3s baseline passes the
+    widened gate but must stay VISIBLE — a WARN line naming the
+    isolated-median adjudication, not a plain OK."""
+    rc, out = _run(tmp_path, {"q17": 1.4, "b": 6.0}, {"q17": 2.2, "b": 6.1})
+    assert rc == 0 and "OK" in out
+    assert "WARN small-band" in out and "q17" in out
+    assert "isolated_entry_bench.py q17" in out
+
+
+def test_small_band_clean_run_has_no_warn(tmp_path):
+    rc, out = _run(tmp_path, {"q17": 1.4, "b": 6.0}, {"q17": 1.5, "b": 6.1})
+    assert rc == 0 and "WARN" not in out
+
+
+def test_adjudicate_small_confirms_real_regression(tmp_path, monkeypatch):
+    """--adjudicate-small re-measures each warned entry; a confirmed
+    isolated median > 1.3x baseline fails the gate (exit 2).  The
+    isolated bench is stubbed via a fake tool on the subprocess path —
+    classify() itself is exercised pure."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_regression", TOOL)
+    br = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(br)
+
+    fake_runs = []
+
+    def fake_run(cmd, **kw):
+        fake_runs.append(cmd)
+        class P:
+            stdout = json.dumps({"entry": cmd[2], "isolated_median": 2.6})
+        return P()
+
+    monkeypatch.setattr(br.subprocess, "run", fake_run)
+    confirmed = br._handle_small_warnings(
+        [("q17", 1.4, 2.2)], {"sf": 0.1}, adjudicate=True)
+    assert confirmed == [("q17", 1.4, 2.6)]
+    assert fake_runs and "q17" in fake_runs[0]
+
+    # and an isolated median back inside 1.3x clears the warning
+    def fake_run_ok(cmd, **kw):
+        class P:
+            stdout = json.dumps({"entry": cmd[2], "isolated_median": 1.5})
+        return P()
+
+    monkeypatch.setattr(br.subprocess, "run", fake_run_ok)
+    confirmed = br._handle_small_warnings(
+        [("q17", 1.4, 2.2)], {"sf": 0.1}, adjudicate=True)
+    assert confirmed == []

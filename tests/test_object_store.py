@@ -641,3 +641,54 @@ def test_legacy_delta_layout_still_resolves(spark, tmp_path):
     # vacuum keeps the mixed-name chain resolvable
     fresh.vacuum(keep_manifests=2)
     assert fresh.read("pts").count() == 40
+
+
+def test_heal_delete_is_conditioned_on_unchanged_claim(spark, tmp_path):
+    """ADVICE r11 low (TOCTOU): between a healer's orphan judgment and
+    its delete, another healer may already have freed AND re-claimed
+    the version — the delete must then be SKIPPED, not forfeit the
+    fresh live claim.  Exercised at the exact interleaving point via
+    the snapshot/conditioned-delete pair _claim_version composes."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake)
+    store.commit({"pts": _batch(spark, 0)})
+    v_next = store.current_version() + 1
+    name = f"v{v_next:06d}.claim"
+
+    # writer A crashed after its claim; the grace has elapsed
+    fake.put_if_absent(name, "delta:deadtoken")
+    fake.age(name, store.claim_grace_seconds + 1)
+    snap = store._claim_orphan_snapshot(v_next)
+    assert snap is not None  # healer H judged it orphan...
+
+    # ...but healer B interleaves: frees the orphan and re-claims LIVE
+    fake.delete(name)
+    fake.put_if_absent(name, "delta:livetoken")
+
+    # H's conditioned delete must notice the change and stand down
+    assert store._delete_claim_if_unchanged(name, *snap) is False
+    assert fake.get_text(name) == "delta:livetoken"
+
+    # and an UNCHANGED orphan is still healed (the guard is not inert)
+    fake.delete(name)
+    fake.put_if_absent(name, "delta:deadtoken2")
+    fake.age(name, store.claim_grace_seconds + 1)
+    snap2 = store._claim_orphan_snapshot(v_next)
+    assert store._delete_claim_if_unchanged(name, *snap2) is True
+    assert not fake.exists(name)
+
+
+def test_manifest_at_missing_intermediate_delta_is_loud(spark, tmp_path):
+    """ADVICE r11 low: a vacuumed/lost INTERMEDIATE delta in the chain
+    walk must raise the same clean 'manifest not found' ValueError the
+    head lookup gives, not AttributeError on NoneType."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake, checkpoint_interval=10)
+    for b in range(4):
+        store.commit({"pts": _batch(spark, b)})
+    head = store.current_version()
+    # corrupt the chain: drop an intermediate delta record outright
+    fake.delete(f"v{head - 1:06d}.json")
+    fresh = _mk(spark, tmp_path / "s", fake, checkpoint_interval=10)
+    with pytest.raises(ValueError, match=rf"manifest v{head - 1} not found"):
+        fresh.manifest_at(head)

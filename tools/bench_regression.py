@@ -62,6 +62,10 @@ FLOOR_SEC = 1.0
 # this protocol's resolution; suspicions in that band are adjudicated
 # with tools/isolated_entry_bench.py (median of cache-cleared runs),
 # not with single steady samples.  Entries >= 3s keep the tight gate.
+# Ratios in 1.3-1.9x on a small entry are emitted as WARN lines (never
+# a silent OK), and --adjudicate-small auto-runs the isolated-median
+# re-bench for them, failing the gate if the median confirms >1.3x
+# (ADVICE r11 low).
 SMALL_BAND_SEC = 3.0
 SMALL_BAND_THRESHOLD = 1.9
 # environmental-shift classification (SCALE.md r9 calibration protocol)
@@ -103,7 +107,7 @@ def classify(base: dict, cur: dict, explained: dict[str, str] | None = None) -> 
                       f"sf={cur.get('sf')} — cross-SF comparison is "
                       f"meaningless",
             "regressions": [], "ratios": {}, "median_ratio": None,
-            "new_entries": [],
+            "new_entries": [], "warnings": [],
         }
     # steady is DEFINED as the 3rd same-session pass (ADVICE r8: a file
     # produced under --cold/--shared was a 2nd execution mislabeled
@@ -117,12 +121,13 @@ def classify(base: dict, cur: dict, explained: dict[str, str] | None = None) -> 
                       f"pass_index={cp} — non-comparable execution "
                       f"protocols",
             "regressions": [], "ratios": {}, "median_ratio": None,
-            "new_entries": [],
+            "new_entries": [], "warnings": [],
         }
 
     bq, cq = base.get("queries", {}), cur.get("queries", {})
     ratios: dict[str, float] = {}
     regressions: list[tuple[str, float, float]] = []
+    warnings: list[tuple[str, float, float]] = []
     for name, t0 in sorted(bq.items()):
         t1 = cq.get(name)
         if t1 is None or t0 < FLOOR_SEC:
@@ -131,6 +136,17 @@ def classify(base: dict, cur: dict, explained: dict[str, str] | None = None) -> 
         thr = THRESHOLD if t0 >= SMALL_BAND_SEC else SMALL_BAND_THRESHOLD
         if t1 > t0 * thr and name not in explained:
             regressions.append((name, t0, t1))
+        elif (
+            t0 < SMALL_BAND_SEC
+            and t1 > t0 * THRESHOLD
+            and name not in explained
+        ):
+            # the widened small-entry band means a genuine <1.9x
+            # regression on a 1-3s entry passes the gate — keep those
+            # visible as warnings so the borderline cases get the
+            # isolated-median adjudication instead of a silent OK
+            # (ADVICE r11 low)
+            warnings.append((name, t0, t1))
     new = sorted(set(cq) - set(bq))
     srt = sorted(ratios.values())
     median_ratio = srt[len(srt) // 2] if srt else None
@@ -138,7 +154,7 @@ def classify(base: dict, cur: dict, explained: dict[str, str] | None = None) -> 
     if not regressions:
         return {"status": "ok", "reason": "", "regressions": [],
                 "ratios": ratios, "median_ratio": median_ratio,
-                "new_entries": new}
+                "new_entries": new, "warnings": warnings}
 
     flagged = sorted(ratios[n] for n, _, _ in regressions)
     uniform = flagged[-1] / flagged[0] <= ENV_UNIFORMITY
@@ -156,10 +172,50 @@ def classify(base: dict, cur: dict, explained: dict[str, str] | None = None) -> 
                       f"shift, not per-entry regressions",
             "regressions": regressions, "ratios": ratios,
             "median_ratio": median_ratio, "new_entries": new,
+            "warnings": warnings,
         }
     return {"status": "regressions", "reason": "",
             "regressions": regressions, "ratios": ratios,
-            "median_ratio": median_ratio, "new_entries": new}
+            "median_ratio": median_ratio, "new_entries": new,
+            "warnings": warnings}
+
+
+def _handle_small_warnings(
+    warnings: list, cur: dict, *, adjudicate: bool
+) -> list[tuple[str, float, float]]:
+    """Print the small-band warnings (ADVICE r11 low: a 1.3-1.9x ratio
+    on a 1-3s baseline passes the widened gate, but must not pass
+    SILENTLY) and, when ``adjudicate`` is set, re-measure each warned
+    entry with the isolated-median protocol — the same adjudication a
+    human would run by hand.  Returns the entries whose isolated median
+    itself exceeds THRESHOLD x baseline (confirmed real regressions)."""
+    confirmed: list[tuple[str, float, float]] = []
+    for name, t0, t1 in warnings:
+        print(f"# WARN small-band: {name} {t0:.2f}s -> {t1:.2f}s "
+              f"({t1 / t0:.2f}x) — inside the 1-3s noise envelope; "
+              f"adjudicate with: python tools/isolated_entry_bench.py {name}")
+        if not adjudicate:
+            continue
+        sf_dir = f"/root/testdata/sf{cur.get('sf', 0.1)}"
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "tools", "isolated_entry_bench.py"),
+                 name, "4", sf_dir],
+                capture_output=True, text=True, cwd=REPO, check=True,
+            ).stdout.strip().splitlines()[-1]
+            med = json.loads(out)["isolated_median"]
+        except (subprocess.CalledProcessError, json.JSONDecodeError,
+                IndexError, KeyError) as e:
+            print(f"# WARN adjudication of {name} failed ({e}); "
+                  f"treating as unconfirmed")
+            continue
+        if med > t0 * THRESHOLD:
+            confirmed.append((name, t0, med))
+        else:
+            print(f"# adjudicated OK: {name} isolated median {med:.2f}s "
+                  f"({med / t0:.2f}x vs baseline)")
+    return confirmed
 
 
 def main() -> int:
@@ -171,6 +227,11 @@ def main() -> int:
                     help="pass the gate when the run is classified as a "
                          "host-throughput shift (reviewed decision: commit "
                          "the new sidecar as the refreshed baseline)")
+    ap.add_argument("--adjudicate-small", action="store_true",
+                    help="auto-run tools/isolated_entry_bench.py for each "
+                         "small-band warning (1.3-1.9x on a 1-3s baseline) "
+                         "and FAIL the gate if the isolated median itself "
+                         "exceeds 1.3x of the baseline")
     args = ap.parse_args()
 
     if args.baseline:
@@ -194,6 +255,17 @@ def main() -> int:
     for name, cause in sorted(EXPLAINED.items()):
         print(f"# explained: {name}: {cause}")
     if verdict["status"] == "ok":
+        confirmed = _handle_small_warnings(verdict["warnings"], cur,
+                                           adjudicate=args.adjudicate_small)
+        if confirmed:
+            print(f"SMALL-BAND REGRESSIONS CONFIRMED by isolated median "
+                  f"(> {THRESHOLD}x):")
+            for name, t0, med in confirmed:
+                print(f"  {name:36s} {t0:7.2f}s -> isolated {med:7.2f}s  "
+                      f"({med / t0:.2f}x)")
+            print("name the cause (EXPLAINED in tools/bench_regression.py) "
+                  "or fix it")
+            return 2
         n = len([r for r in verdict["ratios"]])
         print(f"OK: no unexplained steady regression > {THRESHOLD}x "
               f"({n} comparable entries, floor {FLOOR_SEC}s)")
