@@ -223,7 +223,8 @@ def bm25_rerank(
     query_terms: list[str],
     *,
     query_vec: list[float],
-    n_vecs: int,
+    n_vecs: int | None = None,
+    vec_id=None,
     k_first: int = 20,
     k: int = 10,
     k1: float = 1.2,
@@ -238,14 +239,26 @@ def bm25_rerank(
 
     The candidate set (``k_first`` rows, a TakeOrderedAndProject
     output) is BROADCAST into the embeddings scan and equi-joined on
-    vector id (``doc_id % n_vecs`` — the corpus's deterministic
-    doc→vector linkage), so the rescoring stage is one
-    BroadcastHashJoin probe per embedding partition: no shuffle of the
-    embedding table, no cartesian, and the expensive side scales only
-    with the corpus scan.  The query vector enters as a LITERAL double
-    array (no 1-row nested-loop join), and the cosine is one
-    zip_with/aggregate fold per candidate — whole-stage codegen, no
-    Python.
+    vector id, so the rescoring stage is one BroadcastHashJoin probe
+    per embedding partition: no shuffle of the embedding table, no
+    cartesian, and the expensive side scales only with the corpus
+    scan.  The query vector enters as a LITERAL double array (no 1-row
+    nested-loop join), and the cosine is one zip_with/aggregate fold
+    per candidate — whole-stage codegen, no Python.
+
+    Doc→vector LINKAGE (generalized, VERDICT r11 item 2 — the r11 form
+    hard-coded the fixture's modular mapping into the operator):
+
+    - ``vec_id`` as a string names a column on ``docs`` that carries
+      each document's embedding-row id.  The k_first candidates are
+      broadcast back into a two-column projection of ``docs`` to pick
+      it up — one extra pruned scan of the cheap side, still zero
+      embedding-side shuffle.
+    - ``vec_id`` as a pyspark Column is an expression over the
+      candidate rows (``doc_id``, ``bm25_score``) computed in place,
+      e.g. ``F.col("doc_id") % 500`` or any deterministic remap.
+    - ``n_vecs`` (with ``vec_id=None``) keeps the synthetic fixture's
+      modular linkage ``doc_id % n_vecs`` as the convenience default.
 
     Cross-engine determinism: dot/norm folds run in array order as
     IEEE doubles on both engines (Spark ``aggregate``, DuckDB
@@ -255,12 +268,28 @@ def bm25_rerank(
     ``query_vec``/``n_vecs`` are passed resolved (one 1-row lookup +
     one metadata count by the caller) so this stays a pure plan
     builder."""
+    from pyspark.sql import Column
+
     cands = bm25_topk(
         docs, query_terms, k=k_first, k1=k1, b=b, text_col=text_col
     ).withColumnRenamed("score", "bm25_score")
-    cands = cands.withColumn(
-        "vec_id", (F.col("doc_id") % F.lit(int(n_vecs))).cast("long")
-    )
+    if isinstance(vec_id, str):
+        link = docs.select(
+            "doc_id", F.col(vec_id).cast("long").alias("vec_id")
+        )
+        cands = link.join(F.broadcast(cands), "doc_id")
+    elif isinstance(vec_id, Column):
+        cands = cands.withColumn("vec_id", vec_id.cast("long"))
+    elif vec_id is None and n_vecs is not None:
+        cands = cands.withColumn(
+            "vec_id", (F.col("doc_id") % F.lit(int(n_vecs))).cast("long")
+        )
+    else:
+        raise ValueError(
+            "bm25_rerank needs a doc→vector linkage: pass vec_id (a "
+            "docs column name or a Column over doc_id) or n_vecs for "
+            "the modular fixture default"
+        )
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
