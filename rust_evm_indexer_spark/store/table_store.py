@@ -1363,20 +1363,103 @@ class TableStore:
     ) -> bool:
         """Atomically append fragments for any subset of tables (+ the
         checkpoint).  Returns False if (txn_app_id, txn_version) was
-        already committed — the idempotent crash-replay path."""
+        already committed — the idempotent crash-replay path.
+
+        Loses a concurrent-writer race LOUDLY (RuntimeError naming the
+        conflict) — single-writer ingest never sees this; use
+        :meth:`commit_with_retry` where well-behaved concurrent
+        committers should all make progress."""
         m = self.current_manifest()
-        if (
+        if self._txn_replayed(m, txn_app_id, txn_version):
+            return False
+        items, frags_out = self._write_commit_fragments(writes)
+        self._plan_and_swap_commit(
+            m, items, frags_out, status, txn_app_id, txn_version
+        )
+        return True
+
+    def commit_with_retry(
+        self,
+        writes: dict[str, DataFrame],
+        *,
+        status: dict | None = None,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+        max_attempts: int = 8,
+        backoff_seconds: float = 0.05,
+    ) -> bool:
+        """:meth:`commit` with optimistic retry-with-rebase (VERDICT r11
+        item 3): where plain ``commit`` turns a lost race into a loud
+        RuntimeError and leaves the retry to the caller, this bounded
+        loop lets two well-behaved concurrent committers BOTH make
+        progress.
+
+        Shape: the fragment files are written ONCE — they are immutable,
+        UUID-named and version-independent, so a rebase reuses them —
+        and only the cheap manifest planning re-runs per attempt:
+        re-read CURRENT, re-merge txns/schemas/adds against the NEW
+        state, re-claim the (new) next version.  Safety is entirely the
+        claim protocol's; this adds LIVENESS only.  Each attempt
+        re-checks the txn watermark against the freshly read manifest,
+        so replays stay idempotent even when the competing writer is
+        another handle of the same ``txn_app_id``.
+
+        Retryable losses are exactly the protocol's race signals
+        ("concurrent commit detected", "commit forfeited"); any other
+        failure propagates unchanged.  After ``max_attempts`` lost races
+        raises with the last cause chained — bounded, never a livelock.
+        Backoff is linear in the attempt number: the conflict window is
+        one manifest put + one pointer write, so waiting longer than a
+        few of those is wasted latency."""
+        m = self.current_manifest()
+        if self._txn_replayed(m, txn_app_id, txn_version):
+            return False
+        items, frags_out = self._write_commit_fragments(writes)
+        last: RuntimeError | None = None
+        for attempt in range(max_attempts):
+            if attempt:
+                _time_mod.sleep(backoff_seconds * attempt)
+                m = self.current_manifest()
+                if self._txn_replayed(m, txn_app_id, txn_version):
+                    return False
+            try:
+                self._plan_and_swap_commit(
+                    m, items, frags_out, status, txn_app_id, txn_version
+                )
+                return True
+            except RuntimeError as e:
+                msg = str(e)
+                if (
+                    "concurrent commit detected" not in msg
+                    and "commit forfeited" not in msg
+                ):
+                    raise
+                last = e
+        raise RuntimeError(
+            f"commit_with_retry: lost {max_attempts} consecutive races "
+            "for the next manifest version; giving up (raise "
+            "max_attempts or serialize the writers)"
+        ) from last
+
+    @staticmethod
+    def _txn_replayed(
+        m: Manifest, txn_app_id: str | None, txn_version: int | None
+    ) -> bool:
+        return (
             txn_app_id is not None
             and txn_version is not None
             and m.txns.get(txn_app_id, -1) >= txn_version
-        ):
-            return False
+        )
+
+    def _write_commit_fragments(
+        self, writes: dict[str, DataFrame]
+    ) -> tuple[list, list]:
         # The per-table fragment writes are independent Spark jobs; run
         # them concurrently (Spark's scheduler interleaves them across
         # cores) so a 4-table micro-batch costs ~one write's wall time,
         # not four.  Atomicity is untouched: nothing is visible until
-        # the single manifest swap below, and any write failure raises
-        # before the swap (measured: tip-following cycle 3.0 s → see
+        # the single manifest swap, and any write failure raises before
+        # the swap (measured: tip-following cycle 3.0 s → see
         # tools/ingest_throughput.py).
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1385,6 +1468,21 @@ class TableStore:
             frags_out = list(
                 pool.map(lambda tv: self._write_fragment(tv[0], tv[1]), items)
             )
+        return items, frags_out
+
+    def _plan_and_swap_commit(
+        self,
+        m: Manifest,
+        items: list,
+        frags_out: list,
+        status: dict | None,
+        txn_app_id: str | None,
+        txn_version: int | None,
+    ) -> None:
+        """Merge the written fragments into a successor of manifest ``m``
+        and swap — the re-runnable half of :meth:`commit` (everything
+        here is a pure function of ``m`` + the immutable fragment list,
+        which is what makes :meth:`commit_with_retry`'s rebase sound)."""
         txns = dict(m.txns)
         if txn_app_id is not None and txn_version is not None:
             txns[txn_app_id] = txn_version
@@ -1421,7 +1519,7 @@ class TableStore:
                     },
                 }
             )
-            return True
+            return
         new = Manifest(
             version=m.version + 1,
             txns=txns,
@@ -1434,7 +1532,6 @@ class TableStore:
         for t, fl in adds.items():
             new.tables.setdefault(t, []).extend(fl)
         self._swap(new)
-        return True
 
     def rollback_from(self, height: int, *, status: dict | None = None) -> int:
         """Reorg retraction: remove all rows with block_number >= height

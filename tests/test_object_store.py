@@ -692,3 +692,83 @@ def test_manifest_at_missing_intermediate_delta_is_loud(spark, tmp_path):
     fresh = _mk(spark, tmp_path / "s", fake, checkpoint_interval=10)
     with pytest.raises(ValueError, match=rf"manifest v{head - 1} not found"):
         fresh.manifest_at(head)
+
+
+def test_commit_with_retry_both_writers_land_everything(spark, tmp_path):
+    """VERDICT r11 item 3 (concurrent-committer liveness): where plain
+    commit turns a lost race into a loud RuntimeError, commit_with_retry
+    rebases — re-read CURRENT, re-plan, re-claim — so two well-behaved
+    writers BOTH land every one of their interleaved commits.  Mixed
+    formats (one checkpoint writer, one log-structured), final state
+    exact, version chain contiguous with one record per version, and
+    the txn watermark honored per attempt."""
+    import threading
+
+    fake = InMemoryObjectStoreIO()
+    seed = _mk(spark, tmp_path / "s", fake)
+    seed.commit({"pts": _batch(spark, 0)})
+
+    n_writers, per_writer, rows = 2, 5, 5
+    batches = {
+        (w, a): _batch(spark, 10 + w * per_writer + a, rows=rows)
+        for w in range(n_writers)
+        for a in range(per_writer)
+    }
+    barrier = threading.Barrier(n_writers)
+    failures: list[BaseException] = []
+
+    def writer(w: int) -> None:
+        store = _mk(spark, tmp_path / "s", fake, log_commits=(w % 2 == 0))
+        barrier.wait()
+        try:
+            for a in range(per_writer):
+                assert store.commit_with_retry(
+                    {"pts": batches[(w, a)]},
+                    txn_app_id=f"writer-{w}", txn_version=a,
+                ) is True
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            failures.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not failures, failures
+
+    final = _mk(spark, tmp_path / "s", fake)
+    total = n_writers * per_writer
+    # every commit landed exactly once: seed + all batches
+    assert final.current_version() == 1 + total
+    assert final.read("pts").count() == 10 + rows * total
+    # single-winner per version: exactly one record at the single name
+    for v in range(1, final.current_version() + 1):
+        assert fake.exists(f"v{v:06d}.json"), v
+        assert not fake.exists(f"v{v:06d}.delta.json"), v
+    # both writers' txn watermarks reached their last version
+    m = final.current_manifest()
+    for w in range(n_writers):
+        assert m.txns[f"writer-{w}"] == per_writer - 1
+    # and a REPLAY of an already-landed txn is a no-op, not a new version
+    v_before = final.current_version()
+    assert final.commit_with_retry(
+        {"pts": batches[(0, per_writer - 1)]},
+        txn_app_id="writer-0", txn_version=per_writer - 1,
+    ) is False
+    assert final.current_version() == v_before
+
+
+def test_commit_with_retry_gives_up_bounded_and_loud(spark, tmp_path):
+    """The rebase loop is BOUNDED: against a wedge it cannot clear (a
+    live claim permanently held within the grace envelope), it raises
+    after max_attempts with the race cause chained — never a livelock
+    — and non-race failures propagate unchanged on the first try."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake)
+    store.commit({"pts": _batch(spark, 0)})
+    v_next = store.current_version() + 1
+    # a LIVE claim (inside the grace envelope) that never resolves
+    fake.put_if_absent(f"v{v_next:06d}.claim", "delta:heldtoken")
+    with pytest.raises(RuntimeError, match="lost 3 consecutive races"):
+        store.commit_with_retry(
+            {"pts": _batch(spark, 1)}, max_attempts=3, backoff_seconds=0.0)
