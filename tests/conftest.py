@@ -55,3 +55,35 @@ def duck(evm_dir):
             f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')"
         )
     return con
+
+
+@pytest.fixture(scope="session")
+def moto_s3():
+    """A moto S3 server on localhost (genuine HTTP, enforces S3
+    conditional writes) + a factory for prefix-isolated S3ManifestIO
+    instances.  Skips cleanly where moto/boto3 are absent."""
+    moto_server = pytest.importorskip("moto.server")
+    boto3 = pytest.importorskip("boto3")
+    import uuid as _uuid
+
+    server = moto_server.ThreadedMotoServer(port=0)
+    server.start()
+    port = server._server.socket.getsockname()[1]
+    client = boto3.client(
+        "s3", endpoint_url=f"http://127.0.0.1:{port}",
+        region_name="us-east-1",
+        aws_access_key_id="testing", aws_secret_access_key="testing",
+    )
+    client.create_bucket(Bucket="manifest-tier")
+
+    def make_io():
+        from rust_evm_indexer_spark.store.manifest_io import S3ManifestIO
+
+        return S3ManifestIO(
+            "manifest-tier", prefix=f"store-{_uuid.uuid4().hex[:12]}",
+            client=client,
+        )
+
+    make_io.client = client
+    yield make_io
+    server.stop()

@@ -32,18 +32,28 @@ from rust_evm_indexer_spark.store.table_store import DeltaManifest, Manifest
 SCHEMA = "id: long, addr: string, block_number: long"
 
 
-@pytest.fixture(params=["posix", "objectstore"])
+@pytest.fixture(params=["posix", "objectstore", "s3"])
 def mk(request, spark):
     """TableStore factory bound to one backend.  Reopening the same
     root returns a fresh handle over the SAME backing state (a new
-    LocalManifestIO over the same dir, or the same shared in-memory
-    fake), which is exactly what crash/restart recovery tests need."""
-    fakes: dict[str, InMemoryObjectStoreIO] = {}
+    LocalManifestIO over the same dir, the same shared in-memory fake,
+    or the same bucket prefix on the moto S3 server), which is exactly
+    what crash/restart recovery tests need.  The "s3" leg (VERDICT r11
+    item 4) runs the WHOLE suite against S3ManifestIO over genuine
+    HTTP conditional-PUT semantics; it skips cleanly when moto/boto3
+    are absent."""
+    backends: dict[str, object] = {}
+    if request.param == "s3":
+        make_s3 = request.getfixturevalue("moto_s3")
 
     def _make(root, **kw):
         if request.param == "objectstore":
             kw.setdefault(
-                "manifest_io", fakes.setdefault(str(root), InMemoryObjectStoreIO())
+                "manifest_io", backends.setdefault(str(root), InMemoryObjectStoreIO())
+            )
+        elif request.param == "s3":
+            kw.setdefault(
+                "manifest_io", backends.setdefault(str(root), make_s3())
             )
         return TableStore(spark, root, bloom_columns={}, dict_columns={}, **kw)
 

@@ -772,3 +772,81 @@ def test_commit_with_retry_gives_up_bounded_and_loud(spark, tmp_path):
     with pytest.raises(RuntimeError, match="lost 3 consecutive races"):
         store.commit_with_retry(
             {"pts": _batch(spark, 1)}, max_attempts=3, backoff_seconds=0.0)
+
+
+def test_s3_backend_full_lifecycle_matches_posix(spark, tmp_path, moto_s3):
+    """VERDICT r11 item 4: the REAL adapter (boto3 against a local moto
+    endpoint — genuine HTTP conditional-PUT semantics, not the
+    in-memory fake's) runs the same end-to-end lifecycle as POSIX with
+    identical results: commits, parquet-format manifests (fraglist +
+    covers sidecars as object bytes), projections, deletes, status,
+    vacuum."""
+    s3 = _mk(spark, tmp_path / "s3", moto_s3(), manifest_format="parquet",
+             checkpoint_interval=3)
+    posix = _mk(spark, tmp_path / "posix", manifest_format="parquet",
+                checkpoint_interval=3)
+    for store in (s3, posix):
+        for i in range(4):
+            store.commit({"pts": _batch(spark, i)})
+        store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
+        store.delete_equals("pts", "id", 105)
+        store.set_status({"mark": 7})
+        store.commit({"pts": _batch(spark, 9)})
+        store.vacuum(keep_manifests=3)
+    assert s3.current_version() == posix.current_version()
+    assert s3.read_status() == posix.read_status()
+    assert sorted(s3.read("pts").collect()) == sorted(posix.read("pts").collect())
+    assert s3.table_rows("pts") == posix.table_rows("pts")
+    assert sorted(s3.read_projection("pts", "by_addr").collect()) == sorted(
+        posix.read_projection("pts", "by_addr").collect()
+    )
+    # losing a race on the real backend is the same loud error: a held
+    # claim (written through the raw client) blocks the next commit
+    v_next = s3.current_version() + 1
+    s3._mio.put_if_absent(f"v{v_next:06d}.claim", "delta:held")
+    with pytest.raises(RuntimeError, match="claimed by another writer"):
+        s3.commit({"pts": _batch(spark, 11)})
+
+
+def test_s3_conditional_put_and_monotonic_pointer_semantics(moto_s3):
+    """Direct pins on the adapter's two concurrency primitives over
+    real HTTP: put_if_absent is exactly-one-winner (412 -> 
+    FileExistsError), and advance_monotonic — the documented non-trivial
+    mapping, an ETag-conditioned read-modify-write — only ever moves
+    the pointer forward, including when the object changes BETWEEN its
+    read and its conditional put (simulated via a raw out-of-band PUT)."""
+    io = moto_s3()
+    io.put_if_absent("v000001.json", "{}")
+    with pytest.raises(FileExistsError):
+        io.put_if_absent("v000001.json", "{}")
+
+    assert io.advance_monotonic("CURRENT", 1) is True
+    assert io.advance_monotonic("CURRENT", 3) is True
+    assert io.advance_monotonic("CURRENT", 2) is False  # never backwards
+    assert io.get_text("CURRENT") == "3"
+
+    # interleaved CAS: another writer bumps CURRENT between this
+    # writer's read and its If-Match put -> 412 -> re-read -> the
+    # stale advance correctly reports False and the pointer stands
+    real_get = io._c.get_object
+    bumped = {"done": False}
+
+    def racing_get(**kw):
+        out = real_get(**kw)
+        if not bumped["done"] and kw.get("Key", "").endswith("CURRENT"):
+            bumped["done"] = True
+            io.put_text("CURRENT", "7")  # the competing writer lands
+        return out
+
+    io._c.get_object = racing_get
+    try:
+        assert io.advance_monotonic("CURRENT", 5) is False
+    finally:
+        io._c.get_object = real_get
+    assert io.get_text("CURRENT") == "7"
+
+    # mtime comes from the server's Last-Modified (whole seconds)
+    assert isinstance(io.mtime("CURRENT"), float)
+    with pytest.raises(FileNotFoundError):
+        io.mtime("absent")
+    io.delete("absent")  # idempotent delete of a missing key
