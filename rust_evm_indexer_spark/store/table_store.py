@@ -61,7 +61,6 @@ import io as _io_mod
 import json
 import re
 import os
-import shutil
 import time as _time_mod
 import uuid
 from dataclasses import dataclass, field
@@ -74,6 +73,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import EVM_SCHEMAS
+from .data_io import make_staging_rel as _make_staging_rel
 
 _CURRENT = "CURRENT"
 
@@ -564,6 +564,7 @@ class TableStore:
         log_commits: bool = True,
         checkpoint_interval: int = 16,
         manifest_io=None,
+        data_io=None,
         claim_grace_seconds: float = 60.0,
     ):
         if manifest_format not in ("auto", "json", "parquet"):
@@ -623,6 +624,7 @@ class TableStore:
         #: PUT — every concurrency decision funnels through it.  The
         #: DATA tier (parquet fragment dirs) stays on the filesystem
         #: Spark writes to (file://, s3a://) regardless.
+        from .data_io import LocalDataTierIO
         from .manifest_io import LocalManifestIO
 
         self._mio = (
@@ -630,6 +632,15 @@ class TableStore:
             if manifest_io is not None
             else LocalManifestIO(self.root / "_manifests")
         )
+        #: data-tier seam (store/data_io.py): the operations TableStore
+        #: itself performs on fragment directories — staged-output
+        #: adoption, existence/size/mtime, recursive deletes, vacuum's
+        #: fragment walk.  POSIX by default; ObjectStoreStyleDataTierIO
+        #: expresses the same contract in flat object primitives (no
+        #: rename/rmtree/dir-stat), proving vacuum/rollback/compaction
+        #: hold where fragments live under non-POSIX semantics.  Spark
+        #: and pyarrow keep reading/writing fragment bytes by URI.
+        self._dio = data_io if data_io is not None else LocalDataTierIO(self.root)
         #: minimum age before ANOTHER actor may treat a claim file as a
         #: crashed writer's orphan (vacuum reclaim, claim self-heal).
         #: This is the commit protocol's liveness envelope: a writer
@@ -660,7 +671,7 @@ class TableStore:
                 "exists to prevent"
             )
         self.claim_grace_seconds = claim_grace_seconds
-        (self.root / "data").mkdir(parents=True, exist_ok=True)
+        self._dio.ensure_root()
 
     # -- manifest plumbing -------------------------------------------------
 
@@ -1242,7 +1253,7 @@ class TableStore:
         ds = pa_ds.dataset(str(out), format="parquet")
         rows = ds.count_rows()
         if rows == 0:
-            shutil.rmtree(out, ignore_errors=True)
+            self._dio.delete_dir(rel)
             return None
         frag = Fragment(path=rel, rows=rows)
         if "block_number" in ds.schema.names:
@@ -1260,9 +1271,7 @@ class TableStore:
         self._build_fragment_dicts(table, frag)
         # recorded AFTER the sidecars so the manifest byte count equals
         # what the old filesystem walk measured (data + index files)
-        frag.bytes = sum(
-            p.stat().st_size for p in out.rglob("*") if p.is_file()
-        )
+        frag.bytes = self._dio.dir_bytes(rel)
         return frag
 
     def _maintain_fragments_batched(
@@ -1334,23 +1343,24 @@ class TableStore:
             .withColumn("_frag", fkey)
             .filter(~F.coalesce(pred, F.lit(False)))
         )
-        staging = self.root / "data" / table / f".maint-{uuid.uuid4().hex}"
+        staging_rel = _make_staging_rel(table, "maint")
         rewritten: dict[str, Fragment | None] = {}
         try:
             survivors.write.partitionBy("_frag").mode("overwrite").parquet(
-                str(staging)
+                str(self.root / staging_rel)
             )
             for k in hits_by_key:
                 old = key_of[k]
-                sub = staging / f"_frag={k}"
-                if not sub.exists():  # every row matched: fragment emptied
+                sub_rel = f"{staging_rel}/_frag={k}"
+                if not self._dio.dir_exists(sub_rel):
+                    # every row matched: fragment emptied
                     rewritten[old.path] = None
                     continue
                 rel = f"data/{table}/frag-{uuid.uuid4().hex}"
-                os.replace(sub, self.root / rel)
+                self._dio.adopt_dir(sub_rel, rel)
                 rewritten[old.path] = self._stat_fragment_dir(table, rel)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            self._dio.delete_dir(staging_rel)
         return hits, rewritten
 
     def commit(
@@ -1808,18 +1818,18 @@ class TableStore:
         a single-fragment write (the filter preserves the clustered
         order), adopted with fresh key-range stats and blooms."""
         dir_name = f"{table}__proj__{name}"
-        staging = self.root / "data" / dir_name / f".rewrite-{uuid.uuid4().hex}"
-        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        staging_rel = _make_staging_rel(dir_name, "rewrite")
+        df.coalesce(1).write.mode("overwrite").parquet(str(self.root / staging_rel))
         frag: Fragment | None = None
         try:
-            for part in sorted(staging.glob("part-*.parquet")):
+            for part in self._staged_parts(staging_rel):
                 frag = self._adopt_file_as_fragment(
                     table, part, key_column=key_column, dir_name=dir_name
                 )
                 if frag is not None:
                     break
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            self._dio.delete_dir(staging_rel)
         return frag
 
     @staticmethod
@@ -2642,17 +2652,17 @@ class TableStore:
             df = df.sortWithinPartitions(*[F.col(c) for c in keys])
         else:
             df = df.repartition(max_fragments)
-        staging = self.root / "data" / table / f".compact-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(str(staging))
+        staging_rel = _make_staging_rel(table, "compact")
+        df.write.mode("overwrite").parquet(str(self.root / staging_rel))
         new_frags: list[Fragment] = []
         try:
-            for part in sorted(staging.glob("part-*.parquet")):
+            for part in self._staged_parts(staging_rel):
                 frag = self._adopt_file_as_fragment(table, part)
                 if frag is not None:
                     frag.derived = True  # merge of existing rows only
                     new_frags.append(frag)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            self._dio.delete_dir(staging_rel)
         new_frags.sort(
             key=lambda f: (f.min_block is None, f.min_block, f.path)
         )
@@ -2782,18 +2792,18 @@ class TableStore:
             )
             df = df.sortWithinPartitions(*[F.col(c) for c in sort_cols])
         dir_name = f"{table}__proj__{name}"
-        staging = self.root / "data" / dir_name / f".build-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(str(staging))
+        staging_rel = _make_staging_rel(dir_name, "build")
+        df.write.mode("overwrite").parquet(str(self.root / staging_rel))
         frags: list[Fragment] = []
         try:
-            for part in sorted(staging.glob("part-*.parquet")):
+            for part in self._staged_parts(staging_rel):
                 frag = self._adopt_file_as_fragment(
                     table, part, key_column=cluster_by[0], dir_name=dir_name
                 )
                 if frag is not None:
                     frags.append(frag)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            self._dio.delete_dir(staging_rel)
         frags.sort(key=lambda f: (f.min_key is None, f.min_key, f.path))
         return frags
 
@@ -3147,10 +3157,7 @@ class TableStore:
         filesystem walk (pre-r9 manifests / time-travel)."""
         if frag.bytes is not None:
             return frag.bytes
-        d = self.root / frag.path
-        if not d.exists():
-            return 0
-        return sum(p.stat().st_size for p in d.rglob("*") if p.is_file())
+        return self._dio.dir_bytes(frag.path)
 
     def _table_size_skew(self, table: str) -> float | None:
         """Current largest/lower-median fragment-size ratio for one
@@ -3229,9 +3236,10 @@ class TableStore:
         if md.num_rows == 0:
             return None
         rel = f"data/{dir_name or table}/frag-{uuid.uuid4().hex}"
-        fdir = self.root / rel
-        fdir.mkdir(parents=True)
-        os.replace(part, fdir / part.name)
+        part = Path(part)
+        self._dio.adopt_file(
+            part.relative_to(self.root).as_posix(), f"{rel}/{part.name}"
+        )
         frag = Fragment(path=rel, rows=md.num_rows)
         frag.min_block, frag.max_block = self._footer_min_max(md, "block_number")
         if key_column is not None:
@@ -3241,10 +3249,18 @@ class TableStore:
             frag.min_key, frag.max_key = lo, hi
         self._build_fragment_blooms(table, frag)
         self._build_fragment_dicts(table, frag)
-        frag.bytes = sum(
-            p.stat().st_size for p in fdir.rglob("*") if p.is_file()
-        )
+        frag.bytes = self._dio.dir_bytes(rel)
         return frag
+
+    def _staged_parts(self, staging_rel: str) -> list[Path]:
+        """The ``part-*.parquet`` files Spark left under a staging
+        prefix, via the data-tier listing (glob is a POSIX-ism)."""
+        return [
+            self.root / k
+            for k in self._dio.list_files(staging_rel)
+            if k.rsplit("/", 1)[-1].startswith("part-")
+            and k.endswith(".parquet")
+        ]
 
     def vacuum(self, *, grace_seconds: float = 0.0, keep_manifests: int = 10) -> int:
         """Delete fragment dirs unreferenced by the CURRENT manifest (old
@@ -3282,22 +3298,18 @@ class TableStore:
         }
         now = _time.time()
         removed = 0
-        for tdir in (self.root / "data").iterdir():
-            if not tdir.is_dir():
+        for rel in self._dio.list_fragment_dirs():
+            if rel in live:
                 continue
-            for frag_dir in tdir.iterdir():
-                rel = str(frag_dir.relative_to(self.root))
-                if rel in live:
+            if grace_seconds > 0:
+                try:
+                    age = now - self._dio.dir_mtime(rel)
+                except (OSError, FileNotFoundError):
                     continue
-                if grace_seconds > 0:
-                    try:
-                        age = now - frag_dir.stat().st_mtime
-                    except OSError:
-                        continue
-                    if age < grace_seconds:
-                        continue
-                shutil.rmtree(frag_dir, ignore_errors=True)
-                removed += 1
+                if age < grace_seconds:
+                    continue
+            self._dio.delete_dir(rel)
+            removed += 1
         listing = self._mio.list()  # advisory: may be a stale snapshot
         files: dict[int, list[str]] = {}
         for name in listing:

@@ -850,3 +850,56 @@ def test_s3_conditional_put_and_monotonic_pointer_semantics(moto_s3):
     with pytest.raises(FileNotFoundError):
         io.mtime("absent")
     io.delete("absent")  # idempotent delete of a missing key
+
+
+def test_data_tier_object_store_semantics_full_lifecycle(spark, tmp_path):
+    """VERDICT r11 item 5: the DATA tier behind a seam with object-store
+    semantics — adoption is copy+delete (no rename), directories exist
+    only as key prefixes (no empty dirs, no dir stat), deletes are
+    per-object — composed with the object-store MANIFEST backend, so
+    the whole store runs on non-POSIX primitives.  Commit → projection
+    → compaction → delete → rollback → vacuum all green and result-
+    identical to the POSIX store."""
+    from rust_evm_indexer_spark.store.data_io import ObjectStoreStyleDataTierIO
+
+    objy = _mk(
+        spark, tmp_path / "obj", InMemoryObjectStoreIO(),
+        data_io=ObjectStoreStyleDataTierIO(tmp_path / "obj"),
+        checkpoint_interval=3,
+    )
+    posix = _mk(spark, tmp_path / "posix", checkpoint_interval=3)
+    for store in (objy, posix):
+        for i in range(4):
+            store.commit({"pts": _batch(spark, i)})
+        store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
+        store.delete_equals("pts", "id", 105)
+        store.compact("pts", max_fragments=2)
+        store.commit({"pts": _batch(spark, 9)})
+        store.rollback_from(10 + 9)  # retract the last batch's block
+        # compaction/rollback replaced covered base fragments: rebuild
+        store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
+        store.vacuum(keep_manifests=2)
+    assert objy.current_version() == posix.current_version()
+    assert sorted(objy.read("pts").collect()) == sorted(posix.read("pts").collect())
+    assert objy.table_rows("pts") == posix.table_rows("pts")
+    assert sorted(objy.read_projection("pts", "by_addr").collect()) == sorted(
+        posix.read_projection("pts", "by_addr").collect()
+    )
+    # vacuum actually reclaimed: only manifest-referenced fragment
+    # prefixes survive in the data tier
+    m = objy.current_manifest()
+    live = {f.path for fl in m.tables.values() for f in fl}
+    live |= {
+        f.path
+        for projs in m.projections.values()
+        for p in projs.values()
+        for f in p["fragments"]
+    }
+    assert set(objy._dio.list_fragment_dirs()) == live
+    # and the seam never saw a rename/rmtree: grace-windowed vacuum on
+    # a fresh unreferenced fragment respects the mtime-by-newest-object
+    objy.commit({"pts": _batch(spark, 20)})
+    v = objy.current_version()
+    objy.rollback_from(10 + 20)  # orphan the fragment (still retained)
+    assert objy.vacuum(grace_seconds=3600, keep_manifests=50) == 0
+    assert objy.read("pts", version=v).count() > 0  # time travel intact
