@@ -128,9 +128,14 @@ class EvmApi:
                 # Drop entries for versions older than any cached key's
                 # max — bounds the cache at ~one version's tables plus
                 # whatever in-flight older requests just inserted.
-                newest = max(k[0] for k in self._frames)
-                for k in [k for k in self._frames if k[0] < newest]:
-                    self._frames.pop(k, None)
+                # Snapshot the keys first: concurrent inserts are
+                # deliberately unlocked, and iterating the live dict
+                # here would race them (dict-changed-size RuntimeError).
+                keys = list(self._frames)
+                newest = max(k[0] for k in keys)
+                for k in keys:
+                    if k[0] < newest:
+                        self._frames.pop(k, None)
         return frame
 
     @property

@@ -171,7 +171,14 @@ class ObjectStoreStyleDataTierIO(DataTierIO):
 
     # -- the five object primitives (1:1 with an S3 API call each) -----
 
-    def _keys(self, prefix: str = "") -> list[str]:  # ListObjectsV2
+    def _keys(self, prefix: str = "") -> list[str]:
+        """ListObjectsV2 with ``Prefix=prefix + '/'`` — the trailing
+        slash is PART OF THE CONTRACT: a raw ``Prefix=prefix`` listing
+        has no path boundary, so ``data/t/frag-ab`` would also match
+        ``data/t/frag-abc...``'s keys and delete_dir/adopt_dir would
+        conflate sibling fragments.  A real adapter must append the
+        delimiter exactly as the filesystem form below does implicitly
+        (the local path component boundary)."""
         base = self.root / prefix if prefix else self.root
         if not base.exists():
             return []

@@ -355,6 +355,7 @@ __all__ = [
     "ManifestIO",
     "LocalManifestIO",
     "InMemoryObjectStoreIO",
+    "S3ManifestIO",
     "SimulatedCrash",
 ]
 

@@ -851,21 +851,16 @@ class TableStore:
             f"v{version:06d}.delta.json"
         )
 
-    def _claim_is_orphan(self, version: int) -> bool:
-        """True when ``v{N}.claim`` is a CRASHED writer's leftover: the
-        claim exists, neither manifest format for N was ever written,
-        CURRENT never reached N, and the claim is older than the
-        protocol's liveness envelope (``claim_grace_seconds``) — i.e.
-        no live writer can still be between its claim and its manifest
-        put."""
-        return self._claim_orphan_snapshot(version) is not None
-
     def _claim_orphan_snapshot(self, version: int) -> tuple[str, float] | None:
-        """:meth:`_claim_is_orphan`, but returning the exact
-        ``(content, mtime)`` the orphan judgment was made against (or
-        ``None`` when the claim is live/absent), so the healer can
-        condition its delete on the claim being UNCHANGED since this
-        check (TOCTOU guard, ADVICE r11 low)."""
+        """Judge whether ``v{N}.claim`` is a CRASHED writer's leftover —
+        the claim exists, neither manifest format for N was ever
+        written, CURRENT never reached N, and the claim is older than
+        the liveness envelope (``claim_grace_seconds``), i.e. no live
+        writer can still be between its claim and its manifest put —
+        returning the exact ``(content, mtime)`` the judgment was made
+        against (or ``None`` when the claim is live/absent), so the
+        healer can condition its delete on the claim being UNCHANGED
+        since this check (TOCTOU guard, ADVICE r11 low)."""
         name = f"v{version:06d}.claim"
         try:
             content = self._mio.get_text(name)
@@ -925,7 +920,7 @@ class TableStore:
         and its manifest put would otherwise wedge the store — every
         later commit targets CURRENT+1, the dead writer's version,
         forever.  On claim conflict this method therefore checks the
-        orphan conditions (:meth:`_claim_is_orphan`: no manifest in
+        orphan conditions (:meth:`_claim_orphan_snapshot`: no manifest in
         either format, CURRENT below the version, claim older than
         ``claim_grace_seconds``) and SELF-HEALS — deletes the stale
         claim and retries the conditional put once.  A claim that is

@@ -68,7 +68,7 @@ def moto_s3():
 
     server = moto_server.ThreadedMotoServer(port=0)
     server.start()
-    port = server._server.socket.getsockname()[1]
+    _, port = server.get_host_and_port()
     client = boto3.client(
         "s3", endpoint_url=f"http://127.0.0.1:{port}",
         region_name="us-east-1",

@@ -204,3 +204,16 @@ def test_adjudicate_small_confirms_real_regression(tmp_path, monkeypatch):
     confirmed = br._handle_small_warnings(
         [("q17", 1.4, 2.2)], {"sf": 0.1}, adjudicate=True)
     assert confirmed == []
+
+
+def test_environmental_path_still_surfaces_small_band_warnings(tmp_path):
+    """Review r12: an accepted environmental shift must not silently
+    bless a small-band (1.3-1.9x on 1-3s) drift — the WARN lines print
+    on the environmental path too, naming the adjudication tool."""
+    base, cur = _r9_scenario()
+    rc, out = _run_args(tmp_path, base, cur, "--accept-environmental")
+    assert rc == 0 and "refreshed baseline" in out
+    # flag0/flag1 sit in the small band (2.0s/2.5s baselines) so they
+    # are warnings, not gate regressions — and they must be VISIBLE
+    assert "WARN small-band" in out
+    assert "isolated_entry_bench.py" in out

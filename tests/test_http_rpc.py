@@ -193,8 +193,7 @@ def test_streaming_http_reorg_on_object_store_rest_converges(spark, tmp_path):
                            "toBlock": new_head, "pageSize": 100},
         ).get_json()
         fork_hashes = {b["block_hash"] for b in fork.blocks}
-        assert all(lg["blockHash"] in fork_hashes for lg in post["logs"])
-        assert post["logs"] == []
+        assert post["logs"] == []  # fork blocks carry no logs at all
         # a fork-branch transaction is served, with its fork block hash
         fork_tx = fork.transactions[0]
         tx_resp = api.get(f"/transaction/{fork_tx['tx_hash']}").get_json()

@@ -274,6 +274,18 @@ def main() -> int:
         print(f"ENVIRONMENTAL SHIFT: {verdict['reason']}")
         for name, t0, t1 in verdict["regressions"]:
             print(f"  {name:36s} {t0:7.2f}s -> {t1:7.2f}s  ({t1 / t0:.2f}x)")
+        # small-band warnings don't disappear under a host shift — an
+        # accepted environmental pass must not silently bless a genuine
+        # 1.3-1.9x small-entry regression into the refreshed baseline
+        confirmed = _handle_small_warnings(verdict["warnings"], cur,
+                                           adjudicate=args.adjudicate_small)
+        if confirmed:
+            print(f"SMALL-BAND REGRESSIONS CONFIRMED by isolated median "
+                  f"(> {THRESHOLD}x) despite the environmental shift:")
+            for name, t0, med in confirmed:
+                print(f"  {name:36s} {t0:7.2f}s -> isolated {med:7.2f}s  "
+                      f"({med / t0:.2f}x)")
+            return 2
         if args.accept_environmental:
             print("accepted (--accept-environmental): commit the current "
                   "sidecar as the refreshed baseline")
