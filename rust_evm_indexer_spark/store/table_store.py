@@ -3269,6 +3269,21 @@ class TableStore:
         longest query you expect to run (Delta VACUUM's retention
         contract; tests use 0 because reads are materialized eagerly).
 
+        IN-FLIGHT WRITERS get a non-optional floor (r12, the data-tier
+        analog of the ADVICE r10 claim floor): a committer writes its
+        uuid-named fragment dirs BEFORE its manifest lands (and a
+        rebasing :meth:`commit_with_retry` reuses them across attempts),
+        so a dir referenced by NO retained manifest is either a crash
+        orphan or a commit in flight — the two are indistinguishable by
+        construction.  Those dirs are reclaimed only past
+        ``max(grace_seconds, claim_grace_seconds)``; without the floor,
+        a concurrent ``vacuum(grace_seconds=0)`` deletes a live writer's
+        just-written data and the subsequently-ACKNOWLEDGED manifest
+        references dead paths.  Dirs that ARE referenced by a retained
+        older version (rewrites dropped by CURRENT) keep the pure
+        ``grace_seconds`` reader contract.  Tests that reclaim fresh
+        orphans backdate dir mtimes, same as they do for claims.
+
         ``keep_manifests`` bounds metadata growth: every commit writes a
         new manifest version; all but the newest N (and CURRENT) are
         deleted.  Old versions exist only for debugging/time-travel —
@@ -3283,7 +3298,8 @@ class TableStore:
                 "retaining fewer would delete the CURRENT manifest"
             )
 
-        m = self.current_manifest()
+        v_snap = self.current_version()
+        m = Manifest() if v_snap == 0 else self.manifest_at(v_snap)
         live = {f.path for frags in m.tables.values() for f in frags}
         live |= {
             f.path
@@ -3291,20 +3307,6 @@ class TableStore:
             for p in projs.values()
             for f in p["fragments"]
         }
-        now = _time.time()
-        removed = 0
-        for rel in self._dio.list_fragment_dirs():
-            if rel in live:
-                continue
-            if grace_seconds > 0:
-                try:
-                    age = now - self._dio.dir_mtime(rel)
-                except (OSError, FileNotFoundError):
-                    continue
-                if age < grace_seconds:
-                    continue
-            self._dio.delete_dir(rel)
-            removed += 1
         listing = self._mio.list()  # advisory: may be a stale snapshot
         files: dict[int, list[str]] = {}
         for name in listing:
@@ -3320,7 +3322,8 @@ class TableStore:
         # the newest version may be missing from an eventually-consistent
         # listing — always keep CURRENT's chain regardless of what LIST
         # returned (correctness needs exactly this version)
-        keep.add(self.current_version())
+        cur_v = self.current_version()
+        keep.add(cur_v)
         # a retained log-structured version resolves as checkpoint +
         # delta tail, so its whole chain must outlive it: pull each kept
         # delta's base checkpoint and intermediate deltas into the keep
@@ -3334,12 +3337,92 @@ class TableStore:
             if rec is None or "base" not in rec:
                 continue  # checkpoint (or already vacuumed): no chain
             keep.update(range(rec["base"], v))
+        # every path referenced by ANY version record existing at scan
+        # time (including ones this same pass is about to prune): a dir
+        # outside this set is a crash orphan or an in-flight commit
+        # (fragments land before the manifest that will reference them),
+        # so it gets the claim-grace floor below.  Per record this reads
+        # only the record's OWN paths — a checkpoint's full list, a
+        # delta's adds + projection-update adds — no chain re-resolution;
+        # the union over all records covers every chain member's
+        # referenced set by construction.  Resolution failures only
+        # shrink the set: the miss direction floors MORE dirs, never
+        # deletes sooner.  Direction matters: a record NEWER than the
+        # ``v_snap`` snapshot is a commit that landed (or is landing —
+        # roll-forward makes its manifest put decisive) DURING this
+        # vacuum, so its paths join ``live`` outright; granting them the
+        # caller's grace_seconds gate would let vacuum(0) delete data an
+        # acknowledged manifest references (found live by the chaos
+        # interleaving test).
+        ever = set(live)
+        for v in sorted(set(files) | keep):
+            if v == 0 or v == v_snap:
+                continue  # the snapshot is `live`; v0 is the empty store
+            try:
+                rec = self._read_version_record(v)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if rec is None:
+                continue
+            sink = live if v > v_snap else ever
+            if "base" in rec:  # delta record
+                for fl in rec.get("adds", {}).values():
+                    sink.update(f["path"] for f in fl)
+                for per_proj in rec.get("projections_delta", {}).values():
+                    for ch in per_proj.values():
+                        sink.update(f["path"] for f in ch["pfrags_add"])
+                continue
+            try:  # checkpoint record: direct, no chain
+                mv = self.manifest_at(v)
+                sink.update(
+                    f.path for frags in mv.tables.values() for f in frags
+                )
+                sink.update(
+                    f.path
+                    for projs in mv.projections.values()
+                    for p in projs.values()
+                    for f in p["fragments"]
+                )
+            except (ValueError, OSError, json.JSONDecodeError):
+                continue
+        now = _time.time()
+        claim_grace = max(grace_seconds, self.claim_grace_seconds)
+        removed = 0
+        for rel in self._dio.list_fragment_dirs():
+            if rel in live:
+                continue
+            # two-tier age gate: retained-version rewrites honor the
+            # caller's reader contract verbatim; never-referenced dirs
+            # (orphan-or-in-flight) get the non-optional liveness floor
+            gate = grace_seconds if rel in ever else claim_grace
+            if gate > 0:
+                try:
+                    age = now - self._dio.dir_mtime(rel)
+                except (OSError, FileNotFoundError):
+                    continue
+                if age < gate:
+                    continue
+            self._dio.delete_dir(rel)
+            removed += 1
+        # a commit can land between the keep-set computation above and
+        # this prune, with its delta chain (base checkpoint +
+        # intermediates) lying outside the newest-N window — re-read
+        # CURRENT and re-extend so the prune never orphans the live
+        # chain (the new record itself, landing after `listing`, is
+        # never in `files` and thus never prunable this pass)
+        cur_fresh = self.current_version()
+        if cur_fresh not in keep:
+            keep.add(cur_fresh)
+            try:
+                rec = self._read_version_record(cur_fresh)
+            except (OSError, json.JSONDecodeError):
+                rec = None
+            if rec is not None and "base" in rec:
+                keep.update(range(rec["base"], cur_fresh))
         for v, names in files.items():
             if v not in keep:
                 for n in names:
                     self._mio.delete(n)
-        claim_grace = max(grace_seconds, self.claim_grace_seconds)
-        cur_v = self.current_version()
         # (no cross-format healing needed: every version lives at the
         # single v{N}.json name, so "both formats for one version" is
         # structurally impossible — r11 review, second pass)

@@ -903,3 +903,185 @@ def test_data_tier_object_store_semantics_full_lifecycle(spark, tmp_path):
     objy.rollback_from(10 + 20)  # orphan the fragment (still retained)
     assert objy.vacuum(grace_seconds=3600, keep_manifests=50) == 0
     assert objy.read("pts", version=v).count() > 0  # time travel intact
+
+
+def test_vacuum_floor_protects_inflight_commit_fragments(spark, tmp_path):
+    """The DATA-tier analog of the ADVICE r10 claim floor (r12): a
+    committer writes its uuid-named fragment dirs BEFORE its manifest
+    lands, and a rebasing commit_with_retry reuses them across attempts
+    — so a vacuum(grace_seconds=0) running inside that window must NOT
+    reclaim them.  A dir referenced by no version record is orphan-or-
+    in-flight (indistinguishable by construction) and sits under the
+    non-optional max(grace, claim_grace) floor; once backdated past the
+    envelope, the same dir IS reclaimed (crash-orphan story intact)."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake)
+    store.commit({"pts": _batch(spark, 0)})
+
+    # the exact in-flight window: fragments written, manifest not yet
+    m = store.current_manifest()
+    items, frags_out = store._write_commit_fragments(
+        {"pts": _batch(spark, 1)}
+    )
+    inflight = set(store._dio.list_fragment_dirs()) - {
+        f.path for fl in m.tables.values() for f in fl
+    }
+    assert inflight, "window construction: fragments must be on disk"
+
+    sweeper = _mk(spark, tmp_path / "s", fake)
+    assert sweeper.vacuum(grace_seconds=0) == 0
+    for rel in inflight:
+        assert store._dio.dir_exists(rel), rel
+
+    # the paused commit completes against the surviving fragments and
+    # the acknowledged manifest references live data
+    store._plan_and_swap_commit(m, items, frags_out, None, None, None)
+    assert _mk(spark, tmp_path / "s", fake).read("pts").count() == 20
+
+    # same dirs ABANDONED (writer died, never swapped): younger than the
+    # envelope they still survive; past it they are reclaimed
+    orphan_items, orphan_frags = store._write_commit_fragments(
+        {"pts": _batch(spark, 2)}
+    )
+    del orphan_items, orphan_frags
+    live = {
+        f.path
+        for fl in _mk(spark, tmp_path / "s", fake)
+        .current_manifest()
+        .tables.values()
+        for f in fl
+    }
+    orphans = set(store._dio.list_fragment_dirs()) - live
+    assert orphans
+    assert sweeper.vacuum(grace_seconds=0) == 0  # floored: too young
+    for rel in orphans:
+        old = store._dio.dir_mtime(rel) - store.claim_grace_seconds - 1
+        for dirpath, _, files in os.walk(tmp_path / "s" / rel):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (old, old))
+        os.utime(tmp_path / "s" / rel, (old, old))
+    assert sweeper.vacuum(grace_seconds=0) == len(orphans)
+    for rel in orphans:
+        assert not store._dio.dir_exists(rel)
+
+
+@pytest.mark.parametrize("backend", ["posix", "objectstore"])
+def test_chaos_committers_vacuum_reader_all_converge(
+    spark, tmp_path, backend
+):
+    """Maintenance-during-writes chaos: two rebasing committers, an
+    adversarial vacuum loop (grace_seconds=0 — the setting the r12
+    data-tier floor makes safe), and a reader loop all share one store.
+    Nothing may error, reads stay monotone, and the final state is
+    exact: every commit landed exactly once, contiguous single-record
+    versions, no live fragment reclaimed out from under the manifest."""
+    import threading
+
+    fake = InMemoryObjectStoreIO() if backend == "objectstore" else None
+    seed = _mk(spark, tmp_path / "s", fake)
+    seed.commit({"pts": _batch(spark, 0)})
+
+    n_writers, per_writer, rows = 2, 4, 5
+    stop = threading.Event()
+    failures: list[BaseException] = []
+    barrier = threading.Barrier(n_writers + 2)
+
+    def writer(w: int) -> None:
+        store = _mk(spark, tmp_path / "s", fake, log_commits=(w % 2 == 0))
+        barrier.wait()
+        try:
+            for a in range(per_writer):
+                assert store.commit_with_retry(
+                    {"pts": _batch(spark, 10 + w * per_writer + a, rows=rows)},
+                    txn_app_id=f"w{w}", txn_version=a,
+                    max_attempts=16,
+                ) is True
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            failures.append(e)
+
+    def sweeper() -> None:
+        store = _mk(spark, tmp_path / "s", fake)
+        barrier.wait()
+        try:
+            while not stop.is_set():
+                store.vacuum(grace_seconds=0, keep_manifests=100)
+        except BaseException as e:  # noqa: BLE001
+            failures.append(e)
+
+    def reader() -> None:
+        store = _mk(spark, tmp_path / "s", fake)
+        barrier.wait()
+        last = 0
+        try:
+            while not stop.is_set():
+                n = store.read("pts").count()
+                assert n >= last, (n, last)
+                assert (n - 10) % rows == 0, n
+                last = n
+        except BaseException as e:  # noqa: BLE001
+            failures.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ] + [threading.Thread(target=sweeper), threading.Thread(target=reader)]
+    for t in threads:
+        t.start()
+    for t in threads[:n_writers]:
+        t.join()
+    stop.set()
+    for t in threads[n_writers:]:
+        t.join()
+    assert not failures, failures
+
+    final = _mk(spark, tmp_path / "s", fake)
+    total = n_writers * per_writer
+    assert final.current_version() == 1 + total
+    assert final.read("pts").count() == 10 + rows * total
+    m = final.current_manifest()
+    for w in range(n_writers):
+        assert m.txns[f"w{w}"] == per_writer - 1
+    # every live fragment is readable (vacuum never ate acknowledged data)
+    for fl in m.tables.values():
+        for f in fl:
+            assert final._dio.dir_exists(f.path), f.path
+
+
+def test_backend_clock_skew_inside_grace_never_steals_live_claim(
+    spark, tmp_path
+):
+    """The ManifestIO.mtime clock-skew contract (ADVICE r11 low), pinned
+    on an injected skewed backend: liveness decisions compare LOCAL
+    time.time() against BACKEND-reported mtimes, so a backend clock
+    running behind inflates apparent ages.  With grace > |skew| a fresh
+    live claim stays untouchable (safe side); with grace < |skew| the
+    same claim is spuriously reclaimed — exactly the boundary the
+    contract documents (grace >> max expected skew, >= 300 s
+    recommended multi-host)."""
+
+    class SkewedClockIO(InMemoryObjectStoreIO):
+        """Backend whose Last-Modified clock runs `skew` seconds behind
+        the local clock (the dangerous direction: ages inflate)."""
+
+        skew = 30.0
+
+        def mtime(self, name: str) -> float:
+            return super().mtime(name) - self.skew
+
+    fake = SkewedClockIO()
+    store = _mk(spark, tmp_path / "s", fake)  # grace 60 > skew 30
+    store.commit({"pts": _batch(spark, 0)})
+    v_next = store.current_version() + 1
+    claim = f"v{v_next:06d}.claim"
+    fake.put_if_absent(claim, "delta:livetoken")  # a LIVE writer's claim
+
+    # safe side: apparent age ~30s < grace 60s — never stolen
+    with pytest.raises(RuntimeError, match="claimed by another writer"):
+        store.commit({"pts": _batch(spark, 1)})
+    store.vacuum(grace_seconds=0)
+    assert fake.exists(claim)
+
+    # contract boundary: grace below the skew and the SAME fresh claim
+    # is forfeited — the documented misconfiguration, shown live
+    tight = _mk(spark, tmp_path / "s", fake, claim_grace_seconds=10)
+    tight.vacuum(grace_seconds=0)
+    assert not fake.exists(claim)

@@ -344,11 +344,19 @@ def test_schema_evolution_additive(spark, tmp_path):
     assert old.columns == ["block_number", "payload"]
 
     # type change rejected before the manifest swap (fragment orphaned,
-    # reclaimed by vacuum — never visible to readers)
+    # reclaimed by vacuum — never visible to readers).  Never-referenced
+    # dirs sit under the in-flight-writer floor (r12), so age the tree
+    # past it the way time would before expecting reclamation.
     bad = spark.createDataFrame([(3, 5)], "block_number long, payload long")
     with pytest.raises(ValueError, match="schema evolution rejected"):
         store.commit({"t": bad})
     assert store.read("t").count() == 2
+    assert store.vacuum(keep_manifests=100) == 0  # floor protects orphan
+    import os
+
+    for rel in store._dio.list_fragment_dirs():
+        old = store._dio.dir_mtime(rel) - store.claim_grace_seconds - 1
+        os.utime(store.root / rel, (old, old))
     assert store.vacuum(keep_manifests=100) >= 1  # the orphaned fragment
 
     # writer dropping a column: evolved schema keeps it, new rows NULL
