@@ -83,6 +83,21 @@ class DataTierIO:
         the non-atomicity is invisible to readers."""
         raise NotImplementedError
 
+    def touch_dir(self, rel: str) -> None:
+        """Refresh the directory's :meth:`dir_mtime` to now — the
+        in-flight writer's liveness heartbeat.  Vacuum's orphan floor
+        measures a never-referenced dir's age from its LAST touch, so a
+        committer touches its fragment dirs at every swap attempt and a
+        long rebase loop (or a slow sibling table write) never drifts
+        past the envelope while the writer is alive.  POSIX: utime on
+        the dir inode.  Object stores: overwrite a zero-byte
+        ``_liveness`` marker under the prefix (underscore-prefixed —
+        Spark and pyarrow both ignore it; ``dir_mtime`` is
+        newest-object).  Raises FileNotFoundError if the dir is absent
+        — callers existence-check first; a touch must never recreate a
+        reclaimed prefix."""
+        raise NotImplementedError
+
     def adopt_file(self, src_rel: str, dst_rel: str) -> None:
         """Move one staged file to its final name (same contract as
         :meth:`adopt_dir`)."""
@@ -129,6 +144,9 @@ class LocalDataTierIO(DataTierIO):
         dst = self.root / dst_rel
         dst.parent.mkdir(parents=True, exist_ok=True)
         os.replace(self.root / src_rel, dst)
+
+    def touch_dir(self, rel: str) -> None:
+        os.utime(self.root / rel)  # FileNotFoundError if reclaimed
 
     def adopt_file(self, src_rel: str, dst_rel: str) -> None:
         dst = self.root / dst_rel
@@ -230,6 +248,11 @@ class ObjectStoreStyleDataTierIO(DataTierIO):
             suffix = key[len(src_prefix):]
             self._put(f"{dst_rel}/{suffix}", self._get(key))
             self._delete(key)
+
+    def touch_dir(self, rel: str) -> None:
+        if not self._keys(rel):  # never recreate a reclaimed prefix
+            raise FileNotFoundError(rel)
+        self._put(f"{rel}/_liveness", b"")  # PutObject refreshes mtime
 
     def adopt_file(self, src_rel: str, dst_rel: str) -> None:
         self._put(dst_rel, self._get(src_rel))

@@ -443,6 +443,21 @@ def _apply_projection_updates(proj_state: dict, updates: dict) -> dict:
     return new_state
 
 
+def _manifest_fragment_paths(m: "Manifest") -> set:
+    """Every fragment-dir path a manifest references (tables +
+    projection fragments) — vacuum's classification unit, shared so a
+    future fragment-bearing manifest field can't silently diverge the
+    live set from the ever-referenced set (r12 review)."""
+    paths = {f.path for frags in m.tables.values() for f in frags}
+    paths.update(
+        f.path
+        for projs in m.projections.values()
+        for p in projs.values()
+        for f in p["fragments"]
+    )
+    return paths
+
+
 def _proj_updates_to_json(updates: dict) -> dict:
     """Serialize one table's projection updates into a delta record."""
     return {
@@ -1488,6 +1503,28 @@ class TableStore:
         and swap — the re-runnable half of :meth:`commit` (everything
         here is a pure function of ``m`` + the immutable fragment list,
         which is what makes :meth:`commit_with_retry`'s rebase sound)."""
+        # Data-tier liveness (r12 review): vacuum's orphan floor ages a
+        # never-referenced dir from its LAST touch, so refresh every
+        # fragment dir at each swap attempt — the envelope then only has
+        # to outlast ONE attempt's planning (sub-second), not the whole
+        # commit (a slow sibling table write, a long rebase loop).  A
+        # dir a past expiry already cost us fails the commit LOUDLY
+        # here, before the manifest could acknowledge missing data —
+        # check-then-touch, because a touch must never recreate a
+        # reclaimed prefix.
+        for frag in frags_out:
+            if frag is None:
+                continue
+            try:
+                self._dio.touch_dir(frag.path)
+            except (OSError, FileNotFoundError) as exc:
+                raise RuntimeError(
+                    f"commit fragments vanished before the swap "
+                    f"({frag.path}): a vacuum reclaimed in-flight data "
+                    "past the liveness envelope — raise "
+                    "claim_grace_seconds above the longest commit "
+                    "duration and rewrite the batch"
+                ) from exc
         txns = dict(m.txns)
         if txn_app_id is not None and txn_version is not None:
             txns[txn_app_id] = txn_version
@@ -3300,13 +3337,7 @@ class TableStore:
 
         v_snap = self.current_version()
         m = Manifest() if v_snap == 0 else self.manifest_at(v_snap)
-        live = {f.path for frags in m.tables.values() for f in frags}
-        live |= {
-            f.path
-            for projs in m.projections.values()
-            for p in projs.values()
-            for f in p["fragments"]
-        }
+        live = _manifest_fragment_paths(m)
         listing = self._mio.list()  # advisory: may be a stale snapshot
         files: dict[int, list[str]] = {}
         for name in listing:
@@ -3372,19 +3403,30 @@ class TableStore:
                     for ch in per_proj.values():
                         sink.update(f["path"] for f in ch["pfrags_add"])
                 continue
-            try:  # checkpoint record: direct, no chain
-                mv = self.manifest_at(v)
-                sink.update(
-                    f.path for frags in mv.tables.values() for f in frags
-                )
-                sink.update(
-                    f.path
-                    for projs in mv.projections.values()
-                    for p in projs.values()
-                    for f in p["fragments"]
-                )
-            except (ValueError, OSError, json.JSONDecodeError):
-                continue
+            # checkpoint record: read path columns straight off the
+            # record — projection fragment lists live inline in the
+            # envelope even in the parquet posture (only covers are
+            # offloaded), and the fraglist sidecar yields its `path`
+            # column without materializing stats — so classification
+            # never hydrates a manifest (r12 review: manifest_at here
+            # cost O(keep_manifests x fragments) + a covers hydration
+            # per retained checkpoint, per vacuum pass)
+            for fl in rec.get("tables", {}).values():
+                sink.update(f["path"] for f in fl)
+            for projs in rec.get("projections", {}).values():
+                for p in projs.values():
+                    sink.update(f["path"] for f in p["fragments"])
+            pq_name = rec.get("tables_pq")
+            if pq_name:
+                try:
+                    ds = self._mio.parquet_dataset(pq_name)
+                    sink.update(
+                        ds.to_table(columns=["path"])
+                        .column("path")
+                        .to_pylist()
+                    )
+                except (OSError, ValueError, KeyError):
+                    continue
         now = _time.time()
         claim_grace = max(grace_seconds, self.claim_grace_seconds)
         removed = 0

@@ -1085,3 +1085,68 @@ def test_backend_clock_skew_inside_grace_never_steals_live_claim(
     tight = _mk(spark, tmp_path / "s", fake, claim_grace_seconds=10)
     tight.vacuum(grace_seconds=0)
     assert not fake.exists(claim)
+
+
+def test_commit_touch_heartbeat_and_loud_vanish_guard(spark, tmp_path):
+    """r12 review follow-up on the data-tier floor: the floor ages a
+    never-referenced dir from its LAST touch, and every swap attempt
+    re-touches its fragment dirs — so a commit whose fragment WRITE
+    finished long ago (slow sibling table, long rebase loop) re-arms
+    the envelope at plan time instead of drifting past it.  And when a
+    past expiry already cost the writer its data, the swap fails LOUDLY
+    before the manifest could acknowledge missing files — never a
+    silent commit-then-unreadable."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake)
+    store.commit({"pts": _batch(spark, 0)})
+
+    # heartbeat: fragments written, then the writer stalls PAST the
+    # envelope (backdate the dirs the way time would).  The swap
+    # attempt re-touches at plan time, so an adversarial vacuum running
+    # INSIDE the attempt window — injected between the touch and the
+    # manifest put — no longer sees an expired orphan.  Without the
+    # touch this exact interleaving deletes the data and the commit
+    # acknowledges missing files (the review scenario).
+    m = store.current_manifest()
+    items, frags_out = store._write_commit_fragments(
+        {"pts": _batch(spark, 1)}
+    )
+    for frag in frags_out:
+        old = store._dio.dir_mtime(frag.path) - store.claim_grace_seconds - 5
+        for dirpath, _, files in os.walk(tmp_path / "s" / frag.path):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (old, old))
+        os.utime(tmp_path / "s" / frag.path, (old, old))
+    sweeper = _mk(spark, tmp_path / "s", fake)
+    real_swap, real_swap_delta = store._swap, store._swap_delta
+
+    def vacuuming_swap(*a, **kw):
+        assert sweeper.vacuum(grace_seconds=0) == 0  # touch re-armed it
+        return real_swap(*a, **kw)
+
+    def vacuuming_swap_delta(*a, **kw):
+        assert sweeper.vacuum(grace_seconds=0) == 0
+        return real_swap_delta(*a, **kw)
+
+    store._swap, store._swap_delta = vacuuming_swap, vacuuming_swap_delta
+    try:
+        store._plan_and_swap_commit(m, items, frags_out, None, None, None)
+    finally:
+        store._swap, store._swap_delta = real_swap, real_swap_delta
+    for frag in frags_out:
+        assert store._dio.dir_exists(frag.path), frag.path
+    assert sweeper.read("pts").count() == 20
+
+    # loud guard: the dir is GONE (a vacuum past a real expiry) — the
+    # swap raises before any manifest put, and no version is consumed
+    m2 = sweeper.current_manifest()
+    items2, frags_out2 = sweeper._write_commit_fragments(
+        {"pts": _batch(spark, 2)}
+    )
+    v_before = sweeper.current_version()
+    for frag in frags_out2:
+        sweeper._dio.delete_dir(frag.path)
+    with pytest.raises(RuntimeError, match="vanished before the swap"):
+        sweeper._plan_and_swap_commit(m2, items2, frags_out2, None, None, None)
+    assert sweeper.current_version() == v_before
+    assert sweeper.read("pts").count() == 20
