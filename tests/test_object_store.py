@@ -1150,3 +1150,80 @@ def test_commit_touch_heartbeat_and_loud_vanish_guard(spark, tmp_path):
         sweeper._plan_and_swap_commit(m2, items2, frags_out2, None, None, None)
     assert sweeper.current_version() == v_before
     assert sweeper.read("pts").count() == 20
+
+
+def test_data_tier_crash_mid_adopt_recovers_and_reclaims(spark, tmp_path):
+    """Data-tier crash story (r12): on object semantics, adopt_dir is a
+    per-object copy+delete — a writer can die with the destination HALF
+    copied.  Safety holds by construction: adoption always targets a
+    FRESH uuid dir and the manifest swap never happened, so readers see
+    the old fragments untouched; the partial dir (and, on a hard death,
+    the dot-named staging prefix) is never-referenced and rides the
+    orphan floor — protected while young, reclaimed once aged.  A
+    retried op succeeds against the intact state."""
+    from rust_evm_indexer_spark.store.data_io import (
+        ObjectStoreStyleDataTierIO,
+    )
+
+    class CrashingDataTierIO(ObjectStoreStyleDataTierIO):
+        """Crash after N adopt-copy PutObjects (test-local; production
+        class stays fault-free — mirrors InMemoryObjectStoreIO's
+        manifest-tier injection)."""
+
+        puts_until_crash: int | None = None
+
+        def adopt_dir(self, src_rel: str, dst_rel: str) -> None:
+            src_prefix = src_rel.rstrip("/") + "/"
+            for key in self._keys(src_rel):
+                if self.puts_until_crash is not None:
+                    if self.puts_until_crash <= 0:
+                        raise SimulatedCrash(f"adopt_dir PutObject {key}")
+                    self.puts_until_crash -= 1
+                suffix = key[len(src_prefix):]
+                self._put(f"{dst_rel}/{suffix}", self._get(key))
+                self._delete(key)
+
+    dio = CrashingDataTierIO(tmp_path / "s")
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake, data_io=dio)
+    for b in range(3):
+        store.commit({"pts": _batch(spark, b)})
+    before = sorted(store.read("pts").collect())
+    live_before = set(store._dio.list_fragment_dirs())
+
+    # delete_equals rewrites its hit fragment via staging + adopt —
+    # die after the first copied object
+    dio.puts_until_crash = 1
+    with pytest.raises(SimulatedCrash):
+        store.delete_equals("pts", "id", 105)
+    dio.puts_until_crash = None
+
+    # nothing visible changed: manifest unswapped, old fragments intact
+    recovery = _mk(spark, tmp_path / "s", fake, data_io=dio)
+    assert sorted(recovery.read("pts").collect()) == before
+    partials = set(dio.list_fragment_dirs()) - live_before
+    assert partials, "crash must leave a partial adopted dir"
+
+    # the orphan floor protects the young partials, then reclaims them
+    assert recovery.vacuum(grace_seconds=0) == 0
+    for rel in partials:
+        assert dio.dir_exists(rel)
+    # retry the op against the intact state — lands normally
+    assert recovery.delete_equals("pts", "id", 105)["deleted_rows"] == 1
+    after = {r.id for r in recovery.read("pts").collect()}
+    assert 105 not in after and len(after) == 29
+    # age the crash leftovers past the envelope: reclaimed, reads exact
+    live_now = {
+        f.path
+        for fl in recovery.current_manifest().tables.values()
+        for f in fl
+    }
+    leftovers = set(dio.list_fragment_dirs()) - live_now
+    assert leftovers >= partials - live_now
+    for rel in leftovers:
+        old = dio.dir_mtime(rel) - recovery.claim_grace_seconds - 1
+        for dirpath, _, files in os.walk(tmp_path / "s" / rel):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (old, old))
+    assert recovery.vacuum(grace_seconds=0) >= len(partials)
+    assert {r.id for r in recovery.read("pts").collect()} == after
