@@ -129,7 +129,16 @@ class LocalDataTierIO(DataTierIO):
         shutil.rmtree(self.root / rel, ignore_errors=True)
 
     def dir_exists(self, rel: str) -> bool:
-        return (self.root / rel).exists()
+        # parity with the object-semantics contract ("holds anything —
+        # empty directories don't exist", r12 review): a bare dir inode
+        # with no files (crash residue between mkdir and rename) must
+        # answer the same on both backends
+        d = self.root / rel
+        if not d.exists():
+            return False
+        return next(
+            (True for p in d.rglob("*") if p.is_file()), False
+        )
 
     def dir_bytes(self, rel: str) -> int:
         d = self.root / rel

@@ -453,20 +453,34 @@ class S3ManifestIO(ManifestIO):
         )
 
     def put_if_absent(self, name: str, content: str) -> None:
-        try:
-            self._c.put_object(
-                Bucket=self.bucket,
-                Key=self._k(name),
-                Body=content.encode(),
-                IfNoneMatch="*",
-            )
-        except self._ClientError as e:
-            if self._code(e) in ("PreconditionFailed", "ConditionalRequestConflict"):
-                # 409 ConditionalRequestConflict = a concurrent
-                # conditional write on the same key won mid-flight —
-                # by definition the name is (being) taken
-                raise FileExistsError(name) from e
-            raise
+        # 412 PreconditionFailed: an object EXISTS — definitively taken.
+        # 409 ConditionalRequestConflict: a concurrent conditional write
+        # was in flight — one that may itself still FAIL, leaving no
+        # object; AWS documents 409 as retryable.  Mapping 409 straight
+        # to FileExistsError could report a claim "taken" when none
+        # exists (and the self-heal would find nothing to heal) — so
+        # retry the put a few times and only report taken once an object
+        # is actually there (r12 review).
+        for attempt in range(self.CAS_ATTEMPTS):
+            try:
+                self._c.put_object(
+                    Bucket=self.bucket,
+                    Key=self._k(name),
+                    Body=content.encode(),
+                    IfNoneMatch="*",
+                )
+                return
+            except self._ClientError as e:
+                code = self._code(e)
+                if code == "PreconditionFailed":
+                    raise FileExistsError(name) from e
+                if code != "ConditionalRequestConflict":
+                    raise
+                if self.exists(name):
+                    raise FileExistsError(name) from e
+                if attempt == self.CAS_ATTEMPTS - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
 
     def advance_monotonic(self, name: str, version: int) -> bool:
         key = self._k(name)

@@ -1362,9 +1362,31 @@ class TableStore:
             for k in hits_by_key:
                 old = key_of[k]
                 sub_rel = f"{staging_rel}/_frag={k}"
+                # heartbeat the staging prefix each iteration (r12
+                # review): on object semantics its dir_mtime is the
+                # newest REMAINING object — consuming subdirs never
+                # refreshes it, so a long adopt loop would age the
+                # whole prefix past the orphan floor mid-consumption
+                try:
+                    self._dio.touch_dir(staging_rel)
+                except (OSError, FileNotFoundError):
+                    pass  # fully consumed / vanished: guarded below
                 if not self._dio.dir_exists(sub_rel):
-                    # every row matched: fragment emptied
-                    rewritten[old.path] = None
+                    # Spark omits a partition dir only when ZERO
+                    # survivor rows existed — if this fragment had
+                    # survivors, the dir was reclaimed out from under
+                    # us: fail LOUDLY instead of recording "emptied"
+                    # and silently deleting rows that matched no
+                    # predicate (r12 review)
+                    if old.rows - hits_by_key[k] > 0:
+                        raise RuntimeError(
+                            f"staging output for {old.path} vanished "
+                            f"({old.rows - hits_by_key[k]} survivor "
+                            "rows expected): a vacuum reclaimed the "
+                            "staging prefix mid-maintenance — raise "
+                            "claim_grace_seconds and rerun"
+                        )
+                    rewritten[old.path] = None  # every row matched
                     continue
                 rel = f"data/{table}/frag-{uuid.uuid4().hex}"
                 self._dio.adopt_dir(sub_rel, rel)
@@ -1471,6 +1493,45 @@ class TableStore:
             and m.txns.get(txn_app_id, -1) >= txn_version
         )
 
+    def _touch_or_fail(self, frags) -> None:
+        """Data-tier liveness heartbeat + loud vanish guard, for EVERY
+        writer path that swaps a manifest referencing not-yet-referenced
+        fragment dirs (r12 review: commit got this first; compact,
+        rollback, delete/upsert and the projection builders have the
+        same window — fragments adopted long before the swap, e.g. ten
+        compacted fragments each followed by bloom/dict indexing).
+
+        Vacuum's orphan floor ages a never-referenced dir from its LAST
+        touch, so re-arming here means the envelope only has to outlast
+        the final planning stretch, not the whole op.  A dir a past
+        floor expiry already cost us — or that a reclaim racing the
+        touch stranded as a marker-only prefix (zero data bytes) —
+        fails the op LOUDLY before the swap could acknowledge missing
+        data.  Check-then-touch: a touch must never recreate a
+        reclaimed prefix.  Accepts Fragment objects (None entries
+        skipped) or raw path strings."""
+        for frag in frags:
+            if frag is None:
+                continue
+            path = getattr(frag, "path", frag)
+            try:
+                self._dio.touch_dir(path)
+                empty = self._dio.dir_bytes(path) == 0
+            except (OSError, FileNotFoundError) as exc:
+                raise RuntimeError(
+                    f"fragments vanished before the swap ({path}): a "
+                    "vacuum reclaimed in-flight data past the liveness "
+                    "envelope — raise claim_grace_seconds above the "
+                    "longest write-to-swap stretch and rerun the "
+                    "operation"
+                ) from exc
+            if empty:
+                raise RuntimeError(
+                    f"fragment {path} holds no data bytes before the "
+                    "swap: a reclaim raced the liveness touch — rerun "
+                    "the operation"
+                )
+
     def _write_commit_fragments(
         self, writes: dict[str, DataFrame]
     ) -> tuple[list, list]:
@@ -1503,28 +1564,7 @@ class TableStore:
         and swap — the re-runnable half of :meth:`commit` (everything
         here is a pure function of ``m`` + the immutable fragment list,
         which is what makes :meth:`commit_with_retry`'s rebase sound)."""
-        # Data-tier liveness (r12 review): vacuum's orphan floor ages a
-        # never-referenced dir from its LAST touch, so refresh every
-        # fragment dir at each swap attempt — the envelope then only has
-        # to outlast ONE attempt's planning (sub-second), not the whole
-        # commit (a slow sibling table write, a long rebase loop).  A
-        # dir a past expiry already cost us fails the commit LOUDLY
-        # here, before the manifest could acknowledge missing data —
-        # check-then-touch, because a touch must never recreate a
-        # reclaimed prefix.
-        for frag in frags_out:
-            if frag is None:
-                continue
-            try:
-                self._dio.touch_dir(frag.path)
-            except (OSError, FileNotFoundError) as exc:
-                raise RuntimeError(
-                    f"commit fragments vanished before the swap "
-                    f"({frag.path}): a vacuum reclaimed in-flight data "
-                    "past the liveness envelope — raise "
-                    "claim_grace_seconds above the longest commit "
-                    "duration and rewrite the batch"
-                ) from exc
+        self._touch_or_fail(frags_out)
         txns = dict(m.txns)
         if txn_app_id is not None and txn_version is not None:
             txns[txn_app_id] = txn_version
@@ -1601,6 +1641,7 @@ class TableStore:
             projections={t: dict(ps) for t, ps in m.projections.items()},
         )
         touched = 0
+        rewrites: list[Fragment] = []
         for table, frags in m.tables.items():
             kept: list[Fragment] = []
             for frag in frags:
@@ -1615,9 +1656,11 @@ class TableStore:
                     if rewritten is not None:
                         rewritten.derived = True  # rewrite: no first-seen rows
                         kept.append(rewritten)
+                        rewrites.append(rewritten)
                     continue
                 kept.append(frag)
             new.tables[table] = kept
+        self._touch_or_fail(rewrites)
         self._swap(new)
         return touched
 
@@ -1746,6 +1789,10 @@ class TableStore:
         proj_updates = self._takedown_projection_updates(
             m, table, replaced, pred,
             {column: probe} if prune else None, stats,
+        )
+        self._touch_or_fail(
+            rewritten_frags
+            + [f for upd in proj_updates.values() for f in upd["pfrags_add"]]
         )
         if self._structural_delta_ok(m):
             # log-structured takedown (r9): the delete knows exactly
@@ -2015,6 +2062,11 @@ class TableStore:
         proj_updates = self._takedown_projection_updates(
             m, table, replaced, pred,
             {key_col: keys} if prune else None, stats,
+        )
+        self._touch_or_fail(
+            rewritten_frags
+            + ([batch_frag] if batch_frag is not None else [])
+            + [f for upd in proj_updates.values() for f in upd["pfrags_add"]]
         )
         if self._structural_delta_ok(m):
             # log-structured MERGE (r9): superseded fragment paths out,
@@ -2698,6 +2750,7 @@ class TableStore:
         new_frags.sort(
             key=lambda f: (f.min_block is None, f.min_block, f.path)
         )
+        self._touch_or_fail(new_frags)
         new = Manifest(
             version=m.version + 1,
             txns=dict(m.txns),
@@ -2783,6 +2836,7 @@ class TableStore:
             "covers": [f.path for f in base],
             "fragments": frags,
         }
+        self._touch_or_fail(frags)
         self._swap(new)
         return len(frags)
 
@@ -2889,6 +2943,7 @@ class TableStore:
                 "pfrags_add": frags,
             }
         }
+        self._touch_or_fail(frags)
         if self._structural_delta_ok(m):
             # the refresh is the LSM maintenance step that runs on the
             # ingest cadence (maintain_store), so since r10 it rides
@@ -3439,10 +3494,20 @@ class TableStore:
             gate = grace_seconds if rel in ever else claim_grace
             if gate > 0:
                 try:
-                    age = now - self._dio.dir_mtime(rel)
+                    mt = self._dio.dir_mtime(rel)
                 except (OSError, FileNotFoundError):
                     continue
-                if age < gate:
+                if now - mt < gate:
+                    continue
+                # conditioned delete, the _delete_claim_if_unchanged
+                # shape for dirs (r12 review): a live writer's liveness
+                # touch can land between the age judgment and this
+                # delete — re-read immediately before deleting and
+                # stand down if the dir changed since we judged it
+                try:
+                    if self._dio.dir_mtime(rel) != mt:
+                        continue
+                except (OSError, FileNotFoundError):
                     continue
             self._dio.delete_dir(rel)
             removed += 1

@@ -1227,3 +1227,187 @@ def test_data_tier_crash_mid_adopt_recovers_and_reclaims(spark, tmp_path):
                 os.utime(os.path.join(dirpath, fn), (old, old))
     assert recovery.vacuum(grace_seconds=0) >= len(partials)
     assert {r.id for r in recovery.read("pts").collect()} == after
+
+
+def test_touch_or_fail_wired_into_every_writer_path(spark, tmp_path):
+    """r12 review: the liveness heartbeat + vanish guard must run on
+    EVERY path that swaps a manifest referencing fresh fragment dirs —
+    not just commit.  Pin the wiring: each structural op calls
+    _touch_or_fail with its newly written fragments before its swap."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake)
+    calls: list[list[str]] = []
+    real = store._touch_or_fail
+
+    def recording(frags):
+        paths = [getattr(f, "path", f) for f in frags if f is not None]
+        calls.append(paths)
+        return real(frags)
+
+    store._touch_or_fail = recording
+
+    def fresh_paths_since(n0: int) -> set[str]:
+        return {p for ps in calls[n0:] for p in ps}
+
+    n = len(calls)
+    store.commit({"pts": _batch(spark, 0)})
+    store.commit({"pts": _batch(spark, 1)})
+    assert len(calls) > n and fresh_paths_since(n)
+
+    n = len(calls)
+    store.delete_equals("pts", "id", 5)  # rewrites one fragment
+    assert fresh_paths_since(n), "delete must guard its rewrites"
+
+    n = len(calls)
+    up = spark.createDataFrame([(7, "0xff", 100)], SCHEMA)
+    store.upsert("pts", up, "id")
+    assert fresh_paths_since(n), "upsert must guard rewrites + batch"
+
+    n = len(calls)
+    store.compact("pts", max_fragments=1)
+    assert fresh_paths_since(n), "compact must guard its output"
+
+    n = len(calls)
+    store.build_projection("pts", "by_addr", ("addr",), max_fragments=1)
+    assert fresh_paths_since(n), "projection build must guard its frags"
+
+    n = len(calls)
+    store.commit({"pts": _batch(spark, 5)})
+    store.rollback_from(100 + 5)  # straddler rewrite is per-block here
+    assert len(calls) > n  # rollback path ran its guard (may be empty)
+
+    # guard still bites through the wiring: the data tier reports the
+    # compacted output reclaimed at touch time -> compact fails loudly
+    # before its swap, version unmoved
+    store.commit({"pts": _batch(spark, 6)})
+    store.commit({"pts": _batch(spark, 7)})
+    v_before = store.current_version()
+    real_touch = store._dio.touch_dir
+
+    def reclaimed_touch(rel: str) -> None:
+        raise FileNotFoundError(rel)
+
+    store._dio.touch_dir = reclaimed_touch
+    try:
+        with pytest.raises(RuntimeError, match="vanished before the swap"):
+            store.compact("pts", max_fragments=1)
+    finally:
+        store._dio.touch_dir = real_touch
+    assert store.current_version() == v_before
+
+
+def test_maintenance_staging_vanish_is_loud_not_silent_empty(
+    spark, tmp_path
+):
+    """r12 review: _maintain_fragments_batched treated a missing
+    staging partition dir as 'fragment emptied' — but if the fragment
+    had surviving rows, absence means the staging was reclaimed out
+    from under the op, and recording None would SILENTLY drop rows that
+    matched no predicate.  Survivors expected + dir gone must raise."""
+    from rust_evm_indexer_spark.store.data_io import (
+        ObjectStoreStyleDataTierIO,
+    )
+
+    dio = ObjectStoreStyleDataTierIO(tmp_path / "s")
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake, data_io=dio)
+    store.commit({"pts": _batch(spark, 0)})
+
+    real_exists = dio.dir_exists
+
+    def staging_vanished(rel: str) -> bool:
+        if "/.maint-" in rel and "_frag=" in rel:
+            return False  # simulate: vacuum reclaimed the staging
+        return real_exists(rel)
+
+    dio.dir_exists = staging_vanished
+    try:
+        with pytest.raises(RuntimeError, match="staging output .* vanished"):
+            store.delete_equals("pts", "id", 5)  # 9 survivors expected
+    finally:
+        dio.dir_exists = real_exists
+    # nothing swapped, nothing lost
+    assert store.read("pts").count() == 10
+
+
+def test_local_dir_exists_matches_object_semantics(tmp_path):
+    """r12 review: 'exists' means HOLDS A FILE on both backends — a
+    bare POSIX dir inode (crash residue between mkdir and rename) must
+    not read as an existing fragment when the object-semantics backend
+    would say absent."""
+    from rust_evm_indexer_spark.store.data_io import (
+        LocalDataTierIO,
+        ObjectStoreStyleDataTierIO,
+    )
+
+    posix = LocalDataTierIO(tmp_path)
+    objy = ObjectStoreStyleDataTierIO(tmp_path)
+    (tmp_path / "data" / "t" / "frag-empty").mkdir(parents=True)
+    assert posix.dir_exists("data/t/frag-empty") is False
+    assert objy.dir_exists("data/t/frag-empty") is False
+    (tmp_path / "data" / "t" / "frag-empty" / "part-0.parquet").write_bytes(
+        b"x"
+    )
+    assert posix.dir_exists("data/t/frag-empty") is True
+    assert objy.dir_exists("data/t/frag-empty") is True
+
+
+def test_s3_put_if_absent_409_retries_not_false_taken(tmp_path):
+    """r12 review: S3 returns 409 ConditionalRequestConflict to the
+    LOSER of two in-flight conditional PUTs — but the winner may itself
+    still fail, leaving NO object.  Mapping 409 straight to
+    FileExistsError reports a claim 'taken' that does not exist (and
+    the self-heal finds nothing to heal).  409 with no object must
+    retry and succeed; 409 with an object must report taken; 412 is
+    always taken."""
+    boto3 = pytest.importorskip("boto3")
+    import botocore.exceptions
+
+    from rust_evm_indexer_spark.store.manifest_io import S3ManifestIO
+
+    def err(code):
+        return botocore.exceptions.ClientError(
+            {"Error": {"Code": code}}, "PutObject"
+        )
+
+    class StubClient:
+        def __init__(self, put_errors, exists):
+            self.put_errors = list(put_errors)
+            self.exists_flag = exists
+            self.stored = {}
+
+        def put_object(self, *, Bucket, Key, Body, **cond):
+            if self.put_errors:
+                raise self.put_errors.pop(0)
+            self.stored[Key] = Body
+            return {}
+
+        def head_object(self, *, Bucket, Key):
+            if self.exists_flag or Key in self.stored:
+                return {}
+            raise botocore.exceptions.ClientError(
+                {"Error": {"Code": "404"}}, "HeadObject"
+            )
+
+    _ = boto3  # importorskip anchor
+
+    # 409 twice with no object -> retried -> lands
+    io = S3ManifestIO(
+        "b", client=StubClient([err("ConditionalRequestConflict")] * 2, False)
+    )
+    io.put_if_absent("v000001.claim", "delta:tok")
+    assert "v000001.claim" in io._c.stored
+
+    # 409 but the winner's object IS there -> taken
+    io2 = S3ManifestIO(
+        "b", client=StubClient([err("ConditionalRequestConflict")], True)
+    )
+    with pytest.raises(FileExistsError):
+        io2.put_if_absent("v000001.claim", "delta:tok")
+
+    # 412 -> taken immediately, no retry
+    io3 = S3ManifestIO(
+        "b", client=StubClient([err("PreconditionFailed")], False)
+    )
+    with pytest.raises(FileExistsError):
+        io3.put_if_absent("v000001.claim", "delta:tok")

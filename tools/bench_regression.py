@@ -296,6 +296,11 @@ def main() -> int:
     print(f"STEADY REGRESSIONS (> {THRESHOLD}x, unexplained):")
     for name, t0, t1 in verdict["regressions"]:
         print(f"  {name:36s} {t0:7.2f}s -> {t1:7.2f}s  ({t1 / t0:.2f}x)")
+    # small-band warnings must surface on EVERY exit path (r12 review):
+    # dropping them here means the developer fixes the listed big
+    # regression, re-runs, and only then discovers — or never does —
+    # the 1.3-1.9x small-entry drift that rode the same run
+    _handle_small_warnings(verdict["warnings"], cur, adjudicate=False)
     print("name the cause (EXPLAINED in tools/bench_regression.py) or fix it")
     return 2
 

@@ -26,7 +26,12 @@ the gate never reads it.
 
 The substituted entries are recorded in the sidecar
 (``small_band_isolated``: entry -> {raw, runs}) so a reader can always
-tell a measured-single value from an isolated median.
+tell a measured-single value from an isolated median.  Entries whose
+isolated runs sit far ABOVE the raw steady sample are steady-warmth
+coupled (shared session caches built by earlier entries) — for those
+the isolated median measures a DIFFERENT regime than the gate compares,
+so the raw value is kept and the decision recorded under ``kept_raw``
+(r12 review).
 
 Usage:
     python bench.py --steady           # produce the fresh sidecars
@@ -74,12 +79,36 @@ def main() -> None:
     for i, name in enumerate(small, 1):
         raw = sidecar["queries"][name]
         m = measure_entry(spark, name, 4, sf_dir)
-        sidecar["queries"][name] = m["isolated_median"]
-        isolated[name] = {"raw_steady": raw, "runs": m["runs"]}
+        med, runs = m["isolated_median"], m["runs"]
+        # Substitute only when the isolated median estimates the SAME
+        # quantity the gate compares (a fresh steady-sequence run).
+        # A raw sample far BELOW every isolated run is not an outlier —
+        # it is deterministic steady-sequence warmth (shared caches
+        # built by earlier entries; e.g. lm_stupid_backoff_tri runs
+        # ~2.8s in sequence vs ~5.7s isolated), and replacing it would
+        # recenter the gate 2x high, silently passing real steady
+        # regressions (r12 review).  Keep raw there: warmth is
+        # reproducible, so the single sample is a stable center.  A raw
+        # far ABOVE the runs was a slow outlier — the median is the
+        # better (and detection-safer, lower) center.
+        lo = min(runs[1:]) if len(runs) > 1 else runs[0]
+        if raw < lo / 1.3:
+            isolated[name] = {
+                "raw_steady": raw, "runs": runs,
+                "kept_raw": "steady-warmth-coupled (raw << isolated)",
+            }
+            print(
+                f"[{i}/{len(small)}] {name}: {raw:.2f}s steady KEPT "
+                f"(isolated median {med:.2f}s is a different regime; "
+                f"runs {runs})",
+                file=sys.stderr,
+            )
+            continue
+        sidecar["queries"][name] = med
+        isolated[name] = {"raw_steady": raw, "runs": runs}
         print(
             f"[{i}/{len(small)}] {name}: {raw:.2f}s steady sample -> "
-            f"{m['isolated_median']:.2f}s isolated median "
-            f"(runs {m['runs']})",
+            f"{med:.2f}s isolated median (runs {runs})",
             file=sys.stderr,
         )
     sidecar["small_band_isolated"] = isolated
