@@ -1411,3 +1411,100 @@ def test_s3_put_if_absent_409_retries_not_false_taken(tmp_path):
     )
     with pytest.raises(FileExistsError):
         io3.put_if_absent("v000001.claim", "delta:tok")
+
+
+def test_chaos_with_compaction_and_vacuum_converges(spark, tmp_path):
+    """Full maintenance chaos (r12): a rebasing committer, a background
+    compactor (retrying lost races like a real maintenance daemon), an
+    adversarial vacuum loop at grace_seconds=0, and a reader that
+    retries the documented in-flight-read failure (a fragment reclaimed
+    under a pre-compaction manifest it was still holding).  Row counts
+    are compaction-invariant, so successful reads must stay monotone;
+    final state exact; versions single-record."""
+    import threading
+
+    from pyspark.errors import AnalysisException
+
+    fake = InMemoryObjectStoreIO()
+    seed = _mk(spark, tmp_path / "s", fake)
+    seed.commit({"pts": _batch(spark, 0)})
+
+    per_writer, rows = 6, 5
+    stop = threading.Event()
+    failures: list[BaseException] = []
+    barrier = threading.Barrier(4)
+    race_signals = (
+        "concurrent commit detected", "commit forfeited",
+        "claimed by another writer", "rolled forward",
+    )
+
+    def writer() -> None:
+        store = _mk(spark, tmp_path / "s", fake)
+        barrier.wait()
+        try:
+            for a in range(per_writer):
+                assert store.commit_with_retry(
+                    {"pts": _batch(spark, 10 + a, rows=rows)},
+                    txn_app_id="w", txn_version=a, max_attempts=32,
+                ) is True
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            failures.append(e)
+        finally:
+            stop.set()
+
+    def compactor() -> None:
+        store = _mk(spark, tmp_path / "s", fake)
+        barrier.wait()
+        try:
+            while not stop.is_set():
+                try:
+                    store.compact("pts", max_fragments=2)
+                except RuntimeError as e:
+                    if not any(s in str(e) for s in race_signals):
+                        raise  # real failure, not a lost race
+        except BaseException as e:  # noqa: BLE001
+            failures.append(e)
+
+    def sweeper() -> None:
+        store = _mk(spark, tmp_path / "s", fake)
+        barrier.wait()
+        try:
+            while not stop.is_set():
+                store.vacuum(grace_seconds=0, keep_manifests=200)
+        except BaseException as e:  # noqa: BLE001
+            failures.append(e)
+
+    def reader() -> None:
+        store = _mk(spark, tmp_path / "s", fake)
+        barrier.wait()
+        last = 0
+        try:
+            while not stop.is_set():
+                try:
+                    n = store.read("pts").count()
+                except AnalysisException:
+                    continue  # documented: grace 0 + in-flight read
+                assert n >= last, (n, last)
+                assert (n - 10) % rows == 0, n
+                last = n
+        except BaseException as e:  # noqa: BLE001
+            failures.append(e)
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=compactor),
+        threading.Thread(target=sweeper),
+        threading.Thread(target=reader),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not failures, failures
+
+    final = _mk(spark, tmp_path / "s", fake)
+    assert final.read("pts").count() == 10 + rows * per_writer
+    assert final.current_manifest().txns["w"] == per_writer - 1
+    for fl in final.current_manifest().tables.values():
+        for f in fl:
+            assert final._dio.dir_exists(f.path), f.path
