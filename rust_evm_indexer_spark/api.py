@@ -67,12 +67,23 @@ class EvmApi:
         logs: DataFrame | None,
         status: DataFrame | None,
         store=None,
+        fast: bool = True,
     ):
         self._blocks = blocks
         self._transactions = transactions
         self._logs = logs
         self.status = status
         self.store = store
+        # store-backed serving tier (serving.py): manifest-pruned Arrow
+        # point/page reads — sub-Spark-job latency, property-tested
+        # equivalent to the Spark route.  `fast=False` forces every
+        # request through Spark (the escape hatch, and what the
+        # equivalence tests compare against).
+        self._serving = None
+        if store is not None and fast:
+            from .serving import ArrowServing
+
+            self._serving = ArrowServing(store)
         # store-backed: frames resolve lazily against the CURRENT
         # manifest, cached by (version, table) — version-keyed so a
         # slow request that read an older CURRENT can only ever insert
@@ -90,19 +101,25 @@ class EvmApi:
             raise ValueError("EvmApi without a store needs all three frames")
 
     @classmethod
-    def from_store(cls, store) -> "EvmApi":
+    def from_store(cls, store, *, fast: bool = True) -> "EvmApi":
         """All four endpoints over a :class:`TableStore`, reading LIVE
         state: every request re-resolves against the CURRENT manifest
         (the reference serves each request from a fresh pool query,
         src/api.rs:184), so a commit after construction is visible on
         /logs, /block and /transaction, /stats always agrees with them,
         and a vacuum can never strand a request on deleted fragments of
-        a stale snapshot.  /stats never leaves the manifest tier, and
-        POST /logs routes through ``get_logs_from_store`` — projection
-        routing, cursor-derived fragment pruning, bloom/dictionary
-        hints — instead of the base snapshot frame."""
+        a stale snapshot.  /stats never leaves the manifest tier.
+
+        ``fast`` (default) serves /logs, /block and /transaction from
+        the Arrow latency tier (``serving.py``) — manifest min/max +
+        dict/bloom pruning and parquet row-group pushdown with no Spark
+        job, property-tested result-identical to the Spark route.
+        ``fast=False`` routes everything through Spark
+        (``get_logs_from_store``: projection routing, cursor-derived
+        fragment pruning)."""
         return cls(
-            blocks=None, transactions=None, logs=None, status=None, store=store
+            blocks=None, transactions=None, logs=None, status=None,
+            store=store, fast=fast,
         )
 
     def _store_frame(self, table: str) -> DataFrame:
@@ -180,9 +197,13 @@ class EvmApi:
             )
         except (TypeError, ValueError) as exc:
             raise ApiError(400, f"invalid filter: {exc}") from exc
-        if self.store is not None and self._logs is None:
-            # store-backed: per-request source routing (projection /
-            # bloom / dict / cursor pruning) over the CURRENT manifest
+        if self._serving is not None and self._logs is None:
+            # latency tier: same pruning tiers, no Spark job
+            page = self._serving.get_logs_page(flt)
+        elif self.store is not None and self._logs is None:
+            # store-backed Spark route: per-request source routing
+            # (projection / bloom / dict / cursor pruning) over the
+            # CURRENT manifest
             page = run_get_logs_from_store(self.store, flt)
         else:
             page = run_get_logs(self.logs, flt)
@@ -194,7 +215,10 @@ class EvmApi:
 
     def get_block(self, identifier: str) -> dict[str, Any]:
         try:
-            row = get_block(self.blocks, identifier)
+            if self._serving is not None and self._blocks is None:
+                row = self._serving.get_block(identifier)
+            else:
+                row = get_block(self.blocks, identifier)
         except ValueError as exc:
             raise ApiError(400, str(exc)) from exc
         if row is None:
@@ -203,7 +227,10 @@ class EvmApi:
 
     def get_transaction(self, tx_hash: str) -> dict[str, Any]:
         try:
-            row = get_transaction(self.transactions, tx_hash)
+            if self._serving is not None and self._transactions is None:
+                row = self._serving.get_transaction(tx_hash)
+            else:
+                row = get_transaction(self.transactions, tx_hash)
         except ValueError as exc:
             raise ApiError(400, str(exc)) from exc
         if row is None:

@@ -31,28 +31,48 @@ from ..functions.evm import hex_eq
 TX_HASH_LEN = 66  # 0x + 64 hex chars (src/api.rs:341-346)
 
 
+def parse_block_identifier(identifier: str) -> tuple[str, "str | int"]:
+    """Shared key dispatch for the polymorphic block lookup
+    (src/api.rs:284-321): ``("hash", lowercased_hash)`` for a
+    ``0x``-prefixed identifier, ``("height", n)`` for an integer —
+    ValueError otherwise (≙ 400).  One parser for both the Spark path
+    and the Arrow serving tier, so validation can never diverge."""
+    ident = identifier.strip()
+    if ident.lower().startswith("0x"):
+        return "hash", ident.lower()
+    try:
+        return "height", int(ident)
+    except ValueError as exc:
+        raise ValueError(f"invalid block identifier: {identifier!r}") from exc
+
+
+def validate_tx_hash(tx_hash: str) -> str:
+    """The reference's tx-hash validation (``0x`` + length 66,
+    src/api.rs:341-346), shared by both access paths; returns the
+    lowercased hash or raises ValueError (≙ 400)."""
+    h = tx_hash.strip().lower()
+    if not h.startswith("0x") or len(h) != TX_HASH_LEN:
+        raise ValueError(f"invalid transaction hash: {tx_hash!r}")
+    return h
+
+
 def get_block(blocks: DataFrame, identifier: str) -> dict | None:
     """Polymorphic block lookup: hash if ``0x``-prefixed, else height.
 
     Raises ValueError for a non-integer, non-hash identifier (≙ 400).
     """
-    ident = identifier.strip()
-    if ident.lower().startswith("0x"):
-        pred = hex_eq("block_hash", ident)
+    kind, key = parse_block_identifier(identifier)
+    if kind == "hash":
+        pred = hex_eq("block_hash", key)
     else:
-        try:
-            pred = F.col("block_number") == int(ident)
-        except ValueError as exc:
-            raise ValueError(f"invalid block identifier: {identifier!r}") from exc
+        pred = F.col("block_number") == key
     rows = blocks.filter(pred).limit(1).collect()
     return rows[0].asDict() if rows else None
 
 
 def get_transaction(transactions: DataFrame, tx_hash: str) -> dict | None:
     """Transaction lookup with the reference's input validation."""
-    h = tx_hash.strip().lower()
-    if not h.startswith("0x") or len(h) != TX_HASH_LEN:
-        raise ValueError(f"invalid transaction hash: {tx_hash!r}")
+    h = validate_tx_hash(tx_hash)
     rows = transactions.filter(hex_eq("tx_hash", h)).limit(1).collect()
     return rows[0].asDict() if rows else None
 

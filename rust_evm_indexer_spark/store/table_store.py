@@ -2176,12 +2176,10 @@ class TableStore:
         applies the actual predicate (a bloom false positive just means
         one extra fragment reaches Spark's scan, where parquet pushdown
         filters it).  Fragments with no bloom for the column are kept."""
-        m = self.current_manifest() if version is None else self.manifest_at(version)
-        frags = self.fragments_for(
-            table, min_block=min_block, max_block=max_block, manifest=m
+        m, frags = self.prune_fragments(
+            table, min_block=min_block, max_block=max_block,
+            equals=equals, version=version,
         )
-        if equals:
-            frags = [f for f in frags if self._frag_keeps(f, equals)]
         # evolved schema comes from the MANIFEST, not from merging file
         # footers: at 100 TB, mergeSchema would read N footers before the
         # first byte of data; here schema resolution is O(1) and
@@ -2439,6 +2437,38 @@ class TableStore:
                 "_change_type", F.lit("insert")
             ).withColumn("_commit_version", F.lit(0))
         return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def prune_fragments(
+        self,
+        table: str,
+        *,
+        min_block: int | None = None,
+        max_block: int | None = None,
+        equals: dict[str, Any] | None = None,
+        manifest: Manifest | None = None,
+        version: int | None = None,
+    ) -> "tuple[Manifest, list[Fragment]]":
+        """Full index-tier fragment pruning — manifest min/max block
+        bounds, then the inline-dictionary and bloom equality probes —
+        shared by the Spark :meth:`read` path and the Arrow serving
+        tier (``serving.py``), so both access paths prune with the SAME
+        physical-design tiers by construction.  PRUNING ONLY: the
+        caller still applies the real predicate.  Returns the resolved
+        manifest alongside the survivors so callers can read the
+        versioned schema without a second CURRENT resolution."""
+        m = manifest
+        if m is None:
+            m = (
+                self.current_manifest()
+                if version is None
+                else self.manifest_at(version)
+            )
+        frags = self.fragments_for(
+            table, min_block=min_block, max_block=max_block, manifest=m
+        )
+        if equals:
+            frags = [f for f in frags if self._frag_keeps(f, equals)]
+        return m, frags
 
     def fragments_for(
         self,

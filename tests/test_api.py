@@ -288,10 +288,10 @@ def test_store_frame_cache_is_version_keyed_under_races(spark, evm, tmp_path, mo
 
 def test_store_backed_logs_routes_through_projection(spark, evm, tmp_path, monkeypatch):
     """Plan pin (VERDICT r10 item 2): an address-filtered POST /logs on
-    a store-backed API goes through get_logs_from_store's source
-    routing and reads ONLY projection fragments — the REST surface gets
-    the same physical access path the catalog pins, not the base
-    snapshot frame."""
+    the store-backed SPARK route (fast=False — the r12 default serves
+    from the Arrow latency tier instead) goes through
+    get_logs_from_store's source routing and reads ONLY projection
+    fragments; the default fast path must serve the identical body."""
     from rust_evm_indexer_spark.api import EvmApi, create_app
     from rust_evm_indexer_spark.operators import logs as logs_mod
     from rust_evm_indexer_spark.store import TableStore
@@ -317,7 +317,7 @@ def test_store_backed_logs_routes_through_projection(spark, evm, tmp_path, monke
         return orig(df)
 
     monkeypatch.setattr(logs_mod, "_collect_page", spy)
-    app = create_app(EvmApi.from_store(store))
+    app = create_app(EvmApi.from_store(store, fast=False))
     app.testing = True
     body = app.test_client().post(
         "/logs", json={"address": addr, "pageSize": 100}
@@ -326,3 +326,12 @@ def test_store_backed_logs_routes_through_projection(spark, evm, tmp_path, monke
     assert len(captured) == 1
     files = captured[0].inputFiles()
     assert files and all("__proj__" in f for f in files)
+
+    # the default (Arrow latency tier) serves the identical page over
+    # the base fragments — routing stays a pure performance decision
+    fast_app = create_app(EvmApi.from_store(store))
+    fast_app.testing = True
+    fast_body = fast_app.test_client().post(
+        "/logs", json={"address": addr, "pageSize": 100}
+    ).get_json()
+    assert fast_body == body

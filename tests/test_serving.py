@@ -1,0 +1,177 @@
+"""Arrow latency tier (serving.py): property-tested equivalence with
+the Spark route, plus the no-Spark-job guarantee.
+
+The serving tier re-executes the API's point/page requests via
+manifest-pruned pyarrow scans.  Its whole correctness story is "same
+page as the Spark path, always" — so the core test here drives a
+seeded sweep of randomized filters (ranges, hex equalities, topics,
+cursors, legacy pages, hash-overrides-range, absent keys) through BOTH
+paths over a multi-fragment store with the default dict/bloom tiers
+and a clustered projection (so the Spark route exercises projection
+routing while the Arrow route prunes the base table — result-identical
+by construction or this fails)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from rust_evm_indexer_spark.operators.logs import (
+    GetLogsFilter,
+    run_get_logs_from_store,
+)
+from rust_evm_indexer_spark.serving import ArrowServing
+from rust_evm_indexer_spark.store import TableStore
+
+
+@pytest.fixture(scope="module")
+def served_store(spark, evm, tmp_path_factory):
+    """Multi-fragment store (3 block-range commits) with default
+    index tiers and an address projection — the physical layout where
+    pruning decisions actually differ between fragments."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("serving_store")
+    store = TableStore(spark, root)  # default bloom/dict tiers
+    blocks = evm["blocks"]
+    bounds = [r[0] for r in blocks.select("block_number").collect()]
+    lo, hi = min(bounds), max(bounds)
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    for a, b in ((lo, cut1), (cut1 + 1, cut2), (cut2 + 1, hi)):
+        rng = (F.col("block_number") >= a) & (F.col("block_number") <= b)
+        store.commit({
+            "blocks": evm["blocks"].filter(rng),
+            "transactions": evm["transactions"].filter(rng),
+            "logs": evm["logs"].filter(rng),
+        })
+    store.build_projection(
+        "logs", "by_addr", ("contract_address",), max_fragments=2
+    )
+    return store
+
+
+def _sample_values(spark_df, col, n=4, seed=0):
+    rows = spark_df.select(col).where(f"{col} is not null").distinct().limit(
+        50
+    ).collect()
+    rng = random.Random(seed)
+    vals = [r[0] for r in rows]
+    rng.shuffle(vals)
+    return vals[:n]
+
+
+def test_logs_page_equivalence_randomized(served_store, evm):
+    """Seeded sweep: every filter combination must produce the
+    identical page (rows AND cursor) on both execution paths."""
+    serving = ArrowServing(served_store)
+    addrs = _sample_values(evm["logs"], "contract_address", seed=1)
+    topics = _sample_values(evm["logs"], "topic0", seed=2)
+    hashes = _sample_values(evm["logs"], "block_hash", 2, seed=3)
+    row = evm["logs"].selectExpr(
+        "min(block_number) a", "max(block_number) b"
+    ).collect()[0]
+    lo, hi = row["a"], row["b"]
+    rng = random.Random(42)
+
+    def maybe(v, p=0.5):
+        return v if rng.random() < p else None
+
+    cases = []
+    for _ in range(40):
+        span = rng.randint(0, hi - lo)
+        start = rng.randint(lo, hi - span)
+        f = GetLogsFilter(
+            block_hash=maybe(rng.choice(hashes + ["0x" + "9" * 64]), 0.15),
+            from_block=maybe(start, 0.5),
+            to_block=maybe(start + span, 0.5),
+            address=maybe(rng.choice(addrs + [addrs[0].upper()]), 0.5),
+            topic0=maybe(rng.choice(topics), 0.4),
+            cursor_block=maybe(rng.randint(lo, hi), 0.3),
+            cursor_log_id=maybe(rng.randint(0, 5000), 0.3),
+            page=maybe(rng.randint(1, 3), 0.2),
+            page_size=rng.choice([1, 7, 25, 100, 500]),
+        )
+        if f.has_cursor:
+            f.page = None  # cursor wins; keep the case well-formed
+        cases.append(f)
+    # plus the boundary shapes a sweep can miss
+    cases += [
+        GetLogsFilter(),  # first page, defaults
+        GetLogsFilter(page_size=100, page=2),
+        GetLogsFilter(from_block=lo, to_block=lo),
+        GetLogsFilter(address="0x" + "0" * 40),  # absent key
+        GetLogsFilter(cursor_block=hi, cursor_log_id=10**9),  # past the end
+    ]
+    for i, flt in enumerate(cases):
+        spark_page = run_get_logs_from_store(served_store, flt)
+        arrow_page = serving.get_logs_page(flt)
+        assert arrow_page.logs == spark_page.logs, (i, flt)
+        assert (
+            arrow_page.next_cursor_block,
+            arrow_page.next_cursor_log_id,
+        ) == (
+            spark_page.next_cursor_block,
+            spark_page.next_cursor_log_id,
+        ), (i, flt)
+
+
+def test_point_lookup_equivalence(served_store, evm):
+    from rust_evm_indexer_spark.operators.lookups import (
+        get_block,
+        get_transaction,
+    )
+
+    serving = ArrowServing(served_store)
+    blocks_df = served_store.read("blocks")
+    tx_df = served_store.read("transactions")
+
+    heights = [r[0] for r in evm["blocks"].select("block_number")
+               .groupBy("block_number").count().where("count = 1")
+               .limit(5).collect()]
+    for h in heights:
+        assert serving.get_block(str(h)) == get_block(blocks_df, str(h))
+    # by hash (unique by construction), mixed case in
+    bh = evm["blocks"].select("block_hash").first()[0]
+    assert serving.get_block(bh.upper()) == get_block(blocks_df, bh.upper())
+    # absent + invalid
+    assert serving.get_block("99999999") is None
+    with pytest.raises(ValueError):
+        serving.get_block("not-a-number")
+
+    th = evm["transactions"].select("tx_hash").first()[0]
+    assert serving.get_transaction(th) == get_transaction(tx_df, th)
+    assert serving.get_transaction("0x" + "f" * 64) is None
+    with pytest.raises(ValueError):
+        serving.get_transaction("abc")
+
+
+def test_serving_launches_no_spark_job(served_store, monkeypatch):
+    """The latency tier must never touch the Spark session: block every
+    DataFrame construction on the store and serve anyway."""
+    serving = ArrowServing(served_store)
+
+    def boom(*a, **kw):  # noqa: ANN001
+        raise AssertionError("serving tier called TableStore.read (Spark)")
+
+    monkeypatch.setattr(served_store, "read", boom)
+    monkeypatch.setattr(served_store, "read_projection", boom)
+    page = serving.get_logs_page(GetLogsFilter(page_size=5))
+    assert len(page.logs) == 5
+    assert serving.get_block(str(page.logs[0]["block_number"])) is not None
+
+
+def test_api_fast_path_wiring(served_store):
+    """EvmApi.from_store defaults to the latency tier for /logs, /block
+    and /transaction; fast=False routes through Spark; both give the
+    same envelope."""
+    from rust_evm_indexer_spark.api import EvmApi
+
+    fast = EvmApi.from_store(served_store)
+    slow = EvmApi.from_store(served_store, fast=False)
+    assert fast._serving is not None and slow._serving is None
+    body = {"pageSize": 3}
+    assert fast.post_logs(body) == slow.post_logs(body)
+    n = fast.post_logs(body)["logs"][0]["blockNumber"]
+    assert fast.get_block(str(n)) == slow.get_block(str(n))
+    assert fast.get_stats() == slow.get_stats()

@@ -65,6 +65,7 @@ def _pcts(samples: list[float]) -> dict:
 
 
 def main() -> None:
+    global PORT
     n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 
@@ -164,12 +165,37 @@ def main() -> None:
         "same_version_steady": _pcts(steady_samples),
     }
 
+    # the Spark route (fast=False) on a second port — the honest
+    # comparison column: same store, same requests, every read a Spark
+    # job with projection routing
+    spark_port = PORT + 1
+    slow_app = create_app(EvmApi.from_store(store, fast=False))
+    threading.Thread(
+        target=lambda: slow_app.run(
+            port=spark_port, debug=False, use_reloader=False
+        ),
+        daemon=True,
+    ).start()
+    time.sleep(1.5)
+    PORT = spark_port
+    spark_route: dict[str, dict] = {}
+    for name, (method, path, body) in endpoints.items():
+        for _ in range(3):
+            _req(method, path, body)
+        samples = []
+        for _ in range(max(10, n_req // 2)):
+            t0 = time.perf_counter()
+            _req(method, path, body)
+            samples.append(time.perf_counter() - t0)
+        spark_route[name] = _pcts(samples)
+
     worst_p95 = max(r["p95_ms"] for r in results.values())
     print(json.dumps({
         "metric": "api_p95_ms",
         "value": worst_p95,
         "unit": "ms",
         "endpoints": results,
+        "spark_route": spark_route,
         "rebuild": rebuild,
         "n_blocks": n_blocks,
         "n_logs": n_logs,
