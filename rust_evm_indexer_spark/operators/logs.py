@@ -29,24 +29,35 @@ from ..functions.evm import hex_eq
 MAX_PAGE_SIZE = 100  # src/api.rs:26
 DEFAULT_PAGE_SIZE = 25  # src/api_models.rs:11-13
 
+#: O-12 response projection as (source column, response name) pairs —
+#: the single source of truth for BOTH execution tiers: the Spark plan
+#: builds its Columns from this list and the Arrow serving tier renames
+#: by it, so a one-sided edit cannot silently de-synchronize the
+#: response shapes (src/api.rs:118-124).
+LOGS_PROJECTION: list[tuple[str, str]] = [
+    ("id", "id"),
+    ("log_index_in_tx", "log_index"),
+    ("transaction_hash", "transaction_hash"),
+    ("transaction_index_in_block", "transaction_index"),
+    ("block_number", "block_number"),
+    ("block_hash", "block_hash"),
+    ("contract_address", "address"),
+    ("data", "data"),
+    ("topic0", "topic0"),
+    ("topic1", "topic1"),
+    ("topic2", "topic2"),
+    ("topic3", "topic3"),
+]
+
+
 def _projection() -> list[Column]:
     """O-12 — the projected/renamed response columns (src/api.rs:118-124).
     ``data`` is stored as the 0x… hex string (see schemas.py), so the
     reference's ENCODE(data,'escape') byte→text decode is the identity here.
     (Built lazily: Column construction needs an active session.)"""
     return [
-        F.col("id"),
-        F.col("log_index_in_tx").alias("log_index"),
-        F.col("transaction_hash"),
-        F.col("transaction_index_in_block").alias("transaction_index"),
-        F.col("block_number"),
-        F.col("block_hash"),
-        F.col("contract_address").alias("address"),
-        F.col("data"),
-        F.col("topic0"),
-        F.col("topic1"),
-        F.col("topic2"),
-        F.col("topic3"),
+        F.col(src) if src == out else F.col(src).alias(out)
+        for src, out in LOGS_PROJECTION
     ]
 
 

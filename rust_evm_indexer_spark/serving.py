@@ -40,25 +40,8 @@ from __future__ import annotations
 
 from typing import Any
 
-from .operators.logs import GetLogsFilter, LogsPage
+from .operators.logs import LOGS_PROJECTION, GetLogsFilter, LogsPage
 from .operators.lookups import parse_block_identifier, validate_tx_hash
-
-#: POST /logs response projection: source column -> response name
-#: (mirror of operators/logs._projection, src/api.rs:118-124)
-_LOGS_PROJECTION: list[tuple[str, str]] = [
-    ("id", "id"),
-    ("log_index_in_tx", "log_index"),
-    ("transaction_hash", "transaction_hash"),
-    ("transaction_index_in_block", "transaction_index"),
-    ("block_number", "block_number"),
-    ("block_hash", "block_hash"),
-    ("contract_address", "address"),
-    ("data", "data"),
-    ("topic0", "topic0"),
-    ("topic1", "topic1"),
-    ("topic2", "topic2"),
-    ("topic3", "topic3"),
-]
 
 
 class ArrowServing:
@@ -92,12 +75,24 @@ class ArrowServing:
         order and stop once ``stop_after`` rows are collected AND the
         ``stop_after``-th smallest (block_number, id) precedes every
         remaining fragment's min_block — early termination that cannot
-        drop a row of the final page even when fragments overlap."""
+        drop a row of the final page even when fragments overlap.
+
+        Python never sees more than ~``stop_after`` rows per fragment:
+        the filtered Arrow table is sorted + sliced C-side before
+        ``to_pylist`` (a low-selectivity filter over a million-row
+        fragment costs an Arrow sort, not a million Python dicts —
+        r12 review).  Responses carry the MANIFEST schema's columns
+        exactly like the Spark route: an evolved column a fragment
+        predates reads as None, never as a missing key."""
         import pyarrow.dataset as pa_ds
 
-        _, frags = self.store.prune_fragments(
+        m, frags = self.store.prune_fragments(
             table, min_block=min_block, max_block=max_block, equals=equals
         )
+        schema = self.store._read_schema(m, table)
+        ref_cols = columns
+        if ref_cols is None and schema is not None:
+            ref_cols = list(schema.names)
         if ordered:
             frags = sorted(
                 frags,
@@ -108,14 +103,20 @@ class ArrowServing:
             ds = pa_ds.dataset(
                 str(self.store.root / frag.path), format="parquet"
             )
-            cols = columns
+            cols = ref_cols
             if cols is not None:
                 present = set(ds.schema.names)
                 cols = [c for c in cols if c in present]
             tbl = ds.to_table(filter=pa_filter, columns=cols)
+            if stop_after is not None:
+                if ordered:
+                    tbl = tbl.sort_by(
+                        [("block_number", "ascending"), ("id", "ascending")]
+                    )
+                tbl = tbl.slice(0, stop_after)
             batch_rows = tbl.to_pylist()
-            if columns is not None and batch_rows and len(cols) != len(columns):
-                missing = [c for c in columns if c not in cols]
+            if ref_cols is not None and batch_rows and len(cols) != len(ref_cols):
+                missing = [c for c in ref_cols if c not in cols]
                 for r in batch_rows:
                     for c in missing:
                         r[c] = None  # evolved column absent here: NULL
@@ -190,7 +191,7 @@ class ArrowServing:
         rows = self._scan(
             "logs",
             pa_filter=expr,
-            columns=[src for src, _ in _LOGS_PROJECTION],
+            columns=[src for src, _ in LOGS_PROJECTION],
             min_block=eff_from,
             max_block=eff_to,
             equals=equals or None,
@@ -199,7 +200,7 @@ class ArrowServing:
         )
         rows.sort(key=lambda r: (r["block_number"], r["id"]))
         page = [
-            {out: r[src] for src, out in _LOGS_PROJECTION}
+            {out: r[src] for src, out in LOGS_PROJECTION}
             for r in rows[offset:target]
         ]
         if page:

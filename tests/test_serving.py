@@ -175,3 +175,41 @@ def test_api_fast_path_wiring(served_store):
     n = fast.post_logs(body)["logs"][0]["blockNumber"]
     assert fast.get_block(str(n)) == slow.get_block(str(n))
     assert fast.get_stats() == slow.get_stats()
+
+
+def test_scan_schema_evolution_parity(spark, tmp_path):
+    """r12 review: the Spark route applies the MANIFEST schema, so a
+    row from a pre-evolution fragment carries the evolved column as
+    null — the Arrow tier must return the identical dict (key present,
+    None), never a missing key.  (A neutral table name: the canonical
+    EVM tables carry static DDL schemas that would reject this
+    evolution.)"""
+    import pyarrow.dataset as pa_ds
+
+    store = TableStore(spark, tmp_path / "evo")
+    store.commit({
+        "t": spark.createDataFrame(
+            [(1, "0x" + "a" * 64)], "block_number long, h string"
+        )
+    })
+    store.commit({
+        "t": spark.createDataFrame(
+            [(2, "0x" + "b" * 64, 77)],
+            "block_number long, h string, quality long",
+        )
+    })
+    serving = ArrowServing(store)
+    spark_rows = {
+        r["block_number"]: r.asDict() for r in store.read("t").collect()
+    }
+    for n in (1, 2):
+        arrow_rows = serving._scan(
+            "t",
+            pa_filter=pa_ds.field("block_number") == n,
+            columns=None,
+            min_block=n,
+            max_block=n,
+            stop_after=1,
+        )
+        assert arrow_rows == [spark_rows[n]], n
+        assert "quality" in arrow_rows[0], n

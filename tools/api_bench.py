@@ -127,7 +127,10 @@ def main() -> None:
             "fromBlock": lo, "toBlock": hi,
         }),
         "post_logs_topic_page": ("POST", "/logs", {
-            "topics": [datagen.TRANSFER_SIG], "pageSize": 50,
+            # topic0, not "topics" — post_logs reads topic0..topic3
+            # only; the old "topics" key measured an UNFILTERED page
+            # (r12 review)
+            "topic0": datagen.TRANSFER_SIG, "pageSize": 50,
         }),
         "get_block": ("GET", f"/block/{some_block}", None),
         "get_transaction": ("GET", f"/transaction/{some_tx}", None),
