@@ -69,6 +69,38 @@ class ArrowServing:
         stop_after: int | None = None,
         ordered: bool = False,
     ) -> list[dict]:
+        """One bounded retry around :meth:`_scan_once`: a vacuum can
+        reclaim a fragment between this request's CURRENT resolution
+        and its read (the store's documented reader-grace contract) —
+        re-resolving and re-scanning against the fresh manifest turns
+        that transient into a correct answer instead of a 500.  A
+        second consecutive failure propagates (something is actually
+        wrong)."""
+        try:
+            return self._scan_once(
+                table, pa_filter=pa_filter, columns=columns,
+                min_block=min_block, max_block=max_block, equals=equals,
+                stop_after=stop_after, ordered=ordered,
+            )
+        except (FileNotFoundError, OSError):
+            return self._scan_once(
+                table, pa_filter=pa_filter, columns=columns,
+                min_block=min_block, max_block=max_block, equals=equals,
+                stop_after=stop_after, ordered=ordered,
+            )
+
+    def _scan_once(
+        self,
+        table: str,
+        *,
+        pa_filter,
+        columns: list[str] | None,
+        min_block: int | None = None,
+        max_block: int | None = None,
+        equals: dict[str, Any] | None = None,
+        stop_after: int | None = None,
+        ordered: bool = False,
+    ) -> list[dict]:
         """Prune → per-fragment pyarrow scan → row dicts.
 
         ``stop_after`` + ``ordered``: visit fragments in min_block

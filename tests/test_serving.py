@@ -213,3 +213,40 @@ def test_scan_schema_evolution_parity(spark, tmp_path):
         )
         assert arrow_rows == [spark_rows[n]], n
         assert "quality" in arrow_rows[0], n
+
+
+def test_scan_retries_once_after_vacuum_reclaim(spark, tmp_path):
+    """A fragment reclaimed between a request's CURRENT resolution and
+    its read (the reader-grace contract) retries against the fresh
+    manifest instead of surfacing a 500."""
+    import pyarrow.dataset as pa_ds
+
+    store = TableStore(spark, tmp_path / "retry")
+    store.commit({
+        "t": spark.createDataFrame(
+            [(1, "a"), (2, "b")], "block_number long, v string"
+        )
+    })
+    serving = ArrowServing(store)
+    calls = {"n": 0}
+    real = serving._scan_once
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError("fragment reclaimed mid-scan")
+        return real(*a, **kw)
+
+    serving._scan_once = flaky
+    rows = serving._scan(
+        "t", pa_filter=pa_ds.field("block_number") == 2, columns=None,
+        min_block=2, max_block=2, stop_after=1,
+    )
+    assert [r["v"] for r in rows] == ["b"] and calls["n"] == 2
+    # two consecutive failures propagate
+    calls["n"] = -1  # both attempts raise
+    serving._scan_once = lambda *a, **kw: (_ for _ in ()).throw(
+        FileNotFoundError("still gone")
+    )
+    with pytest.raises(FileNotFoundError):
+        serving._scan("t", pa_filter=None, columns=None)
