@@ -250,3 +250,87 @@ def test_scan_retries_once_after_vacuum_reclaim(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         serving._scan("t", pa_filter=None, columns=None)
+
+
+def test_serving_reads_stable_under_compaction_and_vacuum(spark, tmp_path):
+    """Chaos leg for the latency tier: Arrow page/point reads loop while
+    a committer, a compactor and an adversarial grace-zero vacuum churn
+    the store.  Counts are compaction-invariant, so every successful
+    read stays monotone; the bounded reclaim-retry absorbs the
+    reader-grace transients; final page exact."""
+    import threading
+
+    store = TableStore(spark, tmp_path / "chaos")
+    rows = 5
+
+    def batch(b):
+        return spark.createDataFrame(
+            [(b * 100 + i, f"0x{b:02x}{i:02x}", 100 + b) for i in range(rows)],
+            "id long, contract_address string, block_number long",
+        )
+
+    store.commit({"t": batch(0)})
+    stop = threading.Event()
+    failures: list[BaseException] = []
+    per_writer = 6
+
+    def writer():
+        w = TableStore(spark, tmp_path / "chaos")
+        try:
+            for a in range(per_writer):
+                w.commit_with_retry({"t": batch(1 + a)}, max_attempts=32)
+        except BaseException as e:  # noqa: BLE001
+            failures.append(e)
+        finally:
+            stop.set()
+
+    def compactor():
+        c = TableStore(spark, tmp_path / "chaos")
+        try:
+            while not stop.is_set():
+                try:
+                    c.compact("t", max_fragments=2)
+                except RuntimeError as e:
+                    if "concurrent commit" not in str(e) and \
+                            "forfeited" not in str(e) and \
+                            "claimed by" not in str(e):
+                        raise
+        except BaseException as e:  # noqa: BLE001
+            failures.append(e)
+
+    def sweeper():
+        s = TableStore(spark, tmp_path / "chaos")
+        try:
+            while not stop.is_set():
+                s.vacuum(grace_seconds=0, keep_manifests=200)
+        except BaseException as e:  # noqa: BLE001
+            failures.append(e)
+
+    def arrow_reader():
+        serving = ArrowServing(TableStore(spark, tmp_path / "chaos"))
+        import pyarrow.dataset as pa_ds
+
+        last = 0
+        try:
+            while not stop.is_set():
+                got = serving._scan(
+                    "t", pa_filter=pa_ds.field("id") >= 0, columns=["id"]
+                )
+                n = len(got)
+                assert n >= last and n % rows == 0, (n, last)
+                last = n
+        except BaseException as e:  # noqa: BLE001
+            failures.append(e)
+
+    threads = [threading.Thread(target=f)
+               for f in (writer, compactor, sweeper, arrow_reader)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not failures, failures
+    final = ArrowServing(TableStore(spark, tmp_path / "chaos"))
+    import pyarrow.dataset as pa_ds
+
+    got = final._scan("t", pa_filter=pa_ds.field("id") >= 0, columns=["id"])
+    assert len(got) == rows * (1 + per_writer)
