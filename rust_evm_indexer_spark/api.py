@@ -198,8 +198,16 @@ class EvmApi:
         except (TypeError, ValueError) as exc:
             raise ApiError(400, f"invalid filter: {exc}") from exc
         if self._serving is not None and self._logs is None:
-            # latency tier: same pruning tiers, no Spark job
-            page = self._serving.get_logs_page(flt)
+            from .serving import ServingFallback
+
+            try:
+                # latency tier: same pruning tiers, no Spark job
+                page = self._serving.get_logs_page(flt)
+            except ServingFallback:
+                # too many fragments survive pruning (hot key, no
+                # bounds): the Spark route's projection routing and
+                # distributed scan own this shape
+                page = run_get_logs_from_store(self.store, flt)
         elif self.store is not None and self._logs is None:
             # store-backed Spark route: per-request source routing
             # (projection / bloom / dict / cursor pruning) over the
@@ -216,7 +224,12 @@ class EvmApi:
     def get_block(self, identifier: str) -> dict[str, Any]:
         try:
             if self._serving is not None and self._blocks is None:
-                row = self._serving.get_block(identifier)
+                from .serving import ServingFallback
+
+                try:
+                    row = self._serving.get_block(identifier)
+                except ServingFallback:
+                    row = get_block(self.blocks, identifier)
             else:
                 row = get_block(self.blocks, identifier)
         except ValueError as exc:
@@ -228,7 +241,12 @@ class EvmApi:
     def get_transaction(self, tx_hash: str) -> dict[str, Any]:
         try:
             if self._serving is not None and self._transactions is None:
-                row = self._serving.get_transaction(tx_hash)
+                from .serving import ServingFallback
+
+                try:
+                    row = self._serving.get_transaction(tx_hash)
+                except ServingFallback:
+                    row = get_transaction(self.transactions, tx_hash)
             else:
                 row = get_transaction(self.transactions, tx_hash)
         except ValueError as exc:

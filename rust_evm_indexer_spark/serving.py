@@ -44,16 +44,29 @@ from .operators.logs import LOGS_PROJECTION, GetLogsFilter, LogsPage
 from .operators.lookups import parse_block_identifier, validate_tx_hash
 
 
+class ServingFallback(Exception):
+    """Raised when a request survives index-tier pruning with more
+    fragments than the latency tier should scan in-process — e.g. a
+    HOT address present in every fragment (blooms prune nothing) with
+    no block bounds.  The API layer falls back to the Spark route,
+    which has projection routing and distributed scan for exactly this
+    shape (r12 review): the tiers split by REQUEST COST, not by
+    endpoint."""
+
+
 class ArrowServing:
     """Point/page executor over a :class:`TableStore` via pyarrow.
 
     Reads are LIVE the same way the Spark API path is: every request
     resolves the CURRENT manifest (one tiny read), prunes fragments
     through the store's index tiers, and scans only the survivors with
-    parquet row-group predicate pushdown."""
+    parquet row-group predicate pushdown.  ``max_fragments`` bounds the
+    in-process work per request: past it, :class:`ServingFallback`
+    routes the request to the Spark path."""
 
-    def __init__(self, store):
+    def __init__(self, store, max_fragments: int = 64):
         self.store = store
+        self.max_fragments = max_fragments
 
     # -- shared fragment scan ------------------------------------------
 
@@ -82,7 +95,11 @@ class ArrowServing:
                 min_block=min_block, max_block=max_block, equals=equals,
                 stop_after=stop_after, ordered=ordered,
             )
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
+            # narrow on purpose (r12 review): FileNotFoundError is the
+            # reclaim signature both backends raise; a broader OSError
+            # (EMFILE, EACCES, disk errors) is not the vacuum race and
+            # must surface immediately, not after a doubled scan
             return self._scan_once(
                 table, pa_filter=pa_filter, columns=columns,
                 min_block=min_block, max_block=max_block, equals=equals,
@@ -121,6 +138,11 @@ class ArrowServing:
         m, frags = self.store.prune_fragments(
             table, min_block=min_block, max_block=max_block, equals=equals
         )
+        if len(frags) > self.max_fragments:
+            raise ServingFallback(
+                f"{table}: {len(frags)} fragments survive pruning "
+                f"(> {self.max_fragments}) — route to the Spark path"
+            )
         schema = self.store._read_schema(m, table)
         ref_cols = columns
         if ref_cols is None and schema is not None:
@@ -156,9 +178,14 @@ class ArrowServing:
             if stop_after is not None and len(rows) >= stop_after:
                 if not ordered:
                     break  # point lookup: any hit suffices
-                bound = sorted(
-                    (r["block_number"], r["id"]) for r in rows
-                )[stop_after - 1][0]
+                import heapq
+
+                # k-th smallest via a bounded heap, not a full re-sort
+                # of the accumulated rows per iteration (r12 review)
+                bound = heapq.nsmallest(
+                    stop_after,
+                    ((r["block_number"], r["id"]) for r in rows),
+                )[-1][0]
                 rest = frags[i + 1:]
                 if all(
                     f.min_block is not None and f.min_block > bound

@@ -3369,15 +3369,29 @@ class TableStore:
         frag.bytes = self._dio.dir_bytes(rel)
         return frag
 
-    def _staged_parts(self, staging_rel: str) -> list[Path]:
+    def _staged_parts(self, staging_rel: str):
         """The ``part-*.parquet`` files Spark left under a staging
-        prefix, via the data-tier listing (glob is a POSIX-ism)."""
-        return [
+        prefix, via the data-tier listing (glob is a POSIX-ism).
+
+        A generator that HEARTBEATS the staging prefix before each
+        yield (r12 review): on object semantics the prefix's dir_mtime
+        is the newest REMAINING object — fixed at Spark-write time, so
+        a long adoption loop (compact / projection build, each part
+        followed by bloom/dict indexing) would age the whole prefix
+        past vacuum's orphan floor mid-consumption.  The same
+        per-iteration re-arm `_maintain_fragments_batched` does."""
+        parts = [
             self.root / k
             for k in self._dio.list_files(staging_rel)
             if k.rsplit("/", 1)[-1].startswith("part-")
             and k.endswith(".parquet")
         ]
+        for part in parts:
+            try:
+                self._dio.touch_dir(staging_rel)
+            except (OSError, FileNotFoundError):
+                pass  # fully consumed / vanished: the read fails loudly
+            yield part
 
     def vacuum(self, *, grace_seconds: float = 0.0, keep_manifests: int = 10) -> int:
         """Delete fragment dirs unreferenced by the CURRENT manifest (old
@@ -3461,24 +3475,34 @@ class TableStore:
         # only the record's OWN paths — a checkpoint's full list, a
         # delta's adds + projection-update adds — no chain re-resolution;
         # the union over all records covers every chain member's
-        # referenced set by construction.  Resolution failures only
-        # shrink the set: the miss direction floors MORE dirs, never
-        # deletes sooner.  Direction matters: a record NEWER than the
-        # ``v_snap`` snapshot is a commit that landed (or is landing —
-        # roll-forward makes its manifest put decisive) DURING this
-        # vacuum, so its paths join ``live`` outright; granting them the
-        # caller's grace_seconds gate would let vacuum(0) delete data an
-        # acknowledged manifest references (found live by the chaos
-        # interleaving test).
+        # referenced set by construction.  Direction matters: a record
+        # NEWER than the ``v_snap`` snapshot is a commit that landed (or
+        # is landing — roll-forward makes its manifest put decisive)
+        # DURING this vacuum, so its paths join ``live`` outright;
+        # granting them the caller's grace_seconds gate would let
+        # vacuum(0) delete data an acknowledged manifest references
+        # (found live by the chaos interleaving test).  Failure
+        # handling is direction-dependent too (r12 review, second
+        # pass): a read failure on a record <= v_snap only FLOORS its
+        # dirs longer (safe); a failure on a NEWER record would demote
+        # must-be-live paths to the floor — and the floor can expire
+        # during a long ever-loop — so that failure aborts fragment
+        # reclamation for this pass instead (manifest pruning still
+        # proceeds: keep already protects the newest window + chains).
         ever = set(live)
+        skip_dir_reclaim = False
         for v in sorted(set(files) | keep):
             if v == 0 or v == v_snap:
                 continue  # the snapshot is `live`; v0 is the empty store
             try:
                 rec = self._read_version_record(v)
             except (OSError, json.JSONDecodeError):
+                if v > v_snap:
+                    skip_dir_reclaim = True
                 continue
             if rec is None:
+                if v > v_snap:
+                    skip_dir_reclaim = True
                 continue
             sink = live if v > v_snap else ever
             if "base" in rec:  # delta record
@@ -3511,11 +3535,13 @@ class TableStore:
                         .to_pylist()
                     )
                 except (OSError, ValueError, KeyError):
+                    if v > v_snap:  # must-be-live paths unknown
+                        skip_dir_reclaim = True
                     continue
         now = _time.time()
         claim_grace = max(grace_seconds, self.claim_grace_seconds)
         removed = 0
-        for rel in self._dio.list_fragment_dirs():
+        for rel in [] if skip_dir_reclaim else self._dio.list_fragment_dirs():
             if rel in live:
                 continue
             # two-tier age gate: retained-version rewrites honor the

@@ -1508,3 +1508,48 @@ def test_chaos_with_compaction_and_vacuum_converges(spark, tmp_path):
     for fl in final.current_manifest().tables.values():
         for f in fl:
             assert final._dio.dir_exists(f.path), f.path
+
+
+def test_vacuum_aborts_reclaim_when_newer_record_unreadable(
+    spark, tmp_path
+):
+    """r12 review, second pass: a version record NEWER than vacuum's
+    CURRENT snapshot routes its paths into the undeletable live set —
+    so a failed READ of such a record must abort fragment reclamation
+    for the pass (the paths are unknowable), never demote them to the
+    age floor.  Older-record failures keep the shrink-only behavior."""
+    fake = InMemoryObjectStoreIO()
+    store = _mk(spark, tmp_path / "s", fake)
+    store.commit({"pts": _batch(spark, 0)})
+    store.commit({"pts": _batch(spark, 1)})  # replaces nothing; adds
+
+    sweeper = _mk(spark, tmp_path / "s", fake)
+    # freeze the sweeper's snapshot at v1, then let v2 "land" after it
+    v_snap = 1
+    real_cv = sweeper.current_version
+
+    calls = {"n": 0}
+
+    def staged_version():
+        calls["n"] += 1
+        return v_snap if calls["n"] == 1 else real_cv()
+
+    sweeper.current_version = staged_version
+    # the newer (v2) record read fails transiently
+    real_read = sweeper._read_version_record
+
+    def flaky_read(v):
+        if v > v_snap:
+            raise OSError("transient backend failure")
+        return real_read(v)
+
+    sweeper._read_version_record = flaky_read
+    # v2's fragments are fresh AND would be mis-floored; age them past
+    # the envelope to prove the abort (not the floor) is what saves them
+    for rel in store._dio.list_fragment_dirs():
+        old = store._dio.dir_mtime(rel) - store.claim_grace_seconds - 5
+        for dirpath, _, files in os.walk(tmp_path / "s" / rel):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (old, old))
+    assert sweeper.vacuum(grace_seconds=0) == 0  # reclaim aborted
+    assert _mk(spark, tmp_path / "s", fake).read("pts").count() == 20

@@ -340,3 +340,42 @@ def test_serving_reads_stable_under_compaction_and_vacuum(spark, tmp_path):
 
     got = final._scan("t", pa_filter=pa_ds.field("id") >= 0, columns=["id"])
     assert len(got) == rows * (1 + per_writer)
+
+
+def test_hot_key_falls_back_to_spark_route(spark, tmp_path):
+    """r12 review: a hot address surviving bloom pruning in more
+    fragments than the latency tier should scan in-process raises
+    ServingFallback, and the API layer serves the identical page via
+    the Spark route (projection routing's home turf)."""
+    from rust_evm_indexer_spark.api import EvmApi
+    from rust_evm_indexer_spark.serving import ServingFallback
+
+    store = TableStore(spark, tmp_path / "hot")
+    hot = "0x" + "ab" * 20
+    for b in range(4):
+        store.commit({
+            "logs": spark.createDataFrame(
+                [(b * 10 + i, hot, 100 + b, i, f"0xt{b}{i}", i,
+                  "0xbh", "0x00", None, None, None, None)
+                 for i in range(3)],
+                "id long, contract_address string, block_number long, "
+                "log_index_in_tx long, transaction_hash string, "
+                "transaction_index_in_block long, block_hash string, "
+                "data string, topic0 string, topic1 string, "
+                "topic2 string, topic3 string",
+            )
+        })
+    serving = ArrowServing(store, max_fragments=2)
+    flt = GetLogsFilter(address=hot, page_size=5)
+    with pytest.raises(ServingFallback):
+        serving.get_logs_page(flt)
+    # under the cutoff the same request serves in-process
+    assert len(ArrowServing(store).get_logs_page(flt).logs) == 5
+
+    api = EvmApi.from_store(store)
+    api._serving.max_fragments = 2
+    spark_page = run_get_logs_from_store(store, flt)
+    body = api.post_logs({"address": hot, "pageSize": 5})
+    assert [r["id"] for r in body["logs"]] == [
+        r["id"] for r in spark_page.logs
+    ]

@@ -299,8 +299,13 @@ def main() -> int:
     # small-band warnings must surface on EVERY exit path (r12 review):
     # dropping them here means the developer fixes the listed big
     # regression, re-runs, and only then discovers — or never does —
-    # the 1.3-1.9x small-entry drift that rode the same run
-    _handle_small_warnings(verdict["warnings"], cur, adjudicate=False)
+    # the 1.3-1.9x small-entry drift that rode the same run.  The
+    # --adjudicate-small flag is honored here too (second review pass).
+    confirmed = _handle_small_warnings(verdict["warnings"], cur,
+                                       adjudicate=args.adjudicate_small)
+    for name, t0, med in confirmed:
+        print(f"  {name:36s} {t0:7.2f}s -> isolated {med:7.2f}s  "
+              f"({med / t0:.2f}x)  [small-band, confirmed]")
     print("name the cause (EXPLAINED in tools/bench_regression.py) or fix it")
     return 2
 
