@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import spread_small_input
 from .dedup import normalize_text
 
 # ---------------------------------------------------------------------
@@ -484,7 +485,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     Docs shorter than 3 words have no 3-grams and drop out (inner join),
     mirrored exactly by the oracle; the driver corpus min length is 10.
     """
-    words = df.select(
+    words = spread_small_input(df, "doc_id").select(
         F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
     )
     s2, s3 = _rep_stats(words, 2), _rep_stats(words, 3)
@@ -527,7 +528,7 @@ def substring_dup_stats(
     spans (threshold 0.5 ⇒ the planted near-dup cohort fails, organic
     docs pass).
     """
-    words = df.select(
+    words = spread_small_input(df, "doc_id").select(
         F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
     )
     grams = _gram_multiset(words, k)
@@ -720,7 +721,7 @@ def dedup_spans_global(
     norm = normalize_text(text_col)
     ws = F.split(norm, " ")
     n_spans = F.ceil(F.size(ws) / F.lit(span_words)).cast("int")
-    spans = df.select(
+    spans = spread_small_input(df, "doc_id").select(
         "doc_id",
         F.posexplode(
             F.transform(

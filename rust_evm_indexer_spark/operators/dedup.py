@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import spread_small_input
+
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for dedup: lowercase, strip non-alphanumerics,
@@ -63,7 +65,7 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     lambda re-runs the regex pipeline k·n times per document (measured
     ~30× slowdown at 5k docs).
     """
-    words = df.select(
+    words = spread_small_input(df, "doc_id").select(
         F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
     )
     ws = F.col("_ws")
@@ -266,7 +268,7 @@ def doc_term_vectors(
     the normalized text — a deterministic, engine-portable 'embedding'
     (the implicit dimension space is the n-gram vocabulary; no hashing, so
     any SQL engine can replay it exactly)."""
-    words = df.select(
+    words = spread_small_input(df, "doc_id").select(
         F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
     )
     ws = F.col("_ws")
@@ -485,7 +487,7 @@ def winnow_fingerprints(
         raise ValueError("k and window must be >= 1")
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    words = df.select(
+    words = spread_small_input(df, id_col).select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("_ws")
     ).where((F.size("_ws") >= k) & (F.element_at("_ws", 1) != ""))
     # md5 hashes the joined gram text (what the SQL oracle replays);

@@ -334,10 +334,12 @@ def unigram_nll(df: DataFrame, text_col: str = "text") -> DataFrame:
     round, so both engines see bit-identical means by construction
     (same policy as the verify-skill decimal-aggregation rule).
     """
+    from ..util import spread_small_input
     from .dedup import normalize_text
 
     words = (
-        df.select("doc_id", F.split(normalize_text(text_col), " ").alias("ws"))
+        spread_small_input(df, "doc_id")
+        .select("doc_id", F.split(normalize_text(text_col), " ").alias("ws"))
         .select("doc_id", F.explode("ws").alias("word"))
         .where(F.col("word") != "")
     )
@@ -363,9 +365,10 @@ def unigram_nll(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _token_arrays(df: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, ws) with the normalized word array; drops docs that
     normalize to nothing (split('') yields [''])."""
+    from ..util import spread_small_input
     from .dedup import normalize_text
 
-    return df.select(
+    return spread_small_input(df, "doc_id").select(
         "doc_id", F.split(normalize_text(text_col), " ").alias("ws")
     ).where((F.size("ws") > 0) & (F.element_at("ws", 1) != ""))
 

@@ -6,9 +6,42 @@ import tempfile
 import zipfile
 from pathlib import Path
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 _SHIPPED: set[int] = set()
+
+
+def spread_small_input(
+    df: DataFrame, key: str | None = None, target: int | None = None
+) -> DataFrame:
+    """Scale-adaptive scan spreading (optimization guide §2.5: one
+    unsplittable input file ⇒ "repartition immediately after the read").
+
+    The local test corpora are single-row-group parquet files, so the
+    scan — and every narrow transform ABOVE it (normalize / split /
+    k-gram explode / hash chains, exactly where the dedup and text
+    operators spend their compute) — runs as ONE task on one core.
+    Repartitioning the raw rows first costs one tiny exchange (the
+    un-exploded documents) and parallelizes the expensive exploded
+    stage across the executor width.
+
+    Scale adaptivity: the repartition fires only when the scan is
+    narrower than half the default parallelism.  On a real layout
+    (100 TB ⇒ tens of thousands of row-group splits) the partition
+    count already exceeds the core count and this is a NO-OP — the
+    added shuffle is bounded by (cores × maxPartitionBytes), never
+    data-scaled.  With ``key`` the exchange is hash partitioning (no
+    sort-before-repartition pass); otherwise round-robin.
+    """
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # non-scan frames with exotic plans: leave as-is
+        return df
+    if n * 2 >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:

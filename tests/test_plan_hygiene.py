@@ -7,6 +7,8 @@ columns pruned, small dims broadcast, top-k instead of global sort.
 
 from __future__ import annotations
 
+import re
+
 from rust_evm_indexer_spark.catalog import CATALOG
 from rust_evm_indexer_spark.operators import GetLogsFilter, get_logs
 from rust_evm_indexer_spark.plans import (
@@ -554,11 +556,18 @@ def test_incremental_dedup_stored_bands_never_shuffle(spark, tmp_path):
 
 
 def test_chunk_documents_is_one_narrow_projection(spark):
-    """RAG chunking must plan as scan -> project/generate with ZERO
-    Exchange and zero Python: the fan-out happens in-partition after
-    the scan, never through a shuffle."""
+    """RAG chunking must plan as scan -> project/generate with zero
+    Python and no post-explode shuffle: the fan-out happens
+    in-partition, so the CHUNKS never cross an Exchange.  The one
+    allowed Exchange is the scale-adaptive pre-explode doc spread
+    (util.spread_small_input — hash on doc_id over the raw docs,
+    bounded by cores x maxPartitionBytes, a no-op on a real multi-split
+    layout), which carries un-exploded rows only."""
     plan = physical_plan(CATALOG["chunk_documents"].fn(spark, SF))
-    assert "Exchange" not in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, plan
+    if n_exchanges:  # only the bounded doc spread, never the chunks
+        assert "hashpartitioning(doc_id" in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Generate" in plan, plan  # the posexplode fan-out
 
