@@ -6529,6 +6529,11 @@ def clear_session_caches() -> None:
     # drain here because callers are done with their `kept` frames by
     # the time a new bench entry starts (ADVICE r6)
     sim.release_admit_caches()
+    # operator-internal multi-consumer frames (winnowed fingerprints,
+    # gram multisets, span carves) registered via util.persist_shared
+    from .util import release_shared_caches
+
+    release_shared_caches()
 
 
 _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import spread_small_input
+from ..util import persist_shared, spread_small_input
 from .dedup import normalize_text
 
 # ---------------------------------------------------------------------
@@ -485,8 +485,11 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     Docs shorter than 3 words have no 3-grams and drop out (inner join),
     mirrored exactly by the oracle; the driver corpus min length is 10.
     """
-    words = spread_small_input(df, "doc_id").select(
-        F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
+    # the split word array feeds both the 2-gram and 3-gram rollups
+    words = persist_shared(
+        spread_small_input(df, "doc_id").select(
+            F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
+        )
     )
     s2, s3 = _rep_stats(words, 2), _rep_stats(words, 3)
     j = s2.join(s3, "doc_id")
@@ -531,7 +534,9 @@ def substring_dup_stats(
     words = spread_small_input(df, "doc_id").select(
         F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
     )
-    grams = _gram_multiset(words, k)
+    # the gram multiset feeds the per-doc AND the corpus-global
+    # aggregates: persist it once instead of exploding the corpus twice
+    grams = persist_shared(_gram_multiset(words, k))
     per_doc = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     global_df = grams.groupBy("gram").agg(
         F.count_distinct("doc_id").alias("n_docs")
@@ -721,18 +726,23 @@ def dedup_spans_global(
     norm = normalize_text(text_col)
     ws = F.split(norm, " ")
     n_spans = F.ceil(F.size(ws) / F.lit(span_words)).cast("int")
-    spans = spread_small_input(df, "doc_id").select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - F.lit(1)),
-                lambda i: F.array_join(
-                    F.slice(ws, i * span_words + F.lit(1), span_words), " "
-                ),
-            )
-        ).alias("span_id", "span"),
-    ).withColumn(
-        "eligible", F.size(F.split(F.col("span"), " ")) == F.lit(span_words)
+    # the carved span frame feeds the owner aggregate, the keep join AND
+    # the per-doc totals: persist it once instead of re-carving the
+    # corpus three times (the generator subtree is embedded per consumer)
+    spans = persist_shared(
+        spread_small_input(df, "doc_id").select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice(ws, i * span_words + F.lit(1), span_words), " "
+                    ),
+                )
+            ).alias("span_id", "span"),
+        ).withColumn(
+            "eligible", F.size(F.split(F.col("span"), " ")) == F.lit(span_words)
+        )
     )
     owners = (
         spans.where("eligible")

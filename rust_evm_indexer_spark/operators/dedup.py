@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import spread_small_input
+from ..util import persist_shared, spread_small_input
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -153,14 +153,16 @@ def minhash_signatures(
     """(doc_id, sig array<long>): sig[i] = min over shingles of
     xxhash64(i, shingle).  Seeded xxhash64 *is* the family of independent
     permutations — JVM-side, no UDF, no dictionary to broadcast."""
+    # single-string F.expr parses: building the 64 aggregate columns as
+    # nested Column objects costs hundreds of py4j round-trips (~0.3 s
+    # per plan construction, measured); the parsed expressions are
+    # identical (same literal types, same hash values)
     agg_min = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(n_perm)
+        F.expr(f"min(xxhash64({i}, shingle)) AS h{i}") for i in range(n_perm)
     ]
     per_doc = shingles.groupBy("doc_id").agg(*agg_min)
-    return per_doc.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig")
-    )
+    sig = "array(" + ", ".join(f"h{i}" for i in range(n_perm)) + ")"
+    return per_doc.select("doc_id", F.expr(sig).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -191,28 +193,24 @@ def minhash_lsh_pairs(
     own_shingles = shingles is None
     sh = word_shingles(df, k=k) if own_shingles else shingles
     if own_shingles:
-        sh = sh.persist()
+        sh = persist_shared(sh)
     # fused: the 64 per-doc min-hashes and the banded bucket hashes are
-    # one groupBy + one projection (no intermediate signature array)
+    # one groupBy + one projection (no intermediate signature array);
+    # both built as single-string F.expr parses — the nested-Column form
+    # costs hundreds of py4j round-trips per plan construction (~0.5 s,
+    # measured) for byte-identical expressions
     per_doc = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_perm)
-        ]
+        *[F.expr(f"min(xxhash64({i}, shingle)) AS h{i}") for i in range(n_perm)]
     )
-    bands_col = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.col(f"h{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("bucket"),
-            )
+    bands_col = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} AS band, xxhash64("
+            + ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+            + ") AS bucket)"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = per_doc.select("doc_id", F.explode(bands_col).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -231,8 +229,8 @@ def minhash_lsh_pairs(
         # every consumer subtree, multiplying both execution AND codegen
         # (the generated 64-agg class is large enough that re-JITing each
         # copy dominates wall time on a warm session)
-        .persist()
     )
+    cand = persist_shared(cand)
     # verify ONLY candidates: restrict the shingle index to docs that
     # appear in some candidate pair before the (expensive) intersection
     # join — verification cost scales with duplicate density, not corpus²
@@ -315,6 +313,10 @@ def embedding_cosine_pairs(
     candidates — dense dims join everything with everything.
     Output: (a_id, b_id, cos_sim), a_id < b_id, cos_sim rounded to 6dp.
     """
+    # the vector table feeds the hot-dim aggregate, the norms, and both
+    # sides of the dimension join — persist it once or the (possibly
+    # expensive) generator plan is embedded once per consumer
+    vectors = persist_shared(vectors)
     if top_dim_cap is not None:
         hot = (
             vectors.groupBy(dim_col)
@@ -373,22 +375,22 @@ def simhash_signatures(
     partial aggregates with map-side combine.
     """
     sh = shingles if shingles is not None else word_shingles(df, text_col=text_col, k=k)
+    # single-string F.expr parses for the 64 vote aggregates and the
+    # 64-term bit pack: the nested-Column form costs hundreds of py4j
+    # round-trips per plan construction for identical expressions
     hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
     votes = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS v{b}"
+        )
         for b in range(SIMHASH_BITS)
     ]
     agg = hashed.groupBy("doc_id").agg(*votes)
-    sim = None
-    for b in range(SIMHASH_BITS):
-        bit = (
-            F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return agg.select("doc_id", sim.alias("simhash"))
+    pack = " | ".join(
+        f"shiftleft(CAST(v{b} > 0 AS LONG), {b})" for b in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", F.expr(pack).alias("simhash"))
 
 
 def simhash_pairs(
@@ -423,8 +425,12 @@ def simhash_pairs(
             for b in range(SIMHASH_BANDS)
         ]
     )
-    banded = sigs.select("doc_id", "simhash", F.explode(bands_col).alias("bb")).select(
-        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # banded feeds both sides of the bucket self-join: persist it once
+    # or the 64-vote signature aggregate is embedded (and run) twice
+    banded = persist_shared(
+        sigs.select("doc_id", "simhash", F.explode(bands_col).alias("bb")).select(
+            "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
     )
     cand = (
         banded.alias("a")
@@ -542,9 +548,15 @@ def winnow_pairs(
     the worst key's fan-out; same recall trade as ngram_jaccard's
     top_shingle_cap, and winnowing guarantees survivors for any shared
     run longer than k+window-1 words)."""
-    fp = winnow_fingerprints(
-        df, text_col=text_col, k=k, window=window, id_col=id_col,
-        hash_fn=hash_fn,
+    # the fingerprint frame feeds the df-cap aggregate AND both sides
+    # of the pair self-join: without the persist the whole winnowing
+    # generator (split → md5 grams → window-min → explode) is embedded
+    # THREE times in the physical plan and executed three times
+    fp = persist_shared(
+        winnow_fingerprints(
+            df, text_col=text_col, k=k, window=window, id_col=id_col,
+            hash_fn=hash_fn,
+        )
     )
     rare = fp.groupBy("fp").agg(F.count("*").alias("_df")).where(
         F.col("_df") <= doc_freq_cap

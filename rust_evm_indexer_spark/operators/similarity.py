@@ -274,11 +274,19 @@ def semantic_dedup_pairs(
     # Assignment goes through the broadcast-join form: k grows with the
     # corpus under the SemDeDup scaling rule, and the literal-array form
     # leaves codegen at large k.
+    # The assigned frame feeds BOTH sides of the pair join below; without
+    # the persist the whole assign subtree (corpus scan + centroid
+    # crossJoin + rank window) is embedded twice in the physical plan
+    # and the corpus pays two full assignment passes.  The cache is
+    # released with the rest of the session's admit-family caches
+    # (release_admit_caches — wired into the catalog's
+    # clear_session_caches), same lifecycle as semantic_admit's.
     assigned = assign_cells_join(
         embeddings, centroids, id_col=id_col, vec_col=vec_col
     ).select(
         F.col(id_col), F.col("cell"), F.col(vec_col), _norm(F.col(vec_col)).alias("_n")
-    )
+    ).persist()
+    _ADMIT_CACHES.append(assigned)
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         "cell",

@@ -163,11 +163,13 @@ def bm25_topk(
     double expressions; the per-doc sum across terms goes through
     DECIMAL(27,15) (order-independent), and ranking uses the 6dp-rounded
     score with doc_id tiebreak — same policy as unigram_nll."""
+    from ..util import persist_shared, spread_small_input
     from .dedup import normalize_text
 
     terms = [t.lower() for t in query_terms]
     words = (
-        df.select("doc_id", F.split(normalize_text(text_col), " ").alias("ws"))
+        spread_small_input(df, "doc_id")
+        .select("doc_id", F.split(normalize_text(text_col), " ").alias("ws"))
         .select("doc_id", F.explode("ws").alias("word"))
         .where(F.col("word") != "")
     )
@@ -175,12 +177,18 @@ def bm25_topk(
     # same doc_id-keyed aggregation (a second scan for tf would re-run
     # normalize+explode — measured ~2× the entry).  The per-term columns
     # unpivot back to (doc_id, word, tf) rows for the scoring join.
-    per_doc = words.groupBy("doc_id").agg(
-        F.count("*").alias("dl"),
-        *[
-            F.sum((F.col("word") == F.lit(t)).cast("long")).alias(f"_tf_{i}")
-            for i, t in enumerate(terms)
-        ],
+    # per_doc feeds the tf unpivot AND the corpus stats aggregate (and
+    # through tf, the df aggregate and the scoring join): persist the
+    # one-row-per-doc rollup so the explode+aggregate runs once, not
+    # once per consumer.
+    per_doc = persist_shared(
+        words.groupBy("doc_id").agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum((F.col("word") == F.lit(t)).cast("long")).alias(f"_tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
     )
     stack_args = ", ".join(f"'{t}', _tf_{i}" for i, t in enumerate(terms))
     tf = per_doc.select(
@@ -334,10 +342,13 @@ def unigram_nll(df: DataFrame, text_col: str = "text") -> DataFrame:
     round, so both engines see bit-identical means by construction
     (same policy as the verify-skill decimal-aggregation rule).
     """
-    from ..util import spread_small_input
+    from ..util import persist_shared, spread_small_input
     from .dedup import normalize_text
 
-    words = (
+    # the exploded word stream feeds the vocabulary aggregate AND the
+    # scoring join; the vocabulary feeds the total AND the broadcast —
+    # persist the words once so the normalize/split/explode runs once
+    words = persist_shared(
         spread_small_input(df, "doc_id")
         .select("doc_id", F.split(normalize_text(text_col), " ").alias("ws"))
         .select("doc_id", F.explode("ws").alias("word"))
@@ -401,8 +412,18 @@ def stupid_backoff_nll(
     same policy as unigram_nll), so Spark and the DuckDB oracle agree
     bit-for-bit.
     """
-    docs = _token_arrays(df, text_col)
-    model = _token_arrays(model_df if model_df is not None else df, text_col)
+    from ..util import persist_shared
+
+    # the token arrays fan into unigram/bigram extraction on the model
+    # side and pair/base extraction on the doc side — persist each
+    # (one bounded row per doc), and share one frame when the model IS
+    # the corpus (the default), halving the tokenize passes
+    docs = persist_shared(_token_arrays(df, text_col))
+    model = (
+        docs
+        if model_df is None
+        else persist_shared(_token_arrays(model_df, text_col))
+    )
 
     m_words = model.select(F.explode("ws").alias("word"))
     uni = m_words.groupBy("word").agg(F.count("*").alias("c1"))
@@ -502,8 +523,17 @@ def stupid_backoff_trigram_nll(
     triple extraction, never a window shuffle.  DECIMAL(27,15) per-term
     accumulation keeps partial-aggregation order out of the result, so
     the DuckDB oracle matches bit-for-bit."""
-    docs = _token_arrays(df, text_col)
-    model = _token_arrays(model_df if model_df is not None else df, text_col)
+    from ..util import persist_shared
+
+    # persist the token arrays (bounded: one row per doc) — they fan
+    # into every n-gram extraction below; share one frame when the
+    # model IS the corpus (the default)
+    docs = persist_shared(_token_arrays(df, text_col))
+    model = (
+        docs
+        if model_df is None
+        else persist_shared(_token_arrays(model_df, text_col))
+    )
 
     m_words = model.select(F.explode("ws").alias("word"))
     uni = m_words.groupBy("word").agg(F.count("*").alias("c1"))
@@ -671,8 +701,17 @@ def stupid_backoff_ngram_nll(
     evaluate the identical scalar tree."""
     if not 2 <= n <= 5:
         raise ValueError(f"n must be in [2, 5], got {n}")
-    docs = _token_arrays(df, text_col)
-    model = _token_arrays(model_df if model_df is not None else df, text_col)
+    from ..util import persist_shared
+
+    # persist the token arrays (bounded: one row per doc) — they fan
+    # into every n-gram extraction below; share one frame when the
+    # model IS the corpus (the default)
+    docs = persist_shared(_token_arrays(df, text_col))
+    model = (
+        docs
+        if model_df is None
+        else persist_shared(_token_arrays(model_df, text_col))
+    )
 
     m_words = model.select(F.explode("ws").alias("word"))
     uni = m_words.groupBy("word").agg(F.count("*").alias("c1"))
