@@ -9,7 +9,9 @@ from __future__ import annotations
 
 import re
 
-from rust_evm_indexer_spark.catalog import CATALOG
+import pytest
+
+from rust_evm_indexer_spark.catalog import CATALOG, clear_session_caches
 from rust_evm_indexer_spark.operators import GetLogsFilter, get_logs
 from rust_evm_indexer_spark.plans import (
     assert_broadcast_join,
@@ -24,6 +26,18 @@ from rust_evm_indexer_spark.plans import (
 from conftest import SF_ORACLE
 
 SF = str(SF_ORACLE)
+
+
+@pytest.fixture(autouse=True)
+def _plan_pins_see_uncached_plans(spark):
+    """Plan pins assert the INTRINSIC plan shape.  Earlier test files
+    (e.g. the full catalog-oracle replay) leave ``persist_shared`` /
+    session-cache frames live, and Spark's CacheManager substitutes any
+    matching cached subtree into later plans — an InMemoryTableScan
+    whose stored child plan carries its own numbered Exchange, which
+    the Exchange-count pins would miscount as a plan regression."""
+    clear_session_caches()
+    yield
 
 
 def test_get_logs_pushes_filters_to_scan(evm):
