@@ -723,15 +723,28 @@ def dedup_spans_global(
     removed are retained with empty ``clean_text`` so the output stays
     row-aligned with the input corpus.
     """
-    norm = normalize_text(text_col)
-    ws = F.split(norm, " ")
+    # the word array is materialized behind a select boundary BEFORE the
+    # carve lambda: expressions referenced inside a transform() are
+    # re-evaluated per array element, so inlining split(normalize(text))
+    # re-ran the whole regex pipeline once per SPAN — ~n_words/span_words
+    # times per document (the word_shingles lesson; measured 3.1 s → 0.3 s
+    # for the carve at sf0.1 in the r12 optimization round)
+    words = spread_small_input(df, "doc_id").select(
+        F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
+    )
+    ws = F.col("_ws")
     n_spans = F.ceil(F.size(ws) / F.lit(span_words)).cast("int")
-    # the carved span frame feeds the owner aggregate, the keep join AND
-    # the per-doc totals: persist it once instead of re-carving the
-    # corpus three times (the generator subtree is embedded per consumer)
+    # eligibility is structural — every span but the last is full, and
+    # the last is full iff span_words divides the word count — so it
+    # costs integer arithmetic, not a re-split of each span's text
+    # (value-identical: normalize yields no empty words, and an empty
+    # doc normalizes to [''] whose single span is 1 word, ineligible)
+    # the carved span frame feeds the owner aggregate AND the keep join:
+    # persist it once instead of re-carving the corpus per consumer
     spans = persist_shared(
-        spread_small_input(df, "doc_id").select(
+        words.select(
             "doc_id",
+            F.size(ws).alias("_nw"),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), n_spans - F.lit(1)),
@@ -740,8 +753,14 @@ def dedup_spans_global(
                     ),
                 )
             ).alias("span_id", "span"),
-        ).withColumn(
-            "eligible", F.size(F.split(F.col("span"), " ")) == F.lit(span_words)
+        ).select(
+            "doc_id",
+            "span_id",
+            "span",
+            (
+                (F.col("span_id") < F.ceil(F.col("_nw") / F.lit(span_words)) - 1)
+                | (F.col("_nw") % span_words == 0)
+            ).alias("eligible"),
         )
     )
     owners = (
@@ -754,31 +773,38 @@ def dedup_spans_global(
             F.col("o.span_id").alias("o_span"),
         )
     )
-    kept = spans.join(owners, "span", "left").where(
-        (~F.col("eligible"))
-        | ((F.col("doc_id") == F.col("o_doc")) & (F.col("span_id") == F.col("o_span")))
+    # reassembly + totals in ONE doc_id aggregation (optimization round
+    # r12, guide §2.4): the old shape ran a second groupBy(doc_id) over
+    # the span frame just to count rows and joined it back — a whole
+    # extra Exchange + aggregate + join for a value the reassembly pass
+    # can count in place.  Non-kept spans ride through as NULL structs,
+    # which collect_list skips, so the kept-struct array, the kept
+    # count, and the total count all come out of the same partial
+    # aggregation.  Output is value-identical: docs whose every span is
+    # removed yield an empty collect_list → array_join '' (what the
+    # old left-join + coalesce produced).
+    keep = (~F.col("eligible")) | (
+        (F.col("doc_id") == F.col("o_doc")) & (F.col("span_id") == F.col("o_span"))
     )
-    rebuilt = kept.groupBy("doc_id").agg(
+    flagged = spans.join(owners, "span", "left").select(
+        "doc_id",
+        F.when(keep, F.struct("span_id", "span")).alias("_ks"),
+    )
+    agg = flagged.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("span_id", "span"))),
-                lambda s: s["span"],
+                F.array_sort(F.collect_list("_ks")), lambda s: s["span"]
             ),
             " ",
         ).alias("clean_text"),
-        F.count("*").alias("n_spans_kept"),
+        F.count("*").alias("n_spans"),
+        F.count("_ks").alias("n_spans_kept"),
     )
-    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_spans_kept", F.lit(0)).cast("long").alias("n_spans_kept"),
-            (F.col("n_spans") - F.coalesce("n_spans_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_spans_dropped"),
-        )
+    return agg.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
+        (F.col("n_spans") - F.col("n_spans_kept")).cast("long").alias("n_spans_dropped"),
     )
 
 

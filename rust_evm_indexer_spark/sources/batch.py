@@ -23,6 +23,33 @@ from pyspark.sql import types as T
 
 from ..schemas import DRIVER_TABLES, EVM_SCHEMAS
 
+# Session-level TABLE-PLAN memo (optimization guide §1.2/§6: planning and
+# file-listing cost is driver-side, single-process work — a real engine
+# resolves a table once per session through its catalog, not once per
+# query).  ``spark.read.parquet`` costs ~150 ms per call on this host
+# (file listing + footer schema read + relation resolution), and a full
+# catalog drive issues ~200 such calls for the same ten immutable files.
+# The memo stores the LAZY DataFrame (logical plan + schema) only — no
+# rows, no ``.persist()`` — so every downstream action still scans the
+# parquet from disk; this is metadata caching, the same category as
+# Spark's own session-scoped FileStatusCache.  Keyed by file identity
+# (size + mtime) so a rewritten fixture invalidates naturally.
+_TABLE_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memo_key(spark: SparkSession, path: Path, extra: str = "") -> tuple | None:
+    try:
+        st = path.stat()
+        return (
+            spark.sparkContext.applicationId,
+            str(path),
+            st.st_size,
+            st.st_mtime_ns,
+            extra,
+        )
+    except OSError:
+        return None
+
 
 def load_driver_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
     """Read one driver table.  Parquet TIMESTAMP(NANOS) columns (the
@@ -37,9 +64,15 @@ def load_driver_table(spark: SparkSession, sf_dir: str | Path, name: str) -> Dat
     a non-UTC session would shift every literal boundary."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+    path = Path(sf_dir) / f"{name}.parquet"
+    key = _memo_key(spark, path)
+    if key is not None and key in _TABLE_PLAN_MEMO:
+        return _TABLE_PLAN_MEMO[key]
+    df = spark.read.parquet(str(path))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if key is not None:
+        _TABLE_PLAN_MEMO[key] = df
     return df
 
 
@@ -63,5 +96,12 @@ def load_evm_tables(spark: SparkSession, fixture_dir: str | Path) -> dict[str, D
     for name, schema in EVM_SCHEMAS.items():
         path = Path(fixture_dir) / f"{name}.parquet"
         if path.exists():
-            out[name] = spark.read.schema(schema).parquet(str(path))
+            key = _memo_key(spark, path, extra="evm")
+            if key is not None and key in _TABLE_PLAN_MEMO:
+                out[name] = _TABLE_PLAN_MEMO[key]
+                continue
+            df = spark.read.schema(schema).parquet(str(path))
+            if key is not None:
+                _TABLE_PLAN_MEMO[key] = df
+            out[name] = df
     return out
