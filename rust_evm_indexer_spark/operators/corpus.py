@@ -69,13 +69,15 @@ def connected_components(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: round 1's convergence aggregate materializes these along
+        # with its own work — the eager form cost two extra up-front jobs
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -88,7 +90,12 @@ def connected_components(
             .union(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the convergence aggregate right below is
+            # the round's first action, so it materializes the
+            # checkpoint AND returns the label sum in ONE job — the
+            # eager form ran a separate materialization job per round,
+            # doubling the loop's job count (r12 optimization round)
+            .localCheckpoint(eager=False)
         )
         row = new_labels.agg(F.sum("comp").alias("s")).first()
         labels = new_labels
@@ -534,13 +541,20 @@ def substring_dup_stats(
     words = spread_small_input(df, "doc_id").select(
         F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")
     )
-    # the gram multiset feeds the per-doc AND the corpus-global
-    # aggregates: persist it once instead of exploding the corpus twice
-    grams = persist_shared(_gram_multiset(words, k))
-    per_doc = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
-    global_df = grams.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    # ONE aggregation pass over the exploded gram multiset: the per-doc
+    # (doc, gram) counts are computed once and PERSISTED, and the global
+    # gram→distinct-doc table is derived from them — per_doc is already
+    # distinct on (doc, gram), so count(*) per gram IS count_distinct
+    # (doc_id) per gram.  The old shape persisted the raw multiset and
+    # re-aggregated it with a count_distinct (two passes over the
+    # corpus-sized stream + the distinct machinery; r12 optimization
+    # round, guide §2.3 "aggregate before you shuffle").
+    per_doc = persist_shared(
+        _gram_multiset(words, k)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
     )
+    global_df = per_doc.groupBy("gram").agg(F.count("*").alias("n_docs"))
     joined = per_doc.join(global_df, "gram")
     stats = joined.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_windows"),
@@ -829,6 +843,13 @@ def length_histogram(
     ).where(F.element_at("_ws", 1) != "").select(
         "_g", F.size("_ws").alias("n_tokens")
     )
+    return _length_histogram_from_counts(toks, by)
+
+
+def _length_histogram_from_counts(toks: DataFrame, by: str) -> DataFrame:
+    """The bucket/rollup tail of :func:`length_histogram` over a
+    pre-tokenized ``(_g, n_tokens)`` frame (shared by corpus_report's
+    one-scan path)."""
     # floor(log2(n)) as an exact integer: length of the binary repr - 1
     bucket = (F.length(F.conv(F.col("n_tokens"), 10, 2)) - 1).cast("long")
     return (
@@ -927,14 +948,21 @@ def corpus_report(
     a corpus rescan.  The delta-pipeline demo prints it per snapshot
     version; dedup/gate counters (per-round, not per-snapshot) ride the
     demo's own report beside it."""
-    from .textops import zipf_slope
+    from .textops import zipf_slope_from_tokens
 
-    toks = df.select(
-        F.split(normalize_text(text_col), " ").alias("_ws")
-    ).where(F.element_at("_ws", 1) != "").select(
-        F.size("_ws").alias("n_tokens")
+    # ONE normalize/split scan feeds all three sections (r12 optimization,
+    # guide §2.4: the old shape re-tokenized the corpus once per section —
+    # three full regex+split passes for one report).  The shared frame is
+    # one bounded row per doc (group keys + word array), persisted for the
+    # life of the entry via the session registry.
+    base = persist_shared(
+        spread_small_input(df, "doc_id").select(
+            F.col(lang_col),
+            F.col(source_col),
+            F.split(normalize_text(text_col), " ").alias("ws"),
+        ).where(F.element_at("ws", 1) != "")
     )
-    tot = toks.agg(
+    tot = base.select(F.size("ws").alias("n_tokens")).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
@@ -953,7 +981,7 @@ def corpus_report(
                  ).alias("value")),
     )).alias("e")).select("e.*")
 
-    z = zipf_slope(df, by=lang_col, text_col=text_col, top_ranks=top_ranks)
+    z = zipf_slope_from_tokens(base, by=lang_col, top_ranks=top_ranks)
     zl = z.select(F.explode(F.array(
         F.struct(F.lit("zipf").alias("section"),
                  F.col(lang_col).alias("k"),
@@ -965,7 +993,12 @@ def corpus_report(
                  F.col("slope").cast("double").alias("value")),
     )).alias("e")).select("e.*")
 
-    h = length_histogram(df, by=source_col, text_col=text_col)
+    h = _length_histogram_from_counts(
+        base.select(
+            F.col(source_col).alias("_g"), F.size("ws").alias("n_tokens")
+        ),
+        by=source_col,
+    )
     hk = F.concat_ws("/", F.col(source_col), F.col("bucket"))
     hl = h.select(F.explode(F.array(*[
         F.struct(F.lit("length").alias("section"), hk.alias("k"),

@@ -212,8 +212,15 @@ def minhash_lsh_pairs(
         )
         + ")"
     )
-    banded = per_doc.select("doc_id", F.explode(bands_col).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # pin the banded frame (bands·1 rows per doc — bounded, tiny next to
+    # the shingle stream): the bucket self-join consumes it on BOTH
+    # sides, and without the pin the 64-wide minhash aggregate subtree
+    # is embedded — and executed, and JIT-compiled — twice (r12
+    # optimization round; measured ~1 s of the entry)
+    banded = persist_shared(
+        per_doc.select("doc_id", F.explode(bands_col).alias("bb")).select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
     )
     cand = (
         banded.alias("a")
@@ -239,7 +246,14 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # pin the candidate-restricted shingle slice: _pair_jaccard consumes
+    # it THREE times (both join sides + the per-doc sizes), and each
+    # consumer otherwise re-probes the full shingle frame through the
+    # semi-join — three passes over the corpus-sized stream for a
+    # duplicate-density-sized result (r12 optimization round)
+    sh_cand = persist_shared(
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    )
     exact = _pair_jaccard(sh_cand)
     return (
         cand.join(exact, ["a_id", "b_id"])
@@ -318,12 +332,20 @@ def embedding_cosine_pairs(
     # expensive) generator plan is embedded once per consumer
     vectors = persist_shared(vectors)
     if top_dim_cap is not None:
+        # a sparse vector table is unique on (id, dim) by contract, so
+        # count(*) per dim IS the distinct-doc frequency — the old
+        # count_distinct paid the distinct machinery for nothing (r12)
         hot = (
             vectors.groupBy(dim_col)
-            .agg(F.countDistinct(id_col).alias("df"))
+            .agg(F.count("*").alias("df"))
             .filter(F.col("df") > top_dim_cap)
         )
-        vectors = vectors.join(F.broadcast(hot), dim_col, "left_anti")
+        # pin the FILTERED frame too: norms and both join sides consume
+        # it, and each would otherwise re-run the broadcast anti-join
+        # over the cached vectors — three passes instead of one (r12)
+        vectors = persist_shared(
+            vectors.join(F.broadcast(hot), dim_col, "left_anti")
+        )
     norms = vectors.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col(val_col) * F.col(val_col))).alias("nrm")
     )

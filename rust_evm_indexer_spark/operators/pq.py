@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.batch import read_parquet_memo
+
 DEFAULT_M = 8
 DEFAULT_K = 16
 TRAIN_SAMPLE_CAP = 4096
@@ -217,6 +219,18 @@ def pq_encode(
     )
 
 
+def _adc_sum_expr(tables: list[list[float]], codes_col: str = "codes") -> str:
+    """SQL text of the per-row ADC fold: Σ_s table_s[code_s] — one
+    element_at into a literal double array per subspace, emitted as a
+    single parseable expression."""
+    return " + ".join(
+        "element_at(array("
+        + ", ".join(f"{float(v)!r}D" for v in tables[s])
+        + f"), element_at({codes_col}, {s + 1}) + 1)"
+        for s in range(len(tables))
+    )
+
+
 def pq_search(
     codes: DataFrame,
     codebooks: list[list[list[float]]],
@@ -252,16 +266,13 @@ def pq_search(
         )
         norms.append([sum(c * c for c in cent) for cent in codebooks[s]])
 
-    def table(vals: list[float], s: int) -> F.Column:
-        return F.element_at(
-            F.array(*[F.lit(float(v)) for v in vals]),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        )
-
-    sum_dot = sum((table(dots[s], s) for s in range(1, m)), table(dots[0], 0))
-    sum_norm = sum(
-        (table(norms[s], s) for s in range(1, m)), table(norms[0], 0)
-    )
+    # the m lookup tables × k literals each are built as ONE F.expr parse
+    # instead of m·k py4j Column constructions (~0.3-0.5 s of plan build
+    # per query at m=8,k=16; r12 optimization round).  repr() emits the
+    # shortest round-trip decimal and the 'D' suffix makes it a double
+    # literal, so the parsed values are bit-identical to F.lit(float).
+    sum_dot = F.expr(_adc_sum_expr(dots))
+    sum_norm = F.expr(_adc_sum_expr(norms))
     out = codes
     if exclude_ids:
         out = out.where(~F.col(id_col).isin(*exclude_ids))
@@ -453,7 +464,7 @@ def ivfpq_search(
 
     probe = index.probe_cells(query_vec, n_probe)
     if not by_residual:
-        codes = spark.read.parquet(str(codes_dir)).filter(
+        codes = read_parquet_memo(spark, codes_dir).filter(
             F.col("cell").isin(probe)
         )
         return pq_search(
@@ -479,12 +490,6 @@ def ivfpq_search(
         )
         norms.append([sum(c * c for c in cent) for cent in codebooks[s]])
 
-    def lookup(vals: list[float], s: int) -> F.Column:
-        return F.element_at(
-            F.array(*[F.lit(float(v)) for v in vals]),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        )
-
     scans = []
     for c in probe:
         cent = [float(x) for x in index.centroids[c]]
@@ -503,21 +508,19 @@ def ivfpq_search(
             ]
             for s in range(m)
         ]
-        sum_dot = sum(
-            (lookup(dots[s], s) for s in range(1, m)), lookup(dots[0], 0)
-        )
-        sum_norm = sum(
-            (lookup(norms[s], s) for s in range(1, m)), lookup(norms[0], 0)
-        )
-        sum_cross = sum(
-            (lookup(cross[s], s) for s in range(1, m)), lookup(cross[0], 0)
-        )
+        # single-parse ADC folds (see _adc_sum_expr) + a memoized read of
+        # the immutable codes export — the per-cell loop otherwise pays
+        # m·k·3 py4j literal constructions and a fresh parquet resolution
+        # per probe cell (r12 optimization round)
+        sum_dot = F.expr(_adc_sum_expr(dots))
+        sum_norm = F.expr(_adc_sum_expr(norms))
+        sum_cross = F.expr(_adc_sum_expr(cross))
         sim = (F.lit(qc) + sum_dot) / (
             F.lit(qnorm)
             * F.sqrt(F.lit(nc) + F.lit(2.0) * sum_cross + sum_norm)
         )
         scan = (
-            spark.read.parquet(str(codes_dir))
+            read_parquet_memo(spark, codes_dir)
             .filter(F.col("cell") == int(c))
             .select(index.id_col, F.round(sim, 6).alias("sim_pq"))
         )
@@ -717,7 +720,7 @@ def ivfpq_knn_join(
         )
     )
 
-    codes = spark.read.parquet(str(codes_dir))
+    codes = read_parquet_memo(spark, codes_dir)
     if not by_residual:
         cand = probes.select(q_id_col, "cell").join(codes, "cell").select(
             q_id_col,

@@ -864,6 +864,12 @@ def zipf_slope(
         F.split(normalize_text(text_col), " ").alias("ws"),
     ).where((F.size("ws") > 0) & (F.element_at("ws", 1) != ""))
     words = toks.select("_g", F.explode("ws").alias("word"))
+    return _zipf_from_words(words, by, top_ranks)
+
+
+def _zipf_from_words(words: DataFrame, by: str, top_ranks: int) -> DataFrame:
+    """The rank/fit tail of :func:`zipf_slope` over an exploded
+    ``(_g, word)`` stream (shared by the pre-tokenized entry point)."""
     freq = words.groupBy("_g", "word").agg(F.count("*").alias("freq"))
     from pyspark.sql import Window
 
@@ -906,6 +912,22 @@ def zipf_slope(
         F.col("_g").alias(by),
         F.col("n").cast("long").alias("n_types"),
         F.round(slope, 6).alias("slope"),
+    )
+
+
+def zipf_slope_from_tokens(
+    tokens: DataFrame, by: str, top_ranks: int = 1000
+) -> DataFrame:
+    """:func:`zipf_slope` over a pre-tokenized ``(by, ws)`` frame — lets
+    a multi-section report (corpus_report) share ONE normalize/split
+    scan across its diagnostics instead of re-tokenizing the corpus per
+    section.  ``tokens`` must already carry the materialized word array
+    as ``ws`` with empty-normalization rows dropped (the same filter
+    :func:`zipf_slope` applies)."""
+    return _zipf_from_words(
+        tokens.select(F.col(by).alias("_g"), F.explode("ws").alias("word")),
+        by,
+        top_ranks,
     )
 
 

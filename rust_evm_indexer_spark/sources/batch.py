@@ -76,6 +76,26 @@ def load_driver_table(spark: SparkSession, sf_dir: str | Path, name: str) -> Dat
     return df
 
 
+def read_parquet_memo(spark: SparkSession, path: str | Path) -> DataFrame:
+    """``spark.read.parquet`` through the session table-plan memo — for
+    immutable materialized exports (PQ codes, IVF stores, fixture
+    snapshots) that many catalog entries re-resolve per call.  For a
+    directory the key uses the newest data-file mtime, so a regenerated
+    export invalidates naturally."""
+    p = Path(path)
+    anchor = p
+    if p.is_dir():
+        files = sorted(p.glob("*.parquet"), key=lambda f: f.stat().st_mtime_ns)
+        anchor = files[-1] if files else p
+    key = _memo_key(spark, anchor, extra=f"dir:{p}")
+    if key is not None and key in _TABLE_PLAN_MEMO:
+        return _TABLE_PLAN_MEMO[key]
+    df = spark.read.parquet(str(p))
+    if key is not None:
+        _TABLE_PLAN_MEMO[key] = df
+    return df
+
+
 def load_driver_tables(
     spark: SparkSession, sf_dir: str | Path, names: tuple[str, ...] = DRIVER_TABLES
 ) -> dict[str, DataFrame]:
