@@ -2800,7 +2800,14 @@ def _semdedup_centroids(spark, sf_dir: str) -> list[list[float]]:
     from pathlib import Path as _P
 
     emb = _t(spark, sf_dir, "embeddings")
-    k = max(8, emb.count() // _SEMDEDUP_TARGET_CELL)
+    # corpus size from the parquet footer (driver-side, no Spark job —
+    # the count is table metadata, not a computation; r12)
+    import pyarrow.parquet as _papq
+
+    n_vecs = _papq.ParquetFile(
+        str(_P(sf_dir) / "embeddings.parquet")
+    ).metadata.num_rows
+    k = max(8, n_vecs // _SEMDEDUP_TARGET_CELL)
     if k == 8:
         # same params as the kmeans8 IVF quantizer (k=8, iters=3,
         # deterministic lowest-id init) → identical centroids; reuse its

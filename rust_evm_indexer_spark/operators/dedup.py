@@ -91,7 +91,11 @@ def _pair_jaccard(
     """All-pairs Jaccard from an (doc_id, shingle) inverted index."""
     if top_shingle_cap is not None:
         df_freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
-        shingles = (
+        # pin the capped frame: the sizes aggregate and BOTH self-join
+        # sides consume it, and each would otherwise re-run the
+        # broadcast anti-join over the corpus-sized shingle stream —
+        # three passes instead of one (r12 optimization round)
+        shingles = persist_shared(
             shingles.join(
                 F.broadcast(df_freq.filter(F.col("df") > top_shingle_cap)),
                 "shingle",

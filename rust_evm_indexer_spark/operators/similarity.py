@@ -210,15 +210,22 @@ def assign_cells_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """``assign_cells`` via a broadcast centroid JOIN + per-row rank
-    window instead of a k-wide literal expression array.  Same rule
+    """``assign_cells`` via a broadcast centroid JOIN + argmax
+    aggregation instead of a k-wide literal expression array.  Same rule
     (argmax cosine, ties → lowest cell) and bit-identical sims, but the
     centroid matrix rides as DATA, so it scales to large k where the
     literal form blows past codegen limits and falls back to
-    interpreted evaluation (measured ~10× at k≈80).  This is the same
-    broadcast-rank shape as IvfIndex.knn_join's probe assignment."""
-    from pyspark.sql.window import Window
+    interpreted evaluation (measured ~10× at k≈80).
 
+    The argmax is ``min_by(cell, struct(-sim, cell))`` under a
+    ``groupBy(id)`` — the r12 optimization form: the cross-joined rows
+    for one vector sit in one input partition, so the partial aggregate
+    collapses k rows (each dragging the full embedding array) to ONE
+    before the exchange, where the old rank-window form shuffled all
+    k copies and sorted them (guide §2.3, aggregate before you
+    shuffle).  Selection is identical: max sim, ties to the lowest
+    cell; the non-key columns are constant within a group, so first()
+    is deterministic."""
     spark = embeddings.sparkSession
     cent_rows = []
     for i, c in enumerate(centroids):
@@ -231,12 +238,15 @@ def assign_cells_join(
     )
     staged = embeddings.select("*", _norm(F.col(vec_col)).alias("_vn"))
     sim = _dot(F.col(vec_col), F.col("_cent")) / (F.col("_vn") * F.col("_cn"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    rest = [c for c in embeddings.columns if c != id_col]
     return (
         staged.crossJoin(F.broadcast(cents))
         .withColumn("_sim", sim)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.expr("min_by(cell, struct(-_sim, cell))").alias("cell"),
+            *[F.first(c).alias(c) for c in rest],
+        )
         .select(*embeddings.columns, "cell")
     )
 
@@ -856,9 +866,14 @@ def semantic_admit(
     kept_within = assigned.join(
         F.broadcast(within_losers), idc, "left_anti"
     ).persist()
-    n_within_kept = kept_within.count()
-
-    delta_cells = [int(r["cell"]) for r in kept_within.select("cell").distinct().collect()]
+    # ONE job returns the within-kept count AND the delta's probe cells
+    # (the old shape ran a second collect for the distinct cells — a
+    # whole extra job over a delta-sized frame; r12 optimization round)
+    _row = kept_within.agg(
+        F.count("*").alias("n"), F.collect_set("cell").alias("cells")
+    ).first()
+    n_within_kept = _row["n"]
+    delta_cells = [int(c) for c in _row["cells"]]
     stored = index.vectors().filter(F.col("cell").isin(delta_cells))
     st = stored.select(
         "cell", F.col(vc).alias("_vs"), _norm(F.col(vc)).alias("_ns")

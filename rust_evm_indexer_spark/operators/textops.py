@@ -859,6 +859,9 @@ def zipf_slope(
     slope) with slope rounded to 6dp."""
     from .dedup import normalize_text
 
+    # NOT scan-spread: A/B-measured in r12 — zipf's narrow stage is cheap
+    # enough that the extra exchange costs more than the parallelism buys
+    # (unlike the winnowing/spans carves, where spreading won 2-3×)
     toks = df.select(
         F.col(by).alias("_g"),
         F.split(normalize_text(text_col), " ").alias("ws"),

@@ -61,11 +61,19 @@ def get_spark(
         # scans) leave the default tiered C2: the warm-up amortizes and
         # peak throughput wins; this flag is driver-JVM-only and is NOT
         # set on spark.executor.extraJavaOptions for exactly that reason.
+        #
+        # ReservedCodeCacheSize: 2g, up from the r7 512m (r12 measurement:
+        # a long catalog session's accumulated codegen classes fill 512m,
+        # and the code-cache sweeper then degrades identical queries 60%+
+        # within one session — repeated same-plan runs drifted 1.8→2.9 s
+        # at 512m and stayed flat at 2g.  Reserved ≠ committed: the JVM
+        # commits code-cache pages only as used, so the cost of the
+        # larger reservation is virtual address space, not RAM).
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JVM_OPTS",
-                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
+                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=2g",
             ),
         )
     )
