@@ -4537,8 +4537,14 @@ def funnel_conversion(spark, sf_dir):
             s = s.join(prev, "user_id").where(F.col("t") >= F.col(prev_t))
         return s.groupBy("user_id").agg(F.min("t").alias(out_t))
 
-    v = stage("view", None, "", "t1")
-    c = stage("click", v, "t1", "t2")
+    from .util import persist_shared
+
+    # each stage frame feeds BOTH the next stage's join and its own
+    # count: without the pins stage k's whole subtree is embedded (and
+    # executed) once per downstream consumer — v ran 3x, c 2x (r12
+    # optimization round).  Per-user frames are |users| rows, bounded.
+    v = persist_shared(stage("view", None, "", "t1"))
+    c = persist_shared(stage("click", v, "t1", "t2"))
     p = stage("purchase", c, "t2", "t3")
 
     def count_row(df, stage_no: int, etype: str):

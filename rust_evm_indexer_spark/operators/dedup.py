@@ -147,6 +147,13 @@ def ngram_jaccard_pairs(
 
 # -- MinHash + LSH -------------------------------------------------------
 
+import itertools as _it
+
+#: unique temp-view suffix per minhash_lsh_pairs call (the staged-SQL
+#: build registers session temp views; the counter keeps concurrent or
+#: repeated calls from clobbering each other's views mid-build)
+_MH_VIEW_SEQ = _it.count()
+
 N_PERM = 64  # minhash permutations
 LSH_BANDS = 16  # 16 bands × 4 rows: P(candidate | J=0.8) ≈ 0.9996
 
@@ -226,43 +233,73 @@ def minhash_lsh_pairs(
             "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
     )
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .distinct()
-        # pin the (tiny) candidate list: it feeds cand_docs, the verify
-        # semi-join, and the final join — without the pin the banded
-        # self-join over the 64-wide signature aggregate is embedded in
-        # every consumer subtree, multiplying both execution AND codegen
-        # (the generated 64-agg class is large enough that re-JITing each
-        # copy dominates wall time on a warm session)
+    # The candidate + verify tail is built as three staged spark.sql
+    # statements over temp views instead of ~20 incremental DataFrame
+    # ops (r12 optimization round): PySpark classic eagerly re-analyzes
+    # the ENTIRE logical tree on every op, and over the 64-wide minhash
+    # subtree each op costs ~40 ms — measured ~1.3 s of plan build
+    # incrementally vs ~0.5 s as single-analysis SQL.  The SQL spells
+    # the IDENTICAL operations (same joins, same predicates, same
+    # broadcast hint, same persist boundaries), so the optimized
+    # physical plan — and the output — are unchanged.
+    spark = sh.sparkSession
+    seq = next(_MH_VIEW_SEQ)
+    v_sh, v_banded, v_cand, v_shc = (
+        f"_mh_sh_{seq}", f"_mh_banded_{seq}",
+        f"_mh_cand_{seq}", f"_mh_shc_{seq}",
     )
-    cand = persist_shared(cand)
+    banded.createOrReplaceTempView(v_banded)
+    # candidate pairs: bucket equi-join; pinned — it feeds the verify
+    # semi-join and the final join, and without the pin the banded
+    # self-join over the 64-wide signature aggregate is embedded in
+    # every consumer subtree, multiplying execution AND codegen
+    cand = persist_shared(
+        spark.sql(
+            f"SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id"
+            f" FROM {v_banded} a JOIN {v_banded} b USING (band, bucket)"
+            f" WHERE a.doc_id < b.doc_id"
+        )
+    )
+    cand.createOrReplaceTempView(v_cand)
+    sh.createOrReplaceTempView(v_sh)
     # verify ONLY candidates: restrict the shingle index to docs that
     # appear in some candidate pair before the (expensive) intersection
-    # join — verification cost scales with duplicate density, not corpus²
-    cand_docs = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .union(cand.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    # pin the candidate-restricted shingle slice: _pair_jaccard consumes
-    # it THREE times (both join sides + the per-doc sizes), and each
-    # consumer otherwise re-probes the full shingle frame through the
-    # semi-join — three passes over the corpus-sized stream for a
-    # duplicate-density-sized result (r12 optimization round)
+    # join — verification cost scales with duplicate density, not
+    # corpus².  Pinned: the exact-Jaccard computation consumes the
+    # slice THREE times (both join sides + the per-doc sizes).
     sh_cand = persist_shared(
-        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        spark.sql(
+            f"SELECT /*+ BROADCAST(c) */ s.doc_id, s.shingle"
+            f" FROM {v_sh} s LEFT SEMI JOIN"
+            f" (SELECT a_id AS doc_id FROM {v_cand}"
+            f"  UNION SELECT b_id FROM {v_cand}) c"
+            f" ON s.doc_id = c.doc_id"
+        )
     )
-    exact = _pair_jaccard(sh_cand)
-    return (
-        cand.join(exact, ["a_id", "b_id"])
-        .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
+    sh_cand.createOrReplaceTempView(v_shc)
+    # exact Jaccard over the candidate slice — _pair_jaccard's algebra
+    # verbatim (intersection equi-join on the shingle, per-doc sizes,
+    # |A∩B| / (|A| + |B| − |A∩B|)), one analysis pass
+    thr = f"{float(threshold)!r}D"
+    return spark.sql(
+        f"""
+        WITH sizes AS (SELECT doc_id, count(*) AS n_sh FROM {v_shc}
+                       GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                         count(*) AS isect
+                  FROM {v_shc} a JOIN {v_shc} b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+        SELECT c.a_id, c.b_id,
+               CAST(i.isect AS DOUBLE) / (na.n_sh + nb.n_sh - i.isect)
+                 AS jaccard
+        FROM {v_cand} c
+        JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+        JOIN sizes na ON na.doc_id = c.a_id
+        JOIN sizes nb ON nb.doc_id = c.b_id
+        WHERE CAST(i.isect AS DOUBLE) / (na.n_sh + nb.n_sh - i.isect)
+              >= {thr}
+        """
     )
 
 

@@ -38,7 +38,14 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     wedge + closure check — every join keyed, no cross product, hub
     fan-out bounded by degree orientation (module docstring).
     """
-    e = (
+    from ..util import persist_shared
+
+    # pin the canonical edge list and the oriented frame: e feeds the
+    # degree union (twice), the orientation join and the edge-count
+    # aggregate, and oriented feeds both wedge sides plus the closure
+    # join — without the pins each consumer re-runs the distinct /
+    # orientation subtree (r12 optimization round)
+    e = persist_shared(
         edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .where(F.col("a") != F.col("b"))
@@ -58,11 +65,11 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = withdeg.select(
+    oriented = persist_shared(withdeg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dw"),
-    )
+    ))
     # wedges at the triangle's minimum vertex: two out-edges (u,v),(u,w)
     # with v ≺ w — then the closing edge (v,w) must itself be oriented
     e1 = oriented.select(

@@ -62,13 +62,14 @@ def get_spark(
         # peak throughput wins; this flag is driver-JVM-only and is NOT
         # set on spark.executor.extraJavaOptions for exactly that reason.
         #
-        # ReservedCodeCacheSize: 2g, up from the r7 512m (r12 measurement:
-        # a long catalog session's accumulated codegen classes fill 512m,
-        # and the code-cache sweeper then degrades identical queries 60%+
-        # within one session — repeated same-plan runs drifted 1.8→2.9 s
-        # at 512m and stayed flat at 2g.  Reserved ≠ committed: the JVM
-        # commits code-cache pages only as used, so the cost of the
-        # larger reservation is virtual address space, not RAM).
+        # ReservedCodeCacheSize: 2g, up from the r7 512m — precautionary
+        # headroom only.  An r12 A/B first suggested 512m caused within-
+        # session drift, but -Xlog:codecache over a full catalog drive
+        # showed max_used = 65 MB: the cache never approached either
+        # limit, and the drift/per-entry spikes reproduce with 2g too
+        # (they are host-level noise, not JVM-internal).  Kept at 2g
+        # because reserved ≠ committed (pages commit only as used), so
+        # the larger reservation costs address space, not RAM.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
