@@ -31,7 +31,14 @@ ordering artifacts masqueraded as regressions):
 - **cold is the canonical per-entry regime**: session caches
   (catalog.py::clear_session_caches — shared shingle scans, capped pair
   lists, IVF indexes) are cleared before every entry, so each timing is
-  an independent measurement, comparable round-over-round;
+  an independent measurement, comparable round-over-round.  Carve-out
+  (documented per VERDICT r12 item 8): driver-side METADATA memos
+  survive the per-entry clear — sources/batch.py::_TABLE_PLAN_MEMO
+  (lazy table plans keyed by file size+mtime, no rows) and
+  util._SPREAD_DECISIONS (a boolean per analyzed scan shape).  These
+  are the session-catalog state a real engine keeps (the same category
+  as Spark's own FileStatusCache, which a cache clear also does not
+  drop); every cold entry still scans its parquet from disk;
 - **shared is the throughput regime**: one drive of the whole catalog
   with caches live (one shingle scan feeds four dedup flavors) — the
   realistic cost of the catalog as a workload, reported as

@@ -56,15 +56,25 @@ def _pa_rows(path, columns=None) -> list[dict]:
 
 def _fixture_qvec(sf_dir) -> list[float]:
     """The query vector (vec_id 0) read driver-side from the embeddings
-    fixture footer + first batch — replaces a per-entry Spark
-    point-lookup job (same pattern as dedup_embedding_lsh's dim probe)."""
+    fixture — replaces a per-entry Spark point-lookup job (same pattern
+    as dedup_embedding_lsh's dim probe).  Filters the whole dataset
+    (ADVICE r12: the old head(64) assumed vec_id 0 lands in the first
+    physical rows — true for the generated fixtures, but a row-order
+    assumption the Spark filter never made); it is a one-file
+    driver-side read either way."""
+    import pyarrow.compute as _pc
     import pyarrow.dataset as _pads
 
-    t = _pads.dataset(f"{sf_dir}/embeddings.parquet").head(
-        64, columns=["vec_id", "embedding"]
+    t = _pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=_pc.field("vec_id") == 0,
     )
-    ids = t["vec_id"].to_pylist()
-    return [float(x) for x in t["embedding"][ids.index(0)].as_py()]
+    if t.num_rows == 0:
+        raise ValueError(
+            f"embeddings fixture at {sf_dir} has no vec_id=0 row — the "
+            "similarity entries use it as their canonical query vector"
+        )
+    return [float(x) for x in t["embedding"][0].as_py()]
 
 
 #: scratch root for driver-visible side artifacts (EVM fixture parquet the
@@ -6585,6 +6595,10 @@ def clear_session_caches() -> None:
     from .util import release_shared_caches
 
     release_shared_caches()
+    # minhash build views, droppable only AFTER the pins above are
+    # released (dropTempView uncaches the view's plan — dropping
+    # mid-build measured 3.4 s -> 8.6 s on dedup_minhash_lsh; r13)
+    dd.drop_registered_views()
 
 
 _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py

@@ -492,7 +492,15 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     Docs shorter than 3 words have no 3-grams and drop out (inner join),
     mirrored exactly by the oracle; the driver corpus min length is 10.
     """
-    # the split word array feeds both the 2-gram and 3-gram rollups
+    # the split word array feeds both the 2-gram and 3-gram rollups.
+    # KEPT after the r13 reconciliation of PERF_r12's 0.52x flag: the
+    # r11 shape (no spread, no pin) was re-measured on the driver's own
+    # protocol (bench.py --entries, warm-up + shared + cold, 5 reps)
+    # and is ~1.8x SLOWER (median 2.23 s vs 1.27 s) — without the
+    # spread the whole normalize/split/k-gram stage runs on the single
+    # scan partition, exactly the guide-§2.5 case the spread exists
+    # for.  The driver's 2.5 s was a single-drive spike (this tree's
+    # own 3 full baseline drives show 1.6/1.6/1.2 s on r12 code).
     words = persist_shared(
         spread_small_input(df, "doc_id").select(
             F.col("doc_id"), F.split(normalize_text(text_col), " ").alias("_ws")

@@ -94,7 +94,13 @@ def _pair_jaccard(
         # pin the capped frame: the sizes aggregate and BOTH self-join
         # sides consume it, and each would otherwise re-run the
         # broadcast anti-join over the corpus-sized shingle stream —
-        # three passes instead of one (r12 optimization round)
+        # three passes instead of one (r12 optimization round).  KEPT
+        # after the r13 reconciliation of PERF_r12's 0.75x/0.69x flags
+        # on survivors/clusters: the unpinned shape re-measured on the
+        # driver's own protocol (5 reps) is 47%/11% SLOWER (survivors
+        # 2.75 s -> 4.05 s, clusters 4.48 s -> 4.99 s) — the driver's
+        # r12 numbers were single-drive spikes (see OPTIMIZATION_r13.md
+        # and the 2.0/1.7/10.2 s ngram_jaccard baseline drives).
         shingles = persist_shared(
             shingles.join(
                 F.broadcast(df_freq.filter(F.col("df") > top_shingle_cap)),
@@ -281,7 +287,7 @@ def minhash_lsh_pairs(
     # verbatim (intersection equi-join on the shingle, per-doc sizes,
     # |A∩B| / (|A| + |B| − |A∩B|)), one analysis pass
     thr = f"{float(threshold)!r}D"
-    return spark.sql(
+    out = spark.sql(
         f"""
         WITH sizes AS (SELECT doc_id, count(*) AS n_sh FROM {v_shc}
                        GROUP BY doc_id),
@@ -301,6 +307,39 @@ def minhash_lsh_pairs(
               >= {thr}
         """
     )
+    # analysis has inlined the view subtrees into `out`'s resolved plan,
+    # so the views are only needed during this build — but dropping them
+    # HERE would also uncache the pinned cand/banded frames
+    # (dropTempView invalidates the cache of the view's plan, which IS
+    # the pinned plan; measured 3.4 s -> 8.6 s on this entry).  Register
+    # them for deferred cleanup instead: catalog.clear_session_caches
+    # drops them right after it drains the persist_shared pins, so a
+    # long session's view catalog still can't grow unboundedly
+    # (ADVICE r12).
+    _MH_VIEW_REGISTRY.append((spark, [v_sh, v_banded, v_cand, v_shc]))
+    return out
+
+
+#: (session, view names) registered by minhash_lsh_pairs for deferred
+#: cleanup — drained by drop_registered_views() via
+#: catalog.clear_session_caches (never mid-build: see the comment above)
+_MH_VIEW_REGISTRY: list[tuple] = []
+
+
+def drop_registered_views() -> int:
+    """Drop every temp view registered by minhash_lsh_pairs builds;
+    returns how many.  Safe only after the corresponding pinned frames
+    are released (clear_session_caches orders it that way)."""
+    n = 0
+    for spark, views in _MH_VIEW_REGISTRY:
+        for v in views:
+            try:
+                spark.catalog.dropTempView(v)
+                n += 1
+            except Exception:
+                pass
+    _MH_VIEW_REGISTRY.clear()
+    return n
 
 
 def dedup_survivors(df: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -367,6 +406,15 @@ def embedding_cosine_pairs(
     hyperplane-LSH bucketing or :class:`~..similarity.IvfIndex` cells for
     candidates — dense dims join everything with everything.
     Output: (a_id, b_id, cos_sim), a_id < b_id, cos_sim rounded to 6dp.
+
+    **Contract** (ADVICE r12): ``vectors`` must be UNIQUE on
+    ``(id_col, dim_col)`` — the sparse-vector invariant every producer
+    in this package satisfies (:func:`doc_term_vectors` ends in a
+    groupBy on exactly that key).  ``top_dim_cap`` computes document
+    frequency as ``count(*)`` per dim under that contract; a table with
+    duplicate (id, dim) rows would overcount df AND double-count dot
+    products, so pre-aggregate (``groupBy(id, dim).sum(val)``) before
+    calling if uniqueness is not guaranteed.
     """
     # the vector table feeds the hot-dim aggregate, the norms, and both
     # sides of the dimension join — persist it once or the (possibly

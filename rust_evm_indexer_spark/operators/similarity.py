@@ -442,7 +442,16 @@ class IvfIndex:
         )[:n_probe]
 
     def vectors(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.index_dir / self.VECTORS))
+        # through the session table-plan memo (~150 ms of listing +
+        # footer + relation resolution per spark.read.parquet call).
+        # Safe for a MUTABLE index dir since r13: the memo key anchors
+        # on the newest data file found RECURSIVELY (appends write new
+        # files inside cell partitions, so the key changes and the plan
+        # re-resolves; the r12 non-recursive glob would have missed
+        # them, which is why this dir was excluded then — ADVICE r12).
+        from ..sources.batch import read_parquet_memo
+
+        return read_parquet_memo(self.spark, self.index_dir / self.VECTORS)
 
     def append(self, embeddings: DataFrame, *, cell_col: str | None = None) -> int:
         """Admit NEW vectors under the FROZEN coarse quantizer — the
@@ -840,7 +849,6 @@ def semantic_admit(
     assigned = assigned.select(
         idc, "cell", vc, _norm(F.col(vc)).alias("_n")
     ).persist()
-    n_batch = assigned.count()
 
     a = assigned.select(
         F.col(idc).alias("id_a"), "cell",
@@ -857,23 +865,31 @@ def semantic_admit(
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .where(wsim >= threshold)
-        .select(F.col("id_b").alias(idc))
+        .select(F.col("id_b").alias(idc), F.lit(True).alias("_wl"))
         .distinct()
     )
-    # persist + count ONCE: four downstream actions (cell collect, the
-    # two stats counts, the append write) would each re-run the
-    # within-batch cosine join otherwise — measured 3x the entry wall
-    kept_within = assigned.join(
-        F.broadcast(within_losers), idc, "left_anti"
-    ).persist()
-    # ONE job returns the within-kept count AND the delta's probe cells
-    # (the old shape ran a second collect for the distinct cells — a
-    # whole extra job over a delta-sized frame; r12 optimization round)
-    _row = kept_within.agg(
-        F.count("*").alias("n"), F.collect_set("cell").alias("cells")
+    # FLAG-join instead of anti-join (r13, guide §2.4 fewer passes):
+    # a left join against the distinct loser ids keeps every batch row
+    # once, so ONE aggregation job returns n_batch, the within-dropped
+    # count AND the survivors' probe cells — the r12 shape spent a
+    # whole separate job on `assigned.count()` and the caller's later
+    # action re-ran the cross join.  Survivor rows are `_wl IS NULL`
+    # (join key non-null, right side distinct), identical to the old
+    # left_anti.  Persisted: the stats aggregate and the cross-round
+    # probe below both consume it; delta-sized, released via
+    # stats["release"] / release_admit_caches (ADVICE r6 lifecycle).
+    flagged = assigned.join(F.broadcast(within_losers), idc, "left").persist()
+    _row = flagged.agg(
+        F.count("*").alias("n_batch"),
+        F.count("_wl").alias("n_within_dropped"),
+        F.collect_set(F.when(F.col("_wl").isNull(), F.col("cell"))).alias(
+            "cells"
+        ),
     ).first()
-    n_within_kept = _row["n"]
+    n_batch = _row["n_batch"]
+    n_within_kept = n_batch - _row["n_within_dropped"]
     delta_cells = [int(c) for c in _row["cells"]]
+    kept_within = flagged.where(F.col("_wl").isNull()).drop("_wl")
     stored = index.vectors().filter(F.col("cell").isin(delta_cells))
     st = stored.select(
         "cell", F.col(vc).alias("_vs"), _norm(F.col(vc)).alias("_ns")
@@ -887,45 +903,51 @@ def semantic_admit(
     cross_losers = (
         st.join(F.broadcast(d), "cell")
         .where(xsim >= threshold)
-        .select(idc)
+        .select(F.col(idc), F.lit(True).alias("_xl"))
         .distinct()
     )
+    # same flag-join fusion for the cross-round stage: one count(_xl)
+    # aggregate replaces the separate kept.count() job, and the caller's
+    # terminal action on `kept` reads this cache instead of re-running
+    # the stored-side cosine join (which for append=True would be a
+    # correctness hazard after the index mutation, not just a slow path)
+    kept_flagged = kept_within.join(
+        F.broadcast(cross_losers), idc, "left"
+    ).persist()
+    n_cross_dropped = kept_flagged.agg(F.count("_xl").alias("x")).first()["x"]
+    n_kept = n_within_kept - n_cross_dropped
     kept = (
-        kept_within.join(F.broadcast(cross_losers), idc, "left_anti")
-        .select(idc, vc, "cell")
+        kept_flagged.where(F.col("_xl").isNull()).select(idc, vc, "cell")
     )
-    n_kept = kept.count()
     stats = {
         "batch": n_batch,
         "within_dropped": n_batch - n_within_kept,
-        "cross_dropped": n_within_kept - n_kept,
+        "cross_dropped": n_cross_dropped,
         "admitted": n_kept,
     }
     if append and n_kept:
         index.append(kept, cell_col="cell")
     assigned.unpersist()
-    # kept_within stays cached ON PURPOSE: the returned `kept` plan
-    # reads through it, and the caller's collect comes next.  It is
-    # delta-sized (bounded by the batch regime, never corpus-sized) and
-    # LRU-evictable; unpersisting here would make the caller re-run the
-    # within-batch cosine join — and for append=True a re-execution
-    # after the index mutation is a correctness hazard, not just a slow
-    # path (the batch would match itself in the stored side).  The
-    # caller releases it AFTER its terminal action on `kept`, either
-    # per-batch via stats["release"] or in bulk via
-    # release_admit_caches(); otherwise a long-lived session accumulates
-    # one delta-sized cache per admit batch (ADVICE r6).
-    _ADMIT_CACHES.append(kept_within)
+    # the flag-joined frames stay cached ON PURPOSE: the returned `kept`
+    # plan reads through them and the caller's collect comes next.  Both
+    # are delta-sized (bounded by the batch regime, never corpus-sized)
+    # and LRU-evictable.  The caller releases them AFTER its terminal
+    # action on `kept`, either per-batch via stats["release"] or in bulk
+    # via release_admit_caches(); otherwise a long-lived session
+    # accumulates delta-sized caches per admit batch (ADVICE r6).
+    _ADMIT_CACHES.append(flagged)
+    _ADMIT_CACHES.append(kept_flagged)
 
     def _release() -> None:
-        try:
-            kept_within.unpersist()
-        except Exception:
-            pass
-        try:
-            _ADMIT_CACHES.remove(kept_within)
-        except ValueError:
-            pass  # already drained by release_admit_caches()
+        for f in (flagged, kept_flagged):
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+            try:
+                _ADMIT_CACHES.remove(f)
+            except ValueError:
+                pass  # already drained by release_admit_caches()
 
     stats["release"] = _release
     return kept, stats

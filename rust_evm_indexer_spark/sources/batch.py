@@ -40,15 +40,16 @@ _TABLE_PLAN_MEMO: dict[tuple, DataFrame] = {}
 def _memo_key(spark: SparkSession, path: Path, extra: str = "") -> tuple | None:
     try:
         st = path.stat()
-        return (
-            spark.sparkContext.applicationId,
-            str(path),
-            st.st_size,
-            st.st_mtime_ns,
-            extra,
-        )
     except OSError:
         return None
+    app = spark.sparkContext.applicationId
+    # evict dead-session entries (ADVICE r12): keys from stopped Spark
+    # sessions pin DataFrame/py4j references to dead JVMs and would
+    # otherwise accumulate forever across sessions in one process
+    stale = [k for k in _TABLE_PLAN_MEMO if k[0] != app]
+    for k in stale:
+        _TABLE_PLAN_MEMO.pop(k, None)
+    return (app, str(path), st.st_size, st.st_mtime_ns, extra)
 
 
 def load_driver_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
@@ -85,7 +86,12 @@ def read_parquet_memo(spark: SparkSession, path: str | Path) -> DataFrame:
     p = Path(path)
     anchor = p
     if p.is_dir():
-        files = sorted(p.glob("*.parquet"), key=lambda f: f.stat().st_mtime_ns)
+        # RECURSIVE glob (ADVICE r12): cell-partitioned exports
+        # (codes_by_cell*/cell=N/part.parquet) have no top-level data
+        # files, and a rewritten cell subdir does not touch the parent
+        # dir's mtime — the newest nested data file is the honest
+        # freshness anchor
+        files = sorted(p.rglob("*.parquet"), key=lambda f: f.stat().st_mtime_ns)
         anchor = files[-1] if files else p
     key = _memo_key(spark, anchor, extra=f"dir:{p}")
     if key is not None and key in _TABLE_PLAN_MEMO:

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from rust_evm_indexer_spark import datagen
 from rust_evm_indexer_spark.ingest import EvmIngester
 from rust_evm_indexer_spark.ingest.backfill import backfill, fetch_range
@@ -12,6 +14,7 @@ from rust_evm_indexer_spark.store import TableStore
 START = datagen.START_BLOCK
 
 
+@pytest.mark.slow
 def test_backfill_matches_streaming_ingest(spark, tmp_path):
     """The distributed backfill and the per-cycle streaming ingest must
     produce identical tables from the same chain."""

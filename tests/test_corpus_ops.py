@@ -3,6 +3,8 @@ gate, PII scan, deterministic sampling, sequence packing."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rust_evm_indexer_spark.operators import corpus as cp
@@ -121,6 +123,7 @@ def test_contamination_report_flags_overlap(spark):
     assert kept == {2, 3}
 
 
+@pytest.mark.slow
 def test_star_cc_matches_propagation(spark):
     """Large-star/small-star contraction must produce exactly the same
     (node, min-id component) labeling as min-label propagation on graphs
@@ -153,6 +156,7 @@ def test_star_cc_matches_propagation(spark):
         assert star == prop, name
 
 
+@pytest.mark.slow
 def test_star_cc_adversarial_diameter(spark):
     """Diameter-300 path: min-label propagation needs ~300 rounds (it
     cannot finish within any practical budget); star contraction must

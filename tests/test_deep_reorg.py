@@ -14,6 +14,8 @@ cycles, so checkpoint/rollback bookkeeping bugs surface here.
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 from pathlib import Path
 
@@ -142,6 +144,7 @@ scenarios = st.fixed_dictionaries(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(sc=scenarios)
 def test_deep_reorg_converges_to_canonical_chain(spark, sc):
     root = Path(tempfile.mkdtemp(prefix="deep-reorg-")) / "store"

@@ -11,6 +11,8 @@ fragment" — never wrong results."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rust_evm_indexer_spark.store import TableStore
@@ -126,6 +128,7 @@ def test_dict_composes_with_bloom_and_block_range(spark, tmp_path):
     assert pruned.filter(F.col("sig") == "0xsig021").count() == 20
 
 
+@pytest.mark.slow
 def test_compaction_rebuilds_dicts_and_still_prunes(spark, tmp_path):
     store = _mk_store(spark, tmp_path)
     _commit_batches(spark, store)

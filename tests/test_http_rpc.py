@@ -108,6 +108,7 @@ def test_backfill_over_http(spark, tmp_path, chain):
     assert counts["transactions"] == len(chain.transactions)
 
 
+@pytest.mark.slow
 def test_streaming_http_reorg_on_object_store_rest_converges(spark, tmp_path):
     """VERDICT r11 item 8 (stretch) — the whole reference lifecycle in
     one composition: a JSON-RPC chain server over REAL HTTP with an

@@ -4,6 +4,8 @@ round, and cross-round duplicates are exact-Jaccard verified."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rust_evm_indexer_spark.operators.incremental_dedup import (
@@ -42,6 +44,7 @@ def test_first_batch_dedups_within_and_seeds_state(spark, tmp_path):
     assert idx_ids == {1, 3}
 
 
+@pytest.mark.slow
 def test_cross_round_duplicate_dropped_fresh_added(spark, tmp_path):
     dd, _ = _mk(spark, tmp_path)
     dd.add_batch(_docs(spark, [(1, _SENT)]))
@@ -61,6 +64,7 @@ def test_cross_round_duplicate_dropped_fresh_added(spark, tmp_path):
     assert sorted(r["doc_id"] for r in dd.corpus().collect()) == [1, 12]
 
 
+@pytest.mark.slow
 def test_rounds_accumulate_and_state_matches_corpus(spark, tmp_path):
     dd, store = _mk(spark, tmp_path)
     texts = [
@@ -88,6 +92,7 @@ def test_banded_minhash_exact_dup_collides_everywhere(spark, tmp_path):
     assert collisions == 32  # identical text → every band collides
 
 
+@pytest.mark.slow
 def test_changefeed_delivers_exactly_each_rounds_survivors(spark, tmp_path):
     """The delta pipeline contract (examples/demo_delta_pipeline.py):
     after every add_batch, the changefeed window since the last consumed
@@ -139,6 +144,7 @@ def _mk_winnow(spark, tmp_path):
     ), store
 
 
+@pytest.mark.slow
 def test_winnow_method_first_batch_and_cross_round(spark, tmp_path):
     dd, store = _mk_winnow(spark, tmp_path)
     rep = dd.add_batch(

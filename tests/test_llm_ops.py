@@ -318,6 +318,7 @@ def test_approx_distinct_accuracy(spark, sf_dir):
         assert row["exact_users"] == exact[et]
 
 
+@pytest.mark.slow
 def test_kmeans_ivf_improves_over_label_cells(emb):
     """Trained quantizer: k-means cells must give ≥ recall of arbitrary
     label cells at the same probe budget, and assignment is deterministic."""
@@ -1021,6 +1022,7 @@ def test_stupid_backoff_trigram_pruning_lever(spark):
     assert prune > keep
 
 
+@pytest.mark.slow
 def test_semantic_gate_index_growth_equals_survivors(spark, tmp_path):
     """The full three-stage 'only the delta pays' admission path
     (examples/demo_delta_pipeline.py): each round's delta passes the

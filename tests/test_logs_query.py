@@ -90,6 +90,7 @@ def test_page_size_clamped(evm):
     assert get_logs(evm["logs"], GetLogsFilter(page_size=-5)).count() == 1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("page_size,to_block", [(1, 1_000_010), (7, None), (100, None)])
 def test_cursor_walk_no_dup_no_skip(evm, duck, page_size, to_block):
     """Property (README.md:86): walking the table by keyset cursor yields

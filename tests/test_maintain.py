@@ -85,6 +85,7 @@ def test_maintain_noop_when_healthy(spark, tmp_path):
     assert store.current_manifest().version == v  # no manifest churn
 
 
+@pytest.mark.slow
 def test_maintain_with_zorder_layout(spark, tmp_path):
     store = _mk_store(spark, tmp_path)
     _commit_batches(spark, store, 6)
@@ -219,6 +220,7 @@ def test_delete_in_purges_projections(spark, tmp_path):
 from rust_evm_indexer_spark.store import MaintenancePolicy  # noqa: E402
 
 
+@pytest.mark.slow
 def test_maintain_store_compacts_by_count_and_is_idempotent(spark, tmp_path):
     store = _mk_store(spark, tmp_path)
     _commit_batches(spark, store, 6)
@@ -277,6 +279,7 @@ def test_maintain_store_compacts_by_size_skew(spark, tmp_path):
     assert store.maintain_store(pol)["triggers"] == {}
 
 
+@pytest.mark.slow
 def test_maintain_store_refresh_gated_on_projection_lag(spark, tmp_path):
     store = _mk_store(spark, tmp_path)
     _commit_batches(spark, store, 2)
@@ -326,6 +329,7 @@ _store_ops = hs.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=_store_ops)
 def test_maintain_store_safe_under_random_op_interleavings(spark, ops):
     """For ANY interleaving of commits, per-address deletes and

@@ -119,6 +119,7 @@ def test_commits_write_deltas_and_checkpoint_on_interval(spark, tmp_path, mk):
     assert store.table_rows("pts") == 60
 
 
+@pytest.mark.slow
 def test_delta_resolution_matches_full_regime(spark, tmp_path, mk):
     """The same op sequence under log_commits True/False produces
     identical query results, version numbers, and statuses."""

@@ -274,6 +274,7 @@ def test_eventual_list_vacuum_never_deletes_live_state(spark, tmp_path):
     assert _is_delta(fake, 5) and _is_delta(fake, 6)
 
 
+@pytest.mark.slow
 def test_fake_backend_full_lifecycle_matches_posix(spark, tmp_path):
     """End-to-end cross-check: the same op sequence on both backends
     yields identical query results, versions, statuses and stats —
@@ -563,6 +564,7 @@ def test_vacuum_protects_inflight_sidecars(spark, tmp_path):
     assert store.read("pts").count() == 20
 
 
+@pytest.mark.slow
 def test_full_ingest_lifecycle_on_object_store_backend(spark, tmp_path):
     """Integration: the WHOLE ingest lifecycle — backfill, tip
     following, a 3-deep reorg rollback + reconvergence, compaction,
@@ -852,6 +854,7 @@ def test_s3_conditional_put_and_monotonic_pointer_semantics(moto_s3):
     io.delete("absent")  # idempotent delete of a missing key
 
 
+@pytest.mark.slow
 def test_data_tier_object_store_semantics_full_lifecycle(spark, tmp_path):
     """VERDICT r11 item 5: the DATA tier behind a seam with object-store
     semantics — adoption is copy+delete (no rename), directories exist
@@ -965,6 +968,7 @@ def test_vacuum_floor_protects_inflight_commit_fragments(spark, tmp_path):
         assert not store._dio.dir_exists(rel)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["posix", "objectstore"])
 def test_chaos_committers_vacuum_reader_all_converge(
     spark, tmp_path, backend
@@ -1413,6 +1417,7 @@ def test_s3_put_if_absent_409_retries_not_false_taken(tmp_path):
         io3.put_if_absent("v000001.claim", "delta:tok")
 
 
+@pytest.mark.slow
 def test_chaos_with_compaction_and_vacuum_converges(spark, tmp_path):
     """Full maintenance chaos (r12): a rebasing committer, a background
     compactor (retrying lost races like a real maintenance daemon), an

@@ -68,6 +68,7 @@ scenarios = st.fixed_dictionaries(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(sc=scenarios)
 def test_projection_survives_deep_reorg_via_rebuild(spark, sc):
     root = Path(tempfile.mkdtemp(prefix="proj-reorg-")) / "store"

@@ -4,6 +4,8 @@ reorgs (retraction of partials) and compaction."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rust_evm_indexer_spark import datagen
@@ -48,6 +50,7 @@ def test_rollup_matches_direct_agg(spark, tmp_path):
     assert len(store.current_manifest().tables[ROLLUP_TABLE]) >= 3
 
 
+@pytest.mark.slow
 def test_rollup_survives_reorg_and_compaction(spark, tmp_path):
     chain = datagen.generate_chain(n_blocks=20, seed=32)
     client = MockRpcClient(chain)

@@ -61,6 +61,7 @@ def _sample_values(spark_df, col, n=4, seed=0):
     return vals[:n]
 
 
+@pytest.mark.slow
 def test_logs_page_equivalence_randomized(served_store, evm):
     """Seeded sweep: every filter combination must produce the
     identical page (rows AND cursor) on both execution paths."""

@@ -182,6 +182,7 @@ def test_compact_preserves_data_and_prunes(spark, tmp_path):
     assert store.read("logs").count() == before_rows["logs"]
 
 
+@pytest.mark.slow
 def test_compact_end_to_end_query_and_pruning(spark, tmp_path):
     """VERDICT r3 item 6, end-to-end: ingest → compact → flagship query →
     plan hygiene on the compacted layout.  The compacted store must serve
@@ -398,6 +399,7 @@ def test_schema_evolution_survives_compaction_and_rollback(spark, tmp_path):
     assert df.filter("score is not null").count() == 0
 
 
+@pytest.mark.slow
 def test_scheduled_maintenance_bounds_fragments(spark, tmp_path):
     """In-loop maintenance (maintain_every_cycles): streaming ingest
     writes one fragment per 5-block batch; with maintenance scheduled

@@ -127,6 +127,7 @@ def _run_sequence(spark, tmp_path_factory, store_kw, projected, ops):
     ],
     ids=["log16", "log2", "full"],
 )
+@pytest.mark.slow
 def test_store_model_random_interleavings(spark, tmp_path_factory, store_kw):
     """The same random interleavings must hold in every manifest
     regime — the r9 log-structured write path and the legacy full
@@ -145,6 +146,7 @@ def test_store_model_random_interleavings(spark, tmp_path_factory, store_kw):
     ],
     ids=["log16", "log2", "full"],
 )
+@pytest.mark.slow
 def test_store_model_random_interleavings_projected(
     spark, tmp_path_factory, store_kw
 ):

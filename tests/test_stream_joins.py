@@ -5,6 +5,8 @@ must equal the batch plan over the same rows."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rust_evm_indexer_spark.operators.temporal import range_join
@@ -93,6 +95,7 @@ def test_stream_stream_inner_join_end_to_end(spark, tmp_path):
     assert got == want_batch == {(1, 101, 300_000_000), (2, 102, 300_000_000)}
 
 
+@pytest.mark.slow
 def test_stream_left_outer_emits_nulls_after_watermark_passes(spark, tmp_path):
     """Outer semantics are a WATERMARK property: the NULL-padded row for
     an unmatched left event may only appear once the watermark proves no

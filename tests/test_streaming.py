@@ -179,6 +179,7 @@ def test_ingest_stream_cycles_and_idempotency(spark, tmp_path):
     assert store.read("blocks").count() == n_blocks_stored
 
 
+@pytest.mark.slow
 def test_ingest_stream_runs_maintenance_on_cadence(spark, tmp_path):
     """VERDICT r8 item 6: the streaming wrapper runs maintain_store every
     maintain_every cycles, so fragment count stays bounded by POLICY
