@@ -6595,10 +6595,13 @@ def clear_session_caches() -> None:
     from .util import release_shared_caches
 
     release_shared_caches()
-    # minhash build views, droppable only AFTER the pins above are
-    # released (dropTempView uncaches the view's plan — dropping
-    # mid-build measured 3.4 s -> 8.6 s on dedup_minhash_lsh; r13)
-    dd.drop_registered_views()
+    # staged-SQL build views (minhash, backoff), droppable only AFTER
+    # the pins above are released (dropTempView uncaches the view's
+    # plan — dropping mid-build measured 3.4 s -> 8.6 s on
+    # dedup_minhash_lsh; r13)
+    from .util import drop_registered_views
+
+    drop_registered_views()
 
 
 _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py

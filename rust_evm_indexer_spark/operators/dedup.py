@@ -311,35 +311,16 @@ def minhash_lsh_pairs(
     # so the views are only needed during this build — but dropping them
     # HERE would also uncache the pinned cand/banded frames
     # (dropTempView invalidates the cache of the view's plan, which IS
-    # the pinned plan; measured 3.4 s -> 8.6 s on this entry).  Register
-    # them for deferred cleanup instead: catalog.clear_session_caches
-    # drops them right after it drains the persist_shared pins, so a
-    # long session's view catalog still can't grow unboundedly
-    # (ADVICE r12).
-    _MH_VIEW_REGISTRY.append((spark, [v_sh, v_banded, v_cand, v_shc]))
+    # the pinned plan; measured 3.4 s -> 8.6 s on this entry).  They are
+    # registered for deferred cleanup instead: catalog.
+    # clear_session_caches drops them right after it drains the
+    # persist_shared pins, so a long session's view catalog still can't
+    # grow unboundedly (ADVICE r12).
+    from ..util import _SESSION_VIEWS
+
+    for v in (v_sh, v_banded, v_cand, v_shc):
+        _SESSION_VIEWS.append((spark, v))
     return out
-
-
-#: (session, view names) registered by minhash_lsh_pairs for deferred
-#: cleanup — drained by drop_registered_views() via
-#: catalog.clear_session_caches (never mid-build: see the comment above)
-_MH_VIEW_REGISTRY: list[tuple] = []
-
-
-def drop_registered_views() -> int:
-    """Drop every temp view registered by minhash_lsh_pairs builds;
-    returns how many.  Safe only after the corresponding pinned frames
-    are released (clear_session_caches orders it that way)."""
-    n = 0
-    for spark, views in _MH_VIEW_REGISTRY:
-        for v in views:
-            try:
-                spark.catalog.dropTempView(v)
-                n += 1
-            except Exception:
-                pass
-    _MH_VIEW_REGISTRY.clear()
-    return n
 
 
 def dedup_survivors(df: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -38,14 +38,16 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     wedge + closure check — every join keyed, no cross product, hub
     fan-out bounded by degree orientation (module docstring).
     """
-    from ..util import persist_shared
-
-    # pin the canonical edge list and the oriented frame: e feeds the
-    # degree union (twice), the orientation join and the edge-count
-    # aggregate, and oriented feeds both wedge sides plus the closure
-    # join — without the pins each consumer re-runs the distinct /
-    # orientation subtree (r12 optimization round)
-    e = persist_shared(
+    # NOT pinned (r13 revert of the r12 persist_shared pins): e is
+    # consumed 4x and oriented 3x, but every consumer is a cheap
+    # broadcast-joined subtree over a distinct-deduped edge list, and
+    # the two cache writes + InMemoryTableScan stage barriers cost more
+    # than the re-executions they save — 5-rep A/B on the driver
+    # protocol: pinned 2.66 s vs unpinned 2.15 s, and the driver's own
+    # history agrees (r11 no-pins <1 s, r12 pins 1.6 s).  At a scale
+    # where the orientation subtree is genuinely expensive, pin the
+    # ORIENTED frame only (one write, three consumers).
+    e = (
         edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .where(F.col("a") != F.col("b"))
@@ -65,7 +67,7 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = persist_shared(withdeg.select(
+    oriented = (withdeg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dw"),

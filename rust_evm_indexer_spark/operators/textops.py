@@ -190,39 +190,48 @@ def bm25_topk(
             ],
         )
     )
-    stack_args = ", ".join(f"'{t}', _tf_{i}" for i, t in enumerate(terms))
-    tf = per_doc.select(
-        "doc_id",
-        "dl",
-        F.expr(f"stack({len(terms)}, {stack_args}) AS (word, tf)"),
-    ).where(F.col("tf") > 0)
+    # The scoring tail is ONE spark.sql parse over the pinned per-doc
+    # rollup (r13, guide §1.2 plan-build cost — same treatment as the
+    # backoff chain): identical stack unpivot, identical IEEE scalar
+    # trees (literals via repr+D), same broadcast hints on the
+    # Heaps-bounded sides, same DECIMAL(27,15) per-doc accumulation and
+    # distributed top-k.  Oracle-verified at 3 SFs + hostile tz.
+    from ..util import register_temp_view
+
+    spark = df.sparkSession
+    v_pd = register_temp_view(per_doc, "bm25_pd")
+    esc = [t.replace("'", "''") for t in terms]
+    stack_args = ", ".join(f"'{t}', _tf_{i}" for i, t in enumerate(esc))
+    k1p1 = f"{float(k1 + 1.0)!r}D"
+    one_minus_b = f"{float(1.0 - b)!r}D"
+    b_lit = f"{float(b)!r}D"
+    k1_lit = f"{float(k1)!r}D"
     # avgdl/N: exact integer sums/counts → identical double division
-    stats = per_doc.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        F.count("*").alias("n_docs"),
-    )
-    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (
-        1.0 - b + b * F.col("dl") / F.col("avgdl")
-    )
-    per_term = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    return (
-        tf.join(F.broadcast(dfreq), "word")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(per_term.cast("decimal(27,15)")).cast("double"), 6
-            ).alias("score"),
-            F.count("*").alias("n_terms_hit"),
-        )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    return spark.sql(f"""
+        WITH tf AS (
+          SELECT doc_id, dl, word, tf
+          FROM (SELECT doc_id, dl,
+                       stack({len(terms)}, {stack_args}) AS (word, tf)
+                FROM {v_pd})
+          WHERE tf > 0),
+        stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                         count(*) AS n_docs
+                  FROM {v_pd}),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
+        SELECT /*+ BROADCAST(dfreq), BROADCAST(stats) */ doc_id,
+               round(CAST(sum(CAST(
+                 ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))
+                 * (tf * {k1p1})
+                 / (tf + {k1_lit} * ({one_minus_b} + {b_lit} * dl / avgdl))
+               AS DECIMAL(27,15))) AS DOUBLE), 6) AS score,
+               count(*) AS n_terms_hit
+        FROM tf
+        JOIN dfreq USING (word)
+        CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {int(k)}
+    """)
 
 
 def bm25_rerank(
@@ -522,8 +531,21 @@ def stupid_backoff_trigram_nll(
     twice — context (w1,w2) and backoff (w2,w3)); adjacency is in-array
     triple extraction, never a window shuffle.  DECIMAL(27,15) per-term
     accumulation keeps partial-aggregation order out of the result, so
-    the DuckDB oracle matches bit-for-bit."""
-    from ..util import persist_shared
+    the DuckDB oracle matches bit-for-bit.
+
+    The whole chain past the (pinned) token arrays is built as ONE
+    ``spark.sql`` statement over temp views (r13 optimization round,
+    guide §1.2 driver-side planning cost): PySpark classic eagerly
+    re-analyzes the entire logical tree on every DataFrame op, and this
+    operator's ~25 ops over a join tree this wide cost ~1.2 s of plan
+    build per call (opt_profile).  The SQL spells the IDENTICAL
+    operations — same n-gram extraction expressions, same left joins in
+    the same order, same broadcast hints on the Heaps-bounded sides
+    only, same DECIMAL(27,15) accumulation and literal constants
+    (``repr`` + ``D`` suffix keeps the doubles bit-identical) — so the
+    optimized physical plan and the output are unchanged
+    (oracle-verified at sf0.001/0.01/0.1 and under the hostile tz)."""
+    from ..util import persist_shared, register_temp_view
 
     # persist the token arrays (bounded: one row per doc) — they fan
     # into every n-gram extraction below; share one frame when the
@@ -534,139 +556,102 @@ def stupid_backoff_trigram_nll(
         if model_df is None
         else persist_shared(_token_arrays(model_df, text_col))
     )
+    spark = df.sparkSession
+    v_docs = register_temp_view(docs, "sbt_docs")
+    v_model = v_docs if model_df is None else register_temp_view(model, "sbt_model")
 
-    m_words = model.select(F.explode("ws").alias("word"))
-    uni = m_words.groupBy("word").agg(F.count("*").alias("c1"))
-    total = uni.agg(F.sum("c1").cast("double").alias("t"))
-
-    _TRIPLES = (
-        "transform(sequence(1, size(ws) - 2), "
-        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2, "
-        "element_at(ws, i + 2) AS w3))"
-    )
-    _PAIRS = (
-        "transform(sequence(1, size(ws) - 1), "
-        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
-    )
-    bi = (
-        model.where(F.size("ws") >= 2)
-        .select(F.explode(F.expr(_PAIRS)).alias("bg"))
-        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .agg(F.count("*").alias("c2"))
-    )
-    tri = (
-        model.where(F.size("ws") >= 3)
-        .select(F.explode(F.expr(_TRIPLES)).alias("tg"))
-        .groupBy(
-            F.col("tg.w1").alias("w1"),
-            F.col("tg.w2").alias("w2"),
-            F.col("tg.w3").alias("w3"),
-        )
-        .agg(F.count("*").alias("c3"))
-        .where(F.col("c3") >= trigram_min_count)  # count-cutoff pruning
-    )
-
-    triples = (
-        docs.where(F.size("ws") >= 3)
-        .select("doc_id", F.explode(F.expr(_TRIPLES)).alias("tg"))
-        .select(
-            "doc_id",
-            F.col("tg.w1").alias("w1"),
-            F.col("tg.w2").alias("w2"),
-            F.col("tg.w3").alias("w3"),
-        )
-    )
-    bi_ctx = bi.select("w1", "w2", F.col("c2").alias("c2_ctx"))
-    bi_nxt = bi.select(
-        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
-        F.col("c2").alias("c2_nxt"),
-    )
-    u2 = uni.select(F.col("word").alias("w2"), F.col("c1").alias("c1_w2"))
-    u3 = uni.select(F.col("word").alias("w3"), F.col("c1").alias("c1_w3"))
-    score3 = (
-        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2_ctx"))
-        .when(
-            F.col("c2_nxt").isNotNull(),
-            alpha * F.col("c2_nxt") / F.col("c1_w2"),
-        )
-        .otherwise(
-            alpha * alpha
-            * F.coalesce(F.col("c1_w3").cast("double"), F.lit(alpha))
-            / F.col("t")
-        )
-    )
-    tri_nll = (
-        triples.join(tri, ["w1", "w2", "w3"], "left")  # NOT broadcast: grows with corpus
-        .join(bi_ctx, ["w1", "w2"], "left")  # NOT broadcast
-        .join(bi_nxt, ["w2", "w3"], "left")  # NOT broadcast
-        .join(F.broadcast(u2), "w2", "left")
-        .join(F.broadcast(u3), "w3", "left")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(F.sum((-F.log(score3)).cast("decimal(27,15)")).alias("tri_sum"))
-    )
-
-    # position-2 term: s(w2 | w1) for the document's FIRST pair only
-    # (positions >= 3 are covered by the trigram terms above)
-    u1f = uni.select(F.col("word").alias("w1"), F.col("c1").alias("c1_w1"))
-    score2 = F.when(
-        F.col("c2").isNotNull(), F.col("c2") / F.col("c1_w1")
-    ).otherwise(
-        alpha
-        * F.coalesce(F.col("c1_w2").cast("double"), F.lit(alpha))
-        / F.col("t")
-    )
-    second = (
-        docs.where(F.size("ws") >= 2)
-        .select(
-            "doc_id",
-            F.element_at("ws", 1).alias("w1"),
-            F.element_at("ws", 2).alias("w2"),
-        )
-        .join(bi, ["w1", "w2"], "left")  # NOT broadcast
-        .join(F.broadcast(u1f), "w1", "left")
-        .join(F.broadcast(u2), "w2", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id", (-F.log(score2)).cast("decimal(27,15)").alias("nll2")
-        )
-    )
-
-    uf = uni.select(F.col("word").alias("fw"), F.col("c1").alias("c1_fw"))
-    base = (
-        docs.select(
-            "doc_id", F.size("ws").alias("n_words"),
-            F.element_at("ws", 1).alias("fw"),
-        )
-        .join(F.broadcast(uf), "fw", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            "n_words",
-            (-F.log(
-                F.coalesce(F.col("c1_fw").cast("double"), F.lit(alpha))
-                / F.col("t")
-            )).cast("decimal(27,15)").alias("nll0"),
-        )
-    )
-    zero = F.lit(0).cast("decimal(27,15)")
-    return (
-        base.join(second, "doc_id", "left")
-        .join(tri_nll, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.round(
-                (
-                    F.col("nll0")
-                    + F.coalesce(F.col("nll2"), zero)
-                    + F.coalesce(F.col("tri_sum"), zero)
-                ).cast("double")
-                / F.col("n_words"),
-                6,
-            ).alias("avg_nll"),
-        )
-    )
+    a = f"{float(alpha)!r}D"  # 0.4D — the exact double F.lit(alpha) built
+    a2 = f"{float(alpha * alpha)!r}D"  # Python's 0.4*0.4, bit-exact
+    zero = "CAST(0 AS DECIMAL(27,15))"
+    return spark.sql(f"""
+        WITH uni AS (
+          SELECT word, count(*) AS c1
+          FROM (SELECT explode(ws) AS word FROM {v_model})
+          GROUP BY word),
+        total AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
+        bi AS (
+          SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c2
+          FROM (SELECT explode(transform(sequence(1, size(ws) - 1),
+                         i -> struct(element_at(ws, i) AS w1,
+                                     element_at(ws, i + 1) AS w2))) AS bg
+                FROM {v_model} WHERE size(ws) >= 2)
+          GROUP BY bg.w1, bg.w2),
+        tri AS (
+          SELECT tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3, count(*) AS c3
+          FROM (SELECT explode(transform(sequence(1, size(ws) - 2),
+                         i -> struct(element_at(ws, i) AS w1,
+                                     element_at(ws, i + 1) AS w2,
+                                     element_at(ws, i + 2) AS w3))) AS tg
+                FROM {v_model} WHERE size(ws) >= 3)
+          GROUP BY tg.w1, tg.w2, tg.w3
+          HAVING count(*) >= {int(trigram_min_count)}),
+        triples AS (
+          SELECT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3
+          FROM (SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
+                         i -> struct(element_at(ws, i) AS w1,
+                                     element_at(ws, i + 1) AS w2,
+                                     element_at(ws, i + 2) AS w3))) AS tg
+                FROM {v_docs} WHERE size(ws) >= 3)),
+        tri_nll AS (
+          SELECT /*+ BROADCAST(u2), BROADCAST(u3), BROADCAST(total) */
+                 d.doc_id,
+                 sum(CAST(-ln(
+                   CASE WHEN t3.c3 IS NOT NULL THEN t3.c3 / bc.c2_ctx
+                        WHEN bn.c2_nxt IS NOT NULL
+                          THEN {a} * bn.c2_nxt / u2.c1_w2
+                        ELSE {a2} * coalesce(CAST(u3.c1_w3 AS DOUBLE), {a})
+                             / total.t
+                   END) AS DECIMAL(27,15))) AS tri_sum
+          FROM triples d
+          LEFT JOIN tri t3
+            ON d.w1 = t3.w1 AND d.w2 = t3.w2 AND d.w3 = t3.w3
+          LEFT JOIN (SELECT w1, w2, c2 AS c2_ctx FROM bi) bc
+            ON d.w1 = bc.w1 AND d.w2 = bc.w2
+          LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c2 AS c2_nxt FROM bi) bn
+            ON d.w2 = bn.w2 AND d.w3 = bn.w3
+          LEFT JOIN (SELECT word AS w2, c1 AS c1_w2 FROM uni) u2
+            ON d.w2 = u2.w2
+          LEFT JOIN (SELECT word AS w3, c1 AS c1_w3 FROM uni) u3
+            ON d.w3 = u3.w3
+          CROSS JOIN total
+          GROUP BY d.doc_id),
+        second AS (
+          SELECT /*+ BROADCAST(u1f), BROADCAST(u2b), BROADCAST(total) */
+                 s.doc_id,
+                 CAST(-ln(
+                   CASE WHEN b.c2 IS NOT NULL THEN b.c2 / u1f.c1_w1
+                        ELSE {a} * coalesce(CAST(u2b.c1_w2 AS DOUBLE), {a})
+                             / total.t
+                   END) AS DECIMAL(27,15)) AS nll2
+          FROM (SELECT doc_id, element_at(ws, 1) AS w1,
+                       element_at(ws, 2) AS w2
+                FROM {v_docs} WHERE size(ws) >= 2) s
+          LEFT JOIN bi b ON s.w1 = b.w1 AND s.w2 = b.w2
+          LEFT JOIN (SELECT word AS w1, c1 AS c1_w1 FROM uni) u1f
+            ON s.w1 = u1f.w1
+          LEFT JOIN (SELECT word AS w2, c1 AS c1_w2 FROM uni) u2b
+            ON s.w2 = u2b.w2
+          CROSS JOIN total),
+        base AS (
+          SELECT /*+ BROADCAST(uf), BROADCAST(total) */
+                 d0.doc_id, d0.n_words,
+                 CAST(-ln(coalesce(CAST(uf.c1_fw AS DOUBLE), {a}) / total.t)
+                      AS DECIMAL(27,15)) AS nll0
+          FROM (SELECT doc_id, size(ws) AS n_words,
+                       element_at(ws, 1) AS fw FROM {v_docs}) d0
+          LEFT JOIN (SELECT word AS fw, c1 AS c1_fw FROM uni) uf
+            ON d0.fw = uf.fw
+          CROSS JOIN total)
+        SELECT base.doc_id,
+               CAST(base.n_words AS BIGINT) AS n_words,
+               round(CAST(base.nll0
+                          + coalesce(second.nll2, {zero})
+                          + coalesce(tri_nll.tri_sum, {zero}) AS DOUBLE)
+                     / base.n_words, 6) AS avg_nll
+        FROM base
+        LEFT JOIN second ON base.doc_id = second.doc_id
+        LEFT JOIN tri_nll ON base.doc_id = tri_nll.doc_id
+    """)
 
 
 def stupid_backoff_ngram_nll(
@@ -701,7 +686,7 @@ def stupid_backoff_ngram_nll(
     evaluate the identical scalar tree."""
     if not 2 <= n <= 5:
         raise ValueError(f"n must be in [2, 5], got {n}")
-    from ..util import persist_shared
+    from ..util import persist_shared, register_temp_view
 
     # persist the token arrays (bounded: one row per doc) — they fan
     # into every n-gram extraction below; share one frame when the
@@ -712,30 +697,41 @@ def stupid_backoff_ngram_nll(
         if model_df is None
         else persist_shared(_token_arrays(model_df, text_col))
     )
+    spark = df.sparkSession
+    v_docs = register_temp_view(docs, "sbn_docs")
+    v_model = (
+        v_docs if model_df is None else register_temp_view(model, "sbn_model")
+    )
 
-    m_words = model.select(F.explode("ws").alias("word"))
-    uni = m_words.groupBy("word").agg(F.count("*").alias("c1"))
-    total = uni.agg(F.sum("c1").cast("double").alias("t"))
+    # The whole chain past the (pinned) token arrays is ONE spark.sql
+    # parse, generated by the SAME loops that used to build the
+    # DataFrame ops (r13, guide §1.2): at n=4 the incremental form cost
+    # ~1.5 s of eager re-analysis per plan build (opt_profile).  Every
+    # expression is identical — same IF/NULL context padding, same
+    # left-join chain in the same order, broadcast hints only on the
+    # Heaps-bounded unigram sides + 1-row total, literal α powers via
+    # repr so the doubles are bit-identical to the F.lit form.
+    a_lit = f"{float(alpha)!r}D"
+    avail = f"least(pos.i, {n})"
 
-    def gram_table(o: int) -> DataFrame:
+    gram_ctes = []
+    for o in range(2, n + 1):
         cols = ", ".join(
             f"element_at(ws, i + {j}) AS g{j + 1}" for j in range(o)
         )
-        tbl = (
-            model.where(F.size("ws") >= o)
-            .select(F.explode(F.expr(
-                f"transform(sequence(1, size(ws) - {o - 1}), "
-                f"i -> struct({cols}))"
-            )).alias("g"))
-            .groupBy(*[F.col(f"g.g{j + 1}").alias(f"g{j + 1}")
-                       for j in range(o)])
-            .agg(F.count("*").alias(f"c{o}"))
+        keys = ", ".join(f"g.g{j + 1} AS g{j + 1}" for j in range(o))
+        gb = ", ".join(f"g.g{j + 1}" for j in range(o))
+        having = (
+            f"\n          HAVING count(*) >= {int(min_count)}" if o >= 3 else ""
         )
-        if o >= 3:
-            tbl = tbl.where(F.col(f"c{o}") >= min_count)
-        return tbl
-
-    tables = {o: gram_table(o) for o in range(2, n + 1)}
+        gram_ctes.append(
+            f"t{o} AS (\n"
+            f"          SELECT {keys}, count(*) AS c{o}\n"
+            f"          FROM (SELECT explode(transform(sequence(1, size(ws) - {o - 1}),\n"
+            f"                        i -> struct({cols}))) AS g\n"
+            f"                FROM {v_model} WHERE size(ws) >= {o})\n"
+            f"          GROUP BY {gb}{having})"
+        )
 
     # position frame: p1..pn with p_n = the word at position i and
     # p_j NULL when the context doesn't reach back that far
@@ -744,92 +740,104 @@ def stupid_backoff_ngram_nll(
         f" AS p{j + 1}"
         for j in range(n)
     )
-    pos = docs.select(
-        "doc_id",
-        F.size("ws").alias("n_words"),
-        F.explode(F.expr(
-            f"transform(sequence(1, size(ws)), i -> struct(i AS i, {pcols}))"
-        )).alias("p"),
-    ).select(
-        "doc_id", "n_words", F.col("p.i").alias("i"),
-        *[F.col(f"p.p{j + 1}").alias(f"p{j + 1}") for j in range(n)],
+    psel = ", ".join(f"p.p{j + 1} AS p{j + 1}" for j in range(n))
+    pos_cte = (
+        f"pos AS (\n"
+        f"          SELECT doc_id, n_words, p.i AS i, {psel}\n"
+        f"          FROM (SELECT doc_id, size(ws) AS n_words,\n"
+        f"                       explode(transform(sequence(1, size(ws)),\n"
+        f"                         i -> struct(i AS i, {pcols}))) AS p\n"
+        f"                FROM {v_docs}))"
     )
-    avail = F.least(F.col("i"), F.lit(n))
 
-    joined = pos
+    joins = []
     for o in range(n, 1, -1):
         # next-table: the o-gram ENDING at the position
-        nxt = tables[o].select(
-            *[F.col(f"g{j + 1}").alias(f"p{n - o + j + 1}") for j in range(o)],
-            F.col(f"c{o}").alias(f"c{o}n"),
+        proj = ", ".join(f"g{j + 1} AS p{n - o + j + 1}" for j in range(o))
+        on = " AND ".join(
+            f"pos.p{n - o + j + 1} = nx{o}.p{n - o + j + 1}" for j in range(o)
         )
-        joined = joined.join(nxt, [f"p{n - o + j + 1}" for j in range(o)],
-                             "left")
+        joins.append(
+            f"LEFT JOIN (SELECT {proj}, c{o} AS c{o}n FROM t{o}) nx{o}"
+            f" ON {on}"
+        )
         if o >= 3:
             # ctx-table: the (o-1)-gram PRECEDING the position — the
             # hit-branch denominator of order o
-            ctx = tables[o - 1].select(
-                *[F.col(f"g{j + 1}").alias(f"p{n - o + j + 1}")
-                  for j in range(o - 1)],
-                F.col(f"c{o - 1}").alias(f"c{o - 1}ctx"),
+            proj = ", ".join(
+                f"g{j + 1} AS p{n - o + j + 1}" for j in range(o - 1)
             )
-            joined = joined.join(
-                ctx, [f"p{n - o + j + 1}" for j in range(o - 1)], "left"
+            on = " AND ".join(
+                f"pos.p{n - o + j + 1} = cx{o}.p{n - o + j + 1}"
+                for j in range(o - 1)
             )
-    u_prev = uni.select(F.col("word").alias(f"p{n - 1}"),
-                        F.col("c1").alias("c1_prev"))
-    u_cur = uni.select(F.col("word").alias(f"p{n}"),
-                       F.col("c1").alias("c1_cur"))
-    joined = (
-        joined.join(F.broadcast(u_prev), f"p{n - 1}", "left")
-        .join(F.broadcast(u_cur), f"p{n}", "left")
-        .crossJoin(F.broadcast(total))
+            joins.append(
+                f"LEFT JOIN (SELECT {proj}, c{o - 1} AS c{o - 1}ctx"
+                f" FROM t{o - 1}) cx{o} ON {on}"
+            )
+    joins.append(
+        f"LEFT JOIN (SELECT word AS p{n - 1}, c1 AS c1_prev FROM uni) up"
+        f" ON pos.p{n - 1} = up.p{n - 1}"
     )
+    joins.append(
+        f"LEFT JOIN (SELECT word AS p{n}, c1 AS c1_cur FROM uni) uc"
+        f" ON pos.p{n} = uc.p{n}"
+    )
+    joins.append("CROSS JOIN total")
 
-    def mult(o: int) -> F.Column:
+    def mult(o: int) -> str:
         # alpha^(avail - o) as literal doubles picked by a CASE — the
         # identical scalar tree the SQL oracle spells out
-        c = F.lit(1.0)
-        expr = None
-        for a in range(o, n + 1):
-            lit = F.lit(float(alpha ** (a - o)))
-            expr = F.when(avail == a, lit) if expr is None else expr.when(
-                avail == a, lit
-            )
-        _ = c
-        return expr
+        whens = " ".join(
+            f"WHEN {avail} = {a} THEN {float(alpha ** (a - o))!r}D"
+            for a in range(o, n + 1)
+        )
+        return f"CASE {whens} END"
 
-    score = None
+    score_whens = []
     for o in range(n, 2, -1):
-        branch = (avail >= o) & F.col(f"c{o}n").isNotNull()
-        val = mult(o) * F.col(f"c{o}n") / F.col(f"c{o - 1}ctx")
-        score = F.when(branch, val) if score is None else score.when(
-            branch, val
+        score_whens.append(
+            f"WHEN {avail} >= {o} AND nx{o}.c{o}n IS NOT NULL"
+            f" THEN ({mult(o)}) * nx{o}.c{o}n / cx{o}.c{o - 1}ctx"
         )
-    bi_branch = (avail >= 2) & F.col("c2n").isNotNull()
-    bi_val = mult(2) * F.col("c2n") / F.col("c1_prev")
-    uni_val = (
-        mult(1)
-        * F.coalesce(F.col("c1_cur").cast("double"), F.lit(alpha))
-        / F.col("t")
+    score_whens.append(
+        f"WHEN {avail} >= 2 AND nx2.c2n IS NOT NULL"
+        f" THEN ({mult(2)}) * nx2.c2n / up.c1_prev"
     )
-    score = (score.when(bi_branch, bi_val) if score is not None
-             else F.when(bi_branch, bi_val)).otherwise(uni_val)
+    score = (
+        "CASE "
+        + " ".join(score_whens)
+        + f" ELSE ({mult(1)}) * coalesce(CAST(uc.c1_cur AS DOUBLE), {a_lit})"
+        f" / total.t END"
+    )
 
-    zero = F.lit(0).cast("decimal(27,15)")
-    return (
-        joined.groupBy("doc_id", "n_words")
-        .agg(F.sum((-F.log(score)).cast("decimal(27,15)")).alias("s"))
-        .select(
-            "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.round(
-                F.coalesce(F.col("s"), zero).cast("double")
-                / F.col("n_words"),
-                6,
-            ).alias("avg_nll"),
-        )
+    zero = "CAST(0 AS DECIMAL(27,15))"
+    ctes = ",\n        ".join(
+        [
+            "uni AS (\n"
+            "          SELECT word, count(*) AS c1\n"
+            f"          FROM (SELECT explode(ws) AS word FROM {v_model})\n"
+            "          GROUP BY word)",
+            "total AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni)",
+            *gram_ctes,
+            pos_cte,
+        ]
     )
+    join_sql = "\n          ".join(joins)
+    return spark.sql(f"""
+        WITH {ctes}
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(CAST(coalesce(s, {zero}) AS DOUBLE) / n_words, 6)
+                 AS avg_nll
+        FROM (
+          SELECT /*+ BROADCAST(up), BROADCAST(uc), BROADCAST(total) */
+                 pos.doc_id, pos.n_words,
+                 sum(CAST(-ln({score}) AS DECIMAL(27,15))) AS s
+          FROM pos
+          {join_sql}
+          GROUP BY pos.doc_id, pos.n_words)
+    """)
 
 
 def zipf_slope(

@@ -92,6 +92,45 @@ def release_shared_caches() -> int:
     return n
 
 
+#: (session, view name) pairs registered by staged-SQL plan builders for
+#: DEFERRED cleanup — drained by drop_registered_views() via
+#: catalog.clear_session_caches.  Never drop a build view inline:
+#: dropTempView invalidates the cache of the view's plan, so dropping a
+#: view whose plan is a persist_shared pin unpins it mid-entry
+#: (measured 3.4 s -> 8.6 s on dedup_minhash_lsh, r13).
+_SESSION_VIEWS: list[tuple[SparkSession, str]] = []
+
+_VIEW_SEQ = 0
+
+
+def register_temp_view(df: DataFrame, prefix: str) -> str:
+    """Register ``df`` as a uniquely-named session temp view for a
+    staged-SQL build (one ``spark.sql`` parse instead of eager
+    re-analysis per DataFrame op) and enqueue it for deferred drop.
+    Returns the view name."""
+    global _VIEW_SEQ
+    _VIEW_SEQ += 1
+    name = f"_{prefix}_{_VIEW_SEQ}"
+    df.createOrReplaceTempView(name)
+    _SESSION_VIEWS.append((df.sparkSession, name))
+    return name
+
+
+def drop_registered_views() -> int:
+    """Drop every registered staged-SQL build view; returns how many.
+    Safe only after the corresponding pinned frames are released
+    (catalog.clear_session_caches orders it that way)."""
+    n = 0
+    for spark, v in _SESSION_VIEWS:
+        try:
+            spark.catalog.dropTempView(v)
+            n += 1
+        except Exception:
+            pass
+    _SESSION_VIEWS.clear()
+    return n
+
+
 def ensure_package_shipped(spark: SparkSession) -> None:
     """Make this package importable on executor Python workers.
 
