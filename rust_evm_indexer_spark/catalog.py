@@ -6611,50 +6611,50 @@ _DRIVER_PRIORITY = [  # generated by tools/rotation_plan.py
     "point_lookup",  # flagship-core
     "stats_counts",  # flagship-core
     "evm_logs_topic_page",  # flagship-core
-    "interval_join_events",  # newest green r8
-    "cms_user_frequency",  # newest green r8
-    "corpus_report",  # newest green r8
-    "store_compacted_logs",  # newest green r9
-    "store_tx_bloom_lookup",  # newest green r9
-    "store_zorder_logs",  # newest green r9
-    "store_changefeed_deletes",  # newest green r9
-    "events_sliding_rollup",  # newest green r9
-    "similarity_ivf_knn_join",  # newest green r9
-    "lang_id",  # newest green r9
-    "quality_score",  # newest green r9
-    "doc_fingerprint",  # newest green r9
-    "multimodal_frames",  # newest green r9
-    "window_topk_per_group",  # newest green r9
-    "events_sessionize",  # newest green r9
-    "rollup_orders",  # newest green r9
-    "cube_lineitem",  # newest green r9
-    "distinct_agg",  # newest green r9
-    "set_ops_customers",  # newest green r9
-    "semi_join_exists",  # newest green r9
-    "anti_join_not_exists",  # newest green r9
-    "asof_join_events",  # newest green r9
-    "range_join_events",  # newest green r9
-    "median_per_type",  # newest green r9
-    "orders_monthly",  # newest green r9
-    "dedup_survivors",  # newest green r9
-    "json_extract_props",  # newest green r9
-    "json_agg_by_key",  # newest green r9
-    "approx_quantile_p90",  # newest green r9
-    "similarity_ivf_kmeans",  # newest green r9
-    "dedup_clusters",  # newest green r9
-    "gopher_quality",  # newest green r9
-    "pii_redact",  # newest green r9
-    "sample_stratified",  # newest green r9
-    "pack_sequences",  # newest green r9
-    "decontaminate_ngram",  # newest green r9
-    "evm_address_activity",  # newest green r9
-    "evm_block_activity",  # newest green r9
-    "unigram_nll",  # newest green r9
-    "quality_classifier_scores",  # newest green r9
-    "embedding_pca_whiten",  # newest green r9
-    "dedup_spans_global",  # newest green r9
-    "chunk_documents",  # newest green r9
-    "dedup_winnowing",  # newest green r9
+    "corpus_report",  # DIRTY
+    "similarity_ivf_knn_join",  # DIRTY
+    "dedup_survivors",  # DIRTY
+    "similarity_ivf_kmeans",  # DIRTY
+    "dedup_clusters",  # DIRTY
+    "unigram_nll",  # DIRTY
+    "graph_triangle_count",  # DIRTY
+    "dedup_minhash_lsh",  # DIRTY
+    "dedup_embedding_cosine",  # DIRTY
+    "dedup_embedding_lsh",  # DIRTY
+    "similarity_pq_topk",  # DIRTY
+    "similarity_opq_topk",  # DIRTY
+    "similarity_ivfpq_topk",  # DIRTY
+    "similarity_opq_residual_topk",  # DIRTY
+    "similarity_ivfpq_knn_join",  # DIRTY
+    "similarity_ivfpq_residual_knn_join",  # DIRTY
+    "semantic_admit_delta",  # DIRTY
+    "funnel_conversion",  # DIRTY
+    "repetition_signals",  # DIRTY
+    "substring_dup",  # DIRTY
+    "bm25_search",  # DIRTY
+    "bm25_rerank",  # DIRTY
+    "lm_stupid_backoff_tri",  # DIRTY
+    "lm_stupid_backoff_quad",  # DIRTY
+    "store_projection_logs",  # newest green r10
+    "store_stats_manifest",  # newest green r10
+    "q1_pricing_summary",  # newest green r10
+    "q3_shipping_priority",  # newest green r10
+    "q5_local_supplier",  # newest green r10
+    "q10_returned_items",  # newest green r10
+    "q17_small_qty_avg",  # newest green r10
+    "q6_forecast_revenue",  # newest green r10
+    "q7_nation_volume",  # newest green r10
+    "q8_market_share",  # newest green r10
+    "q18_large_orders",  # newest green r10
+    "q4_priority_check",  # newest green r10
+    "q9_product_profit",  # newest green r10
+    "q12_late_shipments",  # newest green r10
+    "q20_excess_sellers",  # newest green r10
+    "events_gapfill_locf",  # newest green r10
+    "dedup_ngram_jaccard",  # newest green r10
+    "semantic_dedup",  # newest green r10
+    "dedup_simhash",  # newest green r10
+    "similarity_ivf_topk",  # newest green r10
 ]
 
 

@@ -46,94 +46,94 @@ def test_entry_smoke(spark):
 # window matches the generated one, so the bookkeeping can't drift from
 # the data (VERDICT r6 "what's wrong" #4).
 _EXPECTED_OUT_OF_WINDOW = {
+    "anti_join_not_exists",  # newest green r12
     "approx_distinct_users",  # newest green r10
-    "bm25_rerank",  # newest green r11
-    "bm25_search",  # newest green r10
+    "approx_quantile_p90",  # newest green r12
+    "asof_join_events",  # newest green r12
     "bpe_token_counts",  # newest green r11
+    "chunk_documents",  # newest green r12
+    "cms_user_frequency",  # newest green r12
     "corpus_length_histogram",  # newest green r10
     "corpus_shuffle_shards",  # newest green r11
     "corpus_zipf_slope",  # newest green r10
-    "dedup_embedding_cosine",  # newest green r10
-    "dedup_embedding_lsh",  # newest green r10
+    "cube_lineitem",  # newest green r12
+    "decontaminate_ngram",  # newest green r12
     "dedup_exact",  # newest green r11
-    "dedup_minhash_lsh",  # newest green r10
-    "dedup_ngram_jaccard",  # newest green r10
-    "dedup_simhash",  # newest green r10
-    "events_gapfill_locf",  # newest green r10
+    "dedup_spans_global",  # newest green r12
+    "dedup_winnowing",  # newest green r12
+    "distinct_agg",  # newest green r12
+    "doc_fingerprint",  # newest green r12
+    "embedding_pca_whiten",  # newest green r12
     "events_hourly_rollup",  # newest green r11
+    "events_sessionize",  # newest green r12
+    "events_sliding_rollup",  # newest green r12
+    "evm_address_activity",  # newest green r12
+    "evm_block_activity",  # newest green r12
     "evm_join_enriched",  # newest green r11
     "evm_logs_address_range",  # newest green r11
     "evm_logs_blockhash_override",  # newest green r11
     "evm_logs_cursor_page",  # newest green r11
     "evm_transfer_volume",  # newest green r11
     "evm_wei_sum_exact",  # newest green r11
-    "funnel_conversion",  # newest green r11
-    "graph_triangle_count",  # newest green r10
+    "gopher_quality",  # newest green r12
+    "interval_join_events",  # newest green r12
+    "json_agg_by_key",  # newest green r12
+    "json_extract_props",  # newest green r12
     "jsonl_ingest",  # newest green r11
-    "lm_stupid_backoff_quad",  # newest green r10
-    "lm_stupid_backoff_tri",  # newest green r10
+    "lang_id",  # newest green r12
     "logs_filter_conj",  # newest green r11
     "logs_keyset_page",  # newest green r11
     "logs_offset_page",  # newest green r11
+    "median_per_type",  # newest green r12
     "multimodal_features",  # newest green r11
+    "multimodal_frames",  # newest green r12
     "multimodal_meta",  # newest green r10
     "multimodal_resize",  # newest green r10
     "orders_having",  # newest green r11
+    "orders_monthly",  # newest green r12
+    "pack_sequences",  # newest green r12
+    "pii_redact",  # newest green r12
     "pivot_order_status",  # newest green r10
-    "q10_returned_items",  # newest green r10
     "q11_important_parts",  # newest green r11
-    "q12_late_shipments",  # newest green r10
     "q13_order_distribution",  # newest green r11
     "q14_promo_revenue",  # newest green r11
     "q15_top_supplier",  # newest green r11
     "q16_supplier_counts",  # newest green r11
-    "q17_small_qty_avg",  # newest green r10
-    "q18_large_orders",  # newest green r10
     "q19_disjunctive",  # newest green r11
-    "q1_pricing_summary",  # newest green r10
-    "q20_excess_sellers",  # newest green r10
     "q21_sole_supplier",  # newest green r11
     "q22_idle_customers",  # newest green r11
     "q2_min_cost_supplier",  # newest green r11
-    "q3_shipping_priority",  # newest green r10
-    "q4_priority_check",  # newest green r10
-    "q5_local_supplier",  # newest green r10
-    "q6_forecast_revenue",  # newest green r10
-    "q7_nation_volume",  # newest green r10
-    "q8_market_share",  # newest green r10
-    "q9_product_profit",  # newest green r10
+    "quality_classifier_scores",  # newest green r12
+    "quality_score",  # newest green r12
+    "range_join_events",  # newest green r12
     "reorg_rollup_exact",  # newest green r11
-    "repetition_signals",  # newest green r10
     "retention_cohorts",  # newest green r11
+    "rollup_orders",  # newest green r12
+    "sample_stratified",  # newest green r12
     "sample_weighted",  # newest green r11
-    "semantic_admit_delta",  # newest green r10
-    "semantic_dedup",  # newest green r10
-    "similarity_ivf_topk",  # newest green r10
-    "similarity_ivfpq_knn_join",  # newest green r10
-    "similarity_ivfpq_residual_knn_join",  # newest green r10
-    "similarity_ivfpq_topk",  # newest green r10
+    "semi_join_exists",  # newest green r12
+    "set_ops_customers",  # newest green r12
     "similarity_knn_join",  # newest green r11
     "similarity_opq_residual_knn_join",  # newest green r11
-    "similarity_opq_residual_topk",  # newest green r11
-    "similarity_opq_topk",  # newest green r11
-    "similarity_pq_topk",  # newest green r11
     "similarity_topk",  # newest green r11
     "skew_salted_topk",  # newest green r10
     "source_mix_weights",  # newest green r10
     "stats_lag",  # newest green r11
+    "store_changefeed_deletes",  # newest green r12
+    "store_compacted_logs",  # newest green r12
     "store_logs_cursor_page",  # newest green r11
-    "store_projection_logs",  # newest green r10
-    "store_stats_manifest",  # newest green r10
     "store_time_travel",  # newest green r10
     "store_topic0_dict_logs",  # newest green r11
+    "store_tx_bloom_lookup",  # newest green r12
     "store_upsert_docs",  # newest green r11
-    "substring_dup",  # newest green r10
+    "store_zorder_logs",  # newest green r12
     "text_stats",  # newest green r11
     "token_counts",  # newest green r11
     "top1_latest",  # newest green r11
     "unpivot_part_metrics",  # newest green r11
     "window_lag_delta",  # newest green r10
     "window_running_sum",  # newest green r10
+    "window_topk_per_group",  # newest green r12
 }
 
 

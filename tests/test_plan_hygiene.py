@@ -712,3 +712,59 @@ def test_store_stats_manifest_reads_no_data(spark):
     row = df.first()
     assert row["logs_cnt"] > 0 and row["txs_cnt"] > 0
     assert row["blocks_cnt"] == 40 and row["ingestion_lag"] == 0
+
+
+def test_spans_global_fused_reassembly_no_extra_doc_pass(spark):
+    """dedup_spans_global (r12 fusion, pinned r13 per VERDICT item 6):
+    reassembly + span totals come out of ONE doc_id aggregation over the
+    flagged span frame.  The pre-r12 shape ran a second groupBy(doc_id)
+    just to count spans and joined it back — one more hashpartitioning
+    Exchange plus a join.  Lock the fused shape: at most 4
+    hashpartitioning Exchanges total (spread repartition, owner
+    aggregate on span, reassembly partial/final pair) and no cartesian
+    anywhere."""
+    df = CATALOG["dedup_spans_global"].fn(spark, SF)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_staged_tail_pinned_and_keyed(spark):
+    """dedup_minhash_lsh's staged-SQL candidate+verify tail (r12,
+    re-locked r13): the banded/candidate/shingle-slice frames are
+    PINNED (their generator subtrees must not re-embed per consumer)
+    and every join stays keyed — no cartesian, and at most one
+    sort-merge join (the bucket self-join; everything else broadcasts
+    at this SF)."""
+    df = CATALOG["dedup_minhash_lsh"].fn(spark, SF)
+    plan = physical_plan(df, "simple")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_semantic_admit_kept_served_from_cache(spark):
+    """semantic_admit's returned frame (r13 flag-join fusion) must read
+    the pinned flag-joined cache — the caller's terminal action may NOT
+    re-run the stored-side cosine join (for append=True batches that
+    re-execution would self-match against the mutated index: a
+    correctness hazard, not just a slow path).  Lock: the first Join in
+    the returned plan, if any, sits BELOW the first InMemoryTableScan."""
+    df = CATALOG["semantic_admit_delta"].fn(spark, SF)
+    plan = physical_plan(df, "simple")
+    imts = plan.find("InMemoryTableScan")
+    join = plan.find("Join")
+    assert imts != -1, plan
+    assert join == -1 or join > imts, plan[:2000]
+
+
+def test_triangle_count_stays_unpinned_and_keyed(spark):
+    """triangle_count (r13): the r12 edge/oriented pins are REMOVED —
+    a 5-rep A/B showed the cache writes cost more than the saved
+    re-executions (2.66s pinned vs 2.15s unpinned; the entry was
+    sub-second before the pins landed).  Lock the unpinned shape so a
+    future pin must re-justify itself with a measurement."""
+    df = CATALOG["graph_triangle_count"].fn(spark, SF)
+    plan = physical_plan(df, "simple")
+    assert "InMemoryTableScan" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -119,7 +119,45 @@ FLAGSHIP_CORE = [
 # _store / test_manifest_log / tools).  If bm25_rerank's default had
 # changed behaviorally it would be DIRTY; it did not (precedent: the
 # round-8 non-behavioral-pin note above).
-DIRTY: set[str] = set()
+#
+# Round-13 review (VERDICT r12 item 3): every entry whose PLAN-BUILDING
+# code was restructured in the r12 or r13 optimization rounds and that
+# was not in the r12 correctness window re-enters the window — the r12
+# restructures (staged-SQL minhash tail, pyarrow fixture probes feeding
+# the pq/opq/ivfpq + bm25 families, argmax-agg assignment, pins) plus
+# the r13 restructures (semantic_admit flag-join fusion, backoff + bm25
+# single-parse SQL chains, triangle-count unpin, vectors() through the
+# recursive-key table memo).  Local oracle replays cover all of them at
+# three SFs (tests/test_catalog_oracle.py + the drive script), but the
+# driver's own gate must countersign code it never saw.
+DIRTY: set[str] = {
+    # r12-restructured, missed by the r12 window (VERDICT item 3 list)
+    "dedup_minhash_lsh",
+    "bm25_rerank",
+    "bm25_search",
+    "similarity_pq_topk",
+    "similarity_opq_topk",
+    "similarity_opq_residual_topk",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_knn_join",
+    "similarity_ivfpq_residual_knn_join",
+    "substring_dup",
+    "repetition_signals",
+    "semantic_admit_delta",
+    "funnel_conversion",
+    "graph_triangle_count",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    # r13-restructured on top (fusion/SQL/pin changes this round)
+    "lm_stupid_backoff_tri",
+    "lm_stupid_backoff_quad",
+    "dedup_survivors",
+    "dedup_clusters",
+    "unigram_nll",
+    "corpus_report",
+    "similarity_ivf_kmeans",
+    "similarity_ivf_knn_join",
+}
 
 
 def _green(rec: dict) -> bool:
